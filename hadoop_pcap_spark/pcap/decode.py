@@ -1,0 +1,455 @@
+"""Pure-Python libpcap decode kernel.
+
+Re-implements, from the public libpcap file-format specification, the
+decode semantics of the reference engine's ``PcapReader`` /
+``DnsPcapReader`` (see /root/reference/hadoop-pcap-lib/src/main/java/
+net/ripe/hadoop/pcap/PcapReader.java and DnsPcapReader.java — behavior
+studied, no code copied).  Every quirk of the reference that is
+observable through its output is preserved behind
+``strict_reference=True`` (the default) and documented inline:
+
+* classic little-endian pcap only (magic 0xA1B2C3D4 after LE decode;
+  big-endian / nanosecond magics are rejected)  [PcapReader.java:21-22,
+  93-108,234-236]
+* ``ts`` is epoch **seconds** — ts_usec is dropped  [PcapReader.java:25,
+  174] (we additionally expose ``ts_usec`` since Spark can carry it; the
+  strict column set ignores it)
+* link types NULL(0) / EN10MB(1) / RAW(101) / LOOP(108) only; anything
+  else raises  [PcapReader.java:23,110-112,238-254]
+* empty file → zero records, no error  [PcapReader.java:94-105]
+* truncated final record → a packet carrying only ``ts``
+  [PcapReader.java:177-180]
+* one 802.1Q VLAN tag is skipped on EN10MB  [PcapReader.java:283-303]
+* IPv4 protocol byte is read **signed**, so ids > 127 render as
+  negative decimal strings  [PcapReader.java:322]
+* IPv6 extension-header chain walk with Fragment detection;
+  ``ext_headers`` is the concatenated ``[Name]`` list **including the
+  terminal protocol**  [PcapReader.java:357-417]
+* UDP checksum recomputed over the (possibly caplen-truncated) capture
+  bytes; key omitted when the wire checksum field is 0; value 0 means
+  valid  [PcapReader.java:123-165]
+* DNS parse attempted iff src or dst port is 53; parse failures are
+  silently swallowed (fields stay absent)  [DnsPcapReader.java:23,38,53-55]
+
+Divergences (conscious, documented):
+
+* IPv6 addresses render in RFC 5952 compressed lowercase form (Python
+  ``ipaddress``), where Java's ``Inet6Address`` renders the full
+  uncompressed form.  [SURVEY.md D15]
+* DNS resource records render in our own single-spaced presentation
+  format, equivalent to dnsjava's output after the reference's
+  whitespace normalization for the common RR types.  [SURVEY.md N4]
+"""
+
+from __future__ import annotations
+
+import bz2
+import gzip
+import hashlib
+import ipaddress
+import lzma
+import struct
+from dataclasses import dataclass, field
+from typing import Any, Iterator, Optional
+
+from . import dns as _dns
+
+# --- constants (public libpcap / IANA values) -------------------------------
+
+MAGIC_LE = 0xA1B2C3D4  # classic pcap, little-endian on disk: d4 c3 b2 a1
+GLOBAL_HEADER_SIZE = 24
+RECORD_HEADER_SIZE = 16
+
+LINKTYPE_NULL = 0  # BSD loopback; 4-byte family header
+LINKTYPE_EN10MB = 1  # Ethernet
+LINKTYPE_RAW = 101  # raw IP
+LINKTYPE_LOOP = 108  # OpenBSD loopback
+
+SUPPORTED_LINK_TYPES = {LINKTYPE_NULL, LINKTYPE_EN10MB, LINKTYPE_RAW, LINKTYPE_LOOP}
+
+ETHERTYPE_NAMES = {
+    0x0800: "IPv4",
+    0x0806: "arp",
+    0x8035: "rarp",
+    0x86DD: "IPv6",
+    0x8100: "vlan",
+}
+
+# IANA protocol numbers → reference's name map [PcapReaderUtil.java:12-19]
+PROTOCOL_NAMES = {
+    1: "ICMP",
+    6: "TCP",
+    17: "UDP",
+    46: "RSVP",
+    47: "GRE",
+    58: "ICMPv6",
+}
+PROTOCOL_TCP = "TCP"
+PROTOCOL_UDP = "UDP"
+
+# IPv6 extension header types the chain walk recognizes
+# [PcapReaderUtil.java:21-28]
+IPV6_EXT_NAMES = {
+    0: "HopByHop",
+    43: "Routing",
+    44: "Fragment",
+    50: "ESP",
+    51: "AH",
+    60: "Destination",
+    135: "Mobility",
+}
+IPV6_FRAGMENT = 44
+IPV6_NO_NEXT_HEADER = 59
+
+
+class PcapFormatError(ValueError):
+    """Raised for bad magic / unsupported link type (mirrors the
+    reference's IOException paths [PcapReader.java:107-112])."""
+
+
+@dataclass
+class DecodeOptions:
+    decoder: str = "ip"  # "ip" | "dns"   [S7 pluggable reader]
+    calculate_md5: bool = False  # [D4; PcapReader.java:19,79-91]
+    keep_payload: bool = True  # payload BinaryType column [D12]
+    strict_reference: bool = True  # preserve signed-proto quirk etc.
+    mode: str = "FAILFAST"  # FAILFAST | PERMISSIVE (bad file → 0 rows)
+    # Columns requested by the caller; None = all.  Lets the Spark source
+    # push column pruning into the decoder (skip md5/DNS/payload work).
+    wanted: Optional[set] = None
+
+
+def _want(opts: DecodeOptions, *cols: str) -> bool:
+    return opts.wanted is None or any(c in opts.wanted for c in cols)
+
+
+def decompress_auto(data: bytes, name: str = "") -> bytes:
+    """Transparent decompression, by extension then magic sniff.
+
+    Parity: the reference wraps the stream in a Hadoop codec chosen by
+    file extension [io/PcapInputFormat.java:46-49]; gzip in the CLI
+    runner [run/PcapReaderRunner.java:36-37].
+    """
+    lowered = name.lower()
+    if lowered.endswith(".gz") or data[:2] == b"\x1f\x8b":
+        return gzip.decompress(data)
+    if lowered.endswith(".bz2") or data[:3] == b"BZh":
+        return bz2.decompress(data)
+    if lowered.endswith(".xz") or data[:6] == b"\xfd7zXZ\x00":
+        return lzma.decompress(data)
+    return data
+
+
+def _ipv4_text(b: bytes) -> str:
+    return ".".join(str(x) for x in b)
+
+
+def _ipv6_text(b: bytes) -> str:
+    # RFC 5952 compressed form (documented divergence from Java's
+    # uncompressed rendering, SURVEY.md D15).
+    return str(ipaddress.IPv6Address(b))
+
+
+def _udp_checksum(src: bytes, dst: bytes, udp_segment: bytes, ipv6: bool) -> int:
+    """Recompute the UDP checksum over pseudo-header + segment.
+
+    Returns 0 when the segment checksums as valid.  Parity with the
+    reference's verification loop [PcapReader.java:123-165], including
+    the quirk that it runs over caplen-truncated bytes.
+    """
+    length = len(udp_segment)
+    proto = 17
+    pseudo = src + dst
+    if ipv6:
+        pseudo += struct.pack(">I", length) + b"\x00\x00\x00" + bytes([proto])
+    else:
+        pseudo += bytes([0, proto]) + struct.pack(">H", length)
+    data = pseudo + udp_segment
+    if len(data) % 2:
+        data += b"\x00"
+    total = 0
+    for (word,) in struct.iter_unpack(">H", data):
+        total += word
+    while total >> 16:
+        total = (total & 0xFFFF) + (total >> 16)
+    return (~total) & 0xFFFF
+
+
+def _read_payload(data: bytes, start: int, length: int) -> bytes:
+    """Slice payload; out-of-range → empty (parity: readPayload warns and
+    returns an empty array [PcapReader.java:453-461])."""
+    if start < 0 or length < 0 or start + length > len(data):
+        return b""
+    return data[start : start + length]
+
+
+# --- per-packet decode -------------------------------------------------------
+
+
+def _decode_en10mb(packet: dict, data: bytes, opts: DecodeOptions) -> int:
+    """Ethernet II header → ether_type field + IP start offset.
+
+    Returns -1 when the frame is not IPv4/IPv6 (record then keeps only
+    ts/size/ether_type[/md5], parity [PcapReader.java:191-193]).
+    Skips exactly one 802.1Q tag [PcapReader.java:283-303].
+    """
+    if len(data) < 14:
+        packet["ether_type"] = ""
+        return -1
+    ethertype = struct.unpack_from(">H", data, 12)[0]
+    ip_start = 14
+    if ethertype == 0x8100:  # single VLAN tag skip
+        if len(data) < 18:
+            packet["ether_type"] = ETHERTYPE_NAMES[0x8100]
+            return -1
+        ethertype = struct.unpack_from(">H", data, 16)[0]
+        ip_start = 18
+    packet["ether_type"] = ETHERTYPE_NAMES.get(ethertype, "0x%04x" % ethertype)
+    if ethertype in (0x0800, 0x86DD):
+        return ip_start
+    return -1
+
+
+def _ip_start(link_type: int, packet: dict, data: bytes, opts: DecodeOptions) -> int:
+    """IP header offset per link type (parity [PcapReaderTest offsets
+    0/14or18/0/4]); non-EN10MB links leave ether_type ''."""
+    if link_type == LINKTYPE_EN10MB:
+        return _decode_en10mb(packet, data, opts)
+    packet["ether_type"] = ""
+    if link_type == LINKTYPE_NULL or link_type == LINKTYPE_RAW:
+        return 0
+    if link_type == LINKTYPE_LOOP:
+        return 4
+    return -1
+
+
+def _walk_ipv6_ext(data: bytes, ip_start: int, first_next: int) -> tuple:
+    """Walk the IPv6 extension-header chain.
+
+    Returns (terminal_protocol_id_or_None, l4_start, ext_count,
+    names_list, frag_seen).  Parity with findIPv6DataStart
+    [PcapReader.java:357-417]: Fragment headers are fixed 8 bytes;
+    other known ext headers advance (1 + hdr_ext_len) * 8; type 59
+    terminates with no L4.
+    """
+    next_header = first_next
+    pos = ip_start + 40
+    ext_count = 0
+    names = []
+    frag = False
+    while next_header in IPV6_EXT_NAMES:
+        if pos + 2 > len(data):
+            return None, -1, ext_count, names, frag
+        names.append(IPV6_EXT_NAMES[next_header])
+        if next_header == IPV6_FRAGMENT:
+            frag = True
+            hdr_len = 8
+        else:
+            hdr_len = (1 + data[pos + 1]) * 8
+        next_header = data[pos]
+        pos += hdr_len
+        ext_count += 1
+    if next_header == IPV6_NO_NEXT_HEADER:
+        return None, -1, ext_count, names, frag
+    return next_header, pos, ext_count, names, frag
+
+
+def _decode_l3_l4(packet: dict, data: bytes, ip_start: int, opts: DecodeOptions) -> None:
+    if ip_start < 0 or ip_start >= len(data):
+        return
+    version = data[ip_start] >> 4
+
+    protocol_id: Optional[int] = None
+    l4_start = -1
+    ipv6 = False
+
+    if version == 4:
+        if ip_start + 20 > len(data):
+            return
+        ihl = data[ip_start] & 0x0F
+        packet["ttl"] = data[ip_start + 8]
+        raw_proto = data[ip_start + 9]
+        # Reference reads the protocol byte into a signed Java byte →
+        # int, so ids > 127 become negative [PcapReader.java:322].
+        protocol_id = raw_proto
+        display_id = raw_proto - 256 if (opts.strict_reference and raw_proto > 127) else raw_proto
+        packet["protocol"] = PROTOCOL_NAMES.get(raw_proto, str(display_id))
+        packet["src"] = _ipv4_text(data[ip_start + 12 : ip_start + 16])
+        packet["dst"] = _ipv4_text(data[ip_start + 16 : ip_start + 20])
+        l4_start = ip_start + ihl * 4
+    elif version == 6:
+        if ip_start + 40 > len(data):
+            return
+        ipv6 = True
+        packet["payload_len"] = struct.unpack_from(">H", data, ip_start + 4)[0]
+        packet["ttl"] = data[ip_start + 7]  # hop limit stored in ttl
+        packet["src"] = _ipv6_text(data[ip_start + 8 : ip_start + 24])
+        packet["dst"] = _ipv6_text(data[ip_start + 24 : ip_start + 40])
+        first_next = data[ip_start + 6]
+        protocol_id, l4_start, ext_count, names, frag = _walk_ipv6_ext(
+            data, ip_start, first_next
+        )
+        packet["ext_count"] = ext_count
+        if frag:
+            packet["frag"] = True
+        if protocol_id is not None:
+            proto_name = PROTOCOL_NAMES.get(protocol_id, str(protocol_id))
+            packet["protocol"] = proto_name
+            # terminal protocol name is included as the last element
+            # [PcapReader.java:384]
+            packet["ext_headers"] = "".join(f"[{n}]" for n in names + [proto_name])
+        else:
+            packet["ext_headers"] = "".join(f"[{n}]" for n in names)
+            return
+    else:
+        return
+
+    if protocol_id is None or l4_start < 0:
+        return
+    proto_name = packet.get("protocol")
+    if proto_name not in (PROTOCOL_TCP, PROTOCOL_UDP):
+        return
+    if l4_start + 4 > len(data):
+        return
+    packet["src_port"] = struct.unpack_from(">H", data, l4_start)[0]
+    packet["dst_port"] = struct.unpack_from(">H", data, l4_start + 2)[0]
+
+    if proto_name == PROTOCOL_UDP:
+        if l4_start + 8 > len(data):
+            return
+        if _want(opts, "udpsum"):
+            wire_cksum = struct.unpack_from(">H", data, l4_start + 6)[0]
+            # checksum field 0 = not computed by sender → key omitted
+            # [PcapReader.java:129-131]
+            if wire_cksum != 0:
+                src_b = (
+                    ipaddress.ip_address(packet["src"]).packed
+                    if "src" in packet
+                    else b""
+                )
+                dst_b = (
+                    ipaddress.ip_address(packet["dst"]).packed
+                    if "dst" in packet
+                    else b""
+                )
+                packet["udpsum"] = _udp_checksum(
+                    src_b, dst_b, data[l4_start:], ipv6
+                )
+        payload_start = l4_start + 8
+    else:  # TCP: data offset in 32-bit words at byte 12 high nibble
+        if l4_start + 13 > len(data):
+            return
+        data_offset = (data[l4_start + 12] >> 4) * 4
+        payload_start = l4_start + data_offset
+
+    payload_len = max(0, len(data) - payload_start)
+    packet["len"] = payload_len
+    payload = _read_payload(data, payload_start, payload_len)
+    packet["_payload"] = payload  # internal; surfaced per keep_payload
+
+
+def _decode_dns(packet: dict, opts: DecodeOptions) -> None:
+    """L7 DNS decode, attempted iff a port is 53; failures silently
+    leave the dns_* fields absent [DnsPcapReader.java:23,38,53-55]."""
+    if packet.get("src_port") != 53 and packet.get("dst_port") != 53:
+        return
+    payload = packet.get("_payload")
+    if not payload:
+        return
+    # Parity quirk: the reference does NOT strip the 2-byte TCP length
+    # prefix, so TCP DNS effectively never parses [SURVEY.md §1.4 L7].
+    # We keep UDP-only semantics in strict mode; in non-strict mode we
+    # strip the prefix for TCP.
+    data = payload
+    if packet.get("protocol") == PROTOCOL_TCP and not opts.strict_reference:
+        if len(data) < 2:
+            return
+        data = data[2:]
+    try:
+        msg = _dns.parse_message(data)
+    except Exception:
+        return  # silent-skip parity
+    packet["dns_queryid"] = msg.query_id
+    packet["dns_flags"] = msg.flags_text
+    packet["dns_qr"] = msg.qr
+    packet["dns_opcode"] = msg.opcode_text
+    packet["dns_rcode"] = msg.rcode_text
+    packet["dns_qname"] = msg.qname  # lower-cased, trailing dot kept
+    packet["dns_qtype"] = msg.qtype
+    packet["dns_qtype_str"] = msg.qtype_text
+    packet["dns_answer"] = msg.answers
+    packet["dns_authority"] = msg.authority
+    packet["dns_additional"] = msg.additional
+
+
+# --- file-level iteration ----------------------------------------------------
+
+
+def decode_pcap(
+    data: bytes,
+    name: str = "",
+    opts: Optional[DecodeOptions] = None,
+) -> Iterator[dict]:
+    """Decode one pcap file's bytes into an iterator of packet dicts.
+
+    Field semantics per SURVEY.md §1.2; absent fields are simply missing
+    keys (the Spark source projects them to NULL, mirroring the Hive
+    SerDe's missing-key→NULL behavior [PcapDeserializer.java:50-60]).
+    """
+    opts = opts or DecodeOptions()
+    try:
+        data = decompress_auto(data, name)
+    except OSError as exc:
+        if opts.mode == "PERMISSIVE":
+            return
+        raise PcapFormatError(f"{name}: bad compressed stream: {exc}") from exc
+
+    if len(data) == 0:
+        return  # empty file ⇒ zero records, no error [PcapReader.java:94-105]
+    if len(data) < GLOBAL_HEADER_SIZE:
+        if opts.mode == "PERMISSIVE":
+            return
+        raise PcapFormatError(f"{name}: truncated pcap global header")
+
+    magic = struct.unpack_from("<I", data, 0)[0]
+    if magic != MAGIC_LE:
+        if opts.mode == "PERMISSIVE":
+            return
+        raise PcapFormatError(
+            f"{name}: not a (little-endian classic) PCAP file: magic=0x{magic:08x}"
+        )
+    link_type = struct.unpack_from("<I", data, 20)[0]
+    if link_type not in SUPPORTED_LINK_TYPES:
+        if opts.mode == "PERMISSIVE":
+            return
+        raise PcapFormatError(f"{name}: unsupported link type {link_type}")
+
+    dns_mode = opts.decoder == "dns"
+    pos = GLOBAL_HEADER_SIZE
+    pkt_no = 0
+    n = len(data)
+    while pos + RECORD_HEADER_SIZE <= n:
+        ts_sec, ts_usec, caplen = struct.unpack_from("<III", data, pos)
+        pos += RECORD_HEADER_SIZE
+        pkt_no += 1
+        packet: dict[str, Any] = {"pkt_no": pkt_no, "ts": ts_sec, "ts_usec": ts_usec}
+        if pos + caplen > n:
+            # truncated tail → record carries only ts (+ordinal)
+            # [PcapReader.java:177-180]
+            packet.pop("ts_usec", None)
+            yield packet
+            return
+        pkt_data = data[pos : pos + caplen]
+        pos += caplen
+        packet["size"] = caplen
+        if opts.calculate_md5 and _want(opts, "md5"):
+            # uppercase hex, parity with convertToHexString [D16]
+            packet["md5"] = hashlib.md5(pkt_data).hexdigest().upper()
+        ip_start = _ip_start(link_type, packet, pkt_data, opts)
+        _decode_l3_l4(packet, pkt_data, ip_start, opts)
+        if dns_mode:
+            _decode_dns(packet, opts)
+        payload = packet.pop("_payload", None)
+        if opts.keep_payload and payload is not None and _want(opts, "payload"):
+            packet["payload"] = payload
+        yield packet

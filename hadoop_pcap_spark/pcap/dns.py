@@ -1,0 +1,244 @@
+"""Minimal DNS wire-format (RFC 1035) message parser.
+
+Replaces the reference's dnsjava dependency (DnsPcapReader.java:40-52)
+with a small self-contained parser.  Output conventions:
+
+* ``qname``: lower-cased, absolute (trailing dot kept) — parity with
+  the reference [DnsPcapReader.java:47,68-74].
+* flag / opcode / rcode mnemonics follow standard RFC names (same set
+  dnsjava prints).
+* resource records render as single-spaced presentation strings
+  ``name ttl CLASS TYPE rdata`` — equivalent to dnsjava's tab-separated
+  output *after* the reference's whitespace normalization
+  [DnsPcapReader.java:98-107]; we emit the normalized form directly.
+  Unknown RR types use the RFC 3597 ``\\# len hex`` generic form.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import struct
+from dataclasses import dataclass, field
+from typing import List
+
+MAX_NAME_POINTERS = 64  # compression-pointer loop guard
+
+TYPE_NAMES = {
+    1: "A", 2: "NS", 5: "CNAME", 6: "SOA", 12: "PTR", 13: "HINFO",
+    15: "MX", 16: "TXT", 17: "RP", 18: "AFSDB", 24: "SIG", 25: "KEY",
+    28: "AAAA", 29: "LOC", 33: "SRV", 35: "NAPTR", 36: "KX", 37: "CERT",
+    39: "DNAME", 41: "OPT", 43: "DS", 44: "SSHFP", 46: "RRSIG",
+    47: "NSEC", 48: "DNSKEY", 50: "NSEC3", 51: "NSEC3PARAM",
+    52: "TLSA", 59: "CDS", 60: "CDNSKEY", 99: "SPF", 250: "TSIG",
+    251: "IXFR", 252: "AXFR", 255: "ANY", 256: "URI", 257: "CAA",
+}
+
+CLASS_NAMES = {1: "IN", 3: "CH", 4: "HS", 254: "NONE", 255: "ANY"}
+
+OPCODE_NAMES = {0: "QUERY", 1: "IQUERY", 2: "STATUS", 4: "NOTIFY", 5: "UPDATE"}
+
+RCODE_NAMES = {
+    0: "NOERROR", 1: "FORMERR", 2: "SERVFAIL", 3: "NXDOMAIN",
+    4: "NOTIMP", 5: "REFUSED", 6: "YXDOMAIN", 7: "YXRRSET",
+    8: "NXRRSET", 9: "NOTAUTH", 10: "NOTZONE", 16: "BADVERS",
+}
+
+# header flag bits in print order (dnsjava printFlags order: bit order)
+FLAG_BITS = [
+    (0x8000, "qr"),
+    (0x0400, "aa"),
+    (0x0200, "tc"),
+    (0x0100, "rd"),
+    (0x0080, "ra"),
+    (0x0020, "ad"),
+    (0x0010, "cd"),
+]
+
+
+class DnsParseError(ValueError):
+    pass
+
+
+def type_name(t: int) -> str:
+    return TYPE_NAMES.get(t, f"TYPE{t}")
+
+
+def class_name(c: int) -> str:
+    return CLASS_NAMES.get(c, f"CLASS{c}")
+
+
+def _read_name(data: bytes, pos: int) -> tuple:
+    """Decode a (possibly compressed) domain name.
+
+    Returns (name_text_with_trailing_dot, next_pos).  The name is
+    lower-cased; root renders as '.'.
+    """
+    labels: List[str] = []
+    jumps = 0
+    next_pos = -1
+    while True:
+        if pos >= len(data):
+            raise DnsParseError("name runs past message end")
+        length = data[pos]
+        if length & 0xC0 == 0xC0:  # compression pointer
+            if pos + 2 > len(data):
+                raise DnsParseError("truncated compression pointer")
+            target = struct.unpack_from(">H", data, pos)[0] & 0x3FFF
+            if next_pos < 0:
+                next_pos = pos + 2
+            jumps += 1
+            if jumps > MAX_NAME_POINTERS:
+                raise DnsParseError("compression pointer loop")
+            pos = target
+            continue
+        if length & 0xC0:
+            raise DnsParseError(f"bad label length byte 0x{length:02x}")
+        pos += 1
+        if length == 0:
+            break
+        if pos + length > len(data):
+            raise DnsParseError("label runs past message end")
+        raw = data[pos : pos + length]
+        # escape dots/backslashes inside labels (presentation format)
+        text = "".join(
+            "\\." if b == 0x2E else ("\\\\" if b == 0x5C else
+             (chr(b) if 0x20 <= b < 0x7F else f"\\{b:03d}"))
+            for b in raw
+        )
+        labels.append(text.lower())
+        pos += length
+    name = ".".join(labels) + "." if labels else "."
+    return name, (next_pos if next_pos >= 0 else pos)
+
+
+def _render_char_strings(rdata: bytes) -> str:
+    """<character-string>* → space-separated quoted strings (TXT/SPF)."""
+    out = []
+    pos = 0
+    while pos < len(rdata):
+        ln = rdata[pos]
+        pos += 1
+        chunk = rdata[pos : pos + ln]
+        pos += ln
+        esc = "".join(
+            ("\\" + chr(b)) if b in (0x22, 0x5C) else
+            (chr(b) if 0x20 <= b < 0x7F else f"\\{b:03d}")
+            for b in chunk
+        )
+        out.append(f'"{esc}"')
+    return " ".join(out)
+
+
+def _render_rdata(data: bytes, rtype: int, rd_start: int, rd_len: int) -> str:
+    """Presentation-format rdata for common RR types; RFC 3597 generic
+    form otherwise.  Names inside rdata honor message compression."""
+    rdata = data[rd_start : rd_start + rd_len]
+    if rtype == 1 and rd_len == 4:  # A
+        return ".".join(str(b) for b in rdata)
+    if rtype == 28 and rd_len == 16:  # AAAA
+        return str(ipaddress.IPv6Address(rdata))
+    if rtype in (2, 5, 12, 39):  # NS / CNAME / PTR / DNAME
+        return _read_name(data, rd_start)[0]
+    if rtype == 15 and rd_len >= 3:  # MX
+        pref = struct.unpack_from(">H", data, rd_start)[0]
+        target, _ = _read_name(data, rd_start + 2)
+        return f"{pref} {target}"
+    if rtype == 6:  # SOA
+        mname, p = _read_name(data, rd_start)
+        rname, p = _read_name(data, p)
+        if p + 20 <= rd_start + rd_len:
+            serial, refresh, retry, expire, minimum = struct.unpack_from(">IIIII", data, p)
+            return f"{mname} {rname} {serial} {refresh} {retry} {expire} {minimum}"
+    if rtype == 33 and rd_len >= 7:  # SRV
+        prio, weight, port = struct.unpack_from(">HHH", data, rd_start)
+        target, _ = _read_name(data, rd_start + 6)
+        return f"{prio} {weight} {port} {target}"
+    if rtype in (16, 99):  # TXT / SPF
+        return _render_char_strings(rdata)
+    if rtype == 257 and rd_len >= 2:  # CAA
+        flags = rdata[0]
+        tag_len = rdata[1]
+        tag = rdata[2 : 2 + tag_len].decode("ascii", "replace")
+        value = rdata[2 + tag_len :].decode("ascii", "replace")
+        return f'{flags} {tag} "{value}"'
+    # generic / unknown (RFC 3597)
+    if rd_len == 0:
+        return "\\# 0"
+    return f"\\# {rd_len} " + rdata.hex().upper()
+
+
+@dataclass
+class DnsMessage:
+    query_id: int = 0
+    flags_text: str = ""
+    qr: bool = False
+    opcode_text: str = ""
+    rcode_text: str = ""
+    qname: str = ""
+    qtype: int = 0  # 0 when no question [DnsPcapReader.java:76-80]
+    qtype_text: str = ""
+    answers: List[str] = field(default_factory=list)
+    authority: List[str] = field(default_factory=list)
+    additional: List[str] = field(default_factory=list)
+
+
+def parse_message(data: bytes) -> DnsMessage:
+    """Parse a full DNS message (header + question + 3 RR sections)."""
+    if len(data) < 12:
+        raise DnsParseError("message shorter than DNS header")
+    qid, flags, qd, an, ns, ar = struct.unpack_from(">HHHHHH", data, 0)
+    msg = DnsMessage(query_id=qid)
+    msg.qr = bool(flags & 0x8000)
+    msg.flags_text = " ".join(name for bit, name in FLAG_BITS if flags & bit)
+    opcode = (flags >> 11) & 0xF
+    msg.opcode_text = OPCODE_NAMES.get(opcode, f"RESERVED{opcode}")
+    rcode = flags & 0xF
+    msg.rcode_text = RCODE_NAMES.get(rcode, f"RESERVED{rcode}")
+
+    pos = 12
+    if qd > 0:
+        qname, pos = _read_name(data, pos)
+        if pos + 4 > len(data):
+            raise DnsParseError("truncated question")
+        qtype, _qclass = struct.unpack_from(">HH", data, pos)
+        pos += 4
+        msg.qname = qname
+        msg.qtype = qtype
+        msg.qtype_text = type_name(qtype)
+        for _ in range(qd - 1):  # rare multi-question: skip the rest
+            _, pos = _read_name(data, pos)
+            pos += 4
+    # else: qtype stays 0 (reference parity)
+
+    def read_section(count: int) -> List[str]:
+        nonlocal pos
+        out: List[str] = []
+        for _ in range(count):
+            name, p = _read_name(data, pos)
+            if p + 10 > len(data):
+                raise DnsParseError("truncated RR header")
+            rtype, rclass, ttl, rd_len = struct.unpack_from(">HHIH", data, p)
+            p += 10
+            if p + rd_len > len(data):
+                raise DnsParseError("truncated RR rdata")
+            if rtype == 41:  # OPT pseudo-RR: render dnsjava-style summary
+                payload = rclass
+                xrcode = (ttl >> 24) & 0xFF
+                version = (ttl >> 16) & 0xFF
+                zflags = ttl & 0xFFFF
+                out.append(
+                    f"{name} 32768 CLASS{payload} OPT ; payload {payload}, "
+                    f"xrcode {xrcode}, version {version}, flags {zflags}"
+                )
+            else:
+                rdata_text = _render_rdata(data, rtype, p, rd_len)
+                out.append(
+                    f"{name} {ttl} {class_name(rclass)} {type_name(rtype)} {rdata_text}"
+                )
+            pos = p + rd_len
+        return out
+
+    msg.answers = read_section(an)
+    msg.authority = read_section(ns)
+    msg.additional = read_section(ar)
+    return msg

@@ -1,0 +1,158 @@
+"""Synthesize pcap files / packets for tests and golden fixtures.
+
+All construction is from the public libpcap + Ethernet/IP/UDP/TCP/DNS
+wire formats.  Used by the test suite (property tests round-trip
+synth → bytes → decode) and by the demo/packets-table generator.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterable, List, Optional
+
+
+def global_header(link_type: int = 1, snaplen: int = 65535) -> bytes:
+    return struct.pack("<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, snaplen, link_type)
+
+
+def record(ts_sec: int, data: bytes, ts_usec: int = 0, orig_len: Optional[int] = None) -> bytes:
+    if orig_len is None:
+        orig_len = len(data)
+    return struct.pack("<IIII", ts_sec, ts_usec, len(data), orig_len) + data
+
+
+def ethernet(payload: bytes, ethertype: int = 0x0800,
+             src_mac: bytes = b"\x02\x00\x00\x00\x00\x01",
+             dst_mac: bytes = b"\x02\x00\x00\x00\x00\x02",
+             vlan: Optional[int] = None) -> bytes:
+    if vlan is not None:
+        return dst_mac + src_mac + struct.pack(">HH", 0x8100, vlan) + struct.pack(">H", ethertype) + payload
+    return dst_mac + src_mac + struct.pack(">H", ethertype) + payload
+
+
+def _cksum16(data: bytes) -> int:
+    if len(data) % 2:
+        data += b"\x00"
+    total = 0
+    for (w,) in struct.iter_unpack(">H", data):
+        total += w
+    while total >> 16:
+        total = (total & 0xFFFF) + (total >> 16)
+    return (~total) & 0xFFFF
+
+
+def ipv4(payload: bytes, proto: int, src: str, dst: str, ttl: int = 64) -> bytes:
+    src_b = bytes(int(x) for x in src.split("."))
+    dst_b = bytes(int(x) for x in dst.split("."))
+    total_len = 20 + len(payload)
+    hdr = struct.pack(">BBHHHBBH4s4s", 0x45, 0, total_len, 0, 0, ttl, proto, 0, src_b, dst_b)
+    cksum = _cksum16(hdr)
+    hdr = hdr[:10] + struct.pack(">H", cksum) + hdr[12:]
+    return hdr + payload
+
+
+def ipv6(payload: bytes, next_header: int, src: str, dst: str,
+         hop_limit: int = 64, ext_headers: Iterable[tuple] = ()) -> bytes:
+    """ext_headers: iterable of (ext_type, ext_bytes) inserted in order;
+    ext_bytes must already have its next-header byte at offset 0 patched
+    by this function."""
+    import ipaddress as _ip
+    src_b = _ip.IPv6Address(src).packed
+    dst_b = _ip.IPv6Address(dst).packed
+    exts: List[bytes] = []
+    chain: List[int] = [t for t, _ in ext_headers] + [next_header]
+    body = b""
+    ext_list = list(ext_headers)
+    for i, (etype, ebytes) in enumerate(ext_list):
+        nxt = chain[i + 1]
+        body += bytes([nxt]) + ebytes[1:]
+    body += payload
+    first_next = chain[0]
+    payload_len = len(body)
+    hdr = struct.pack(">IHBB", 0x60000000, payload_len, first_next, hop_limit) + src_b + dst_b
+    return hdr + body
+
+
+def fragment_ext(next_header_placeholder: int = 0, offset: int = 0, ident: int = 1) -> bytes:
+    """IPv6 Fragment extension header (8 bytes); byte 0 patched by ipv6()."""
+    return struct.pack(">BBHI", next_header_placeholder, 0, offset, ident)
+
+
+def udp(payload: bytes, src_port: int, dst_port: int,
+        src_ip: str = "", dst_ip: str = "", checksum: bool = True) -> bytes:
+    length = 8 + len(payload)
+    hdr = struct.pack(">HHHH", src_port, dst_port, length, 0)
+    seg = hdr + payload
+    if checksum and src_ip and dst_ip:
+        import ipaddress as _ip
+        src_b = _ip.ip_address(src_ip).packed
+        dst_b = _ip.ip_address(dst_ip).packed
+        if len(src_b) == 16:
+            pseudo = src_b + dst_b + struct.pack(">I", length) + b"\x00\x00\x00\x11"
+        else:
+            pseudo = src_b + dst_b + b"\x00\x11" + struct.pack(">H", length)
+        ck = _cksum16(pseudo + seg)
+        if ck == 0:
+            ck = 0xFFFF
+        seg = hdr[:6] + struct.pack(">H", ck) + payload
+    return seg
+
+
+def tcp(payload: bytes, src_port: int, dst_port: int, data_offset: int = 5) -> bytes:
+    hdr = struct.pack(">HHIIBBHHH", src_port, dst_port, 0, 0,
+                      (data_offset << 4), 0x18, 8192, 0, 0)
+    hdr += b"\x00" * ((data_offset - 5) * 4)
+    return hdr + payload
+
+
+def _name(qname: str) -> bytes:
+    out = b""
+    for label in qname.rstrip(".").split("."):
+        if label:
+            out += bytes([len(label)]) + label.encode()
+    return out + b"\x00"
+
+
+def dns_query(qid: int, qname: str, qtype: int = 1, rd: bool = True) -> bytes:
+    flags = 0x0100 if rd else 0
+    hdr = struct.pack(">HHHHHH", qid, flags, 1, 0, 0, 0)
+    return hdr + _name(qname) + struct.pack(">HH", qtype, 1)
+
+
+def dns_response(qid: int, qname: str, qtype: int = 1,
+                 answers: Iterable[tuple] = (), rcode: int = 0,
+                 aa: bool = False) -> bytes:
+    """answers: iterable of (name, ttl, rtype, rdata_bytes)."""
+    ans = list(answers)
+    flags = 0x8180 | (0x0400 if aa else 0) | (rcode & 0xF)
+    hdr = struct.pack(">HHHHHH", qid, flags, 1, len(ans), 0, 0)
+    body = _name(qname) + struct.pack(">HH", qtype, 1)
+    for name, ttl, rtype, rdata in ans:
+        body += _name(name) + struct.pack(">HHIH", rtype, 1, ttl, len(rdata)) + rdata
+    return hdr + body
+
+
+def ns_rdata(target: str) -> bytes:
+    return _name(target)
+
+
+def a_rdata(ip: str) -> bytes:
+    return bytes(int(x) for x in ip.split("."))
+
+
+def dns_exchange_pcap(ts: int = 1317993942) -> bytes:
+    """A 2-packet UDP DNS exchange mirroring the *shape* of the
+    reference's test fixture (FIXTURES.md §3): query `ripe.net A` from
+    193.0.10.82:52938 → 193.0.14.129:53 and a 13-NS-record response.
+    Bytes are synthesized here, not copied."""
+    q = dns_query(0x1234, "ripe.net", 1)
+    r = dns_response(
+        0x1234, "ripe.net", 1,
+        answers=[("ripe.net", 3600, 2, ns_rdata(f"{c}.gtld-servers.net"))
+                 for c in "abcdefghijklm"],
+    )
+    qpkt = ethernet(ipv4(udp(q, 52938, 53, "193.0.10.82", "193.0.14.129"),
+                         17, "193.0.10.82", "193.0.14.129"))
+    rpkt = ethernet(ipv4(udp(r, 53, 52938, "193.0.14.129", "193.0.10.82"),
+                         17, "193.0.14.129", "193.0.10.82"))
+    return global_header(1) + record(ts, qpkt) + record(ts, rpkt)

@@ -1,0 +1,288 @@
+"""Unit tests for the pure-Python decode kernel.
+
+Mirrors the reference's PcapReaderTest cases (payload slicing,
+link-type mapping, IP-start offsets) plus golden decode of a DNS
+exchange and format-error semantics.  See SURVEY.md §5.
+"""
+
+import gzip
+import os
+import struct
+
+import pytest
+
+from hadoop_pcap_spark.pcap import decode as D
+from hadoop_pcap_spark.pcap import synth as S
+from hadoop_pcap_spark.pcap.decode import DecodeOptions, PcapFormatError, decode_pcap
+
+REF_FIXTURE = "/root/reference/hadoop-pcap-lib/src/test/resources/test.pcap"
+
+
+def rows(data, **kw):
+    return list(decode_pcap(data, opts=DecodeOptions(**kw)))
+
+
+# --- format-level semantics [PcapReader.java:93-112] -------------------------
+
+def test_empty_file_yields_zero_rows_no_error():
+    assert rows(b"") == []
+
+
+def test_bad_magic_raises():
+    with pytest.raises(PcapFormatError):
+        rows(b"\x00" * 24)
+
+
+def test_big_endian_magic_rejected():
+    data = struct.pack(">IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 65535, 1)
+    with pytest.raises(PcapFormatError):
+        rows(data)
+
+
+def test_unsupported_link_type_raises():
+    data = S.global_header(link_type=42)
+    with pytest.raises(PcapFormatError):
+        rows(data)
+
+
+def test_permissive_mode_swallows_errors():
+    assert rows(b"\x00" * 24, mode="PERMISSIVE") == []
+    assert rows(S.global_header(link_type=42), mode="PERMISSIVE") == []
+
+
+def test_truncated_last_record_yields_ts_only():
+    data = S.global_header(1) + struct.pack("<IIII", 111, 0, 100, 100) + b"\x00" * 10
+    out = rows(data)
+    assert len(out) == 1
+    assert out[0]["ts"] == 111
+    assert "size" not in out[0] and "src" not in out[0]
+
+
+def test_header_only_file_yields_zero_rows():
+    assert rows(S.global_header(1)) == []
+
+
+# --- link-type / IP offset semantics [PcapReaderTest.java:33-108] -------------
+
+def _ipv4_udp_frame():
+    return S.ipv4(S.udp(b"hi", 1111, 2222, "10.0.0.1", "10.0.0.2"),
+                  17, "10.0.0.1", "10.0.0.2")
+
+
+def test_linktype_null_ip_at_0():
+    data = S.global_header(D.LINKTYPE_NULL) + S.record(5, _ipv4_udp_frame())
+    (p,) = rows(data)
+    assert p["src"] == "10.0.0.1" and p["ether_type"] == ""
+
+
+def test_linktype_raw_ip_at_0():
+    data = S.global_header(D.LINKTYPE_RAW) + S.record(5, _ipv4_udp_frame())
+    (p,) = rows(data)
+    assert p["dst"] == "10.0.0.2"
+
+
+def test_linktype_loop_ip_at_4():
+    data = S.global_header(D.LINKTYPE_LOOP) + S.record(5, b"\x00\x00\x00\x02" + _ipv4_udp_frame())
+    (p,) = rows(data)
+    assert p["src"] == "10.0.0.1"
+
+
+def test_en10mb_plain_and_vlan():
+    plain = S.ethernet(_ipv4_udp_frame())
+    tagged = S.ethernet(_ipv4_udp_frame(), vlan=7)
+    data = S.global_header(1) + S.record(5, plain) + S.record(6, tagged)
+    p1, p2 = rows(data)
+    assert p1["ether_type"] == "IPv4" and p1["src_port"] == 1111
+    assert p2["ether_type"] == "IPv4" and p2["src_port"] == 1111  # VLAN skipped
+
+
+def test_non_ip_ethertype_keeps_only_l2_fields():
+    frame = S.ethernet(b"\x00\x01\x08\x00" + b"\x00" * 24, ethertype=0x0806)
+    data = S.global_header(1) + S.record(9, frame)
+    (p,) = rows(data)
+    assert p["ether_type"] == "arp"
+    assert "src" not in p and "src_port" not in p
+    assert p["ts"] == 9 and p["size"] == len(frame)
+
+
+def test_unknown_ethertype_renders_hex():
+    frame = S.ethernet(b"\x00" * 30, ethertype=0x88CC)
+    (p,) = rows(S.global_header(1) + S.record(1, frame))
+    assert p["ether_type"] == "0x88cc"
+
+
+# --- L3/L4 field semantics ----------------------------------------------------
+
+def test_ipv4_fields_and_udp_checksum_valid():
+    frame = S.ethernet(S.ipv4(S.udp(b"payload9", 4000, 53, "192.168.1.5", "8.8.8.8"),
+                              17, "192.168.1.5", "8.8.8.8", ttl=61))
+    (p,) = rows(S.global_header(1) + S.record(100, frame))
+    assert p["protocol"] == "UDP" and p["ttl"] == 61
+    assert p["src"] == "192.168.1.5" and p["dst"] == "8.8.8.8"
+    assert p["src_port"] == 4000 and p["dst_port"] == 53
+    assert p["len"] == 8
+    assert p["udpsum"] == 0  # recomputed checksum of a valid segment
+    assert p["payload"] == b"payload9"
+
+
+def test_udp_zero_checksum_omits_udpsum():
+    frame = S.ethernet(S.ipv4(S.udp(b"x", 1, 2, checksum=False), 17, "1.1.1.1", "2.2.2.2"))
+    (p,) = rows(S.global_header(1) + S.record(1, frame))
+    assert "udpsum" not in p
+
+
+def test_tcp_ports_and_payload_with_options():
+    frame = S.ethernet(S.ipv4(S.tcp(b"GET /", 5555, 80, data_offset=8), 6, "10.1.1.1", "10.2.2.2"))
+    (p,) = rows(S.global_header(1) + S.record(1, frame))
+    assert p["protocol"] == "TCP"
+    assert p["src_port"] == 5555 and p["dst_port"] == 80
+    assert p["len"] == 5 and p["payload"] == b"GET /"
+    assert "udpsum" not in p
+
+
+def test_icmp_has_no_ports():
+    frame = S.ethernet(S.ipv4(b"\x08\x00\x00\x00", 1, "10.0.0.1", "10.0.0.9"))
+    (p,) = rows(S.global_header(1) + S.record(1, frame))
+    assert p["protocol"] == "ICMP"
+    assert "src_port" not in p and "len" not in p
+
+
+def test_signed_protocol_quirk():
+    # protocol id 253 renders as "-3" in strict mode [PcapReader.java:322]
+    frame = S.ethernet(S.ipv4(b"", 253, "1.1.1.1", "2.2.2.2"))
+    (p,) = rows(S.global_header(1) + S.record(1, frame))
+    assert p["protocol"] == "-3"
+    (p2,) = rows(S.global_header(1) + S.record(1, frame), strict_reference=False)
+    assert p2["protocol"] == "253"
+
+
+def test_ipv6_udp_with_fragment_ext():
+    inner = S.udp(b"abc", 7, 53, "2001:db8::1", "2001:db8::2")
+    frame = S.ethernet(
+        S.ipv6(inner, 17, "2001:db8::1", "2001:db8::2",
+               ext_headers=[(44, S.fragment_ext())]),
+        ethertype=0x86DD)
+    (p,) = rows(S.global_header(1) + S.record(1, frame))
+    assert p["ether_type"] == "IPv6"
+    assert p["protocol"] == "UDP"
+    assert p["frag"] is True and p["ext_count"] == 1
+    assert p["ext_headers"] == "[Fragment][UDP]"
+    assert p["src"] == "2001:db8::1"
+    assert p["ttl"] == 64  # hop limit lands in ttl
+    assert p["payload_len"] == 8 + 8 + 3  # frag ext + udp hdr + payload
+    assert p["src_port"] == 7
+
+
+def test_ipv6_no_next_header():
+    frame = S.ethernet(S.ipv6(b"", 59, "::1", "::2"), ethertype=0x86DD)
+    (p,) = rows(S.global_header(1) + S.record(1, frame))
+    assert p["ext_headers"] == "" and p["ext_count"] == 0
+    assert "protocol" not in p
+
+
+def test_md5_opt_in_uppercase():
+    frame = S.ethernet(_ipv4_udp_frame())
+    data = S.global_header(1) + S.record(1, frame) + S.record(2, frame)
+    out = rows(data, calculate_md5=True)
+    assert out[0]["md5"] == out[1]["md5"]
+    assert len(out[0]["md5"]) == 32 and out[0]["md5"].upper() == out[0]["md5"]
+    assert "md5" not in rows(data)[0]
+
+
+def test_gzip_transparent():
+    raw = S.dns_exchange_pcap()
+    gz = gzip.compress(raw)
+    assert len(rows(gz)) == 2
+    assert [p["ts"] for p in rows(gz)] == [p["ts"] for p in rows(raw)]
+
+
+def test_pkt_no_is_one_based_ordinal():
+    raw = S.dns_exchange_pcap()
+    assert [p["pkt_no"] for p in rows(raw)] == [1, 2]
+
+
+# --- DNS decode [DnsPcapReader.java] ------------------------------------------
+
+def test_dns_exchange_golden():
+    out = rows(S.dns_exchange_pcap(), decoder="dns")
+    q, r = out
+    assert q["dns_queryid"] == 0x1234 and r["dns_queryid"] == 0x1234
+    assert q["dns_qr"] is False and r["dns_qr"] is True
+    assert q["dns_qname"] == "ripe.net." and r["dns_qname"] == "ripe.net."
+    assert q["dns_qtype"] == 1 and q["dns_qtype_str"] == "A"
+    assert q["dns_opcode"] == "QUERY" and r["dns_rcode"] == "NOERROR"
+    assert q["dns_flags"] == "rd"
+    assert r["dns_flags"] == "qr rd ra"
+    assert len(r["dns_answer"]) == 13
+    assert r["dns_answer"][0] == "ripe.net. 3600 IN NS a.gtld-servers.net."
+    assert r["dns_answer"][12] == "ripe.net. 3600 IN NS m.gtld-servers.net."
+    assert r["dns_authority"] == [] and r["dns_additional"] == []
+
+
+def test_dns_not_parsed_off_port_53():
+    q = S.dns_query(1, "example.com")
+    frame = S.ethernet(S.ipv4(S.udp(q, 1000, 1001, "1.1.1.1", "2.2.2.2"),
+                              17, "1.1.1.1", "2.2.2.2"))
+    (p,) = rows(S.global_header(1) + S.record(1, frame), decoder="dns")
+    assert "dns_queryid" not in p
+
+
+def test_dns_garbage_silently_skipped():
+    frame = S.ethernet(S.ipv4(S.udp(b"\x01\x02", 53, 999, "1.1.1.1", "2.2.2.2"),
+                              17, "1.1.1.1", "2.2.2.2"))
+    (p,) = rows(S.global_header(1) + S.record(1, frame), decoder="dns")
+    assert "dns_queryid" not in p
+    assert p["src_port"] == 53  # lower layers intact
+
+
+def test_tcp_dns_not_parsed_in_strict_mode():
+    # reference never strips the TCP 2-byte length prefix → no dns fields
+    msg = S.dns_query(7, "a.example")
+    seg = struct.pack(">H", len(msg)) + msg
+    frame = S.ethernet(S.ipv4(S.tcp(seg, 5000, 53), 6, "1.1.1.1", "2.2.2.2"))
+    data = S.global_header(1) + S.record(1, frame)
+    (p,) = rows(data, decoder="dns")
+    assert "dns_queryid" not in p
+    (p2,) = rows(data, decoder="dns", strict_reference=False)
+    assert p2["dns_qname"] == "a.example."
+
+
+def test_qname_lowercased():
+    q = S.dns_query(2, "WwW.ExAmPlE.CoM")
+    frame = S.ethernet(S.ipv4(S.udp(q, 5353, 53, "1.1.1.1", "2.2.2.2"),
+                              17, "1.1.1.1", "2.2.2.2"))
+    (p,) = rows(S.global_header(1) + S.record(1, frame), decoder="dns")
+    assert p["dns_qname"] == "www.example.com."
+
+
+# --- golden parity against the reference's own binary fixture ----------------
+
+@pytest.mark.skipif(not os.path.exists(REF_FIXTURE), reason="reference fixture absent")
+def test_reference_fixture_parity():
+    """Decode the reference repo's 677-byte test.pcap (read at runtime,
+    not copied) and assert the documented golden facts (SURVEY.md §5):
+    2 packets, UDP DNS query `ripe.net A` 193.0.10.82:52938 →
+    193.0.14.129:53 at ts 1317993942 and a 13-NS-answer response."""
+    with open(REF_FIXTURE, "rb") as f:
+        data = f.read()
+    out = list(decode_pcap(data, opts=DecodeOptions(decoder="dns")))
+    assert len(out) == 2
+    q, r = out
+    assert q["ts"] == 1317993942
+    assert q["ether_type"] == "IPv4" and q["protocol"] == "UDP"
+    assert q["src"] == "193.0.10.82" and q["dst"] == "193.0.14.129"
+    assert q["src_port"] == 52938 and q["dst_port"] == 53
+    assert q["dns_qname"] == "ripe.net." and q["dns_qtype_str"] == "A"
+    assert q["dns_qr"] is False
+    assert r["dns_qr"] is True and r["src_port"] == 53
+    # The response is a referral: the 13 NS records a–m.gtld-servers.net
+    # sit in the AUTHORITY section (answer section is empty).
+    assert r["dns_answer"] == []
+    assert len(r["dns_authority"]) == 13
+    assert r["dns_authority"][0] == "net. 172800 IN NS a.gtld-servers.net."
+    assert r["dns_authority"][12] == "net. 172800 IN NS m.gtld-servers.net."
+    # additional section carries the glue A/AAAA records
+    assert "a.gtld-servers.net. 172800 IN A 192.5.6.30" in r["dns_additional"]
+    assert "a.gtld-servers.net. 172800 IN AAAA 2001:503:a83e::2:30" in r["dns_additional"]
+    # both packets carry valid (recomputed-to-zero) UDP checksums
+    assert q["udpsum"] == 0 and r["udpsum"] == 0
