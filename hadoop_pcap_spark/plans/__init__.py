@@ -1,0 +1,55 @@
+"""Query-plan registry: the engine's demonstrated operator surface.
+
+Every operator from SURVEY.md §2 (and the north-star pipeline ops) is
+registered here as a named query: a Spark callable ``(spark, sf_dir) →
+DataFrame`` plus, where SQL-expressible, a DuckDB oracle SQL string the
+driver cross-checks against (row count + schema + order-insensitive
+value hash).  Registration is via the ``@query`` decorator.
+
+Conventions that keep the value-hash comparison stable:
+
+* every computed column is aliased identically in Spark and SQL;
+* money aggregates are computed per-row in DOUBLE, cast to
+  DECIMAL(18,4) (deterministic round-to-nearest of an identical IEEE
+  product in both engines), summed exactly, then cast back to DOUBLE —
+  so sums are order-independent;
+* statistical aggregates whose float error is order-dependent
+  (stddev/corr/avg over many rows) are rounded to a tolerance far
+  above accumulation error;
+* timestamps are projected as DATE or formatted strings, never raw
+  TIMESTAMP, to stay timezone-proof;
+* top-k orderings always include a unique tie-break key.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: Dict[str, str] = {}
+
+
+def query(name: str, oracle: Optional[str] = None):
+    """Register a named query; ``oracle`` is DuckDB SQL or None for
+    non-SQL-expressible ops (driver then does a rows-only check)."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all() -> None:
+    """Import every query module so the registry is fully populated."""
+    from . import relational  # noqa: F401
+    from . import pipeline  # noqa: F401
+    from . import pcap_queries  # noqa: F401

@@ -1,0 +1,178 @@
+"""PCAP → DataFrame source, Spark-first.
+
+Replaces the reference's `PcapInputFormat` / `CombinePcapInputFormat` /
+`PcapRecordReader` / Hive `PcapDeserializer` stack
+(hadoop-pcap-lib/.../io/PcapInputFormat.java:28-75,
+io/reader/PcapRecordReader.java:16-77, hadoop-pcap-serde/.../
+PcapDeserializer.java:21-66) with two Spark-native paths:
+
+1. ``read_pcap(spark, path, ...)`` — ``binaryFile`` scan (one row per
+   file; pcap is unsplittable, same constraint as the reference's
+   ``isSplitable → false``) followed by an Arrow-batched
+   ``mapInPandas`` decode into a fixed wide schema.  Spark's
+   ``spark.sql.files.maxPartitionBytes`` / ``openCostInBytes`` give the
+   small-file packing that `CombinePcapInputFormat` hand-rolled.
+
+2. a registered Python DataSource (``spark.read.format("pcap")`` /
+   ``CREATE TABLE ... USING pcap``) — see :mod:`.datasource`.
+
+Scale design (100 TB): the decode is embarrassingly parallel per file
+(one task per file, Arrow batches out); the recommended pipeline is
+decode-once → write Parquet partitioned by capture date → query many
+times with full pushdown.  Column pruning is pushed *into* the decoder
+via ``columns=`` (skips MD5 / DNS / payload work when those columns
+aren't requested), mirroring the reference's conditional-decode
+laziness (L4 only for TCP/UDP, L7 only on port 53, MD5 only if
+configured).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, List, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..pcap.decode import DecodeOptions, decode_pcap
+
+# --- the wide packet schema (SURVEY.md §1.5; FIXTURES.md §1-2) ---------------
+
+BASE_FIELDS: List[T.StructField] = [
+    T.StructField("file", T.StringType(), True),
+    T.StructField("pkt_no", T.LongType(), False),
+    T.StructField("ts", T.LongType(), True),
+    # ts_usec: the reference drops sub-second precision (PcapReader.java:25,
+    # 174 reads only ts_sec); Spark can carry it, so we expose it.
+    T.StructField("ts_usec", T.LongType(), True),
+    T.StructField("size", T.LongType(), True),
+    T.StructField("md5", T.StringType(), True),
+    T.StructField("ether_type", T.StringType(), True),
+    T.StructField("ttl", T.IntegerType(), True),
+    T.StructField("protocol", T.StringType(), True),
+    T.StructField("src", T.StringType(), True),
+    T.StructField("dst", T.StringType(), True),
+    T.StructField("src_port", T.IntegerType(), True),
+    T.StructField("dst_port", T.IntegerType(), True),
+    T.StructField("len", T.IntegerType(), True),
+    T.StructField("udpsum", T.IntegerType(), True),
+    T.StructField("payload_len", T.IntegerType(), True),
+    T.StructField("frag", T.BooleanType(), True),
+    T.StructField("ext_count", T.IntegerType(), True),
+    T.StructField("ext_headers", T.StringType(), True),
+    T.StructField("payload", T.BinaryType(), True),
+]
+
+DNS_FIELDS: List[T.StructField] = [
+    T.StructField("dns_queryid", T.IntegerType(), True),
+    T.StructField("dns_flags", T.StringType(), True),
+    T.StructField("dns_qr", T.BooleanType(), True),
+    T.StructField("dns_opcode", T.StringType(), True),
+    T.StructField("dns_rcode", T.StringType(), True),
+    T.StructField("dns_qname", T.StringType(), True),
+    T.StructField("dns_qtype", T.IntegerType(), True),
+    T.StructField("dns_qtype_str", T.StringType(), True),
+    T.StructField("dns_answer", T.ArrayType(T.StringType()), True),
+    T.StructField("dns_authority", T.ArrayType(T.StringType()), True),
+    T.StructField("dns_additional", T.ArrayType(T.StringType()), True),
+]
+
+PACKET_SCHEMA = T.StructType(BASE_FIELDS)
+DNS_PACKET_SCHEMA = T.StructType(BASE_FIELDS + DNS_FIELDS)
+
+
+def packet_schema(decoder: str = "ip", columns: Optional[Iterable[str]] = None) -> T.StructType:
+    full = DNS_PACKET_SCHEMA if decoder == "dns" else PACKET_SCHEMA
+    if columns is None:
+        return full
+    wanted = set(columns)
+    return T.StructType([f for f in full.fields if f.name in wanted])
+
+
+def decode_files_to_frames(
+    file_rows: Iterable[tuple],
+    schema: T.StructType,
+    opts: DecodeOptions,
+    batch_rows: int = 8192,
+) -> Iterator[pd.DataFrame]:
+    """(path, bytes) pairs → pandas frames matching ``schema``.
+
+    Shared by the mapInPandas path and the DataSource V2 reader.
+    Missing keys become None → NULL, mirroring the Hive SerDe's
+    missing-key→NULL projection (PcapDeserializer.java:50-60).
+    """
+    names = [f.name for f in schema.fields]
+    buf: List[dict] = []
+    for path, data in file_rows:
+        for pkt in decode_pcap(data, name=path, opts=opts):
+            pkt["file"] = path
+            buf.append(pkt)
+            if len(buf) >= batch_rows:
+                yield pd.DataFrame(
+                    {n: [row.get(n) for row in buf] for n in names}
+                )
+                buf = []
+    if buf:
+        yield pd.DataFrame({n: [row.get(n) for row in buf] for n in names})
+
+
+def read_pcap(
+    spark: SparkSession,
+    path: str,
+    decoder: str = "ip",
+    calculate_md5: bool = False,
+    keep_payload: bool = True,
+    strict_reference: bool = True,
+    mode: str = "FAILFAST",
+    columns: Optional[Iterable[str]] = None,
+    path_glob: Optional[str] = None,
+) -> DataFrame:
+    """Read pcap file(s) into a typed DataFrame.
+
+    The reference's pluggable-reader conf
+    (``net.ripe.hadoop.pcap.io.reader.class``) becomes the ``decoder``
+    argument; ``calculateMD5`` becomes ``calculate_md5``.
+    """
+    schema = packet_schema(decoder, columns)
+    wanted = set(f.name for f in schema.fields) if columns is not None else None
+    opts = DecodeOptions(
+        decoder=decoder,
+        calculate_md5=calculate_md5,
+        keep_payload=keep_payload,
+        strict_reference=strict_reference,
+        mode=mode,
+        wanted=wanted,
+    )
+
+    reader = spark.read.format("binaryFile")
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    files = reader.load(path).select("path", "content")
+
+    def decode_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def gen():
+            for pdf in it:
+                yield from zip(pdf["path"], pdf["content"])
+        yield from decode_files_to_frames(gen(), schema, opts)
+
+    return files.mapInPandas(decode_partition, schema)
+
+
+def write_packets_parquet(
+    df: DataFrame,
+    out_path: str,
+    partition_by: Optional[List[str]] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Decode-once → Parquet, the 100 TB pattern.
+
+    Adds a ``capture_date`` partition column derived from ``ts`` when
+    ``partition_by`` is not given, so downstream queries get partition
+    pruning on time predicates.
+    """
+    if partition_by is None:
+        df = df.withColumn("capture_date", F.to_date(F.timestamp_seconds(F.col("ts"))))
+        partition_by = ["capture_date"]
+    df.write.mode(mode).partitionBy(*partition_by).parquet(out_path)
