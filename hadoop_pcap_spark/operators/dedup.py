@@ -1,0 +1,237 @@
+"""Deduplication operators for large-scale corpora.
+
+Four families, all shuffle-conscious:
+
+* exact      — hash-groupBy on a content fingerprint (md5).  O(n),
+               one shuffle on the hash.  The direct scale-out of the
+               reference's per-packet MD5 dedup (PcapReader.java:183-188).
+* minhash+LSH— token-set MinHash signatures, banded into LSH buckets;
+               candidate pairs come from bucket joins (O(n·bands)
+               shuffle), then exact-Jaccard verification.  This is the
+               100 TB path: never materializes O(n²) pairs.
+* simhash    — 16-bit sign-of-weighted-bits fingerprint; near-dup =
+               small Hamming distance.
+* n-gram Jaccard — exact pairwise verification primitive (used alone
+               only within bounded candidate sets).
+
+Determinism contract: all hashes derive from md5 of the token text, so
+the DuckDB oracles can reproduce every value bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+N_MINHASHES = 8
+N_BANDS = 4  # 2 hashes per band
+
+
+def doc_tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, token) pairs, distinct per doc — the set representation."""
+    return (
+        docs.select(id_col, F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"))
+    )
+
+
+def doc_shingles(
+    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, shingle) pairs: distinct k-word shingles per doc.
+
+    Shingles (not unigrams) are the MinHash input: the shingle space is
+    |vocab|^k, so documents share shingles only through genuinely
+    common word *sequences* — candidate sets stay sparse even on
+    low-vocabulary corpora.  Docs shorter than k words contribute their
+    whole text as one shingle."""
+    toks = tokens(F.col(text_col))
+    parts = lambda i: [F.element_at(toks, i + j + 1) for j in range(k)]
+    shingles = F.when(
+        F.size(toks) >= k,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - k), lambda i: F.concat_ws(" ", *parts(i))),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return docs.select(
+        id_col, F.explode(F.array_distinct(shingles)).alias("token")
+    )
+
+
+def exact_duplicates(docs: DataFrame, fingerprint_col) -> DataFrame:
+    """Groups of byte-identical (post-normalization) docs.
+    Scale: one shuffle on the 128-bit fingerprint; no skew (hash keys
+    are uniform)."""
+    return (
+        docs.select(F.col("doc_id"), fingerprint_col.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_dupes"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_dupes") > 1)
+    )
+
+
+def dedup_exact(docs: DataFrame, fingerprint_col) -> DataFrame:
+    """Keep one representative (min doc_id) per fingerprint — the
+    distributed dropDuplicates with explicit keep semantics."""
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        docs.withColumn("fp", fingerprint_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "fp")
+    )
+
+
+def minhash_signatures(tok: DataFrame, n_hashes: int = N_MINHASHES) -> DataFrame:
+    """doc_id → m0..m{n-1} MinHash values.
+
+    hash_i(token) = md5(i || ':' || token); the minimum hex string per
+    doc is a valid MinHash under the 'random permutation by hash order'
+    construction (lexicographic order on hex = numeric order on the
+    128-bit value).  Pure built-ins, map-side aggregable."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("token")))).alias(f"m{i}")
+        for i in range(n_hashes)
+    ]
+    return tok.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(sigs: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_MINHASHES) -> DataFrame:
+    """Signature → (doc_id, band, key) rows; same (band, key) ⇒ LSH
+    candidate bucket.  rows = n·bands, so the bucket join shuffles
+    O(n·bands) keys — the whole point vs O(n²) pairs."""
+    per_band = n_hashes // n_bands
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"m{b * per_band + j}") for j in range(per_band)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("key"))
+        )
+    return (
+        sigs.select("doc_id", F.explode(F.array(*bands)).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+
+
+def candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct (a, b) doc pairs sharing ≥1 LSH bucket, a < b."""
+    l = bands.alias("l")
+    r = bands.alias("r")
+    return (
+        l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.key") == F.col("r.key")))
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(pairs: DataFrame, tok: DataFrame, threshold: float) -> DataFrame:
+    """Exact token-set Jaccard for candidate pairs.
+    |A∩B| via the token join restricted to candidates (semi-joined),
+    |A|,|B| from per-doc counts; never materializes full token sets."""
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ta = tok.alias("ta")
+    tb = tok.alias("tb")
+    inter = (
+        ta.join(tb, F.col("ta.token") == F.col("tb.token"))
+        .filter(F.col("ta.doc_id") < F.col("tb.doc_id"))
+        .select(F.col("ta.doc_id").alias("a"), F.col("tb.doc_id").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+        .join(pairs, ["a", "b"], "left_semi")
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "inter", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = N_MINHASHES,
+    n_bands: int = N_BANDS,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """End-to-end near-dup pipeline: k-word shingles → MinHash → LSH
+    bands → candidate pairs → exact shingle-Jaccard ≥ threshold.
+    ``shingle_k=1`` degrades to unigram token sets."""
+    tok = doc_shingles(docs, shingle_k) if shingle_k > 1 else doc_tokens(docs)
+    cands = candidate_pairs(lsh_bands(minhash_signatures(tok, n_hashes), n_bands, n_hashes))
+    return jaccard_verify(cands, tok, threshold)
+
+
+HEX_DIGITS = "0123456789abcdef"
+SIMHASH_BITS = 16
+
+
+def simhash16(tok: DataFrame) -> DataFrame:
+    """doc_id → 16-bit SimHash over the distinct token set.
+
+    Bit i comes from hex digit i of md5(token): odd digit → +1 vote,
+    even → −1; simhash bit = (vote sum > 0).  Deterministic and
+    oracle-reproducible (instr on a hex alphabet instead of bit ops).
+    """
+    h = F.md5(F.col("token"))
+    votes = [
+        F.sum(
+            F.when(
+                (F.instr(F.lit(HEX_DIGITS), F.substring(h, i + 1, 1)) - 1) % 2 == 1, 1
+            ).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    bits = [
+        F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(SIMHASH_BITS)
+    ]
+    out = agg.select("doc_id", sum(bits[1:], start=bits[0]).alias("simhash"))
+    return out
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, block_col=None) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Blocking: compare only within ``block_col`` groups (e.g. lang) so
+    the pair space stays bounded; at true scale you'd block on simhash
+    prefix bands instead (same code shape, key = simhash >> k)."""
+    tok = doc_tokens(docs)
+    sh = simhash16(tok)
+    if block_col is not None:
+        sh = sh.join(docs.select("doc_id", block_col), "doc_id")
+        block = [block_col]
+    else:
+        sh = sh.withColumn("_blk", F.lit(1))
+        block = ["_blk"]
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    for c in block:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("a"),
+            F.col("b.doc_id").alias("b"),
+            F.col("a.simhash").alias("simhash_a"),
+            F.col("b.simhash").alias("simhash_b"),
+            "hamming",
+        )
+    )

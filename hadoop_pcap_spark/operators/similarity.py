@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+* brute-force cosine top-k — the exactness baseline.  All math in
+  DOUBLE via sequential array folds (F.zip_with + F.aggregate), so
+  results are deterministic and oracle-reproducible.  Queries side is
+  broadcast; the corpus is scanned once — at 100 TB this is a single
+  pass, no shuffle until the per-query top-k.
+
+* LSH-bucketed ANN — random-hyperplane signs form a bucket key;
+  candidates come from an equi-join on the bucket (plus optional
+  multi-probe), then exact rerank.  Hyperplanes are derived
+  deterministically from md5, so runs are reproducible without a
+  stored model.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    """Sequential double-precision dot product of two array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """For each query vector: top-k corpus neighbors by cosine.
+
+    Output: (q_id, n_id, cos, rank).  Ties broken by neighbor id.
+    Scale: broadcast the queries, single corpus scan, per-query top-k
+    via window (WindowGroupLimit pushes the k-filter before the
+    shuffle)."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6))
+        .select("q_id", "n_id", "cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int) -> List[List[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — reproducible
+    across runs/engines with no stored model."""
+    planes = []
+    for p in range(n_planes):
+        w = []
+        for i in range(dim):
+            h = hashlib.md5(f"plane:{p}:{i}".encode()).hexdigest()
+            w.append((int(h[:8], 16) / 0xFFFFFFFF) * 2.0 - 1.0)
+        planes.append(w)
+    return planes
+
+
+def lsh_bucket(vec_col, planes: List[List[float]]):
+    """Sign-pattern bucket id for a vector column under the planes."""
+    bucket = F.lit(0)
+    for p_idx, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(w) for w in plane]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p_idx)).otherwise(F.lit(0))
+    return bucket
+
+
+def _probe_masks(n_planes: int, n_bits: int) -> List[int]:
+    """XOR masks for multi-probe: all bit patterns with ≤ n_bits set."""
+    masks = [0]
+    if n_bits >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if n_bits >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    return masks
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    dim: int = 64,
+    probe_bits: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe ANN: the query probes every bucket within Hamming
+    ``probe_bits`` of its own hyperplane-sign bucket, candidates are
+    exact-cosine reranked.  Recall < 1 by construction (pytest asserts
+    ≥ 0.4 vs brute force at k=5); probe_bits trades recall against the
+    fraction of buckets touched (≤2 bits of 6 planes ⇒ 22/64 ≈ 34%).
+    Scale: the corpus partitions by bucket — each query's probes hit a
+    bounded bucket subset instead of the full scan; more planes ⇒
+    finer buckets for bigger corpora."""
+    planes = _hyperplanes(n_planes, dim)
+    masks = _probe_masks(n_planes, probe_bits)
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            F.array(
+                *[
+                    lsh_bucket(F.col(vec_col), planes).bitwiseXOR(F.lit(m))
+                    for m in masks
+                ]
+            )
+        ).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6))
+        .select("q_id", "n_id", "cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    )

@@ -45,7 +45,24 @@ def query(name: str, oracle: Optional[str] = None):
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return events_table(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS) which Spark's parquet
+    reader rejects; with nanosAsLong the ``ts`` column arrives as
+    BIGINT nanoseconds-since-epoch.  DuckDB 1.0 truncates the same
+    column to microseconds on read, so the cross-engine convention is
+    *epoch-microsecond longs*: here ``ts div 1000`` (floor), in the
+    oracles ``epoch_us(ts)`` (also truncating).  All event-time
+    arithmetic stays in integer µs — exact on both engines."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import functions as F
+
+    return df.withColumn("ts", F.expr("ts div 1000"))
 
 
 def load_all() -> None:

@@ -1,0 +1,93 @@
+"""PCAP-source queries registered with the driver harness.
+
+The driver's parquet tables don't include a packets table, so these
+run on a deterministic synthesized capture directory (built once per
+process under /tmp) — rows-only checks from the driver's side; the
+full golden assertions live in tests/test_pcap_source.py.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import query
+from ..pcap import synth as S
+from ..sources import read_pcap
+
+_DIR = None
+
+
+def fixture_dir() -> str:
+    global _DIR
+    if _DIR is None or not os.path.isdir(_DIR):
+        d = tempfile.mkdtemp(prefix="pcap_fixture_")
+        raw = S.dns_exchange_pcap()
+        with open(os.path.join(d, "a.pcap"), "wb") as f:
+            f.write(raw)
+        with open(os.path.join(d, "b.pcap.gz"), "wb") as f:
+            f.write(gzip.compress(raw))
+        _DIR = d
+    return _DIR
+
+
+@query("pcap_port_count")  # rows-only: no packets table in the oracle DB
+def q_pcap_port_count(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference README's canonical MapReduce job
+    (hadoop-pcap-lib/README.md:20-81): count packets per src_port,
+    nulls dropped."""
+    return (
+        read_pcap(spark, fixture_dir())
+        .filter(F.col("src_port").isNotNull())
+        .groupBy("src_port")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query("pcap_dns_qname_topk")  # rows-only
+def q_pcap_dns_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top queried DNS names — the serde README's query motif over
+    dns_* columns (hadoop-pcap-serde/README.md:49-60)."""
+    return (
+        read_pcap(spark, fixture_dir(), decoder="dns")
+        .filter(F.col("dns_qname").isNotNull() & (F.col("dns_qr") == False))  # noqa: E712
+        .groupBy("dns_qname")
+        .agg(F.count("*").alias("n_queries"))
+        .orderBy(F.desc("n_queries"), F.asc("dns_qname"))
+        .limit(10)
+    )
+
+
+@query("pcap_dedup_md5")  # rows-only
+def q_pcap_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Packet dedup on the md5 column — the reference's stated MD5
+    purpose (PcapReader.java:183: 'finding duplicate packets')."""
+    df = read_pcap(spark, fixture_dir(), calculate_md5=True)
+    return (
+        df.groupBy("md5")
+        .agg(F.count("*").alias("n_copies"), F.min("pkt_no").alias("first_pkt"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@query("pcap_multimodal_payload")  # rows-only
+def q_pcap_multimodal(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal/binary-column plumbing: the payload BinaryType column
+    with typed metadata extracted JVM-side (length, hex prefix, md5).
+    Decode-to-features for real image/audio payloads is the same shape —
+    see operators/multimodal.py for the stubbed decode UDF."""
+    return (
+        read_pcap(spark, fixture_dir())
+        .filter(F.col("payload").isNotNull())
+        .select(
+            "file",
+            "pkt_no",
+            F.length("payload").alias("payload_bytes"),
+            F.lower(F.hex(F.substring("payload", 1, 4))).alias("magic_hex"),
+            F.md5("payload").alias("payload_md5"),
+        )
+    )

@@ -1,0 +1,397 @@
+"""North-star pipeline queries: dedup, similarity search, text analysis
+(SURVEY.md §2.5; BASELINE north-star ops).
+
+Each Spark plan mirrors a DuckDB oracle bit-for-bit: shared md5-based
+hashing, shared tokenization regex, DOUBLE math with explicit rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import query, table
+from ..functions import text as TXT
+from ..operators import dedup as DD
+from ..operators import similarity as SIM
+
+# shared SQL fragments for the oracles (same contract as functions.text)
+SQL_TOKENS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+SQL_DTOKENS = f"list_distinct({SQL_TOKENS})"
+
+
+# --- exact dedup ----------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_fingerprint",
+    oracle=f"""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           count(*) AS n_docs,
+           MIN(doc_id) AS keep_doc_id,
+           MIN(n_chars) AS min_chars
+    FROM documents
+    GROUP BY 1
+    HAVING count(*) >= 1 AND MIN(doc_id) < 50
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-dup groups by normalized-content md5 (the reference's
+    packet-MD5 dedup, PcapReader.java:183-188, lifted to documents).
+    Scale: one shuffle on the fingerprint."""
+    return (
+        table(spark, sf, "documents")
+        .select("doc_id", "n_chars", TXT.exact_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.min("n_chars").alias("min_chars"),
+        )
+        .filter(F.col("keep_doc_id") < 50)
+    )
+
+
+# --- minhash + LSH near-dup -------------------------------------------------------
+
+
+def _sql_minhash_cols(n: int) -> str:
+    return ",\n".join(
+        f"MIN(md5('{i}:' || token)) AS m{i}" for i in range(n)
+    )
+
+
+SQL_SHINGLES3 = f"""list_distinct(
+      CASE WHEN len({SQL_TOKENS}) >= 3
+           THEN list_transform(range(1, len({SQL_TOKENS}) - 1),
+                i -> {SQL_TOKENS}[i] || ' ' || {SQL_TOKENS}[i+1] || ' ' || {SQL_TOKENS}[i+2])
+           ELSE [array_to_string({SQL_TOKENS}, ' ')] END)"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({SQL_SHINGLES3}) AS token FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, {_sql_minhash_cols(8)}
+      FROM tok GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS key FROM sigs
+      UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sigs
+      UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sigs
+      UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sigs
+    ),
+    cands AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+      WHERE l.doc_id < r.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT ta.doc_id AS a, tb.doc_id AS b, count(*) AS inter
+      FROM tok ta JOIN tok tb ON ta.token = tb.token AND ta.doc_id < tb.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.a, i.b, i.inter,
+           ROUND(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+    FROM inter i
+    JOIN cands c ON i.a = c.a AND i.b = c.b
+    JOIN sizes sa ON sa.doc_id = i.a
+    JOIN sizes sb ON sb.doc_id = i.b
+    WHERE ROUND(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) >= 0.5
+    """,
+)
+def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """3-word-shingle MinHash → LSH bands → candidate pairs →
+    exact-Jaccard verify.  The oracle reproduces the exact same
+    md5-derived MinHash, so even the LSH candidate set matches
+    bit-for-bit.  Scale: O(n·bands) shuffle for candidates, never
+    O(n²); shingling keeps candidates sparse on low-vocab corpora."""
+    return DD.minhash_lsh_pairs(table(spark, sf, "documents"), threshold=0.5)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({SQL_DTOKENS}) AS token FROM documents WHERE doc_id < 120
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT ta.doc_id AS a, tb.doc_id AS b, count(*) AS inter
+      FROM tok ta JOIN tok tb ON ta.token = tb.token AND ta.doc_id < tb.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.a, i.b,
+           ROUND(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.a
+    JOIN sizes sb ON sb.doc_id = i.b
+    WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.4
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact pairwise token-set Jaccard on a bounded candidate set
+    (doc_id < 120) — the verification primitive in isolation."""
+    docs = table(spark, sf, "documents").filter(F.col("doc_id") < 120)
+    tok = DD.doc_tokens(docs)
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ta, tb = tok.alias("ta"), tok.alias("tb")
+    inter = (
+        ta.join(tb, F.col("ta.token") == F.col("tb.token"))
+        .filter(F.col("ta.doc_id") < F.col("tb.doc_id"))
+        .groupBy(F.col("ta.doc_id").alias("a"), F.col("tb.doc_id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    jac = F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
+    return (
+        inter.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .filter(jac >= 0.4)
+        .select("a", "b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({SQL_DTOKENS}) AS token FROM documents
+    ),
+    votes AS (
+      SELECT doc_id,
+        {", ".join(
+            f"SUM(CASE WHEN (strpos('0123456789abcdef', substring(md5(token), {i+1}, 1)) - 1) % 2 = 1 THEN 1 ELSE -1 END) AS v{i}"
+            for i in range(16)
+        )}
+      FROM tok GROUP BY doc_id
+    ),
+    sh AS (
+      SELECT doc_id,
+        {" + ".join(f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))} AS simhash
+      FROM votes
+    ),
+    docs2 AS (SELECT s.doc_id, s.simhash, d.lang FROM sh s JOIN documents d USING (doc_id))
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           a.simhash AS simhash_a, b.simhash AS simhash_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM docs2 a JOIN docs2 b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3), blocked by lang.
+    Oracle reproduces the same hex-digit-vote construction."""
+    return DD.simhash_near_pairs(
+        table(spark, sf, "documents"), max_hamming=3, block_col="lang"
+    ).withColumn("hamming", F.col("hamming").cast("long"))
+
+
+# --- similarity search -------------------------------------------------------------
+
+
+_SQL_DOT = (
+    "list_sum(list_transform(list_zip(q.embedding, c.embedding), "
+    "t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))"
+)
+_SQL_NORM_Q = "sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+_SQL_NORM_C = "sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+@query(
+    "similarity_cosine_topk",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             ROUND({_SQL_DOT} / ({_SQL_NORM_Q} * {_SQL_NORM_C}), 6) AS cos
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 8
+    )
+    SELECT q_id, n_id, cos, rank FROM (
+      SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-5 for 8 query vectors — the ANN ground
+    truth. All math in sequential DOUBLE folds in both engines."""
+    emb = table(spark, sf, "embeddings")
+    return SIM.cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 8), k=5
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+@query("similarity_ann_lsh")  # rows-only: LSH recall asserted in pytest
+def q_similarity_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbors (hyperplane signs →
+    bucket equi-join → exact rerank). Approximate by construction →
+    no SQL oracle; tests assert recall vs brute force."""
+    emb = table(spark, sf, "embeddings")
+    return SIM.cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@query(
+    "embedding_array_stats",
+    oracle="""
+    SELECT label,
+           count(*) AS n,
+           MIN(len(embedding)) AS min_dim,
+           MAX(len(embedding)) AS max_dim,
+           ROUND(SUM(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))), 4) AS sum_all,
+           ROUND(MAX(CAST(embedding[1] AS DOUBLE)), 6) AS max_first
+    FROM embeddings GROUP BY label
+    """,
+)
+def q_embedding_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Array function family over the vector column (size/element_at/
+    fold)."""
+    el_sum = F.aggregate(
+        F.col("embedding"), F.lit(0.0), lambda acc, v: acc + v.cast("double")
+    )
+    return (
+        table(spark, sf, "embeddings")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.size("embedding")).alias("min_dim"),
+            F.max(F.size("embedding")).alias("max_dim"),
+            F.round(F.sum(el_sum), 4).alias("sum_all"),
+            F.round(F.max(F.element_at("embedding", 1).cast("double")), 6).alias(
+                "max_first"
+            ),
+        )
+    )
+
+
+# --- text analysis -----------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({SQL_TOKENS}) AS n_tokens,
+           len({SQL_DTOKENS}) AS n_distinct,
+           ROUND(list_sum(list_transform({SQL_TOKENS}, t -> CAST(length(t) AS DOUBLE)))
+                 / NULLIF(len({SQL_TOKENS}), 0), 4) AS avg_token_len
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting (whitespace/punct split) — the BPE-ish budget
+    estimator's cheap cousin."""
+    t = F.col("text")
+    return (
+        table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            TXT.token_count(t).alias("n_tokens"),
+            TXT.distinct_token_count(t).alias("n_distinct"),
+            TXT.avg_token_len(t).alias("avg_token_len"),
+        )
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, source,
+             len({SQL_TOKENS}) AS n_tokens,
+             ROUND(list_sum(list_transform({SQL_TOKENS}, t -> CAST(length(t) AS DOUBLE)))
+                   / NULLIF(len({SQL_TOKENS}), 0), 4) AS atl,
+             ROUND(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
+                   / NULLIF(length(text), 0), 6) AS punct_ratio,
+             ROUND(len(list_filter({SQL_TOKENS},
+                   t -> list_contains(['the','a','an','of','and','to','in','is','on','for'], t))) * 1.0
+                   / NULLIF(len({SQL_TOKENS}), 0), 6) AS stopword_ratio
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           ROUND(AVG(ROUND(
+             0.4 * LEAST(n_tokens / 50.0, 1.0)
+           + 0.2 * (CASE WHEN atl BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
+           + 0.2 * (CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.6 END)
+           + 0.2 * (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.5 END), 6)), 4) AS avg_quality
+    FROM feats GROUP BY source
+    """,
+)
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Document quality scoring (length/token-shape/stopword/punct
+    heuristics) aggregated per source — the corpus-filter motif."""
+    return (
+        table(spark, sf, "documents")
+        .select("source", TXT.quality_score(F.col("text")).alias("q"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.round(F.avg("q"), 4).alias("avg_quality"))
+    )
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH scores AS (
+      SELECT doc_id, lang,
+             len(list_filter({SQL_TOKENS}, t -> list_contains(['the','and','of','to','a','is'], t))) AS s_en,
+             len(list_filter({SQL_TOKENS}, t -> list_contains(['der','die','das','und','ist','nicht'], t))) AS s_de,
+             len(list_filter({SQL_TOKENS}, t -> list_contains(['le','la','les','et','est','une'], t))) AS s_fr,
+             len(list_filter({SQL_TOKENS}, t -> list_contains(['el','la','los','y','es','una'], t))) AS s_es,
+             len(list_filter({SQL_TOKENS}, t -> list_contains(['de','shi','bu','le','wo','zai'], t))) AS s_zh
+      FROM documents
+    ),
+    guessed AS (
+      SELECT doc_id, lang,
+             CASE WHEN GREATEST(s_en,s_de,s_fr,s_es,s_zh) = 0 THEN 'und'
+                  WHEN s_en = GREATEST(s_en,s_de,s_fr,s_es,s_zh) THEN 'en'
+                  WHEN s_de = GREATEST(s_en,s_de,s_fr,s_es,s_zh) THEN 'de'
+                  WHEN s_fr = GREATEST(s_en,s_de,s_fr,s_es,s_zh) THEN 'fr'
+                  WHEN s_es = GREATEST(s_en,s_de,s_fr,s_es,s_zh) THEN 'es'
+                  ELSE 'zh' END AS guess
+      FROM scores
+    )
+    SELECT lang, guess, count(*) AS n
+    FROM guessed GROUP BY lang, guess
+    """,
+)
+def q_text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID heuristic (marker-lexicon argmax) vs the labeled
+    lang column — confusion-matrix style output."""
+    return (
+        table(spark, sf, "documents")
+        .select("lang", TXT.lang_guess(F.col("text")).alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort({SQL_DTOKENS}), ' ')) AS set_fp,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS exact_fp
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprinting: order-insensitive token-set md5 +
+    normalized exact md5."""
+    t = F.col("text")
+    return (
+        table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            TXT.fingerprint(t).alias("set_fp"),
+            TXT.exact_fingerprint(t).alias("exact_fp"),
+        )
+    )

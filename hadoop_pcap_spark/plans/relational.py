@@ -1,0 +1,874 @@
+"""Core relational operator suite (SURVEY.md §2.4).
+
+The reference delegated all of this to Hive QL over the SerDe table
+(hadoop-pcap-serde/README.md:21-60) or hand-written MapReduce
+(hadoop-pcap-lib/README.md:20-81).  Here each category is a native
+Spark DataFrame/SQL plan with a DuckDB oracle.
+
+Scale notes are attached per query: what the plan does at 100 TB /
+1000 executors, which joins broadcast, where the shuffles are.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from . import query, table
+
+
+def _dec_sum(col, alias, scale=4):
+    """Order-independent sum of a column whose values are exact at
+    ``scale`` decimals: cast to DECIMAL (deterministic round-to-nearest
+    of the same IEEE double in both engines — no ties possible at a
+    scale finer than the data), exact decimal sum, result as DOUBLE."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double").alias(alias)
+
+
+# Exact-decimal money expressions, shared verbatim with the oracles.
+# Factors (2-decimal data) cast exactly; products stay exact decimals,
+# so no engine-specific double→decimal tie-rounding can creep in.
+DISC_PRICE_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+)
+CHARGE_SQL = DISC_PRICE_SQL + " * (1 + CAST(l_tax AS DECIMAL(4,2)))"
+
+
+# --- projection / filter ------------------------------------------------------
+
+
+@query(
+    "projection_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_discount > 0.05
+    """,
+)
+def q_projection_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Declared-column projection + predicate — the SerDe semantics (S9).
+    Scale: both the projection and both predicates push into the
+    parquet scan (ReadSchema + PushedFilters); no shuffle at all."""
+    return (
+        table(spark, sf, "lineitem")
+        .filter((F.col("l_shipdate") < "1996-01-01") & (F.col("l_discount") > 0.05))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+@query(
+    "filter_null_safe",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE value IS NOT NULL AND event_type IN ('click','purchase') AND user_id % 10 = 3
+    """,
+)
+def q_filter_null_safe(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe predicate — the README mapper's null check
+    (hadoop-pcap-lib/README.md:62-68). Scan-only, no shuffle."""
+    return (
+        table(spark, sf, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("click", "purchase")
+            & (F.col("user_id") % 10 == 3)
+        )
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+# --- aggregation ---------------------------------------------------------------
+
+
+@query(
+    "agg_count_by_key",
+    oracle="""
+    SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_count_by_key(spark: SparkSession, sf: str) -> DataFrame:
+    """The canonical reference job: group-by-count
+    (hadoop-pcap-lib/README.md:20-81 emits (src_port,1) / reduce-sums).
+    Scale: partial hash-agg map-side, one shuffle on the 5-value key;
+    count(distinct) expands to a two-phase agg."""
+    return (
+        table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1, the flagship scan-heavy aggregate.
+    Scale: 6-column pruned scan, shipdate pushed down, partial agg on
+    ~6 groups then a tiny shuffle — the plan is scan-bound, exactly
+    what you want at 100 TB."""
+    li = table(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "2000-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dec_sum(F.col("l_quantity"), "sum_qty"),
+        _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+        F.sum(F.expr(DISC_PRICE_SQL)).cast("double").alias("sum_disc_price"),
+        F.sum(F.expr(CHARGE_SQL)).cast("double").alias("sum_charge"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "agg_minmax_avg",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n,
+           CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q_agg_minmax_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """min/max/avg — avg computed as exact decimal sum / count for
+    order-independence."""
+    return (
+        table(spark, sf, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_bal"),
+        )
+    )
+
+
+@query(
+    "count_distinct_exact",
+    oracle="""
+    SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust, count(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact distinct — expands to two-phase agg in Spark.
+    Scale: the first phase dedups (o_orderstatus, o_custkey) with a
+    shuffle on the pair — no single hot reducer."""
+    return (
+        table(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n_cust"), F.count("*").alias("n"))
+    )
+
+
+@query("approx_count_distinct")  # no oracle: HLL sketches differ across engines
+def q_approx_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_count_distinct (HLL++). Sketch values are engine-specific
+    → rows-only driver check; the pytest suite asserts <5% relative
+    error against the exact count instead.
+    Scale: this is THE distinct at 100 TB — constant memory, one pass,
+    mergeable sketches."""
+    return (
+        table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+    )
+
+
+# --- grouping sets / rollup / cube --------------------------------------------
+
+
+@query(
+    "rollup_region_nation",
+    oracle="""
+    SELECT COALESCE(r_name,'ALL') AS region, COALESCE(n_name,'ALL') AS nation,
+           count(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP over the dim hierarchy.
+    Scale: both dims broadcast (25 / 5 rows); rollup is one shuffle."""
+    c = table(spark, sf, "customer")
+    n = table(spark, sf, "nation")
+    r = table(spark, sf, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_cust",
+            "total_bal",
+        )
+    )
+
+
+@query(
+    "cube_flag_status",
+    oracle="""
+    SELECT COALESCE(l_returnflag,'ALL') AS returnflag,
+           COALESCE(l_linestatus,'ALL') AS linestatus,
+           count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), _dec_sum(F.col("l_quantity"), "qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "qty",
+        )
+    )
+
+
+@query(
+    "grouping_sets",
+    oracle="""
+    SELECT COALESCE(o_orderstatus,'ALL') AS status,
+           COALESCE(o_orderpriority,'ALL') AS priority,
+           count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus,'ALL') AS status,
+               COALESCE(o_orderpriority,'ALL') AS priority,
+               count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# --- joins ---------------------------------------------------------------------
+
+
+@query(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT p_brand,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 20
+    GROUP BY p_brand
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf: str) -> DataFrame:
+    """Fact ⋈ small dim — explicitly broadcast.
+    Scale: part at SF100k is still ~dimension-sized per brand filter;
+    broadcast avoids shuffling the 100 TB fact side entirely."""
+    li = table(spark, sf, "lineitem")
+    p = table(spark, sf, "part").filter(F.col("p_size") <= 20)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.expr(DISC_PRICE_SQL)).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "join_multiway",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_join_multiway(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join.
+    Scale: orders⋈lineitem is the one big shuffle (both sides huge,
+    sort-merge on orderkey); customer/supplier/nation/region broadcast.
+    AQE re-plans skew at runtime."""
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders").filter(F.col("o_orderdate") >= "1996-01-01")
+    li = table(spark, sf, "lineitem")
+    s = table(spark, sf, "supplier")
+    n = table(spark, sf, "nation")
+    r = table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.expr(DISC_PRICE_SQL)).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_buyers
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_semi(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT SEMI = EXISTS. Scale: semi-join shuffles only the key
+    column of the probe side; no row multiplication."""
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders").filter(F.col("o_totalprice") > 200000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_buyers"))
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT ANTI = NOT EXISTS — 'hosts that never answered' motif."""
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_range_interval",
+    oracle="""
+    SELECT e.event_id, count(c.event_id) AS n_clicks_before
+    FROM events e
+    LEFT JOIN events c
+      ON c.user_id = e.user_id AND c.event_type = 'click'
+     AND epoch_us(c.ts) >= epoch_us(e.ts) - 600000000 AND epoch_us(c.ts) < epoch_us(e.ts)
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    """,
+)
+def q_join_range(spark: SparkSession, sf: str) -> DataFrame:
+    """Range/interval join: clicks within 10 min before each error.
+    The equi-key (user_id) carries the shuffle; the range predicate is
+    evaluated inside the joined partition — at 100 TB this stays a
+    hash join on user_id, NOT a cartesian.  (ts is second-granular in
+    the reference — same motif as query↔response pairing, SURVEY §2.4.)"""
+    e = table(spark, sf, "events").alias("e")
+    c = table(spark, sf, "events").filter(F.col("event_type") == "click").alias("c")
+    cond = (
+        (F.col("c.user_id") == F.col("e.user_id"))
+        & (F.col("c.ts") >= F.col("e.ts") - 600000000)  # ts is epoch-µs long
+        & (F.col("c.ts") < F.col("e.ts"))
+    )
+    return (
+        e.filter(F.col("e.event_type") == "error")
+        .join(c, cond, "left")
+        .groupBy("e.event_id")
+        .agg(F.count("c.event_id").alias("n_clicks_before"))
+        .select(F.col("event_id"), F.col("n_clicks_before"))
+    )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH err AS (SELECT * FROM events WHERE event_type = 'error'),
+         sig AS (SELECT * FROM events WHERE event_type = 'signup')
+    SELECT e.event_id,
+           MAX(epoch_us(s.ts)) AS last_signup_us
+    FROM err e LEFT JOIN sig s
+      ON s.user_id = e.user_id AND epoch_us(s.ts) <= epoch_us(e.ts)
+    GROUP BY e.event_id
+    """,
+)
+def q_join_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """AS-OF join (most recent signup at or before each error), built
+    as equi-join on user + max() refine — Spark lacks a native as-of.
+    Scale: shuffle on user_id once; the max() folds into the same
+    aggregation; no sort of the full stream needed."""
+    e = table(spark, sf, "events").filter(F.col("event_type") == "error").alias("e")
+    s = table(spark, sf, "events").filter(F.col("event_type") == "signup").alias("s")
+    return (
+        e.join(
+            s,
+            (F.col("s.user_id") == F.col("e.user_id")) & (F.col("s.ts") <= F.col("e.ts")),
+            "left",
+        )
+        .groupBy("e.event_id")
+        .agg(F.max("s.ts").alias("last_signup_us"))
+        .select(F.col("event_id"), F.col("last_signup_us"))
+    )
+
+
+# --- windows -------------------------------------------------------------------
+
+
+@query(
+    "window_topn_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q_window_topn(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 orders per customer — the per-group top-k motif.
+    Scale: one shuffle on the partition key; Spark inserts a
+    WindowGroupLimit (partial top-k before the shuffle) for rank<=k."""
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        table(spark, sf, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+             PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+    FROM lineitem WHERE l_suppkey <= 3
+    """,
+)
+def q_window_running(spark: SparkSession, sf: str) -> DataFrame:
+    """Running sum with an explicit ROWS frame and a unique tie-break
+    ordering (shipdate alone has ties → nondeterministic otherwise)."""
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        table(spark, sf, "lineitem")
+        .filter(F.col("l_suppkey") <= 3)
+        .withColumn(
+            "running_qty",
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).over(w).cast("double"),
+        )
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+    )
+
+
+@query(
+    "window_lag_gap",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_gaps,
+           CAST(SUM(gap_us) AS DOUBLE) / 1000000 AS total_gap_sec
+    FROM (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ) WHERE gap_us IS NOT NULL
+    GROUP BY user_id HAVING count(*) >= 5
+    """,
+)
+def q_window_lag(spark: SparkSession, sf: str) -> DataFrame:
+    """Inter-event gap via lag() — the reference's inter-packet-gap
+    motif (SURVEY §2.4 windows row). Microsecond integer arithmetic
+    keeps the comparison exact."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")  # ts = epoch-µs long
+    gaps = (
+        table(spark, sf, "events")
+        .withColumn("gap_us", F.col("ts") - F.lag("ts").over(w))
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            (F.sum("gap_us").cast("double") / 1000000).alias("total_gap_sec"),
+        )
+        .filter(F.col("n_gaps") >= 5)
+    )
+
+
+# --- sort / limit / top-k ------------------------------------------------------
+
+
+@query(
+    "topk_global",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_topk_global(spark: SparkSession, sf: str) -> DataFrame:
+    """Global top-k → TakeOrderedAndProject (per-partition heap + merge
+    of k·P rows on the driver; never a full sort at scale)."""
+    return (
+        table(spark, sf, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# --- set operations ------------------------------------------------------------
+
+
+@query(
+    "set_ops",
+    oracle="""
+    WITH big_spenders AS (
+      SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 250000
+    ), auto_seg AS (
+      SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    )
+    SELECT 'union' AS op, count(*) AS n FROM (SELECT k FROM big_spenders UNION SELECT k FROM auto_seg)
+    UNION ALL
+    SELECT 'intersect', count(*) FROM (SELECT k FROM big_spenders INTERSECT SELECT k FROM auto_seg)
+    UNION ALL
+    SELECT 'except', count(*) FROM (SELECT k FROM big_spenders EXCEPT SELECT k FROM auto_seg)
+    """,
+)
+def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT in one result."""
+    big = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 250000)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    auto = (
+        table(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select(F.col("c_custkey").alias("k"))
+    )
+    mk = lambda op, df: df.agg(F.count("*").alias("n")).select(
+        F.lit(op).alias("op"), "n"
+    )
+    return (
+        mk("union", big.union(auto).distinct())
+        .unionAll(mk("intersect", big.intersect(auto)))
+        .unionAll(mk("except", big.exceptAll(auto).distinct()))
+    )
+
+
+@query(
+    "distinct_dedup_exact",
+    oracle="""
+    SELECT user_id, event_type, MIN(epoch_us(ts)) AS first_ts_us, count(*) AS n_dupes
+    FROM events GROUP BY user_id, event_type HAVING count(*) > 1
+    """,
+)
+def q_distinct_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup as keyed aggregation — the scale-out form of
+    dropDuplicates (keep-earliest semantics made explicit; the
+    reference's md5-dedup motif, PcapReader.java:183)."""
+    return (
+        table(spark, sf, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("first_ts_us"), F.count("*").alias("n_dupes"))
+        .filter(F.col("n_dupes") > 1)
+    )
+
+
+# --- scalar function families ---------------------------------------------------
+
+
+@query(
+    "string_functions",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name) AS lname,
+           upper(p_brand) AS ubrand,
+           regexp_replace(p_type, ' +', '_', 'g') AS type_slug,
+           substring(p_name, 1, 8) AS name8,
+           length(p_name) AS name_len,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           replace(p_name, ' ', '-') AS dashed
+    FROM part WHERE p_partkey <= 100
+    """,
+)
+def q_string_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """String function family incl. the reference's lower() (N3) and
+    regexp whitespace collapse (N5) motifs."""
+    return (
+        table(spark, sf, "part")
+        .filter(F.col("p_partkey") <= 100)
+        .select(
+            "p_partkey",
+            F.lower("p_name").alias("lname"),
+            F.upper("p_brand").alias("ubrand"),
+            F.regexp_replace("p_type", " +", "_").alias("type_slug"),
+            F.substring("p_name", 1, 8).alias("name8"),
+            F.length("p_name").alias("name_len"),
+            F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("-")).alias("dashed"),
+        )
+    )
+
+
+@query(
+    "datetime_functions",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE year(o_orderdate) BETWEEN 1996 AND 1998
+    GROUP BY 1
+    """,
+)
+def q_datetime_functions(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "orders")
+        .filter(F.year("o_orderdate").between(1996, 1998))
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+@query(
+    "time_bucket_tumbling",
+    oracle="""
+    SELECT epoch_us(ts) // 300000000 * 300 AS bucket_start,
+           event_type, count(*) AS n
+    FROM events
+    GROUP BY 1, 2 HAVING count(*) >= 3
+    """,
+)
+def q_time_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    """5-minute tumbling window as epoch arithmetic (engine-neutral
+    twin of F.window / streaming tumbling aggregation)."""
+    return (
+        table(spark, sf, "events")
+        .groupBy(
+            (F.expr("ts div 300000000") * 300).alias("bucket_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 3)
+    )
+
+
+@query(
+    "json_map_functions",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_map(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured access: JSON props → typed values (the map-typed
+    'extras' column motif, SURVEY §1.5)."""
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+    )
+
+
+@query(
+    "case_when_bucketing",
+    oracle="""
+    SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 3000 THEN 'low'
+                WHEN c_acctbal < 7000 THEN 'mid'
+                ELSE 'high' END AS bal_bucket,
+           count(*) AS n
+    FROM customer GROUP BY 1
+    """,
+)
+def q_case_when(spark: SparkSession, sf: str) -> DataFrame:
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+    )
+    return (
+        table(spark, sf, "customer")
+        .groupBy(bucket.alias("bal_bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "pivot_wide",
+    oracle="""
+    SELECT user_id % 7 AS user_mod,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'view') AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup
+    FROM events GROUP BY 1
+    """,
+)
+def q_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot with an explicit value list (explicit list = single pass,
+    no extra distinct-values job — the form that scales)."""
+    return (
+        table(spark, sf, "events")
+        .withColumn("user_mod", F.col("user_id") % 7)
+        .groupBy("user_mod")
+        .pivot("event_type", ["click", "view", "purchase", "error", "signup"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@query(
+    "scalar_subquery",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_above_avg
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    GROUP BY o_orderstatus
+    """,
+)
+def q_scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar subquery — average computed once, broadcast into the
+    filter. (avg used in a predicate, not projected, so double fp noise
+    can't flip the comparison except exactly at the mean.)"""
+    o = table(spark, sf, "orders")
+    o.createOrReplaceTempView("orders_ss")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n_above_avg
+        FROM orders_ss
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders_ss)
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+@query(
+    "having_filter",
+    oracle="""
+    SELECT l_suppkey, count(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 100
+    """,
+)
+def q_having(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_items"), _dec_sum(F.col("l_quantity"), "total_qty"))
+        .filter(F.col("total_qty") > 100)
+    )
+
+
+@query(
+    "stats_functions",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+           ROUND(var_samp(l_quantity), 4) AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregates; rounded well above fp accumulation noise."""
+    return (
+        table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "covar_qty_price"
+            ),
+        )
+    )
+
+
+@query(
+    "percentiles_exact",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile == DuckDB
+    quantile_cont, both linear interpolation)."""
+    return (
+        table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        )
+    )

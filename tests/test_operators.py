@@ -1,0 +1,132 @@
+"""Tests for dedup / similarity / multimodal operators beyond the
+oracle harness (recall bounds, invariants, stub plumbing)."""
+
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+from hadoop_pcap_spark.operators import dedup as DD
+from hadoop_pcap_spark.operators import multimodal as MM
+from hadoop_pcap_spark.operators import similarity as SIM
+from hadoop_pcap_spark.functions import text as TXT
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    rows = [
+        Row(doc_id=1, text="The quick brown fox"),
+        Row(doc_id=2, text="the  quick   brown fox  "),  # same after norm
+        Row(doc_id=3, text="something else entirely"),
+    ]
+    df = spark.createDataFrame(rows)
+    groups = DD.exact_duplicates(df, TXT.exact_fingerprint(F.col("text"))).collect()
+    assert len(groups) == 1
+    assert groups[0].n_dupes == 2 and groups[0].keep_doc_id == 1
+    kept = DD.dedup_exact(df, TXT.exact_fingerprint(F.col("text")))
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base + " lambda"),  # jaccard 10/11 ≈ 0.91
+        Row(doc_id=3, text="totally different words here now ok yes"),
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = DD.minhash_lsh_pairs(df, threshold=0.5).collect()
+    assert [(p.a, p.b) for p in pairs] == [(1, 2)]
+    # 3-word shingles: doc1 has 8, doc2 has 9, 8 shared → 8/9
+    assert pairs[0].jaccard == pytest.approx(8 / 9, abs=1e-4)
+
+
+def test_minhash_lsh_superset_of_high_jaccard(spark, docs):
+    """Every pair LSH finds must genuinely have jaccard >= threshold
+    (verification guarantees precision = 1)."""
+    out = DD.minhash_lsh_pairs(docs.limit(150), threshold=0.5)
+    assert all(r.jaccard >= 0.5 for r in out.collect())
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    rows = [
+        Row(doc_id=1, text="one two three four five", lang="en"),
+        Row(doc_id=2, text="five four three two one", lang="en"),  # same token set
+        Row(doc_id=3, text="utterly different content words", lang="en"),
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = {(r.a, r.b): r.hamming for r in DD.simhash_near_pairs(df, 16, "lang").collect()}
+    assert pairs[(1, 2)] == 0  # identical token sets → identical simhash
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, emb):
+    q = emb.filter(F.col("vec_id") < 8)
+    truth = {
+        (r.q_id, r.n_id)
+        for r in SIM.cosine_topk_bruteforce(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.q_id, r.n_id) for r in SIM.cosine_topk_lsh(emb, q, k=5).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.4, f"LSH recall too low: {recall}"
+
+
+def test_bruteforce_topk_selfconsistency(spark, emb):
+    out = SIM.cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") == 0), k=3)
+    rows = out.orderBy("rank").collect()
+    assert [r.rank for r in rows] == [1, 2, 3]
+    assert rows[0].cos >= rows[1].cos >= rows[2].cos
+    assert all(r.n_id != 0 for r in rows)
+    assert all(-1.0 <= r.cos <= 1.0 for r in rows)
+
+
+def test_approx_count_distinct_error_bound(spark):
+    from hadoop_pcap_spark.plans import events_table
+
+    ev = events_table(spark, SF)  # events.parquet is TIMESTAMP_NS → µs longs
+    got = dict(
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("a"))
+        .collect()
+    )
+    exact = dict(
+        ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("e")).collect()
+    )
+    for k, e in exact.items():
+        assert abs(got[k] - e) / e < 0.05, (k, got[k], e)
+
+
+def test_multimodal_image_features(spark):
+    rows = [
+        Row(media_id=1, content=b"\xff\xd8\xff\xe0" + b"x" * 100),
+        Row(media_id=2, content=b"\x89PNG\r\n" + b"y" * 50),
+        Row(media_id=3, content=b""),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r.media_id: r for r in MM.image_features(df).collect()}
+    assert out[1].format_guess == "jpeg" and out[2].format_guess == "png"
+    assert out[1].width >= 16 and out[1].height >= 16
+    assert out[3].width is None  # empty buffer → decode failure → nulls
+    assert out[1].n_bytes == 104
+    # deterministic stub: same bytes → same dims
+    again = {r.media_id: r for r in MM.image_features(df).collect()}
+    assert again[1].width == out[1].width
+
+
+def test_multimodal_frame_sampling(spark):
+    rows = [Row(media_id=1, content=bytes(range(256)) * 20)]  # 5120 bytes
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    frames = MM.sample_frames(df, every_n_bytes=1024).collect()
+    assert len(frames) == 5
+    assert [f.frame_no for f in sorted(frames, key=lambda r: r.frame_no)] == list(range(5))
