@@ -66,7 +66,7 @@ def main():
         df = fn(spark, sf_dir)
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -47,16 +47,36 @@ def doc_shingles(
     |vocab|^k, so documents share shingles only through genuinely
     common word *sequences* — candidate sets stay sparse even on
     low-vocabulary corpora.  Docs shorter than k words contribute their
-    whole text as one shingle."""
-    toks = tokens(F.col(text_col))
-    parts = lambda i: [F.element_at(toks, i + j + 1) for j in range(k)]
-    shingles = F.when(
-        F.size(toks) >= k,
-        F.transform(F.sequence(F.lit(0), F.size(toks) - k), lambda i: F.concat_ws(" ", *parts(i))),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
-    return docs.select(
-        id_col, F.explode(F.array_distinct(shingles)).alias("token")
+    whole text as one shingle.
+
+    The token array is materialized as its own projection first:
+    referencing the tokenizer expression inside the shingle lambda
+    would re-run split+filter per element_at (no CSE inside lambdas —
+    measured 130 s vs 4 s at sf0.1)."""
+    return doc_shingle_arrays(docs, k, id_col, text_col).select(
+        "doc_id", F.explode("arr").alias("token")
     )
+
+
+def doc_shingle_arrays(
+    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, arr, sz): the distinct k-shingle set as an array column.
+
+    Narrow (no shuffle, no explode): the shingle set stays co-located
+    with its doc row — at 100 TB this is a pure map over the scan.
+    MinHash, LSH bands and Jaccard verification all derive from this
+    column directly."""
+    base = docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks"))
+    t = F.col("_toks")
+    parts = lambda i: [F.element_at(t, i + j + 1) for j in range(k)]
+    shingles = F.when(
+        F.size(t) >= k,
+        F.transform(F.sequence(F.lit(0), F.size(t) - k), lambda i: F.concat_ws(" ", *parts(i))),
+    ).otherwise(F.array(F.concat_ws(" ", t)))
+    return base.select(
+        "doc_id", F.array_distinct(shingles).alias("arr")
+    ).withColumn("sz", F.size("arr"))
 
 
 def exact_duplicates(docs: DataFrame, fingerprint_col) -> DataFrame:
@@ -84,7 +104,7 @@ def dedup_exact(docs: DataFrame, fingerprint_col) -> DataFrame:
 
 
 def minhash_signatures(tok: DataFrame, n_hashes: int = N_MINHASHES) -> DataFrame:
-    """doc_id → m0..m{n-1} MinHash values.
+    """doc_id → m0..m{n-1} MinHash values from (doc_id, token) pairs.
 
     hash_i(token) = md5(i || ':' || token); the minimum hex string per
     doc is a valid MinHash under the 'random permutation by hash order'
@@ -95,6 +115,21 @@ def minhash_signatures(tok: DataFrame, n_hashes: int = N_MINHASHES) -> DataFrame
         for i in range(n_hashes)
     ]
     return tok.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures_from_arrays(
+    arrays: DataFrame, n_hashes: int = N_MINHASHES
+) -> DataFrame:
+    """MinHash straight off the shingle-array column — shuffle-free:
+    array_min(transform(arr, md5(seed:t))) per row replaces the
+    explode + groupBy of the pair form."""
+    cols = [
+        F.array_min(
+            F.transform(F.col("arr"), lambda t: F.md5(F.concat(F.lit(f"{i}:"), t)))
+        ).alias(f"m{i}")
+        for i in range(n_hashes)
+    ]
+    return arrays.select("doc_id", *cols)
 
 
 def lsh_bands(sigs: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_MINHASHES) -> DataFrame:
@@ -126,26 +161,25 @@ def candidate_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
-def jaccard_verify(pairs: DataFrame, tok: DataFrame, threshold: float) -> DataFrame:
+def jaccard_verify(pairs: DataFrame, arrays: DataFrame, threshold: float) -> DataFrame:
     """Exact token-set Jaccard for candidate pairs.
-    |A∩B| via the token join restricted to candidates (semi-joined),
-    |A|,|B| from per-doc counts; never materializes full token sets."""
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    ta = tok.alias("ta")
-    tb = tok.alias("tb")
-    inter = (
-        ta.join(tb, F.col("ta.token") == F.col("tb.token"))
-        .filter(F.col("ta.doc_id") < F.col("tb.doc_id"))
-        .select(F.col("ta.doc_id").alias("a"), F.col("tb.doc_id").alias("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("inter"))
-        .join(pairs, ["a", "b"], "left_semi")
+
+    ``arrays`` is (doc_id, arr, sz).  Per-pair set intersection via
+    array_intersect: cost is O(pairs · tokens-per-doc), independent of
+    how many docs share a hot token — a token self-join degrades
+    quadratically inside near-dup clusters (measured 48 s → ~2 s at
+    sf0.1 for 826 candidate pairs).  The candidate-pair side is
+    broadcast."""
+    a_arr = arrays.select(
+        F.col("doc_id").alias("a"), F.col("arr").alias("arr_a"), F.col("sz").alias("sza")
     )
-    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    b_arr = arrays.select(
+        F.col("doc_id").alias("b"), F.col("arr").alias("arr_b"), F.col("sz").alias("szb")
+    )
     return (
-        inter.join(F.broadcast(sa), "a")
-        .join(F.broadcast(sb), "b")
+        a_arr.join(F.broadcast(pairs), "a")
+        .join(b_arr, "b")
+        .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")))
         .withColumn(
             "jaccard",
             F.round(
@@ -167,9 +201,27 @@ def minhash_lsh_pairs(
     """End-to-end near-dup pipeline: k-word shingles → MinHash → LSH
     bands → candidate pairs → exact shingle-Jaccard ≥ threshold.
     ``shingle_k=1`` degrades to unigram token sets."""
-    tok = doc_shingles(docs, shingle_k) if shingle_k > 1 else doc_tokens(docs)
-    cands = candidate_pairs(lsh_bands(minhash_signatures(tok, n_hashes), n_bands, n_hashes))
-    return jaccard_verify(cands, tok, threshold)
+    # Small-file inputs arrive as one partition; shingling + 8×md5 is
+    # the dominant cost and embarrassingly parallel — spread it first
+    # (at real scale the input is many files and this is already true).
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.repartition(par, "doc_id")
+    if shingle_k > 1:
+        arrays = doc_shingle_arrays(docs, shingle_k)
+    else:
+        arrays = doc_tokens(docs).groupBy("doc_id").agg(
+            F.collect_list("token").alias("arr"), F.count("*").alias("sz")
+        )
+    # The shingle arrays feed three consumers (signatures and both
+    # sides of the verification join); without persistence the whole
+    # shingling recomputes per consumer (measured 3-4× end-to-end).
+    # Size is ~1 KB/doc — safe to keep, spills to disk if not.
+    from pyspark import StorageLevel
+
+    arrays = arrays.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signatures_from_arrays(arrays, n_hashes)
+    cands = candidate_pairs(lsh_bands(sigs, n_bands, n_hashes))
+    return jaccard_verify(cands, arrays, threshold)
 
 
 HEX_DIGITS = "0123456789abcdef"
@@ -207,6 +259,8 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, block_col=None) ->
     Blocking: compare only within ``block_col`` groups (e.g. lang) so
     the pair space stays bounded; at true scale you'd block on simhash
     prefix bands instead (same code shape, key = simhash >> k)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.repartition(par, "doc_id")
     tok = doc_tokens(docs)
     sh = simhash16(tok)
     if block_col is not None:

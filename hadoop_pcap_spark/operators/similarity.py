@@ -58,13 +58,30 @@ def cosine_topk_bruteforce(
     Scale: broadcast the queries, single corpus scan, per-query top-k
     via window (WindowGroupLimit pushes the k-filter before the
     shuffle)."""
+    # Norms are precomputed per side (once per vector, not once per
+    # pair) and the one-file corpus is spread across cores before the
+    # O(queries × corpus) scoring join.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
     )
-    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    c = corpus.repartition(par).select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        _norm(F.col(vec_col)).alias("n_norm"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
-        .withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("q_vec"), F.col("n_vec"))
+                / F.nullif(F.col("q_norm") * F.col("n_norm"), F.lit(0.0)),
+                6,
+            ),
+        )
         .select("q_id", "n_id", "cos")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
@@ -138,7 +155,8 @@ def cosine_topk_lsh(
     finer buckets for bigger corpora."""
     planes = _hyperplanes(n_planes, dim)
     masks = _probe_masks(n_planes, probe_bits)
-    c = corpus.select(
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(par).select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),

@@ -872,3 +872,215 @@ def q_percentiles(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
         )
     )
+
+
+# --- sessionization (batch) ----------------------------------------------------
+
+
+@query(
+    "sessionize_batch",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id, count(DISTINCT sess_id) AS n_sessions, count(*) AS n_events
+    FROM sessions GROUP BY user_id HAVING count(*) >= 8
+    """,
+)
+def q_sessionize_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch sessionization: lag-gap > 30 min starts a new session;
+    cumulative sum assigns session ids (the session_window() batch
+    twin).  Scale: one shuffle on user_id serves both windows."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    flagged = table(spark, sf, "events").withColumn(
+        "new_sess",
+        F.when(
+            (F.col("ts") - F.lag("ts").over(w) > 1800000000)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn("sess_id", F.sum("new_sess").over(wsum))
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.countDistinct("sess_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .filter(F.col("n_events") >= 8)
+    )
+
+
+@query(
+    "argmax_per_group",
+    oracle="""
+    SELECT n_name,
+           arg_max(c_name, c_acctbal || '#' || c_name) AS top_customer,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS top_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_argmax(spark: SparkSession, sf: str) -> DataFrame:
+    """arg-max per group (max_by) with a deterministic composite key
+    for ties."""
+    c = table(spark, sf, "customer")
+    n = table(spark, sf, "nation")
+    tie_key = F.concat_ws("#", F.col("c_acctbal").cast("string"), F.col("c_name"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.expr(
+                "max_by(c_name, concat(cast(c_acctbal as string), '#', c_name))"
+            ).alias("top_customer"),
+            F.max("c_acctbal").alias("top_bal"),
+        )
+    )
+
+
+@query(
+    "explode_unnest",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(p_type, ' ')) AS word FROM part)
+    WHERE word <> ''
+    GROUP BY word HAVING count(*) >= 5
+    """,
+)
+def q_explode_unnest(spark: SparkSession, sf: str) -> DataFrame:
+    """explode/unnest — the dns_answer-array explosion motif
+    (SURVEY §2.4 array fns)."""
+    return (
+        table(spark, sf, "part")
+        .select(F.explode(F.split("p_type", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+@query(
+    "union_by_name",
+    oracle="""
+    SELECT k, src, count(*) AS n FROM (
+      SELECT c_custkey AS k, 'customer' AS src FROM customer WHERE c_acctbal > 5000
+      UNION ALL
+      SELECT s_suppkey AS k, 'supplier' AS src FROM supplier WHERE s_acctbal > 5000
+    ) GROUP BY k, src HAVING count(*) = 1
+    """,
+)
+def q_union_by_name(spark: SparkSession, sf: str) -> DataFrame:
+    """unionByName across differently-shaped inputs (multi-day capture
+    dirs motif)."""
+    c = (
+        table(spark, sf, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("k"), F.lit("customer").alias("src"))
+    )
+    s = (
+        table(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select(F.lit("supplier").alias("src"), F.col("s_suppkey").alias("k"))
+    )
+    return (
+        c.unionByName(s)
+        .groupBy("k", "src")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") == 1)
+    )
+
+
+@query(
+    "window_first_last",
+    oracle="""
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER w AS first_event,
+           last_value(event_type) OVER w AS last_event,
+           count(*) OVER w AS n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_first_last(spark: SparkSession, sf: str) -> DataFrame:
+    """first/last over an unbounded frame — user journey endpoints."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        table(spark, sf, "events")
+        .select(
+            "user_id",
+            F.first("event_type").over(w).alias("first_event"),
+            F.last("event_type").over(w).alias("last_event"),
+            F.count("*").over(w).alias("n"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "net_ipv4_prefix_agg",
+    oracle="""
+    WITH hosts AS (
+      SELECT c_custkey,
+             '10.' || CAST(c_custkey % 16 AS VARCHAR) || '.'
+                   || CAST((c_custkey // 16) % 16 AS VARCHAR) || '.'
+                   || CAST(c_custkey % 251 AS VARCHAR) AS ip
+      FROM customer
+    ),
+    parsed AS (
+      SELECT c_custkey, ip,
+             CAST(string_split(ip,'.')[1] AS BIGINT) * 16777216
+           + CAST(string_split(ip,'.')[2] AS BIGINT) * 65536
+           + CAST(string_split(ip,'.')[3] AS BIGINT) * 256
+           + CAST(string_split(ip,'.')[4] AS BIGINT) AS ip_num
+      FROM hosts
+    )
+    SELECT (ip_num // 256) * 256 AS net24_num, count(*) AS n_hosts,
+           MIN(ip_num) AS min_ip, MAX(ip_num) AS max_ip
+    FROM parsed GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def q_net_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    """IPv4 parse + /24 prefix aggregation (top-talker-subnet motif)
+    over IPs synthesized deterministically from customer keys — the
+    functions under test are functions/net.py's string→numeric forms."""
+    from ..functions.net import ipv4_to_long
+
+    hosts = table(spark, sf, "customer").select(
+        "c_custkey",
+        F.concat_ws(
+            ".",
+            F.lit("10"),
+            (F.col("c_custkey") % 16).cast("string"),
+            ((F.col("c_custkey") / 16).cast("long") % 16).cast("string"),
+            (F.col("c_custkey") % 251).cast("string"),
+        ).alias("ip"),
+    )
+    parsed = hosts.withColumn("ip_num", ipv4_to_long(F.col("ip")))
+    return (
+        parsed.groupBy(((F.col("ip_num") / 256).cast("long") * 256).alias("net24_num"))
+        .agg(
+            F.count("*").alias("n_hosts"),
+            F.min("ip_num").alias("min_ip"),
+            F.max("ip_num").alias("max_ip"),
+        )
+        .filter(F.col("n_hosts") > 1)
+    )
