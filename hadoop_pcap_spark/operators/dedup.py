@@ -289,3 +289,54 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, block_col=None) ->
             "hamming",
         )
     )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Connected components of an undirected (a, b) edge set by
+    smallest-id label propagation.
+
+    Returns (doc_id, component) where component = min doc_id reachable.
+    Iterates join-propagate-aggregate until labels stop changing
+    (near-dup graphs converge in a few rounds: cluster diameters are
+    small).  Each iteration is one shuffle on doc_id; the edge list is
+    re-used as-is.  localCheckpoint truncates the growing lineage so
+    iteration N doesn't replay iterations 1..N-1."""
+    sym = (
+        edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .union(edges.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select("x")
+        .distinct()
+        .select(F.col("x").alias("doc_id"), F.col("x").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.y == labels.doc_id)
+            .groupBy("x")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.x, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -395,3 +395,74 @@ def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
             TXT.exact_fingerprint(t).alias("exact_fp"),
         )
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({SQL_DTOKENS}) AS token FROM documents
+    ),
+    n_docs AS (SELECT count(*) AS n FROM documents),
+    df AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+    tf AS (
+      SELECT t.doc_id, t.token, count(*) AS tf
+      FROM (SELECT doc_id, unnest({SQL_TOKENS}) AS token FROM documents) t
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             ROUND(tf.tf * ln((SELECT n FROM n_docs) * 1.0 / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (token)
+    )
+    SELECT doc_id, token, tfidf, rnk FROM (
+      SELECT doc_id, token, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3 AND doc_id < 50
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF with per-doc top-3 terms — the classic corpus-weighting
+    op.  Scale: document frequency is one groupBy over the token
+    explode; the idf table is dimension-sized and broadcast back; the
+    top-k is a WindowGroupLimit, not a global sort."""
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf, "documents")
+    n_docs = docs.count()
+    all_tok = docs.select(
+        "doc_id", F.explode(TXT.tokens(F.col("text"))).alias("token")
+    )
+    tf = all_tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = (
+        docs.select("doc_id", F.explode(F.array_distinct(TXT.tokens(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    scored = tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") <= 3) & (F.col("doc_id") < 50))
+        .select("doc_id", "token", "tfidf", "rnk")
+    )
+
+
+@query("dedup_cluster_components")  # rows-only: iterative, not SQL-expressible
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup CLUSTERS via connected components over the LSH pair
+    graph (iterative smallest-id label propagation — the 'one
+    representative per duplicate cluster' op a training-data pipeline
+    actually runs).  Non-SQL-expressible (iteration) → rows-only check;
+    invariants tested in pytest.
+    Scale: label propagation converges in O(cluster diameter) joins;
+    near-dup clusters are shallow (diameter ≤ ~3) in practice."""
+    from ..operators.dedup import connected_components, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(table(spark, sf, "documents"), threshold=0.5)
+    return connected_components(pairs.select("a", "b"))

@@ -1084,3 +1084,156 @@ def q_net_prefix(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("n_hosts") > 1)
     )
+
+
+@query(
+    "window_ranks",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           ntile(4)       OVER w AS quartile,
+           CAST(ROUND(percent_rank() OVER w, 6) AS DOUBLE) AS prank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_window_ranks(spark: SparkSession, sf: str) -> DataFrame:
+    """rank / dense_rank / ntile / percent_rank family."""
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return table(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).cast("double").alias("prank"),
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT COALESCE(c.k, o.k) AS k, c.n_cust, o.n_ord
+    FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer WHERE c_acctbal > 9000 GROUP BY 1) c
+    FULL OUTER JOIN (SELECT o_custkey % 30 AS k, count(*) AS n_ord FROM orders WHERE o_totalprice > 300000 GROUP BY 1) o
+    ON c.k = o.k
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL OUTER join with mismatched key domains (nulls both sides)."""
+    c = (
+        table(spark, sf, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    o = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .groupBy((F.col("o_custkey") % 30).alias("k"))
+        .agg(F.count("*").alias("n_ord"))
+    )
+    return c.join(o, c.k == o.k, "full_outer").select(
+        F.coalesce(c.k, o.k).alias("k"), "n_cust", "n_ord"
+    )
+
+
+@query(
+    "cross_join_small",
+    oracle="""
+    SELECT r.r_name, s.s_suppkey, s.s_acctbal
+    FROM region r CROSS JOIN supplier s
+    WHERE s.s_acctbal > 5000
+    """,
+)
+def q_cross_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit cross join (bounded dims only — a cartesian at fact
+    scale is a plan bug, not an operator)."""
+    r = table(spark, sf, "region")
+    s = table(spark, sf, "supplier").filter(F.col("s_acctbal") > 5000)
+    return r.crossJoin(s).select("r_name", "s_suppkey", "s_acctbal")
+
+
+@query(
+    "null_functions",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           count(nullif(o_orderpriority, '1-URGENT')) AS n_not_urgent,
+           CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+           COALESCE(MIN(CASE WHEN o_totalprice > 400000 THEN o_orderkey END), -1) AS first_huge
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_null_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """nullif / coalesce / conditional-count null semantics."""
+    return (
+        table(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))).alias(
+                "n_not_urgent"
+            ),
+            F.sum(
+                F.when(F.col("o_totalprice") > 200000, 1).otherwise(0)
+            ).alias("n_big"),
+            F.coalesce(
+                F.min(F.when(F.col("o_totalprice") > 400000, F.col("o_orderkey"))),
+                F.lit(-1),
+            ).alias("first_huge"),
+        )
+    )
+
+
+@query(
+    "bool_aggregates",
+    oracle="""
+    SELECT user_id % 10 AS user_mod,
+           bool_and(value IS NOT NULL) AS all_valued,
+           bool_or(event_type = 'error') AS any_error,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_bool_aggregates(spark: SparkSession, sf: str) -> DataFrame:
+    """every()/any() boolean aggregates."""
+    return (
+        table(spark, sf, "events")
+        .groupBy((F.col("user_id") % 10).alias("user_mod"))
+        .agg(
+            F.every(F.col("value").isNotNull()).alias("all_valued"),
+            F.some(F.col("event_type") == "error").alias("any_error"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "map_functions",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_with_k,
+           CAST(SUM(CAST(json_extract_string(props,'$.k') AS INT) * 2) AS BIGINT) AS sum_k2
+    FROM events
+    WHERE json_extract_string(props,'$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_map_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """MapType surface: JSON → map<string,int> → map_keys/element_at
+    (the 'extras map' column motif, SURVEY §1.5)."""
+    m = F.from_json("props", "map<string,int>")
+    return (
+        table(spark, sf, "events")
+        .withColumn("m", m)
+        .filter(F.element_at(F.col("m"), "k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_with_k"),
+            F.sum(F.element_at(F.col("m"), "k") * 2).alias("sum_k2"),
+        )
+    )

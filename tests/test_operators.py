@@ -130,3 +130,26 @@ def test_multimodal_frame_sampling(spark):
     frames = MM.sample_frames(df, every_n_bytes=1024).collect()
     assert len(frames) == 5
     assert [f.frame_no for f in sorted(frames, key=lambda r: r.frame_no)] == list(range(5))
+
+
+def test_connected_components_clusters(spark):
+    from pyspark.sql import Row
+    from hadoop_pcap_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [Row(a=1, b=2), Row(a=2, b=3), Row(a=10, b=11), Row(a=3, b=4)]
+    )
+    labels = {r.doc_id: r.component for r in connected_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_chain_convergence(spark):
+    """A long chain exercises multi-iteration propagation."""
+    from pyspark.sql import Row
+    from hadoop_pcap_spark.operators.dedup import connected_components
+
+    n = 20
+    edges = spark.createDataFrame([Row(a=i, b=i + 1) for i in range(n)])
+    labels = {r.doc_id: r.component for r in connected_components(edges, max_iter=30).collect()}
+    assert set(labels.values()) == {0}
+    assert len(labels) == n + 1
