@@ -19,7 +19,12 @@ import glob
 import os
 from typing import Iterator, List
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 from ..pcap.decode import DecodeOptions, decode_pcap
@@ -53,18 +58,7 @@ class PcapDataSourceReader(DataSourceReader):
         return [_PcapFilePartition(p) for p in _expand_paths(path)]
 
     def read(self, partition: _PcapFilePartition) -> Iterator[tuple]:
-        opts = DecodeOptions(
-            decoder=self._options.get("decoder", "ip"),
-            calculate_md5=str(self._options.get("calculatemd5", "false")).lower()
-            == "true",
-            keep_payload=str(self._options.get("keeppayload", "true")).lower()
-            == "true",
-            strict_reference=str(
-                self._options.get("strictreference", "true")
-            ).lower()
-            == "true",
-            mode=self._options.get("mode", "FAILFAST"),
-        )
+        opts = _decode_opts(self._options)
         names = [f.name for f in self._schema.fields]
         with open(partition.path, "rb") as f:
             data = f.read()
@@ -73,8 +67,64 @@ class PcapDataSourceReader(DataSourceReader):
             yield tuple(pkt.get(n) for n in names)
 
 
+def _decode_opts(options: dict) -> DecodeOptions:
+    return DecodeOptions(
+        decoder=options.get("decoder", "ip"),
+        calculate_md5=str(options.get("calculatemd5", "false")).lower() == "true",
+        keep_payload=str(options.get("keeppayload", "true")).lower() == "true",
+        strict_reference=str(options.get("strictreference", "true")).lower() == "true",
+        mode=options.get("mode", "FAILFAST"),
+    )
+
+
+class PcapSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Live-capture streaming: each micro-batch decodes the capture
+    files that appeared in the directory since the last offset — the
+    'live feed = more pcap files arriving' model (SURVEY §2.4
+    streaming analogs).
+
+    Offset = {"seen": [file, ...]} (grows with file count; fine for a
+    capture-rotation directory; compact to a watermark-on-mtime offset
+    for unbounded dirs).  readBetweenOffsets replays exactly the
+    delta, giving effectively-once semantics on restart."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self._schema = schema
+        self._options = options
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("pcap streaming source requires a path")
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def _decode_files(self, files):
+        names = [f.name for f in self._schema.fields]
+        opts = _decode_opts(self._options)
+        out = []
+        for path in files:
+            with open(path, "rb") as f:
+                data = f.read()
+            for pkt in decode_pcap(data, name=path, opts=opts):
+                pkt["file"] = path
+                out.append(tuple(pkt.get(n) for n in names))
+        return out
+
+    def read(self, start: dict):
+        seen = set(start.get("seen", []))
+        current = [p for p in _expand_paths(self._path) if os.path.isfile(p)]
+        new = sorted(set(current) - seen)
+        end = {"seen": sorted(seen | set(new))}
+        return iter(self._decode_files(new)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        delta = sorted(set(end.get("seen", [])) - set(start.get("seen", [])))
+        return iter(self._decode_files(delta))
+
+
 class PcapDataSource(DataSource):
-    """``format("pcap")`` — typed packet rows straight from capture files."""
+    """``format("pcap")`` — typed packet rows straight from capture
+    files; batch (`spark.read`) and streaming (`spark.readStream`)."""
 
     @classmethod
     def name(cls) -> str:
@@ -85,6 +135,9 @@ class PcapDataSource(DataSource):
 
     def reader(self, schema: StructType) -> PcapDataSourceReader:
         return PcapDataSourceReader(schema, dict(self.options))
+
+    def simpleStreamReader(self, schema: StructType) -> PcapSimpleStreamReader:
+        return PcapSimpleStreamReader(schema, dict(self.options))
 
 
 def register_pcap_datasource(spark) -> None:

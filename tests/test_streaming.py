@@ -91,3 +91,51 @@ def test_dedup_within_watermark_append(spark, events_dir):
     # all data arrives in one batch → within-watermark dedup sees every
     # duplicate → must equal the exact distinct count
     assert got == exact
+
+
+def test_streaming_pcap_source_incremental(spark, tmp_path):
+    """spark.readStream.format('pcap'): new capture files arriving in
+    the directory appear as new micro-batches."""
+    import gzip as _g
+
+    from hadoop_pcap_spark.pcap import synth as S
+    from hadoop_pcap_spark.sources import register_pcap_datasource
+
+    register_pcap_datasource(spark)
+    d = str(tmp_path / "livecaps")
+    import os
+
+    os.makedirs(d)
+    (tmp_path / "livecaps" / "a.pcap").write_bytes(S.dns_exchange_pcap())
+
+    stream = (
+        spark.readStream.format("pcap")
+        .option("decoder", "dns")
+        .option("path", d)
+        .load()
+    )
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("live_pcap")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n1 = spark.sql("SELECT count(*) AS n FROM live_pcap").collect()[0].n
+        assert n1 == 2
+        # drop a second capture file in; next batch picks up only the delta
+        (tmp_path / "livecaps" / "b.pcap").write_bytes(S.dns_exchange_pcap(ts=1317994000))
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT file, count(*) AS n FROM live_pcap GROUP BY file ORDER BY file"
+        ).collect()
+        assert [r.n for r in rows] == [2, 2]
+        assert rows[0].file.endswith("a.pcap") and rows[1].file.endswith("b.pcap")
+        qnames = spark.sql(
+            "SELECT DISTINCT dns_qname FROM live_pcap WHERE dns_qname IS NOT NULL"
+        ).collect()
+        assert [r.dns_qname for r in qnames] == ["ripe.net."]
+    finally:
+        q.stop()
