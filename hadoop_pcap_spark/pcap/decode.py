@@ -141,7 +141,7 @@ def decompress_auto(data: bytes, name: str = "") -> bytes:
 
 
 def _ipv4_text(b: bytes) -> str:
-    return ".".join(str(x) for x in b)
+    return "%d.%d.%d.%d" % (b[0], b[1], b[2], b[3])
 
 
 def _ipv6_text(b: bytes) -> str:
@@ -263,6 +263,7 @@ def _decode_l3_l4(packet: dict, data: bytes, ip_start: int, opts: DecodeOptions)
     l4_start = -1
     ipv6 = False
 
+    src_b = dst_b = b""
     if version == 4:
         if ip_start + 20 > len(data):
             return
@@ -274,8 +275,10 @@ def _decode_l3_l4(packet: dict, data: bytes, ip_start: int, opts: DecodeOptions)
         protocol_id = raw_proto
         display_id = raw_proto - 256 if (opts.strict_reference and raw_proto > 127) else raw_proto
         packet["protocol"] = PROTOCOL_NAMES.get(raw_proto, str(display_id))
-        packet["src"] = _ipv4_text(data[ip_start + 12 : ip_start + 16])
-        packet["dst"] = _ipv4_text(data[ip_start + 16 : ip_start + 20])
+        src_b = data[ip_start + 12 : ip_start + 16]
+        dst_b = data[ip_start + 16 : ip_start + 20]
+        packet["src"] = _ipv4_text(src_b)
+        packet["dst"] = _ipv4_text(dst_b)
         l4_start = ip_start + ihl * 4
     elif version == 6:
         if ip_start + 40 > len(data):
@@ -283,8 +286,10 @@ def _decode_l3_l4(packet: dict, data: bytes, ip_start: int, opts: DecodeOptions)
         ipv6 = True
         packet["payload_len"] = struct.unpack_from(">H", data, ip_start + 4)[0]
         packet["ttl"] = data[ip_start + 7]  # hop limit stored in ttl
-        packet["src"] = _ipv6_text(data[ip_start + 8 : ip_start + 24])
-        packet["dst"] = _ipv6_text(data[ip_start + 24 : ip_start + 40])
+        src_b = data[ip_start + 8 : ip_start + 24]
+        dst_b = data[ip_start + 24 : ip_start + 40]
+        packet["src"] = _ipv6_text(src_b)
+        packet["dst"] = _ipv6_text(dst_b)
         first_next = data[ip_start + 6]
         protocol_id, l4_start, ext_count, names, frag = _walk_ipv6_ext(
             data, ip_start, first_next
@@ -322,16 +327,6 @@ def _decode_l3_l4(packet: dict, data: bytes, ip_start: int, opts: DecodeOptions)
             # checksum field 0 = not computed by sender → key omitted
             # [PcapReader.java:129-131]
             if wire_cksum != 0:
-                src_b = (
-                    ipaddress.ip_address(packet["src"]).packed
-                    if "src" in packet
-                    else b""
-                )
-                dst_b = (
-                    ipaddress.ip_address(packet["dst"]).packed
-                    if "dst" in packet
-                    else b""
-                )
                 packet["udpsum"] = _udp_checksum(
                     src_b, dst_b, data[l4_start:], ipv6
                 )
