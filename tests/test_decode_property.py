@@ -91,3 +91,34 @@ def test_arbitrary_packet_stream_never_crashes(chunks):
     assert len(out) == len(chunks)
     for i, p in enumerate(out):
         assert p["ts"] == i and "pkt_no" in p
+
+
+def test_mutation_fuzz_never_crashes():
+    """Random byte mutations of a valid capture: decode either succeeds
+    (possibly with partial rows) or raises PcapFormatError for
+    header-level damage — never any other exception."""
+    import random
+
+    from hadoop_pcap_spark.pcap.decode import PcapFormatError
+
+    base = S.dns_exchange_pcap()
+    rng = random.Random(1234)
+    for _ in range(400):
+        data = bytearray(base)
+        for _ in range(rng.randint(1, 8)):
+            data[rng.randrange(len(data))] = rng.randrange(256)
+        try:
+            list(decode_pcap(bytes(data), opts=DecodeOptions(decoder="dns")))
+        except PcapFormatError:
+            pass
+
+
+def test_truncation_sweep_never_crashes():
+    from hadoop_pcap_spark.pcap.decode import PcapFormatError
+
+    base = S.dns_exchange_pcap()
+    for cut in range(0, len(base), 3):
+        try:
+            list(decode_pcap(base[:cut], opts=DecodeOptions(decoder="dns")))
+        except PcapFormatError:
+            pass
