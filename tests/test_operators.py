@@ -153,3 +153,40 @@ def test_connected_components_chain_convergence(spark):
     labels = {r.doc_id: r.component for r in connected_components(edges, max_iter=30).collect()}
     assert set(labels.values()) == {0}
     assert len(labels) == n + 1
+
+
+def test_salted_join_equivalence(spark):
+    """Salted join must be row-identical to the plain join while
+    spreading hot keys over n_salts reducers."""
+    from hadoop_pcap_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_partkey", "l_quantity")
+    part = spark.read.parquet(f"{SF}/part.parquet").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    plain = li.join(part, "l_partkey").groupBy("p_brand").agg(
+        F.count("*").alias("n"), F.sum("l_quantity").alias("q")
+    )
+    salted = salted_join(li, part, "l_partkey", n_salts=8).groupBy("p_brand").agg(
+        F.count("*").alias("n"), F.sum("l_quantity").alias("q")
+    )
+    a = {r.p_brand: (r.n, r.q) for r in plain.collect()}
+    b = {r.p_brand: (r.n, r.q) for r in salted.collect()}
+    assert a == b
+
+
+def test_two_phase_agg_equivalence(spark):
+    from hadoop_pcap_spark.operators.skew import two_phase_agg
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plain = {
+        r.l_returnflag: (r.n, round(r.total, 2))
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("total"))
+        .collect()
+    }
+    two = {
+        r.l_returnflag: (r.n, round(r.total, 2))
+        for r in two_phase_agg(li, "l_returnflag", "l_quantity").collect()
+    }
+    assert plain == two
