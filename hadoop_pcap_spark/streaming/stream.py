@@ -91,3 +91,45 @@ def dedup_within_watermark(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+FLOW_STATE_OUTPUT = "user_id LONG, n_events LONG, total_value DOUBLE, batch_events LONG"
+FLOW_STATE_SCHEMA = "n LONG, total DOUBLE"
+
+
+def stateful_flow_counts(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-key
+    running event count + value total maintained across micro-batches
+    (the per-flow packet/byte-counter motif — state the built-in
+    windowed aggs can't express when it must accumulate forever and
+    emit per-batch deltas).
+
+    Scale: state lives in the state store partitioned by key; each
+    micro-batch touches only keys present in the batch."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        batch_n = 0
+        for pdf in pdfs:
+            batch_n += len(pdf)
+            vals = pdf["value"].dropna()
+            total += float(vals.sum())
+        n += batch_n
+        state.update((n, float(total)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(float(total), 4)],
+                "batch_events": [batch_n],
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=FLOW_STATE_OUTPUT,
+        stateStructType=FLOW_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -1,0 +1,53 @@
+"""Meta-tests for the driver contract (__spark_entry__.py): the
+registry must stay structurally sound — every oracle belongs to a
+query, names are stable, the flagship entry works."""
+
+import __spark_entry__ as e
+
+
+def test_registry_shape():
+    qs = e.queries()
+    os_ = e.oracle_sql()
+    assert len(qs) >= 60
+    assert set(os_) <= set(qs), "oracle without a query"
+    rows_only = set(qs) - set(os_)
+    # rows-only set is exactly the approx/iterative/pcap/ANN queries
+    assert rows_only == {
+        "approx_count_distinct",
+        "similarity_ann_lsh",
+        "dedup_cluster_components",
+        "pcap_port_count",
+        "pcap_dns_qname_topk",
+        "pcap_dedup_md5",
+        "pcap_multimodal_payload",
+        "pcap_decode_100k",
+    }, f"unexpected rows-only set: {sorted(rows_only)}"
+    for name, fn in qs.items():
+        assert callable(fn), name
+
+
+def test_oracles_are_valid_duckdb_sql():
+    """Every oracle must parse and run in DuckDB at the smallest SF —
+    catches SQL typos without the full value comparison."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.001/{t}.parquet'"
+        )
+    for name, sql in e.oracle_sql().items():
+        con.execute(sql).fetchall()
+
+
+def test_entry_flagship(spark):
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "sum_charge", "count_order",
+    }

@@ -139,3 +139,61 @@ def test_streaming_pcap_source_incremental(spark, tmp_path):
         assert [r.dns_qname for r in qnames] == ["ripe.net."]
     finally:
         q.stop()
+
+
+def test_stateful_flow_counts_accumulates_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state accumulates across micro-batches —
+    feed two parquet files arriving separately, totals must carry over."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from hadoop_pcap_spark.plans import events_table
+
+    src_dir = str(tmp_path / "ev_stream")
+    stage = str(tmp_path / "stage")
+    base = (
+        events_table(spark, SF)
+        .withColumn("ts", F.expr("timestamp_micros(ts)"))
+        .filter(F.col("user_id") < 5)
+    )
+    half1 = base.filter(F.col("event_id") % 2 == 0)
+    half2 = base.filter(F.col("event_id") % 2 == 1)
+    half1.write.mode("overwrite").parquet(src_dir)
+    half2.write.mode("overwrite").parquet(stage)
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    out = STRM.stateful_flow_counts(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("flow_state")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            r.user_id: r.n_events
+            for r in spark.sql("SELECT * FROM flow_state").collect()
+        }
+        # second batch: move half2's files into the watched dir
+        import glob, os
+
+        for i, f in enumerate(glob.glob(stage + "/part-*.parquet")):
+            shutil.copy(f, os.path.join(src_dir, f"late-{i}.parquet"))
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM flow_state").collect()
+    finally:
+        q.stop()
+
+    # the latest emission per user must equal the full batch counts
+    latest = {}
+    for r in rows:
+        latest[r.user_id] = max(latest.get(r.user_id, 0), r.n_events)
+    expected = {
+        r.user_id: r.n
+        for r in base.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert latest == expected
+    # and the first batch alone was a strict subset (state really accumulated)
+    assert all(first[u] < expected[u] for u in first)
