@@ -111,3 +111,14 @@ def exact_fingerprint(col) -> Column:
     """Whitespace-normalized exact-content fingerprint."""
     norm = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
     return F.md5(norm)
+
+
+# GPT-2-style pretokenizer shape: letter runs, digit runs, punctuation
+# runs — the cheap token-budget estimator for LLM data prep.
+BPE_PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_pretoken_count(col) -> Column:
+    """Count of BPE-style pretokens (letters/digits/punct runs) — a
+    closer proxy for LLM token budgets than whitespace words."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_PRETOKEN_RE), 0))

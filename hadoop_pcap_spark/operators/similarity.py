@@ -183,3 +183,100 @@ def cosine_topk_lsh(
     return (
         scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
     )
+
+
+def _kmeans_centroids(sample_vecs, n_cells: int, iters: int = 5):
+    """Deterministic Lloyd k-means on a driver-side sample (numpy).
+    Centroids are a model artifact: K·dim floats, tiny — the classic
+    IVF pattern trains them on a sample and broadcasts them."""
+    import numpy as np
+
+    X = np.asarray(sample_vecs, dtype=np.float64)
+    idx = np.linspace(0, len(X) - 1, n_cells).astype(int)  # strided init
+    C = X[idx].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return C
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 512,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN: k-means cells over a sample, corpus partitioned by
+    nearest cell, queries probe their n_probe nearest cells, exact
+    cosine rerank inside the probed cells.
+
+    Scale: the corpus shuffles once on cell id (and would be *stored*
+    bucketed by cell in a real deployment); each query scans
+    n_probe/n_cells of the data.  Centroids are O(cells·dim) — a
+    broadcast literal, no model store needed."""
+    import numpy as np
+
+    sample = (
+        corpus.orderBy(id_col).limit(sample_size).select(vec_col).collect()
+    )
+    C = _kmeans_centroids([r[0] for r in sample], n_cells)
+
+    def nearest_cells(vec_col_expr, n: int):
+        """Column expr: array of the n nearest cell ids (by L2)."""
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        vec_col_expr,
+                        F.array(*[F.lit(float(w)) for w in C[c]]),
+                        lambda x, w: (x.cast("double") - w) * (x.cast("double") - w),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                for c in range(len(C))
+            ]
+        )
+        ranked = F.transform(
+            F.array_sort(
+                F.arrays_zip(dists, F.array(*[F.lit(c) for c in range(len(C))]))
+            ),
+            lambda s: s["1"],
+        )
+        return F.slice(ranked, 1, n)
+
+    c_assigned = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        _norm(F.col(vec_col)).alias("n_norm"),
+        F.element_at(nearest_cells(F.col(vec_col), 1), 1).alias("cell"),
+    )
+    q_probes = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+        F.explode(nearest_cells(F.col(vec_col), n_probe)).alias("cell"),
+    )
+    scored = (
+        c_assigned.join(F.broadcast(q_probes), "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("q_vec"), F.col("n_vec"))
+                / F.nullif(F.col("q_norm") * F.col("n_norm"), F.lit(0.0)),
+                6,
+            ),
+        )
+        .select("q_id", "n_id", "cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -466,3 +466,41 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
     pairs = minhash_lsh_pairs(table(spark, sf, "documents"), threshold=0.5)
     return connected_components(pairs.select("a", "b"))
+
+
+@query(
+    "text_token_budget",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(SUM(len({SQL_TOKENS})) AS BIGINT) AS whitespace_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))) AS BIGINT) AS bpe_pretokens,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY source
+    """,
+)
+def q_text_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus token budget per source: whitespace tokens vs BPE-ish
+    pretokens vs chars — the sizing query every training-data pipeline
+    runs first.  Scale: pure scan + map + tiny agg."""
+    return (
+        table(spark, sf, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(TXT.token_count(F.col("text"))).alias("whitespace_tokens"),
+            F.sum(TXT.bpe_pretoken_count(F.col("text"))).alias("bpe_pretokens"),
+            F.sum("n_chars").alias("chars"),
+        )
+    )
+
+
+@query("similarity_ann_ivf")  # rows-only: approximate by construction
+def q_similarity_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-flat ANN (k-means cells + n_probe nearest-cell search +
+    exact rerank) — the scale path when the corpus is stored bucketed
+    by cell.  Recall vs brute force asserted in pytest."""
+    emb = table(spark, sf, "embeddings")
+    return SIM.cosine_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < 8), k=5, n_cells=16, n_probe=4
+    )

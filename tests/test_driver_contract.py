@@ -15,6 +15,7 @@ def test_registry_shape():
     assert rows_only == {
         "approx_count_distinct",
         "similarity_ann_lsh",
+        "similarity_ann_ivf",
         "dedup_cluster_components",
         "pcap_port_count",
         "pcap_dns_qname_topk",

@@ -190,3 +190,23 @@ def test_two_phase_agg_equivalence(spark):
         for r in two_phase_agg(li, "l_returnflag", "l_quantity").collect()
     }
     assert plain == two
+
+
+def test_ivf_ann_recall_and_bound(spark, emb):
+    """IVF ANN: recall vs brute force with 4/16 cells probed must beat
+    the probed fraction by a wide margin (cells are locality-aware)."""
+    q = emb.filter(F.col("vec_id") < 8)
+    truth = {
+        (r.q_id, r.n_id) for r in SIM.cosine_topk_bruteforce(emb, q, k=5).collect()
+    }
+    got = SIM.cosine_topk_ivf(emb, q, k=5, n_cells=16, n_probe=4).collect()
+    approx = {(r.q_id, r.n_id) for r in got}
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+    # per-query output is a valid ranked top-k
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.q_id, []).append(r)
+    for q_id, rows in per_q.items():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
