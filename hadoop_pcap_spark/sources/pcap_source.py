@@ -118,6 +118,43 @@ def decode_files_to_frames(
         yield pd.DataFrame({n: [row.get(n) for row in buf] for n in names})
 
 
+def decode_files_to_arrow(
+    file_rows: Iterable[tuple],
+    schema: T.StructType,
+    opts: DecodeOptions,
+    batch_rows: int = 8192,
+):
+    """(path, bytes) pairs → pyarrow RecordBatches (columnar, no
+    pandas detour — measurably faster than the pandas path for the
+    string-heavy packet schema)."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(schema)
+    names = [f.name for f in schema.fields]
+    cols = {n: [] for n in names}
+    count = 0
+    for path, data in file_rows:
+        for pkt in decode_pcap(data, name=path, opts=opts):
+            pkt["file"] = path
+            for n in names:
+                cols[n].append(pkt.get(n))
+            count += 1
+            if count >= batch_rows:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(cols[n], type=arrow_schema.field(n).type) for n in names],
+                    schema=arrow_schema,
+                )
+                cols = {n: [] for n in names}
+                count = 0
+    if count:
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(cols[n], type=arrow_schema.field(n).type) for n in names],
+            schema=arrow_schema,
+        )
+
+
 def read_pcap(
     spark: SparkSession,
     path: str,
@@ -128,13 +165,18 @@ def read_pcap(
     mode: str = "FAILFAST",
     columns: Optional[Iterable[str]] = None,
     path_glob: Optional[str] = None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Read pcap file(s) into a typed DataFrame.
 
     The reference's pluggable-reader conf
     (``net.ripe.hadoop.pcap.io.reader.class``) becomes the ``decoder``
     argument; ``calculateMD5`` becomes ``calculate_md5``.
+    ``engine='arrow'`` (default) builds Arrow batches directly
+    (mapInArrow); ``'pandas'`` keeps the mapInPandas path.
     """
+    if engine not in ("arrow", "pandas"):
+        raise ValueError(f"engine must be 'arrow' or 'pandas', got {engine!r}")
     schema = packet_schema(decoder, columns)
     wanted = set(f.name for f in schema.fields) if columns is not None else None
     opts = DecodeOptions(
@@ -150,6 +192,19 @@ def read_pcap(
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
     files = reader.load(path).select("path", "content")
+
+    if engine == "arrow":
+
+        def decode_partition_arrow(batches):
+            def gen():
+                for rb in batches:
+                    paths = rb.column(0).to_pylist()
+                    contents = rb.column(1).to_pylist()
+                    yield from zip(paths, contents)
+
+            yield from decode_files_to_arrow(gen(), schema, opts)
+
+        return files.mapInArrow(decode_partition_arrow, schema)
 
     def decode_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def gen():
