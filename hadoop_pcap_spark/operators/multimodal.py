@@ -133,3 +133,67 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 1024, id_col: str = "media
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return df.select(id_col, bytes_col).mapInPandas(fn, FRAME_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("format_guess", T.StringType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("content_sha", T.StringType()),
+    ]
+)
+
+_AUDIO_MAGIC = {b"RIFF": "wav", b"fLaC": "flac", b"ID3": "mp3", b"OggS": "ogg"}
+
+
+def _decode_audio_stub(data: bytes) -> tuple:
+    """Deterministic fake decode: (duration_ms, sample_rate) derived
+    from a hash.  Replace with librosa/soundfile in production; raises
+    on empty input like a real decoder."""
+    if not data:
+        raise ValueError("empty audio buffer")
+    try:
+        import soundfile  # noqa: F401  (not in this environment)
+
+        raise NotImplementedError("real soundfile decode path not wired in this env")
+    except ImportError:
+        h = hashlib.sha256(data).digest()
+        duration = 100 + (struct.unpack(">I", h[:4])[0] % 600000)
+        rate = [8000, 16000, 22050, 44100, 48000][h[4] % 5]
+        return duration, rate
+
+
+def audio_features(df: DataFrame, id_col: str = "media_id", bytes_col: str = "content") -> DataFrame:
+    """Audio twin of image_features: binary → typed metadata rows,
+    Arrow-batched, no shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                data = bytes(data) if data is not None else b""
+                fmt = "unknown"
+                for magic, name in _AUDIO_MAGIC.items():
+                    if data[: len(magic)] == magic:
+                        fmt = name
+                        break
+                try:
+                    dur, rate = _decode_audio_stub(data)
+                except ValueError:
+                    dur, rate = None, None
+                rows.append(
+                    dict(
+                        media_id=int(mid),
+                        n_bytes=len(data),
+                        format_guess=fmt,
+                        duration_ms=dur,
+                        sample_rate=rate,
+                        content_sha=hashlib.sha256(data).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields])
+
+    return df.select(id_col, bytes_col).mapInPandas(fn, AUDIO_FEATURE_SCHEMA)

@@ -8,10 +8,11 @@ PcapDeserializer.java:21-66) with two Spark-native paths:
 
 1. ``read_pcap(spark, path, ...)`` — ``binaryFile`` scan (one row per
    file; pcap is unsplittable, same constraint as the reference's
-   ``isSplitable → false``) followed by an Arrow-batched
-   ``mapInPandas`` decode into a fixed wide schema.  Spark's
-   ``spark.sql.files.maxPartitionBytes`` / ``openCostInBytes`` give the
-   small-file packing that `CombinePcapInputFormat` hand-rolled.
+   ``isSplitable → false``) followed by a columnar decode into a fixed
+   wide schema (``mapInArrow`` by default, ``mapInPandas`` via
+   ``engine='pandas'``).  Spark's ``spark.sql.files.maxPartitionBytes``
+   / ``openCostInBytes`` give the small-file packing that
+   `CombinePcapInputFormat` hand-rolled.
 
 2. a registered Python DataSource (``spark.read.format("pcap")`` /
    ``CREATE TABLE ... USING pcap``) — see :mod:`.datasource`.

@@ -210,3 +210,47 @@ def test_ivf_ann_recall_and_bound(spark, emb):
     for q_id, rows in per_q.items():
         ranks = sorted(r.rank for r in rows)
         assert ranks == list(range(1, len(rows) + 1))
+
+
+def test_net_functions(spark):
+    from pyspark.sql import Row
+    from hadoop_pcap_spark.functions import net as NET
+
+    rows = [
+        Row(ip="10.1.2.3"), Row(ip="192.168.0.1"), Row(ip="172.16.5.5"),
+        Row(ip="8.8.8.8"), Row(ip="not-an-ip"), Row(ip="256.1.2.3"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r.ip: (r.num, r.priv, r.pfx)
+        for r in df.select(
+            "ip",
+            NET.ipv4_to_long(F.col("ip")).alias("num"),
+            NET.is_private_ipv4(F.col("ip")).alias("priv"),
+            NET.ipv4_prefix(F.col("ip"), 24).alias("pfx"),
+        ).collect()
+    }
+    assert out["10.1.2.3"] == (167838211, True, "10.1.2.0/24")
+    assert out["8.8.8.8"][1] is False and out["8.8.8.8"][2] == "8.8.8.0/24"
+    assert out["192.168.0.1"][1] is True and out["172.16.5.5"][1] is True
+    assert out["not-an-ip"][0] is None
+    # regex accepts 256 octets (documented: format check, not range) —
+    # numeric form still computes; callers needing strict validity
+    # should range-check octets
+    assert out["256.1.2.3"][0] is not None
+
+
+def test_multimodal_audio_features(spark):
+    from pyspark.sql import Row
+    from hadoop_pcap_spark.operators import multimodal as MM2
+
+    rows = [
+        Row(media_id=1, content=b"RIFF" + b"\x00" * 60),
+        Row(media_id=2, content=b"fLaC" + b"\x01" * 30),
+        Row(media_id=3, content=b""),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r.media_id: r for r in MM2.audio_features(df).collect()}
+    assert out[1].format_guess == "wav" and out[2].format_guess == "flac"
+    assert out[1].duration_ms >= 100 and out[1].sample_rate in (8000, 16000, 22050, 44100, 48000)
+    assert out[3].duration_ms is None
