@@ -286,3 +286,55 @@ def test_reference_fixture_parity():
     assert "a.gtld-servers.net. 172800 IN AAAA 2001:503:a83e::2:30" in r["dns_additional"]
     # both packets carry valid (recomputed-to-zero) UDP checksums
     assert q["udpsum"] == 0 and r["udpsum"] == 0
+
+
+def test_dns_rr_type_rendering():
+    """Presentation-format rendering for the common RR types beyond
+    NS/A (TXT, SOA, SRV, MX, CNAME, AAAA, unknown→RFC3597)."""
+    import struct as _s
+
+    from hadoop_pcap_spark.pcap import dns as DNS
+
+    def rr(name, rtype, rdata, ttl=300):
+        return (name, ttl, rtype, rdata)
+
+    def name_bytes(n):
+        out = b""
+        for lab in n.rstrip(".").split("."):
+            out += bytes([len(lab)]) + lab.encode()
+        return out + b"\x00"
+
+    answers = [
+        rr("t.example", 16, b"\x05hello\x06world!"),                       # TXT, 2 strings
+        rr("m.example", 15, _s.pack(">H", 10) + name_bytes("mx.example")), # MX
+        rr("c.example", 5, name_bytes("target.example")),                  # CNAME
+        rr("s.example", 33, _s.pack(">HHH", 1, 2, 8080) + name_bytes("srv.example")),  # SRV
+        rr("a6.example", 28, bytes.fromhex("20010db8000000000000000000000001")),       # AAAA
+        rr("u.example", 999, b"\xde\xad\xbe\xef"),                         # unknown type
+        rr("soa.example", 6, name_bytes("ns1.example") + name_bytes("admin.example")
+           + _s.pack(">IIIII", 1, 2, 3, 4, 5)),                            # SOA
+    ]
+    msg = S.dns_response(0x42, "q.example", 1, answers=answers)
+    parsed = DNS.parse_message(msg)
+    a = parsed.answers
+    assert a[0] == 't.example. 300 IN TXT "hello" "world!"'
+    assert a[1] == "m.example. 300 IN MX 10 mx.example."
+    assert a[2] == "c.example. 300 IN CNAME target.example."
+    assert a[3] == "s.example. 300 IN SRV 1 2 8080 srv.example."
+    assert a[4] == "a6.example. 300 IN AAAA 2001:db8::1"
+    assert a[5] == "u.example. 300 IN TYPE999 \\# 4 DEADBEEF"
+    assert a[6] == "soa.example. 300 IN SOA ns1.example. admin.example. 1 2 3 4 5"
+
+
+def test_dns_label_escaping_and_root():
+    from hadoop_pcap_spark.pcap import dns as DNS
+
+    # root name question
+    msg = S.dns_query(1, "")
+    parsed = DNS.parse_message(msg)
+    assert parsed.qname == "."
+    # label with a byte outside printable ASCII → \DDD escape
+    raw = bytes([1, 0x07]) + b"\x02ok\x00" + b"\x00\x01\x00\x01"
+    hdr = bytes.fromhex("000101000001000000000000")
+    parsed2 = DNS.parse_message(hdr + raw)
+    assert parsed2.qname == "\\007.ok."
