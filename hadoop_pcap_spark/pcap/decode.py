@@ -19,15 +19,26 @@ observable through its output is preserved behind
 * empty file → zero records, no error  [PcapReader.java:94-105]
 * truncated final record → a packet carrying only ``ts``
   [PcapReader.java:177-180]
-* one 802.1Q VLAN tag is skipped on EN10MB  [PcapReader.java:283-303]
+* one 802.1Q VLAN tag is skipped on EN10MB  [PcapReader.java:283-303];
+  ``ether_type`` still reads only offset 12, so every tagged frame
+  renders as ``vlan`` (inner type shown only when
+  ``strict_reference=False``)  [PcapReader.java:256-280]
 * IPv4 protocol byte is read **signed**, so ids > 127 render as
   negative decimal strings  [PcapReader.java:322]
 * IPv6 extension-header chain walk with Fragment detection;
   ``ext_headers`` is the concatenated ``[Name]`` list **including the
-  terminal protocol**  [PcapReader.java:357-417]
+  terminal protocol** (and ``[59]`` for no-next-header); non-Fragment
+  extension headers advance by the reference's buggy ``1 + len`` bytes
+  (RFC-correct ``(1 + len) * 8`` only when ``strict_reference=False``);
+  the key is absent (not empty) when the chain walk never ran
+  [PcapReader.java:368-417]
 * UDP checksum recomputed over the (possibly caplen-truncated) capture
-  bytes; key omitted when the wire checksum field is 0; value 0 means
-  valid  [PcapReader.java:123-165]
+  bytes with the reference's IPv4-style 12-byte pseudo-header built
+  from offsets ``ipStart+12/+16`` and the **wire** UDP-length field —
+  for IPv6 those offsets land inside the source address, so v6 udpsum
+  is garbage-parity; RFC-correct pseudo-headers only when
+  ``strict_reference=False``.  Key omitted when the wire checksum field
+  is 0; value 0 means valid  [PcapReader.java:123-165]
 * DNS parse attempted iff src or dst port is 53; parse failures are
   silently swallowed (fields stay absent)  [DnsPcapReader.java:23,38,53-55]
 
@@ -150,21 +161,7 @@ def _ipv6_text(b: bytes) -> str:
     return str(ipaddress.IPv6Address(b))
 
 
-def _udp_checksum(src: bytes, dst: bytes, udp_segment: bytes, ipv6: bool) -> int:
-    """Recompute the UDP checksum over pseudo-header + segment.
-
-    Returns 0 when the segment checksums as valid.  Parity with the
-    reference's verification loop [PcapReader.java:123-165], including
-    the quirk that it runs over caplen-truncated bytes.
-    """
-    length = len(udp_segment)
-    proto = 17
-    pseudo = src + dst
-    if ipv6:
-        pseudo += struct.pack(">I", length) + b"\x00\x00\x00" + bytes([proto])
-    else:
-        pseudo += bytes([0, proto]) + struct.pack(">H", length)
-    data = pseudo + udp_segment
+def _cksum_fold(data: bytes) -> int:
     if len(data) % 2:
         data += b"\x00"
     total = 0
@@ -173,6 +170,39 @@ def _udp_checksum(src: bytes, dst: bytes, udp_segment: bytes, ipv6: bool) -> int
     while total >> 16:
         total = (total & 0xFFFF) + (total >> 16)
     return (~total) & 0xFFFF
+
+
+def _udp_checksum(src: bytes, dst: bytes, udp_segment: bytes, ipv6: bool) -> int:
+    """RFC 768/2460 UDP checksum over pseudo-header + segment
+    (non-strict path).  Returns 0 when the segment checksums as valid.
+    Runs over the (possibly caplen-truncated) capture bytes.
+    """
+    length = len(udp_segment)
+    proto = 17
+    pseudo = src + dst
+    if ipv6:
+        pseudo += struct.pack(">I", length) + b"\x00\x00\x00" + bytes([proto])
+    else:
+        pseudo += bytes([0, proto]) + struct.pack(">H", length)
+    return _cksum_fold(pseudo + udp_segment)
+
+
+def _udp_checksum_strict(data: bytes, ip_start: int, l4_start: int) -> int:
+    """The reference's getUdpChecksum [PcapReader.java:123-165]:
+    a 12-byte IPv4-style pseudo-header built from ``ipStart+12/+16``
+    (inside the source address for IPv6) and the **wire** UDP-length
+    field, summed with the whole remaining capture.  Returns -1
+    (⇒ key omitted) when bytes run short, mirroring the reference's
+    ArrayIndexOutOfBounds catch."""
+    if ip_start + 20 > len(data) or l4_start + 6 > len(data):
+        return -1
+    pseudo = (
+        data[ip_start + 12 : ip_start + 16]
+        + data[ip_start + 16 : ip_start + 20]
+        + b"\x00\x11"
+        + data[l4_start + 4 : l4_start + 6]
+    )
+    return _cksum_fold(pseudo + data[l4_start:])
 
 
 def _read_payload(data: bytes, start: int, length: int) -> bytes:
@@ -196,7 +226,8 @@ def _decode_en10mb(packet: dict, data: bytes, opts: DecodeOptions) -> int:
     if len(data) < 14:
         packet["ether_type"] = ""
         return -1
-    ethertype = struct.unpack_from(">H", data, 12)[0]
+    outer = struct.unpack_from(">H", data, 12)[0]
+    ethertype = outer
     ip_start = 14
     if ethertype == 0x8100:  # single VLAN tag skip
         if len(data) < 18:
@@ -204,7 +235,10 @@ def _decode_en10mb(packet: dict, data: bytes, opts: DecodeOptions) -> int:
             return -1
         ethertype = struct.unpack_from(">H", data, 16)[0]
         ip_start = 18
-    packet["ether_type"] = ETHERTYPE_NAMES.get(ethertype, "0x%04x" % ethertype)
+    # getEtherType reads only offset 12, so tagged frames render 'vlan'
+    # [PcapReader.java:256-280]; inner type shown only in non-strict mode.
+    shown = outer if opts.strict_reference else ethertype
+    packet["ether_type"] = ETHERTYPE_NAMES.get(shown, "0x%04x" % shown)
     if ethertype in (0x0800, 0x86DD):
         return ip_start
     return -1
@@ -223,22 +257,54 @@ def _ip_start(link_type: int, packet: dict, data: bytes, opts: DecodeOptions) ->
     return -1
 
 
-def _walk_ipv6_ext(data: bytes, ip_start: int, first_next: int) -> tuple:
+def _walk_ipv6_ext(data: bytes, ip_start: int, first_next: int, strict: bool) -> tuple:
     """Walk the IPv6 extension-header chain.
 
     Returns (terminal_protocol_id_or_None, l4_start, ext_count,
-    names_list, frag_seen).  Parity with findIPv6DataStart
-    [PcapReader.java:357-417]: Fragment headers are fixed 8 bytes;
-    other known ext headers advance (1 + hdr_ext_len) * 8; type 59
-    terminates with no L4.
+    names_list, frag_seen).  ``names_list`` includes the terminal
+    protocol name (parity with findIPv6DataStart's addExtHeader calls,
+    [PcapReader.java:368-417]).
+
+    strict=True mirrors the reference exactly: the loop only runs while
+    the cursor is inside the capture (so a header-only packet gets NO
+    names and no protocol), type 59 appends ``[59]`` then terminates,
+    Fragment advances 8 bytes, and every other extension header
+    advances the buggy ``1 + hdr_ext_len`` **bytes**
+    [PcapReader.java:404-411].  strict=False uses the RFC 8200 advance
+    ``(1 + hdr_ext_len) * 8`` and stops cleanly at no-next-header.
     """
     next_header = first_next
     pos = ip_start + 40
+    n = len(data)
     ext_count = 0
     names = []
     frag = False
+    if strict:
+        while pos < n:
+            is_ext = next_header in IPV6_EXT_NAMES
+            if is_ext:
+                names.append(IPV6_EXT_NAMES[next_header])
+            else:
+                names.append(PROTOCOL_NAMES.get(next_header, str(next_header)))
+            if next_header == IPV6_NO_NEXT_HEADER:
+                return None, -1, ext_count, names, frag
+            if not is_ext:
+                return next_header, pos, ext_count, names, frag
+            ext_count += 1
+            if pos + 2 > n:
+                # the reference would throw AIOOBE here; treat as truncated
+                return None, -1, ext_count, names, frag
+            if next_header == IPV6_FRAGMENT:
+                frag = True
+                next_header = data[pos]
+                pos += 8
+            else:
+                nxt = data[pos]
+                pos += 1 + data[pos + 1]  # buggy byte-advance, kept for parity
+                next_header = nxt
+        return None, -1, ext_count, names, frag
     while next_header in IPV6_EXT_NAMES:
-        if pos + 2 > len(data):
+        if pos + 2 > n:
             return None, -1, ext_count, names, frag
         names.append(IPV6_EXT_NAMES[next_header])
         if next_header == IPV6_FRAGMENT:
@@ -251,6 +317,7 @@ def _walk_ipv6_ext(data: bytes, ip_start: int, first_next: int) -> tuple:
         ext_count += 1
     if next_header == IPV6_NO_NEXT_HEADER:
         return None, -1, ext_count, names, frag
+    names.append(PROTOCOL_NAMES.get(next_header, str(next_header)))
     return next_header, pos, ext_count, names, frag
 
 
@@ -292,19 +359,19 @@ def _decode_l3_l4(packet: dict, data: bytes, ip_start: int, opts: DecodeOptions)
         packet["dst"] = _ipv6_text(dst_b)
         first_next = data[ip_start + 6]
         protocol_id, l4_start, ext_count, names, frag = _walk_ipv6_ext(
-            data, ip_start, first_next
+            data, ip_start, first_next, opts.strict_reference
         )
         packet["ext_count"] = ext_count
         if frag:
             packet["frag"] = True
-        if protocol_id is not None:
-            proto_name = PROTOCOL_NAMES.get(protocol_id, str(protocol_id))
-            packet["protocol"] = proto_name
-            # terminal protocol name is included as the last element
-            # [PcapReader.java:384]
-            packet["ext_headers"] = "".join(f"[{n}]" for n in names + [proto_name])
-        else:
+        # strict parity: addExtHeader never ran ⇒ key absent, not ''
+        # [PcapReader.java:357-366]
+        if names or not opts.strict_reference:
             packet["ext_headers"] = "".join(f"[{n}]" for n in names)
+        if protocol_id is not None:
+            # terminal protocol name already last in names [PcapReader.java:384]
+            packet["protocol"] = PROTOCOL_NAMES.get(protocol_id, str(protocol_id))
+        else:
             return
     else:
         return
@@ -327,9 +394,14 @@ def _decode_l3_l4(packet: dict, data: bytes, ip_start: int, opts: DecodeOptions)
             # checksum field 0 = not computed by sender → key omitted
             # [PcapReader.java:129-131]
             if wire_cksum != 0:
-                packet["udpsum"] = _udp_checksum(
-                    src_b, dst_b, data[l4_start:], ipv6
-                )
+                if opts.strict_reference:
+                    ck = _udp_checksum_strict(data, ip_start, l4_start)
+                    if ck >= 0:
+                        packet["udpsum"] = ck
+                else:
+                    packet["udpsum"] = _udp_checksum(
+                        src_b, dst_b, data[l4_start:], ipv6
+                    )
         payload_start = l4_start + 8
     else:  # TCP: data offset in 32-bit words at byte 12 high nibble
         if l4_start + 13 > len(data):

@@ -227,7 +227,7 @@ def parse_message(data: bytes) -> DnsMessage:
                 version = (ttl >> 16) & 0xFF
                 zflags = ttl & 0xFFFF
                 out.append(
-                    f"{name} 32768 CLASS{payload} OPT ; payload {payload}, "
+                    f"{name} {ttl} CLASS{payload} OPT ; payload {payload}, "
                     f"xrcode {xrcode}, version {version}, flags {zflags}"
                 )
             else:

@@ -93,7 +93,12 @@ def test_en10mb_plain_and_vlan():
     data = S.global_header(1) + S.record(5, plain) + S.record(6, tagged)
     p1, p2 = rows(data)
     assert p1["ether_type"] == "IPv4" and p1["src_port"] == 1111
-    assert p2["ether_type"] == "IPv4" and p2["src_port"] == 1111  # VLAN skipped
+    # getEtherType reads only offset 12 → tagged frames render 'vlan',
+    # but the tag IS skipped for L3 decode [PcapReader.java:256-303]
+    assert p2["ether_type"] == "vlan" and p2["src_port"] == 1111
+    # non-strict shows the inner type
+    _, p2ns = rows(data, strict_reference=False)
+    assert p2ns["ether_type"] == "IPv4" and p2ns["src_port"] == 1111
 
 
 def test_non_ip_ethertype_keeps_only_l2_fields():
@@ -174,10 +179,56 @@ def test_ipv6_udp_with_fragment_ext():
 
 
 def test_ipv6_no_next_header():
+    # header-only packet: reference loop never runs → ext_headers ABSENT
     frame = S.ethernet(S.ipv6(b"", 59, "::1", "::2"), ethertype=0x86DD)
     (p,) = rows(S.global_header(1) + S.record(1, frame))
-    assert p["ext_headers"] == "" and p["ext_count"] == 0
+    assert "ext_headers" not in p and p["ext_count"] == 0
     assert "protocol" not in p
+    # with payload bytes present the reference appends '[59]' then stops
+    frame2 = S.ethernet(S.ipv6(b"\x00\x00", 59, "::1", "::2"), ethertype=0x86DD)
+    (p2,) = rows(S.global_header(1) + S.record(1, frame2))
+    assert p2["ext_headers"] == "[59]" and "protocol" not in p2
+    # non-strict keeps the clean empty-string rendering
+    (p3,) = rows(S.global_header(1) + S.record(1, frame2), strict_reference=False)
+    assert p3["ext_headers"] == "" and "protocol" not in p3
+
+
+def test_ipv6_hopbyhop_strict_byte_advance():
+    """Non-Fragment ext headers advance 1+len BYTES in the reference
+    [PcapReader.java:408-410], not the RFC's (1+len)*8 — so a HopByHop
+    header leaves strict decode misaligned (garbage ports), while
+    non-strict walks correctly."""
+    inner = S.udp(b"xyz", 4242, 53, "2001:db8::1", "2001:db8::2")
+    # HopByHop: next(patched) len=0 + 6 pad bytes = 8 bytes total
+    hbh = bytes([0, 0, 1, 4, 0, 0, 0, 0])
+    frame = S.ethernet(
+        S.ipv6(inner, 17, "2001:db8::1", "2001:db8::2",
+               ext_headers=[(0, hbh)]),
+        ethertype=0x86DD)
+    data = S.global_header(1) + S.record(1, frame)
+    (p,) = rows(data)
+    # strict: advance = 1+0 = 1 byte → l4 read 7 bytes early → port garbage
+    assert p["ext_headers"].startswith("[HopByHop]")
+    assert p.get("src_port") != 4242
+    (p2,) = rows(data, strict_reference=False)
+    assert p2["ext_headers"] == "[HopByHop][UDP]"
+    assert p2["src_port"] == 4242 and p2["dst_port"] == 53
+    assert p2["payload"] == b"xyz"
+
+
+def test_ipv6_udpsum_strict_uses_ipv4_offsets():
+    """The reference builds the UDP pseudo-header from ipStart+12/+16
+    even for IPv6 (inside the source address) [PcapReader.java:141-144],
+    so a correctly-checksummed v6 segment does NOT verify to 0 in strict
+    mode; the RFC path (non-strict) returns 0."""
+    inner = S.udp(b"ok", 9, 53, "2001:db8::1", "2001:db8::2")
+    frame = S.ethernet(S.ipv6(inner, 17, "2001:db8::1", "2001:db8::2"),
+                       ethertype=0x86DD)
+    data = S.global_header(1) + S.record(1, frame)
+    (p,) = rows(data)
+    assert p["udpsum"] != 0
+    (p2,) = rows(data, strict_reference=False)
+    assert p2["udpsum"] == 0
 
 
 def test_md5_opt_in_uppercase():
@@ -324,6 +375,40 @@ def test_dns_rr_type_rendering():
     assert a[4] == "a6.example. 300 IN AAAA 2001:db8::1"
     assert a[5] == "u.example. 300 IN TYPE999 \\# 4 DEADBEEF"
     assert a[6] == "soa.example. 300 IN SOA ns1.example. admin.example. 1 2 3 4 5"
+
+
+def test_dns_opt_record_ttl_rendering():
+    """OPT pseudo-RR renders the record's *computed* 32-bit TTL
+    (xrcode<<24 | version<<16 | flags), not a fixed value.  Covers the
+    reference's golden (flags=0x8000 ⇒ ttl=32768, DnsPcapReaderTest.java:24-29)
+    plus the flags=0 EDNS0 probe and a nonzero xrcode/version composite."""
+    import struct as _s
+
+    from hadoop_pcap_spark.pcap import dns as DNS
+
+    def opt_msg(payload, xrcode, version, flags):
+        ttl = (xrcode << 24) | (version << 16) | flags
+        hdr = _s.pack(">HHHHHH", 0x99, 0x0100, 1, 0, 0, 1)
+        q = b"\x01q\x07example\x00" + _s.pack(">HH", 1, 1)
+        opt = b"\x00" + _s.pack(">HHIH", 41, payload, ttl, 0)
+        return hdr + q + opt
+
+    # DO-bit set (the reference's single golden shape): ttl == 32768
+    m = DNS.parse_message(opt_msg(4096, 0, 0, 0x8000))
+    assert m.additional == [
+        ". 32768 CLASS4096 OPT ; payload 4096, xrcode 0, version 0, flags 32768"
+    ]
+    # plain EDNS0 probe (flags=0): ttl must render 0, not 32768
+    m = DNS.parse_message(opt_msg(1232, 0, 0, 0))
+    assert m.additional == [
+        ". 0 CLASS1232 OPT ; payload 1232, xrcode 0, version 0, flags 0"
+    ]
+    # nonzero extended-rcode and version
+    m = DNS.parse_message(opt_msg(512, 1, 2, 3))
+    ttl = (1 << 24) | (2 << 16) | 3
+    assert m.additional == [
+        f". {ttl} CLASS512 OPT ; payload 512, xrcode 1, version 2, flags 3"
+    ]
 
 
 def test_dns_label_escaping_and_root():
