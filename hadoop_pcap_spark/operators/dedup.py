@@ -149,16 +149,39 @@ def lsh_bands(sigs: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_MINHASH
     )
 
 
-def candidate_pairs(bands: DataFrame) -> DataFrame:
-    """Distinct (a, b) doc pairs sharing ≥1 LSH bucket, a < b."""
-    l = bands.alias("l")
-    r = bands.alias("r")
-    return (
+def candidate_pairs(bands: DataFrame, max_bucket: int = 64) -> DataFrame:
+    """Distinct (a, b) doc pairs sharing ≥1 LSH bucket, a < b.
+
+    Hot-bucket guard: a bucket with m members otherwise emits m² pairs
+    on one reducer — web corpora put millions of boilerplate near-copies
+    in the same bucket.  Buckets larger than ``max_bucket`` short-
+    circuit through the exact-dup path: all members share the band's
+    full minhash signature slice, so instead of the clique we emit only
+    the m−1 star pairs around the bucket's min doc_id.  Downstream
+    Jaccard verification still scores every emitted pair, and connected
+    components recovers the full cluster through the anchor.  The cap
+    sits well above observed honest bucket sizes (13 at sf0.1), so
+    sub-cap results are byte-identical to the unguarded join."""
+    sized = bands.withColumn(
+        "_bsz", F.count("*").over(Window.partitionBy("band", "key"))
+    )
+    cold = sized.filter(F.col("_bsz") <= max_bucket).drop("_bsz")
+    hot = sized.filter(F.col("_bsz") > max_bucket).drop("_bsz")
+
+    l = cold.alias("l")
+    r = cold.alias("r")
+    cold_pairs = (
         l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.key") == F.col("r.key")))
         .filter(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
-        .distinct()
     )
+    anchors = hot.groupBy("band", "key").agg(F.min("doc_id").alias("anchor"))
+    hot_pairs = (
+        hot.join(anchors, ["band", "key"])
+        .filter(F.col("doc_id") != F.col("anchor"))
+        .select(F.col("anchor").alias("a"), F.col("doc_id").alias("b"))
+    )
+    return cold_pairs.unionByName(hot_pairs).distinct()
 
 
 def jaccard_verify(pairs: DataFrame, arrays: DataFrame, threshold: float) -> DataFrame:
@@ -168,8 +191,11 @@ def jaccard_verify(pairs: DataFrame, arrays: DataFrame, threshold: float) -> Dat
     array_intersect: cost is O(pairs · tokens-per-doc), independent of
     how many docs share a hot token — a token self-join degrades
     quadratically inside near-dup clusters (measured 48 s → ~2 s at
-    sf0.1 for 826 candidate pairs).  The candidate-pair side is
-    broadcast."""
+    sf0.1 for 826 candidate pairs).  The candidate-pair side is left
+    unhinted: AQE broadcasts it when its runtime size is under the
+    broadcast threshold and falls back to a shuffle join when a
+    duplicate-heavy corpus makes it large — an unconditional
+    F.broadcast would OOM the driver at 100 TB."""
     a_arr = arrays.select(
         F.col("doc_id").alias("a"), F.col("arr").alias("arr_a"), F.col("sz").alias("sza")
     )
@@ -177,7 +203,7 @@ def jaccard_verify(pairs: DataFrame, arrays: DataFrame, threshold: float) -> Dat
         F.col("doc_id").alias("b"), F.col("arr").alias("arr_b"), F.col("sz").alias("szb")
     )
     return (
-        a_arr.join(F.broadcast(pairs), "a")
+        a_arr.join(pairs, "a")
         .join(b_arr, "b")
         .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")))
         .withColumn(
@@ -228,8 +254,9 @@ HEX_DIGITS = "0123456789abcdef"
 SIMHASH_BITS = 16
 
 
-def simhash16(tok: DataFrame) -> DataFrame:
-    """doc_id → 16-bit SimHash over the distinct token set.
+def simhash_bits(tok: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """doc_id → ``bits``-wide SimHash over the distinct token set
+    (bits ≤ 32: one md5 hex digit per bit).
 
     Bit i comes from hex digit i of md5(token): odd digit → +1 vote,
     even → −1; simhash bit = (vote sum > 0).  Deterministic and
@@ -242,23 +269,82 @@ def simhash16(tok: DataFrame) -> DataFrame:
                 (F.instr(F.lit(HEX_DIGITS), F.substring(h, i + 1, 1)) - 1) % 2 == 1, 1
             ).otherwise(-1)
         ).alias(f"v{i}")
-        for i in range(SIMHASH_BITS)
+        for i in range(bits)
     ]
     agg = tok.groupBy("doc_id").agg(*votes)
-    bits = [
+    terms = [
         F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i in range(SIMHASH_BITS)
+        for i in range(bits)
     ]
-    out = agg.select("doc_id", sum(bits[1:], start=bits[0]).alias("simhash"))
-    return out
+    return agg.select("doc_id", sum(terms[1:], start=terms[0]).alias("simhash"))
+
+
+def simhash16(tok: DataFrame) -> DataFrame:
+    """16-bit SimHash (see simhash_bits)."""
+    return simhash_bits(tok, SIMHASH_BITS)
+
+
+def simhash_banded_pairs(
+    docs: DataFrame, max_hamming: int = 3, bits: int = 32
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``,
+    with **no recall loss and no quadratic join**.
+
+    Pigeonhole banding: split the ``bits``-wide simhash into
+    ``max_hamming + 1`` bands; any pair within Hamming ≤ max_hamming
+    differs in at most max_hamming bands, so it agrees *exactly* on at
+    least one band.  Candidates come from band-value equi-joins
+    (O(n·bands) shuffle keys — same shape as MinHash LSH), then exact
+    ``bit_count(xor)`` verification.  With 32 bits / 4 bands each band
+    key has 256 values; at 100 TB use a 64-bit simhash with 16-bit
+    bands for 65k-value keys plus the LSH hot-bucket star guard.
+    """
+    n_bands = max_hamming + 1
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.repartition(par, "doc_id")
+    sh = simhash_bits(doc_tokens(docs), bits)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("key"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = sh.select(
+        "doc_id", "simhash", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a"),
+            F.col("b.doc_id").alias("b"),
+            F.col("a.simhash").alias("simhash_a"),
+            F.col("b.simhash").alias("simhash_b"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, block_col=None) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance.
-
-    Blocking: compare only within ``block_col`` groups (e.g. lang) so
-    the pair space stays bounded; at true scale you'd block on simhash
-    prefix bands instead (same code shape, key = simhash >> k)."""
+    """Near-dup pairs by SimHash Hamming distance, blocked by an
+    attribute column — a BOUNDED primitive: the pair join is quadratic
+    within each ``block_col`` group, so use it only when groups are
+    small.  The scale path is :func:`simhash_banded_pairs` (pigeonhole
+    banding, no quadratic join, no recall loss)."""
     par = docs.sparkSession.sparkContext.defaultParallelism
     docs = docs.repartition(par, "doc_id")
     tok = doc_tokens(docs)

@@ -167,28 +167,42 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
       SELECT doc_id,
         {", ".join(
             f"SUM(CASE WHEN (strpos('0123456789abcdef', substring(md5(token), {i+1}, 1)) - 1) % 2 = 1 THEN 1 ELSE -1 END) AS v{i}"
-            for i in range(16)
+            for i in range(32)
         )}
       FROM tok GROUP BY doc_id
     ),
     sh AS (
       SELECT doc_id,
-        {" + ".join(f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))} AS simhash
+        {" + ".join(f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32))} AS simhash
       FROM votes
     ),
-    docs2 AS (SELECT s.doc_id, s.simhash, d.lang FROM sh s JOIN documents d USING (doc_id))
-    SELECT a.doc_id AS a, b.doc_id AS b,
-           a.simhash AS simhash_a, b.simhash AS simhash_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM docs2 a JOIN docs2 b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    bands AS (
+      SELECT doc_id, simhash, 0 AS band, simhash & 255 AS key FROM sh
+      UNION ALL SELECT doc_id, simhash, 1, (simhash >> 8) & 255 FROM sh
+      UNION ALL SELECT doc_id, simhash, 2, (simhash >> 16) & 255 FROM sh
+      UNION ALL SELECT doc_id, simhash, 3, (simhash >> 24) & 255 FROM sh
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+             a.simhash AS simhash_a, b.simhash AS simhash_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT a, b, simhash_a, simhash_b,
+           bit_count(xor(simhash_a, simhash_b)) AS hamming
+    FROM cands
+    WHERE bit_count(xor(simhash_a, simhash_b)) <= 3
     """,
 )
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 3), blocked by lang.
-    Oracle reproduces the same hex-digit-vote construction."""
-    return DD.simhash_near_pairs(
-        table(spark, sf, "documents"), max_hamming=3, block_col="lang"
+    """32-bit SimHash near-dup pairs (Hamming ≤ 3) via pigeonhole
+    banding: 4 bands of 8 bits; a pair within Hamming ≤ 3 must agree
+    exactly on ≥1 band, so candidates come from band equi-joins
+    (O(n·bands) shuffle, no quadratic pair join, no recall loss —
+    retires the earlier lang-blocked quadratic variant).  Oracle
+    reproduces the same hex-digit-vote construction and banding."""
+    return DD.simhash_banded_pairs(
+        table(spark, sf, "documents"), max_hamming=3, bits=32
     ).withColumn("hamming", F.col("hamming").cast("long"))
 
 

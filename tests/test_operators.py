@@ -69,6 +69,61 @@ def test_simhash_identical_docs_zero_hamming(spark):
     assert pairs[(1, 2)] == 0  # identical token sets → identical simhash
 
 
+def test_simhash_banded_matches_bruteforce(spark, docs):
+    """Pigeonhole banding loses NO pairs: banded candidates + verify ==
+    all-pairs Hamming filter on the same 32-bit simhash."""
+    sample = docs.limit(120)
+    banded = {
+        (r.a, r.b, r.hamming)
+        for r in DD.simhash_banded_pairs(sample, max_hamming=3, bits=32).collect()
+    }
+    sh = DD.simhash_bits(DD.doc_tokens(sample), 32)
+    a, b = sh.alias("a"), sh.alias("b")
+    brute = {
+        (r.a, r.b, r.hamming)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a"),
+            F.col("b.doc_id").alias("b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute
+
+
+def test_lsh_hot_bucket_guard_bounds_pairs(spark):
+    """A 10k-copy cluster must not produce the m² clique: the guard
+    short-circuits hot buckets to m−1 star pairs around the min doc_id,
+    in bounded time."""
+    import time
+
+    base = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"
+    df = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), F.lit(base).alias("text")
+    )
+    t0 = time.time()
+    arrays = DD.doc_shingle_arrays(df, 3)
+    sigs = DD.minhash_signatures_from_arrays(arrays)
+    pairs = DD.candidate_pairs(DD.lsh_bands(sigs), max_bucket=64)
+    n = pairs.count()
+    elapsed = time.time() - t0
+    # star pairs only: every doc pairs with anchor 0, once
+    assert n == 9_999, n
+    assert elapsed < 120, f"hot-bucket path took {elapsed:.0f}s"
+    # and the guard leaves sub-cap buckets byte-identical
+    small = spark.createDataFrame(
+        [Row(doc_id=i, text=base + f" extra{i % 2}") for i in range(6)]
+    )
+    arrays2 = DD.doc_shingle_arrays(small, 3)
+    sigs2 = DD.minhash_signatures_from_arrays(arrays2)
+    bands2 = DD.lsh_bands(sigs2)
+    guarded = {(r.a, r.b) for r in DD.candidate_pairs(bands2, max_bucket=64).collect()}
+    unguarded = {(r.a, r.b) for r in DD.candidate_pairs(bands2, max_bucket=10**9).collect()}
+    assert guarded == unguarded
+
+
 def test_lsh_ann_recall_vs_bruteforce(spark, emb):
     q = emb.filter(F.col("vec_id") < 8)
     truth = {
