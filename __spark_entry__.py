@@ -33,8 +33,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    queries_map, _ = _registry()
-    return dict(queries_map)
+    """Oracle-bearing queries first (relational → pipeline → pcap, in
+    registration order), rows-only checks last — if the driver caps or
+    time-boxes its run, the hard hash-compared queries are never the
+    ones dropped."""
+    queries_map, oracles_map = _registry()
+    ordered = {k: v for k, v in queries_map.items() if k in oracles_map}
+    ordered.update({k: v for k, v in queries_map.items() if k not in oracles_map})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

@@ -36,7 +36,16 @@ def salted_join(
     reducers.  ``small`` is replicated n_salts× (keep it dimension-
     sized); output columns = big's ∪ small's minus the duplicate key.
     Scale: shuffle keys become (key, salt) — a key carrying 30% of all
-    rows now lands on n_salts reducers instead of one."""
+    rows now lands on n_salts reducers instead of one.
+
+    Only ``inner`` and ``left`` joins are supported: under right/full,
+    every unmatched small-side row would surface once per salt replica
+    (n_salts duplicates), silently breaking row-identity."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "right/full would duplicate unmatched small-side rows per salt"
+        )
     salted_big = big.withColumn(
         "_salt", F.monotonically_increasing_id() % n_salts
     )
@@ -54,9 +63,16 @@ def two_phase_agg(
     n_salts: int = 8,
 ) -> DataFrame:
     """count/sum per key via (key, salt) partials then a final combine.
-    Returns (key, n, total)."""
+    Returns (key, n, total).
+
+    The salt must be independent of the row's *values*: salting by
+    hash(agg_col) silently no-ops on the classic skew case (one hot key
+    whose values are constant — every row hashes to the same salt).
+    Row position (monotonically_increasing_id) spreads any hot key
+    ≥n_salts ways regardless of its values; the final combine is
+    algebraic, so the result is unchanged."""
     partial = (
-        df.withColumn("_salt", F.abs(F.hash(F.col(agg_col).cast("string"))) % n_salts)
+        df.withColumn("_salt", F.monotonically_increasing_id() % n_salts)
         .groupBy(key, "_salt")
         .agg(F.count("*").alias("_n"), F.sum(agg_col).alias("_s"))
     )

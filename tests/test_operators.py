@@ -247,6 +247,33 @@ def test_two_phase_agg_equivalence(spark):
     assert plain == two
 
 
+def test_two_phase_agg_spreads_constant_hot_key(spark):
+    """The classic skew case: one hot key whose agg values are all
+    constant.  The salt must still spread the key ~n_salts ways
+    (a value-derived salt silently no-ops here)."""
+    from hadoop_pcap_spark.operators.skew import two_phase_agg
+
+    df = spark.range(80_000).select(
+        F.lit("hot").alias("k"), F.lit(1.0).alias("v")
+    )
+    n_salts = 8
+    partial = df.withColumn(
+        "_salt", F.monotonically_increasing_id() % n_salts
+    ).groupBy("k", "_salt").count()
+    assert partial.count() == n_salts  # hot key spread over all salts
+    out = two_phase_agg(df, "k", "v", n_salts=n_salts).collect()
+    assert len(out) == 1 and out[0].n == 80_000 and out[0].total == 80_000.0
+
+
+def test_salted_join_rejects_right_full(spark):
+    from hadoop_pcap_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([Row(k=1, v=2)])
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError):
+            salted_join(df, df, "k", how=how)
+
+
 def test_ivf_ann_recall_and_bound(spark, emb):
     """IVF ANN: recall vs brute force with 4/16 cells probed must beat
     the probed fraction by a wide margin (cells are locality-aware)."""
