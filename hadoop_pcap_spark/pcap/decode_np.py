@@ -1,0 +1,532 @@
+"""Vectorized (numpy columnar) pcap decode kernel.
+
+Same observable semantics as :mod:`.decode` (the per-packet scalar
+kernel, itself quirk-for-quirk with the reference's PcapReader.java —
+see decode.py's header for the full parity/divergence list), but the
+hot path computes whole-file *columns* instead of per-packet dicts:
+
+1. a tight framing loop collects record offsets (the only inherently
+   sequential step — each header position depends on the previous
+   record's caplen);
+2. every fixed-offset field (timestamps, ethertype, IPv4/v6 headers,
+   ports, TCP data offset, UDP checksum) is then extracted with numpy
+   gathers over a single uint8 view of the file — no per-packet Python;
+3. strings (protocol / ether_type names, IP text) are built once per
+   *unique* value and broadcast back with a take — captures repeat a
+   tiny set of talkers, so this is ~O(uniques) not O(packets);
+4. UDP checksums are summed with np.add.reduceat over parity-weighted
+   byte arrays (vectorized ones'-complement fold);
+5. the rare shapes that need stateful walks fall back to the scalar
+   kernel per row: IPv6 extension-header chains (PcapReader.java's
+   findIPv6DataStart loop), DNS payload parse (port 53 only), and MD5
+   (opt-in hashlib).
+
+Output is a column dict ready to become pyarrow RecordBatches — the
+``read_pcap(engine='arrow')`` path.  Correctness contract: for any
+input bytes and options, rows here == rows from decode.decode_pcap
+(tests/test_decode_columnar.py diffs both kernels field-by-field over
+the golden fixtures and the property-test generators).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+
+from .decode import (
+    GLOBAL_HEADER_SIZE,
+    LINKTYPE_EN10MB,
+    LINKTYPE_LOOP,
+    MAGIC_LE,
+    RECORD_HEADER_SIZE,
+    SUPPORTED_LINK_TYPES,
+    ETHERTYPE_NAMES,
+    IPV6_EXT_NAMES,
+    IPV6_NO_NEXT_HEADER,
+    PROTOCOL_NAMES,
+    DecodeOptions,
+    PcapFormatError,
+    _decode_dns,
+    _decode_l3_l4,
+    _want,
+    decompress_auto,
+)
+
+# columns produced by the kernel (file/dns_* handled by callers/merge)
+NUMERIC_COLS = {
+    "pkt_no": np.int64,
+    "ts": np.int64,
+    "ts_usec": np.int64,
+    "size": np.int64,
+    "ttl": np.int64,
+    "src_port": np.int64,
+    "dst_port": np.int64,
+    "len": np.int64,
+    "udpsum": np.int64,
+    "payload_len": np.int64,
+    "ext_count": np.int64,
+}
+OBJECT_COLS = [
+    "md5", "ether_type", "protocol", "src", "dst", "ext_headers", "payload",
+    "frag",
+    "dns_queryid", "dns_flags", "dns_qr", "dns_opcode", "dns_rcode",
+    "dns_qname", "dns_qtype", "dns_qtype_str",
+    "dns_answer", "dns_authority", "dns_additional",
+]
+
+
+class ColumnarResult:
+    """n rows; numeric → (values ndarray, null-mask ndarray); object →
+    numpy object ndarray with None for NULL."""
+
+    __slots__ = ("n", "numeric", "objects")
+
+    def __init__(self, n: int):
+        self.n = n
+        self.numeric = {
+            c: (np.zeros(n, dtype=dt), np.ones(n, dtype=bool))
+            for c, dt in NUMERIC_COLS.items()
+        }
+        self.objects = {c: np.full(n, None, dtype=object) for c in OBJECT_COLS}
+
+    def set_num(self, col, idx_or_mask, values):
+        # bool masks may be shorter than the arrays (a truncated-tail row
+        # is appended past the framed packets) — convert to indices
+        if isinstance(idx_or_mask, np.ndarray) and idx_or_mask.dtype == bool:
+            idx_or_mask = np.nonzero(idx_or_mask)[0]
+        vals, mask = self.numeric[col]
+        vals[idx_or_mask] = values
+        mask[idx_or_mask] = False
+
+    def overlay(self, col, new):
+        """Set non-None entries of ``new`` (length ≤ n) into an object
+        column."""
+        new = np.asarray(new, dtype=object)
+        set_mask = new != None  # noqa: E711 — elementwise against object array
+        self.objects[col][: len(new)][set_mask] = new[set_mask]
+
+    def rows(self):
+        """Per-row dicts with absent-keys semantics (testing/debug)."""
+        out = []
+        for i in range(self.n):
+            r = {}
+            for c, (vals, mask) in self.numeric.items():
+                if not mask[i]:
+                    r[c] = int(vals[i])
+            for c, lst in self.objects.items():
+                if lst[i] is not None:
+                    r[c] = lst[i]
+            out.append(r)
+        return out
+
+
+def _u32le(u: np.ndarray, off: np.ndarray) -> np.ndarray:
+    return (
+        u[off].astype(np.int64)
+        | (u[off + 1].astype(np.int64) << 8)
+        | (u[off + 2].astype(np.int64) << 16)
+        | (u[off + 3].astype(np.int64) << 24)
+    )
+
+
+def _be16(u: np.ndarray, off: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """Big-endian u16 gather; invalid rows read offset 0 and return 0."""
+    o = np.where(valid, off, 0)
+    v = (u[o].astype(np.int64) << 8) | u[np.minimum(o + 1, len(u) - 1)].astype(np.int64)
+    return np.where(valid, v, 0)
+
+
+def _byte(u: np.ndarray, off: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    o = np.where(valid, off, 0)
+    return np.where(valid, u[o].astype(np.int64), 0)
+
+
+def _take_names(codes: np.ndarray, valid: np.ndarray, render) -> np.ndarray:
+    """Build a string column from integer codes: render() runs once per
+    unique code, results broadcast back.  Returns object ndarray with
+    None on invalid rows."""
+    out = np.full(len(codes), None, dtype=object)
+    if not valid.any():
+        return out
+    idx = np.nonzero(valid)[0]
+    uniq, inv = np.unique(codes[idx], return_inverse=True)
+    table = np.array([render(int(c)) for c in uniq], dtype=object)
+    out[idx] = table[inv]
+    return out
+
+
+def _pack_u64(mat: np.ndarray) -> np.ndarray:
+    """(k, w≤8) uint8 → uint64 big-endian integer key per row."""
+    k = mat.astype(np.uint64)
+    out = np.zeros(len(mat), dtype=np.uint64)
+    for j in range(mat.shape[1]):
+        out = (out << np.uint64(8)) | k[:, j]
+    return out
+
+
+def _ip_strings(u: np.ndarray, off: np.ndarray, valid: np.ndarray, width: int, render) -> np.ndarray:
+    """IP text column: gather width bytes per row, render once per
+    unique address (captures repeat a tiny talker set).  Uniqueness is
+    computed on packed integer keys (1-D sorts), never np.unique(axis=0)
+    — the row-matrix argsort there dominated the whole kernel."""
+    out = np.full(len(off), None, dtype=object)
+    if not valid.any():
+        return out
+    idx = np.nonzero(valid)[0]
+    mat = u[off[idx, None] + np.arange(width)]
+    if width <= 8:
+        uniq_keys, first, inv = np.unique(
+            _pack_u64(mat), return_index=True, return_inverse=True
+        )
+    else:
+        hi, lo = _pack_u64(mat[:, :8]), _pack_u64(mat[:, 8:])
+        order = np.lexsort((lo, hi))
+        sh, sl = hi[order], lo[order]
+        newgrp = np.ones(len(order), dtype=bool)
+        newgrp[1:] = (sh[1:] != sh[:-1]) | (sl[1:] != sl[:-1])
+        inv = np.empty(len(order), dtype=np.int64)
+        inv[order] = np.cumsum(newgrp) - 1
+        first = order[newgrp]
+    table = np.array([render(mat[i].tobytes()) for i in first], dtype=object)
+    out[idx] = table[inv]
+    return out
+
+
+def _segment_sums(u: np.ndarray, starts: np.ndarray, ends: np.ndarray, chunk: int = 8192):
+    """(H, L) per segment: H = sum of bytes at even offsets *relative to
+    the segment start*, L = odd.  The window is split once into
+    even/odd-position halves (int32 — a segment sum is ≤ 255·65535) and
+    each half reduced with np.add.reduceat over halved bounds; chunked
+    so temporaries stay bounded."""
+    m = len(starts)
+    H = np.zeros(m, dtype=np.int64)
+    L = np.zeros(m, dtype=np.int64)
+    for c0 in range(0, m, chunk):
+        c1 = min(c0 + chunk, m)
+        s, e = starts[c0:c1], ends[c0:c1]
+        w0 = int(s.min()) & ~1  # even-align: relative parity == absolute
+        win = u[w0 : int(e.max())].astype(np.int32)
+        ev = np.append(win[0::2], 0)  # trailing 0: reduceat len-bound guard
+        od = np.append(win[1::2], 0)
+        rs, re = s - w0, e - w0
+        # even positions p∈[rs,re) ↔ ev indices [(rs+1)//2, (re+1)//2);
+        # odd  positions           ↔ od indices [rs//2, re//2)
+        k = c1 - c0
+        be = np.empty(2 * k, dtype=np.int64)
+        be[0::2] = (rs + 1) >> 1
+        be[1::2] = (re + 1) >> 1
+        bo = np.empty(2 * k, dtype=np.int64)
+        bo[0::2] = rs >> 1
+        bo[1::2] = re >> 1
+        se = np.add.reduceat(ev, be)[0::2].astype(np.int64)
+        so = np.add.reduceat(od, bo)[0::2].astype(np.int64)
+        se[be[0::2] >= be[1::2]] = 0  # empty half-range → reduceat echoes
+        so[bo[0::2] >= bo[1::2]] = 0
+        s_even = (rs & 1) == 0
+        H[c0:c1] = np.where(s_even, se, so)
+        L[c0:c1] = np.where(s_even, so, se)
+    return H, L
+
+
+def _fold16(total: np.ndarray) -> np.ndarray:
+    total = total.copy()
+    while (total > 0xFFFF).any():
+        total = (total & 0xFFFF) + (total >> 16)
+    return 0xFFFF ^ total
+
+
+def decode_pcap_columnar(
+    data: bytes,
+    name: str = "",
+    opts: Optional[DecodeOptions] = None,
+) -> ColumnarResult:
+    """Decode one pcap file's bytes into columns (see module header)."""
+    opts = opts or DecodeOptions()
+    try:
+        data = decompress_auto(data, name)
+    except OSError as exc:
+        if opts.mode == "PERMISSIVE":
+            return ColumnarResult(0)
+        raise PcapFormatError(f"{name}: bad compressed stream: {exc}") from exc
+
+    n = len(data)
+    if n == 0:
+        return ColumnarResult(0)
+    if n < GLOBAL_HEADER_SIZE:
+        if opts.mode == "PERMISSIVE":
+            return ColumnarResult(0)
+        raise PcapFormatError(f"{name}: truncated pcap global header")
+
+    magic = int.from_bytes(data[0:4], "little")
+    if magic != MAGIC_LE:
+        if opts.mode == "PERMISSIVE":
+            return ColumnarResult(0)
+        raise PcapFormatError(
+            f"{name}: not a (little-endian classic) PCAP file: magic=0x{magic:08x}"
+        )
+    link_type = int.from_bytes(data[20:24], "little")
+    if link_type not in SUPPORTED_LINK_TYPES:
+        if opts.mode == "PERMISSIVE":
+            return ColumnarResult(0)
+        raise PcapFormatError(f"{name}: unsupported link type {link_type}")
+
+    # --- framing: the one sequential pass (offsets only) ---------------------
+    starts = []
+    pos = GLOBAL_HEADER_SIZE
+    truncated_at = -1
+    while pos + RECORD_HEADER_SIZE <= n:
+        caplen = int.from_bytes(data[pos + 8 : pos + 12], "little")
+        if pos + RECORD_HEADER_SIZE + caplen > n:
+            truncated_at = pos  # ts-only tail row [PcapReader.java:177-180]
+            break
+        starts.append(pos)
+        pos += RECORD_HEADER_SIZE + caplen
+
+    m = len(starts)
+    total_rows = m + (1 if truncated_at >= 0 else 0)
+    res = ColumnarResult(total_rows)
+    if total_rows == 0:
+        return res
+    if truncated_at >= 0:
+        res.set_num("pkt_no", total_rows - 1, m + 1)
+        res.set_num(
+            "ts", total_rows - 1, int.from_bytes(data[truncated_at : truncated_at + 4], "little")
+        )
+    if m == 0:
+        return res
+
+    u = np.frombuffer(data, dtype=np.uint8)
+    rec = np.asarray(starts, dtype=np.int64)
+    rows = np.arange(m)
+
+    res.set_num("pkt_no", rows, rows + 1)
+    res.set_num("ts", rows, _u32le(u, rec))
+    res.set_num("ts_usec", rows, _u32le(u, rec + 4))
+    caplen = _u32le(u, rec + 8)
+    res.set_num("size", rows, caplen)
+    pkt = rec + RECORD_HEADER_SIZE
+    end = pkt + caplen
+
+    if opts.calculate_md5 and _want(opts, "md5"):
+        md5col = res.objects["md5"]
+        for i, (a, b) in enumerate(zip(pkt.tolist(), end.tolist())):
+            md5col[i] = hashlib.md5(data[a:b]).hexdigest().upper()
+
+    # --- L2: ip_start (relative to packet) + ether_type ----------------------
+    strict = opts.strict_reference
+    et_col = res.objects["ether_type"]
+    if link_type == LINKTYPE_EN10MB:
+        has_eth = caplen >= 14
+        et_out = _be16(u, pkt + 12, has_eth)
+        vlan = has_eth & (et_out == 0x8100)
+        vlan_ok = vlan & (caplen >= 18)
+        vlan_short = vlan & ~vlan_ok
+        et_in = np.where(vlan_ok, _be16(u, pkt + 16, vlan_ok), et_out)
+        ip_rel = np.where(vlan_ok, 18, 14)
+        # ether_type: '' when frame <14B; 'vlan' for tagged (strict reads
+        # only offset 12); inner name in non-strict [PcapReader.java:256-280]
+        shown = et_out if strict else et_in
+        shown = np.where(vlan_short, 0x8100, shown)
+        names = _take_names(
+            shown, has_eth, lambda c: ETHERTYPE_NAMES.get(c, "0x%04x" % c)
+        )
+        names[~has_eth] = ""
+        res.overlay("ether_type", names)
+        is_ip = has_eth & ~vlan_short & ((et_in == 0x0800) | (et_in == 0x86DD))
+    else:
+        et_col[:m] = ""
+        ip_rel = np.full(m, 4 if link_type == LINKTYPE_LOOP else 0, dtype=np.int64)
+        is_ip = np.ones(m, dtype=bool)
+
+    # _decode_l3_l4 guard: ip_start within the packet bytes
+    l3 = is_ip & (ip_rel < caplen)
+    ip = pkt + ip_rel
+    version = _byte(u, ip, l3) >> 4
+
+    v4 = l3 & (version == 4) & (ip_rel + 20 <= caplen)
+    v6 = l3 & (version == 6) & (ip_rel + 40 <= caplen)
+
+    # protocol id / l4 offset (relative), filled per version below
+    proto_id = np.zeros(m, dtype=np.int64)
+    l4_rel = np.full(m, -1, dtype=np.int64)
+    has_l4 = np.zeros(m, dtype=bool)
+    ipv6_mask = np.zeros(m, dtype=bool)
+    slow = np.zeros(m, dtype=bool)  # rows delegated to the scalar kernel
+
+    # --- IPv4 ----------------------------------------------------------------
+    if v4.any():
+        ihl = _byte(u, ip, v4) & 0x0F
+        res.set_num("ttl", v4, _byte(u, ip + 8, v4)[v4])
+        raw = _byte(u, ip + 9, v4)
+        # signed-byte display quirk [PcapReader.java:322]
+        pn = _take_names(
+            raw, v4,
+            lambda r: PROTOCOL_NAMES.get(
+                r, str(r - 256 if (strict and r > 127) else r)
+            ),
+        )
+        res.overlay("protocol", pn)
+        res.overlay(
+            "src",
+            _ip_strings(u, ip + 12, v4, 4, lambda b: "%d.%d.%d.%d" % (b[0], b[1], b[2], b[3])),
+        )
+        res.overlay(
+            "dst",
+            _ip_strings(u, ip + 16, v4, 4, lambda b: "%d.%d.%d.%d" % (b[0], b[1], b[2], b[3])),
+        )
+        proto_id = np.where(v4, raw, proto_id)
+        l4_rel = np.where(v4, ip_rel + ihl * 4, l4_rel)
+        has_l4 = has_l4 | v4
+
+    # --- IPv6 ----------------------------------------------------------------
+    if v6.any():
+        import ipaddress as _ipa
+
+        res.set_num("payload_len", v6, _be16(u, ip + 4, v6)[v6])
+        res.set_num("ttl", v6, _byte(u, ip + 7, v6)[v6])
+        res.overlay("src", _ip_strings(u, ip + 8, v6, 16, lambda b: str(_ipa.IPv6Address(b))))
+        res.overlay("dst", _ip_strings(u, ip + 24, v6, 16, lambda b: str(_ipa.IPv6Address(b))))
+        first_next = _byte(u, ip + 6, v6)
+        needs_walk = v6 & (
+            np.isin(first_next, list(IPV6_EXT_NAMES)) | (first_next == IPV6_NO_NEXT_HEADER)
+        )
+        slow = slow | needs_walk
+        fast6 = v6 & ~needs_walk
+        res.set_num("ext_count", fast6, 0)
+        if strict:
+            # reference loop runs only while pos < n: a header-only packet
+            # gets no protocol and NO ext_headers key [PcapReader.java:374]
+            terminal = fast6 & (ip_rel + 40 < caplen)
+        else:
+            terminal = fast6
+        if terminal.any():
+            pn6 = _take_names(
+                first_next, terminal, lambda c: PROTOCOL_NAMES.get(c, str(c))
+            )
+            eh6 = _take_names(
+                first_next, terminal,
+                lambda c: "[%s]" % PROTOCOL_NAMES.get(c, str(c)),
+            )
+            res.overlay("protocol", pn6)
+            res.overlay("ext_headers", eh6)
+            proto_id = np.where(terminal, first_next, proto_id)
+            l4_rel = np.where(terminal, ip_rel + 40, l4_rel)
+            has_l4 = has_l4 | terminal
+        ipv6_mask = ipv6_mask | v6
+
+    # --- L4: ports / udpsum / len / payload ----------------------------------
+    is_tcp = has_l4 & (proto_id == 6)
+    is_udp = has_l4 & (proto_id == 17)
+    l4 = pkt + l4_rel
+    ports_ok = (is_tcp | is_udp) & (l4_rel + 4 <= caplen) & ~slow
+    if ports_ok.any():
+        res.set_num("src_port", ports_ok, _be16(u, l4, ports_ok)[ports_ok])
+        res.set_num("dst_port", ports_ok, _be16(u, l4 + 2, ports_ok)[ports_ok])
+
+    payload_start = np.full(m, -1, dtype=np.int64)
+
+    udp_ok = is_udp & (l4_rel + 8 <= caplen) & ~slow
+    if udp_ok.any():
+        if _want(opts, "udpsum"):
+            wire = _be16(u, l4 + 6, udp_ok)
+            ck_rows = udp_ok & (wire != 0)
+            if strict:
+                # reference pseudo-header: IPv4 offsets + wire length
+                # [PcapReader.java:137-145]; -1 (omit) when bytes run short
+                ck_ok = ck_rows & (ip_rel + 20 <= caplen) & (l4_rel + 6 <= caplen)
+            else:
+                ck_ok = ck_rows
+            if ck_ok.any():
+                idx = np.nonzero(ck_ok)[0]
+                H, L = _segment_sums(u, l4[idx], end[idx])
+                seg_total = (H << 8) + L
+                if strict:
+                    ph = np.zeros(len(idx), dtype=np.int64)
+                    for woff in (12, 14, 16, 18):
+                        ph += _be16(u, ip[idx] + woff, np.ones(len(idx), bool))
+                    ph += 0x0011
+                    ph += _be16(u, l4[idx] + 4, np.ones(len(idx), bool))
+                else:
+                    ones = np.ones(len(idx), bool)
+                    ph = np.zeros(len(idx), dtype=np.int64)
+                    seglen = (end[idx] - l4[idx]).astype(np.int64)
+                    v6i = ipv6_mask[idx]
+                    # IPv4 rows: src(2w)+dst(2w)+proto+len
+                    for woff in (12, 14, 16, 18):
+                        ph += np.where(v6i, 0, _be16(u, ip[idx] + woff, ones))
+                    # IPv6 rows: src(8w)+dst(8w)+len(2w)+proto
+                    for woff in range(8, 40, 2):
+                        ph += np.where(v6i, _be16(u, ip[idx] + woff, ones), 0)
+                    ph += np.where(v6i, (seglen >> 16) + (seglen & 0xFFFF), seglen)
+                    ph += 0x0011
+                res.set_num("udpsum", idx, _fold16(ph + seg_total))
+        payload_start = np.where(udp_ok, l4_rel + 8, payload_start)
+
+    tcp_ok = is_tcp & (l4_rel + 13 <= caplen) & ~slow
+    if tcp_ok.any():
+        doff = (_byte(u, l4 + 12, tcp_ok) >> 4) * 4
+        payload_start = np.where(tcp_ok, l4_rel + doff, payload_start)
+
+    has_payload = payload_start >= 0
+    if has_payload.any():
+        plen = np.maximum(0, caplen - payload_start)
+        res.set_num("len", has_payload, plen[has_payload])
+        if opts.keep_payload and _want(opts, "payload"):
+            pl = res.objects["payload"]
+            abs_start = pkt + payload_start
+            for i in np.nonzero(has_payload)[0].tolist():
+                a = abs_start[i]
+                # out-of-range → b'' (readPayload parity) — here a+plen==end
+                pl[i] = data[a : a + plen[i]] if a <= end[i] else b""
+
+    # --- slow rows: scalar kernel fallback (IPv6 ext chains etc.) ------------
+    if slow.any():
+        for i in np.nonzero(slow)[0].tolist():
+            p: dict = {}
+            _decode_l3_l4(p, data[pkt[i] : end[i]], int(ip_rel[i]), opts)
+            payload = p.pop("_payload", None)
+            if opts.keep_payload and payload is not None and _want(opts, "payload"):
+                p["payload"] = payload
+            for col, val in p.items():
+                if col in NUMERIC_COLS:
+                    res.set_num(col, i, val)
+                else:
+                    res.objects[col][i] = val
+
+    # frag column is only ever set True (scalar sets it via slow path);
+    # nothing to do for fast rows.
+
+    # --- DNS (decoder='dns'): per-row parse on the port-53 subset ------------
+    if opts.decoder == "dns":
+        sp_vals, sp_mask = res.numeric["src_port"]
+        dp_vals, dp_mask = res.numeric["dst_port"]
+        cand = ((~sp_mask) & (sp_vals == 53)) | ((~dp_mask) & (dp_vals == 53))
+        pay = res.objects["payload"]
+        proto_col = res.objects["protocol"]
+        if not (opts.keep_payload and _want(opts, "payload")):
+            # payload column pruned: recompute slices just for DNS rows
+            pay = list(res.objects["payload"])
+            abs_start = pkt + payload_start
+            for i in np.nonzero(cand[:m] & has_payload)[0].tolist():
+                a = abs_start[i]
+                b = a + max(0, caplen[i] - payload_start[i])
+                pay[i] = data[a:b]
+        for i in np.nonzero(cand[:m])[0].tolist():
+            p = {
+                "src_port": int(sp_vals[i]) if not sp_mask[i] else None,
+                "dst_port": int(dp_vals[i]) if not dp_mask[i] else None,
+                "protocol": proto_col[i],
+                "_payload": pay[i],
+            }
+            _decode_dns(p, opts)
+            for col in (
+                "dns_queryid", "dns_flags", "dns_qr", "dns_opcode", "dns_rcode",
+                "dns_qname", "dns_qtype", "dns_qtype_str",
+                "dns_answer", "dns_authority", "dns_additional",
+            ):
+                if col in p:
+                    res.objects[col][i] = p[col]
+
+    return res

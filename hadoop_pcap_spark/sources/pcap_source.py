@@ -156,6 +156,45 @@ def decode_files_to_arrow(
         )
 
 
+def decode_files_to_arrow_columnar(
+    file_rows: Iterable[tuple],
+    schema: T.StructType,
+    opts: DecodeOptions,
+    batch_rows: int = 65536,
+):
+    """(path, bytes) pairs → pyarrow RecordBatches via the vectorized
+    columnar kernel (:mod:`..pcap.decode_np`): whole-file numpy column
+    extraction, then zero-copy-ish Arrow construction (numeric columns
+    hand over the ndarray + null mask directly).  ~3.5× the scalar
+    kernel's packets/s/core — at 100 TB the decode IS the job, so this
+    is the default ``read_pcap`` path."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from ..pcap.decode_np import decode_pcap_columnar
+
+    arrow_schema = to_arrow_schema(schema)
+    names = [f.name for f in schema.fields]
+    for path, data in file_rows:
+        res = decode_pcap_columnar(data, name=path, opts=opts)
+        for s0 in range(0, res.n, batch_rows):
+            s1 = min(s0 + batch_rows, res.n)
+            arrays = []
+            for n in names:
+                t = arrow_schema.field(n).type
+                if n == "file":
+                    arrays.append(pa.array([path] * (s1 - s0), type=t))
+                elif n in res.numeric:
+                    vals, mask = res.numeric[n]
+                    arrays.append(pa.array(vals[s0:s1], type=t, mask=mask[s0:s1]))
+                else:
+                    arrays.append(
+                        pa.array(res.objects[n][s0:s1], type=t, from_pandas=True)
+                    )
+            yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+
 def read_pcap(
     spark: SparkSession,
     path: str,
@@ -173,11 +212,16 @@ def read_pcap(
     The reference's pluggable-reader conf
     (``net.ripe.hadoop.pcap.io.reader.class``) becomes the ``decoder``
     argument; ``calculateMD5`` becomes ``calculate_md5``.
-    ``engine='arrow'`` (default) builds Arrow batches directly
-    (mapInArrow); ``'pandas'`` keeps the mapInPandas path.
+    ``engine='arrow'`` (default) runs the vectorized columnar kernel
+    and builds Arrow batches directly (mapInArrow);
+    ``'arrow-scalar'`` keeps the per-packet kernel behind the same
+    Arrow plumbing (cross-check path); ``'pandas'`` the mapInPandas
+    path.
     """
-    if engine not in ("arrow", "pandas"):
-        raise ValueError(f"engine must be 'arrow' or 'pandas', got {engine!r}")
+    if engine not in ("arrow", "arrow-scalar", "pandas"):
+        raise ValueError(
+            f"engine must be 'arrow', 'arrow-scalar' or 'pandas', got {engine!r}"
+        )
     schema = packet_schema(decoder, columns)
     wanted = set(f.name for f in schema.fields) if columns is not None else None
     opts = DecodeOptions(
@@ -194,7 +238,12 @@ def read_pcap(
         reader = reader.option("pathGlobFilter", path_glob)
     files = reader.load(path).select("path", "content")
 
-    if engine == "arrow":
+    if engine in ("arrow", "arrow-scalar"):
+        to_batches = (
+            decode_files_to_arrow_columnar
+            if engine == "arrow"
+            else decode_files_to_arrow
+        )
 
         def decode_partition_arrow(batches):
             def gen():
@@ -203,7 +252,7 @@ def read_pcap(
                     contents = rb.column(1).to_pylist()
                     yield from zip(paths, contents)
 
-            yield from decode_files_to_arrow(gen(), schema, opts)
+            yield from to_batches(gen(), schema, opts)
 
         return files.mapInArrow(decode_partition_arrow, schema)
 

@@ -1,0 +1,141 @@
+"""Columnar kernel ≡ scalar kernel.
+
+The vectorized kernel (pcap/decode_np.py) must produce row-for-row,
+field-for-field identical output to the per-packet kernel
+(pcap/decode.py) — which is itself the quirk-parity reference twin —
+for every option combination, over golden fixtures, synthesized
+traffic mixes, and hypothesis-generated frames.
+"""
+
+import os
+import random
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from hadoop_pcap_spark.pcap import synth as S
+from hadoop_pcap_spark.pcap.decode import DecodeOptions, decode_pcap
+from hadoop_pcap_spark.pcap.decode_np import decode_pcap_columnar
+
+REF_FIXTURE = "/root/reference/hadoop-pcap-lib/src/test/resources/test.pcap"
+
+
+def assert_equiv(data, opts=None, name="t"):
+    opts = opts or DecodeOptions()
+    scalar = [
+        {k: v for k, v in p.items() if not k.startswith("_")}
+        for p in decode_pcap(data, name, opts)
+    ]
+    columnar = decode_pcap_columnar(data, name, opts).rows()
+    assert scalar == columnar
+
+
+def synth_mixed(n=500, seed=7):
+    """A traffic mix covering every kernel branch: v4 TCP/UDP, v6,
+    DNS, ARP, runt frames."""
+    rnd = random.Random(seed)
+    out = [S.global_header()]
+    for i in range(n):
+        kind = rnd.randrange(7)
+        if kind == 0:
+            pkt = S.ethernet(S.ipv4(
+                S.udp(b"x" * rnd.randrange(0, 40), 1000 + i % 50, 53),
+                17, "10.0.0.%d" % (i % 20), "8.8.8.8"))
+        elif kind == 1:
+            pkt = S.ethernet(S.ipv4(
+                S.tcp(b"y" * rnd.randrange(0, 60), 80, 443 + i % 10),
+                6, "192.168.1.%d" % (i % 30), "1.1.1.1"))
+        elif kind == 2:
+            pkt = S.ethernet(S.ipv6(
+                S.udp(b"z" * rnd.randrange(0, 30), 5353, 5353),
+                17, "2001:db8::%x" % (i % 16), "fe80::1"))
+        elif kind == 3:
+            pkt = S.ethernet(S.ipv4(
+                S.udp(S.dns_query(i & 0xFFFF, "example%d.com" % (i % 5)),
+                      3000 + i % 9, 53), 17, "10.1.1.1", "9.9.9.9"))
+        elif kind == 4:
+            pkt = S.ethernet(b"\x00" * rnd.randrange(0, 100), ethertype=0x0806)
+        elif kind == 5:
+            pkt = rnd.randbytes(rnd.randrange(0, 20))  # runt frame
+        else:
+            pkt = S.ethernet(S.ipv6(S.tcp(b"w" * 5, 22, 2222), 6, "::1", "::2"))
+        out.append(S.record(1317993942 + i, pkt, ts_usec=i % 1000000))
+    return b"".join(out)
+
+
+@pytest.mark.parametrize("strict", [True, False])
+@pytest.mark.parametrize("decoder", ["ip", "dns"])
+@pytest.mark.parametrize("md5", [False, True])
+def test_golden_fixture_equiv(strict, decoder, md5):
+    if not os.path.exists(REF_FIXTURE):
+        pytest.skip("reference fixture unavailable")
+    with open(REF_FIXTURE, "rb") as f:
+        data = f.read()
+    assert_equiv(data, DecodeOptions(
+        strict_reference=strict, decoder=decoder, calculate_md5=md5))
+
+
+@pytest.mark.parametrize("strict", [True, False])
+@pytest.mark.parametrize("decoder", ["ip", "dns"])
+def test_synth_mix_equiv(strict, decoder):
+    assert_equiv(synth_mixed(), DecodeOptions(
+        strict_reference=strict, decoder=decoder))
+
+
+def test_truncated_tail_equiv():
+    assert_equiv(synth_mixed(50)[:-7])
+
+
+def test_degenerate_inputs_equiv():
+    assert_equiv(b"")
+    assert_equiv(S.global_header())
+    assert_equiv(S.global_header() + b"\x00" * 5)  # short record header
+
+
+def test_ipv6_ext_chain_slow_path_equiv():
+    # fragment ext header forces the scalar-fallback walk
+    frame = S.ethernet(S.ipv6(
+        S.fragment_ext() + S.udp(b"frag", 1, 2), 44, "::1", "::2"))
+    assert_equiv(S.global_header() + S.record(1, frame))
+    assert_equiv(S.global_header() + S.record(1, frame),
+                 DecodeOptions(strict_reference=False))
+
+
+def test_vlan_equiv():
+    inner = S.ipv4(S.udp(b"v", 1, 2), 17, "10.0.0.1", "10.0.0.2")
+    tagged = (b"\xff" * 12 + b"\x81\x00\x00\x05" + b"\x08\x00" + inner)
+    data = S.global_header() + S.record(9, tagged)
+    assert_equiv(data)
+    assert_equiv(data, DecodeOptions(strict_reference=False))
+
+
+def test_column_pruning_equiv():
+    opts = DecodeOptions(wanted={"pkt_no", "ts", "src", "dst_port"},
+                         keep_payload=False)
+    assert_equiv(synth_mixed(100), opts)
+
+
+ipv4s = st.integers(0, 2**32 - 1).map(
+    lambda v: "%d.%d.%d.%d" % (v >> 24 & 255, v >> 16 & 255, v >> 8 & 255, v & 255))
+
+
+@settings(max_examples=40, deadline=None)
+@given(src=ipv4s, dst=ipv4s, sport=st.integers(0, 65535),
+       dport=st.integers(0, 65535), payload=st.binary(max_size=120),
+       proto=st.sampled_from([6, 17, 47, 200]))
+def test_property_frames_equiv(src, dst, sport, dport, payload, proto):
+    if proto == 6:
+        seg = S.tcp(payload, sport, dport)
+    else:
+        seg = S.udp(payload, sport, dport, src, dst)
+    frame = S.ethernet(S.ipv4(seg, proto, src, dst))
+    assert_equiv(S.global_header() + S.record(1, frame))
+
+
+@settings(max_examples=25, deadline=None)
+@given(blob=st.binary(max_size=300))
+def test_garbage_bytes_equiv(blob):
+    # arbitrary bytes appended after a valid header: both kernels must
+    # frame (or reject) identically in PERMISSIVE mode
+    assert_equiv(S.global_header() + blob,
+                 DecodeOptions(mode="PERMISSIVE"))

@@ -147,3 +147,20 @@ def test_write_packets_parquet_roundtrip(spark, pcap_dir, tmp_path):
     assert [r.dns_answer for r in a] == [r.dns_answer for r in b]
     assert [r.payload for r in a] == [r.payload for r in b]
     assert [r.md5 for r in a] == [r.md5 for r in b]
+
+
+def test_engines_identical(spark, pcap_dir):
+    """columnar (default), scalar-arrow and pandas paths must emit
+    identical rows for both decoders."""
+    for decoder in ("ip", "dns"):
+        frames = {
+            eng: sorted(
+                tuple(r)
+                for r in read_pcap(
+                    spark, pcap_dir, decoder=decoder,
+                    calculate_md5=True, engine=eng,
+                ).collect()
+            )
+            for eng in ("arrow", "arrow-scalar", "pandas")
+        }
+        assert frames["arrow"] == frames["arrow-scalar"] == frames["pandas"]
