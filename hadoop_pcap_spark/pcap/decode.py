@@ -44,6 +44,10 @@ observable through its output is preserved behind
 
 Divergences (conscious, documented):
 
+* non-strict mode additionally accepts pcapng, nanosecond-classic and
+  big-endian-classic captures via the normalization front-end in
+  :mod:`.formats` (sub-µs timestamps truncate to µs); strict mode
+  rejects them exactly like the reference  [PcapReader.java:107-108]
 * IPv6 addresses render in RFC 5952 compressed lowercase form (Python
   ``ipaddress``), where Java's ``Inet6Address`` renders the full
   uncompressed form.  [SURVEY.md D15]
@@ -470,6 +474,19 @@ def decode_pcap(
         if opts.mode == "PERMISSIVE":
             return
         raise PcapFormatError(f"{name}: bad compressed stream: {exc}") from exc
+
+    if not opts.strict_reference:
+        # accept pcapng / nanosecond / big-endian captures by rewriting
+        # them to LE-µs classic (strict mode keeps the reference's
+        # reject-everything-else parity [PcapReader.java:107-108])
+        from .formats import normalize_capture
+
+        try:
+            data = normalize_capture(data, name)
+        except ValueError as exc:
+            if opts.mode == "PERMISSIVE":
+                return
+            raise PcapFormatError(str(exc)) from exc
 
     if len(data) == 0:
         return  # empty file ⇒ zero records, no error [PcapReader.java:94-105]

@@ -251,6 +251,17 @@ def decode_pcap_columnar(
             return ColumnarResult(0)
         raise PcapFormatError(f"{name}: bad compressed stream: {exc}") from exc
 
+    if not opts.strict_reference:
+        # pcapng / ns / BE front-end — same rewrite as the scalar kernel
+        from .formats import normalize_capture
+
+        try:
+            data = normalize_capture(data, name)
+        except ValueError as exc:
+            if opts.mode == "PERMISSIVE":
+                return ColumnarResult(0)
+            raise PcapFormatError(str(exc)) from exc
+
     n = len(data)
     if n == 0:
         return ColumnarResult(0)
@@ -449,16 +460,18 @@ def decode_pcap_columnar(
                     ph += 0x0011
                     ph += _be16(u, l4[idx] + 4, np.ones(len(idx), bool))
                 else:
-                    ones = np.ones(len(idx), bool)
                     ph = np.zeros(len(idx), dtype=np.int64)
                     seglen = (end[idx] - l4[idx]).astype(np.int64)
                     v6i = ipv6_mask[idx]
+                    # validity masks double as read guards: a masked-out
+                    # row must not even gather (ip+38 can lie past the
+                    # buffer when a short v4 packet ends the file)
                     # IPv4 rows: src(2w)+dst(2w)+proto+len
                     for woff in (12, 14, 16, 18):
-                        ph += np.where(v6i, 0, _be16(u, ip[idx] + woff, ones))
+                        ph += _be16(u, ip[idx] + woff, ~v6i)
                     # IPv6 rows: src(8w)+dst(8w)+len(2w)+proto
                     for woff in range(8, 40, 2):
-                        ph += np.where(v6i, _be16(u, ip[idx] + woff, ones), 0)
+                        ph += _be16(u, ip[idx] + woff, v6i)
                     ph += np.where(v6i, (seglen >> 16) + (seglen & 0xFFFF), seglen)
                     ph += 0x0011
                 res.set_num("udpsum", idx, _fold16(ph + seg_total))

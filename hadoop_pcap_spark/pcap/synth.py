@@ -156,3 +156,72 @@ def dns_exchange_pcap(ts: int = 1317993942) -> bytes:
     rpkt = ethernet(ipv4(udp(r, 53, 52938, "193.0.14.129", "193.0.10.82"),
                          17, "193.0.14.129", "193.0.10.82"))
     return global_header(1) + record(ts, qpkt) + record(ts, rpkt)
+
+
+# --- alternative capture containers (pcapng / ns / BE) -----------------------
+# built from the public libpcap & pcapng specs; exercised by the
+# non-strict normalization front-end (pcap/formats.py)
+
+
+def global_header_ns(link_type: int = 1, snaplen: int = 65535) -> bytes:
+    """Nanosecond-resolution classic pcap global header (LE)."""
+    return struct.pack("<IHHiIII", 0xA1B23C4D, 2, 4, 0, 0, snaplen, link_type)
+
+
+def record_ns(ts_sec: int, data: bytes, ts_nsec: int = 0,
+              orig_len: Optional[int] = None) -> bytes:
+    if orig_len is None:
+        orig_len = len(data)
+    return struct.pack("<IIII", ts_sec, ts_nsec, len(data), orig_len) + data
+
+
+def global_header_be(link_type: int = 1, snaplen: int = 65535,
+                     ns: bool = False) -> bytes:
+    """Big-endian classic pcap global header (µs or ns magic)."""
+    magic = 0xA1B23C4D if ns else 0xA1B2C3D4
+    return struct.pack(">IHHiIII", magic, 2, 4, 0, 0, snaplen, link_type)
+
+
+def record_be(ts_sec: int, data: bytes, ts_sub: int = 0,
+              orig_len: Optional[int] = None) -> bytes:
+    if orig_len is None:
+        orig_len = len(data)
+    return struct.pack(">IIII", ts_sec, ts_sub, len(data), orig_len) + data
+
+
+def _png_block(btype: int, body: bytes, e: str = "<") -> bytes:
+    body = body + b"\x00" * (-len(body) % 4)
+    blen = len(body) + 12
+    return struct.pack(e + "II", btype, blen) + body + struct.pack(e + "I", blen)
+
+
+def pcapng_shb(e: str = "<") -> bytes:
+    body = struct.pack(e + "IHHq", 0x1A2B3C4D, 1, 0, -1)
+    return _png_block(0x0A0D0D0A, body, e)
+
+
+def pcapng_idb(link_type: int = 1, snaplen: int = 65535,
+               tsresol: Optional[int] = None, e: str = "<") -> bytes:
+    """Interface Description Block; tsresol = if_tsresol option byte
+    (e.g. 9 → 1e-9 s units), None = default µs."""
+    body = struct.pack(e + "HHI", link_type, 0, snaplen)
+    if tsresol is not None:
+        body += struct.pack(e + "HH", 9, 1) + bytes([tsresol]) + b"\x00\x00\x00"
+        body += struct.pack(e + "HH", 0, 0)
+    return _png_block(0x00000001, body, e)
+
+
+def pcapng_epb(if_id: int, ts_units: int, data: bytes,
+               orig_len: Optional[int] = None, e: str = "<") -> bytes:
+    """Enhanced Packet Block; ts_units in the interface's resolution."""
+    if orig_len is None:
+        orig_len = len(data)
+    body = struct.pack(e + "IIIII", if_id, ts_units >> 32,
+                       ts_units & 0xFFFFFFFF, len(data), orig_len) + data
+    return _png_block(0x00000006, body, e)
+
+
+def pcapng_spb(data: bytes, orig_len: Optional[int] = None, e: str = "<") -> bytes:
+    if orig_len is None:
+        orig_len = len(data)
+    return _png_block(0x00000003, struct.pack(e + "I", orig_len) + data, e)

@@ -1,0 +1,165 @@
+"""Non-strict capture-container support: pcapng / nanosecond / BE
+classic are normalized to LE-µs classic (pcap/formats.py); strict mode
+keeps the reference's reject parity (PcapReader.java:107-108)."""
+
+import pytest
+
+from hadoop_pcap_spark.pcap import synth as S
+from hadoop_pcap_spark.pcap.decode import DecodeOptions, PcapFormatError, decode_pcap
+from hadoop_pcap_spark.pcap.decode_np import decode_pcap_columnar
+
+NS = DecodeOptions(strict_reference=False)
+
+
+def rows(data, opts=NS):
+    return list(decode_pcap(data, "t", opts))
+
+
+def frame(payload=b"hi", sport=1234, dport=53):
+    return S.ethernet(S.ipv4(S.udp(payload, sport, dport, "10.0.0.1", "10.0.0.2"),
+                             17, "10.0.0.1", "10.0.0.2"))
+
+
+def classic_equivalent():
+    """The golden: what the same packets look like via LE-µs classic."""
+    return rows(S.global_header() + S.record(1700000001, frame(), ts_usec=123456))
+
+
+# --- nanosecond classic ------------------------------------------------------
+
+def test_nanosecond_classic_nonstrict():
+    data = S.global_header_ns() + S.record_ns(1700000001, frame(), ts_nsec=123456789)
+    (p,) = rows(data)
+    assert p["ts"] == 1700000001
+    assert p["ts_usec"] == 123456  # ns truncated to µs (documented)
+    assert p["src"] == "10.0.0.1" and p["dst_port"] == 53
+
+
+def test_nanosecond_classic_strict_rejects():
+    data = S.global_header_ns() + S.record_ns(1, frame())
+    with pytest.raises(PcapFormatError):
+        list(decode_pcap(data, "t", DecodeOptions()))
+    assert rows(data, DecodeOptions(mode="PERMISSIVE")) == []
+
+
+# --- big-endian classic ------------------------------------------------------
+
+@pytest.mark.parametrize("ns", [False, True])
+def test_big_endian_classic_nonstrict(ns):
+    sub = 123456789 if ns else 123456
+    data = S.global_header_be(ns=ns) + S.record_be(1700000001, frame(), ts_sub=sub)
+    (p,) = rows(data)
+    assert p["ts"] == 1700000001 and p["ts_usec"] == 123456
+    assert p["src_port"] == 1234
+
+
+def test_big_endian_strict_rejects():
+    data = S.global_header_be() + S.record_be(1, frame())
+    with pytest.raises(PcapFormatError):
+        list(decode_pcap(data, "t", DecodeOptions()))
+
+
+def test_be_truncated_tail_matches_classic():
+    full_be = S.global_header_be() + S.record_be(7, frame()) + S.record_be(9, frame())
+    full_le = S.global_header() + S.record(7, frame()) + S.record(9, frame())
+    assert [r["ts"] for r in rows(full_be[:-5])] == [r["ts"] for r in rows(full_le[:-5])]
+
+
+# --- pcapng ------------------------------------------------------------------
+
+def test_pcapng_epb_nonstrict():
+    data = (S.pcapng_shb() + S.pcapng_idb()
+            + S.pcapng_epb(0, 1700000001 * 10**6 + 123456, frame()))
+    got = rows(data)
+    want = classic_equivalent()
+    assert got == want  # full row equality vs the classic container
+
+
+def test_pcapng_strict_rejects():
+    data = S.pcapng_shb() + S.pcapng_idb() + S.pcapng_epb(0, 10**6, frame())
+    with pytest.raises(PcapFormatError):
+        list(decode_pcap(data, "t", DecodeOptions()))
+
+
+def test_pcapng_nanosecond_tsresol():
+    data = (S.pcapng_shb() + S.pcapng_idb(tsresol=9)
+            + S.pcapng_epb(0, 1700000001 * 10**9 + 123456789, frame()))
+    (p,) = rows(data)
+    assert p["ts"] == 1700000001 and p["ts_usec"] == 123456
+
+
+def test_pcapng_big_endian_section():
+    data = (S.pcapng_shb(e=">") + S.pcapng_idb(e=">")
+            + S.pcapng_epb(0, 5 * 10**6, frame(), e=">"))
+    (p,) = rows(data)
+    assert p["ts"] == 5 and p["dst_port"] == 53
+
+
+def test_pcapng_spb():
+    data = S.pcapng_shb() + S.pcapng_idb(snaplen=0) + S.pcapng_spb(frame())
+    (p,) = rows(data)
+    assert p["ts"] == 0 and p["src"] == "10.0.0.1"
+
+
+def test_pcapng_multi_interface_drops_other_linktype():
+    # iface 0: ethernet; iface 1: LINKTYPE_RAW(101) — classic pcap can
+    # carry one link type, so the raw-IP packet is dropped
+    raw_ip = S.ipv4(S.udp(b"x", 1, 2), 17, "1.1.1.1", "2.2.2.2")
+    data = (S.pcapng_shb() + S.pcapng_idb(link_type=1) + S.pcapng_idb(link_type=101)
+            + S.pcapng_epb(0, 10**6, frame())
+            + S.pcapng_epb(1, 2 * 10**6, raw_ip))
+    got = rows(data)
+    assert len(got) == 1 and got[0]["ts"] == 1
+
+
+def test_pcapng_skips_unknown_blocks():
+    import struct
+    unknown = S._png_block(0x0BAD0BAD, b"\x01\x02\x03\x04")
+    nrb = S._png_block(0x00000004, struct.pack("<HH", 0, 0))
+    data = (S.pcapng_shb() + unknown + S.pcapng_idb() + nrb
+            + S.pcapng_epb(0, 10**6, frame()))
+    assert len(rows(data)) == 1
+
+
+def test_pcapng_truncated_tail_keeps_prefix():
+    data = (S.pcapng_shb() + S.pcapng_idb()
+            + S.pcapng_epb(0, 10**6, frame())
+            + S.pcapng_epb(0, 2 * 10**6, frame()))
+    got = rows(data[:-6])  # second EPB truncated
+    assert [r["ts"] for r in got] == [1]
+
+
+def test_pcapng_epb_bad_interface_failfast_and_permissive():
+    data = S.pcapng_shb() + S.pcapng_idb() + S.pcapng_epb(7, 10**6, frame())
+    with pytest.raises(PcapFormatError):
+        rows(data)
+    assert rows(data, DecodeOptions(strict_reference=False, mode="PERMISSIVE")) == []
+
+
+def test_pcapng_multi_section():
+    data = (S.pcapng_shb() + S.pcapng_idb() + S.pcapng_epb(0, 10**6, frame())
+            + S.pcapng_shb(e=">") + S.pcapng_idb(e=">")
+            + S.pcapng_epb(0, 2 * 10**6, frame(), e=">"))
+    assert [r["ts"] for r in rows(data)] == [1, 2]
+
+
+# --- columnar kernel parity over the new containers --------------------------
+
+@pytest.mark.parametrize("builder", [
+    lambda: S.global_header_ns() + S.record_ns(1, frame(), ts_nsec=999999999),
+    lambda: S.global_header_be() + S.record_be(2, frame(), ts_sub=5),
+    lambda: (S.pcapng_shb() + S.pcapng_idb()
+             + S.pcapng_epb(0, 3 * 10**6 + 7, frame())),
+])
+def test_columnar_equiv_on_new_containers(builder):
+    data = builder()
+    scalar = [{k: v for k, v in p.items() if not k.startswith("_")}
+              for p in decode_pcap(data, "t", NS)]
+    columnar = decode_pcap_columnar(data, "t", NS).rows()
+    assert scalar == columnar
+
+
+def test_gz_wrapped_pcapng():
+    import gzip
+    data = S.pcapng_shb() + S.pcapng_idb() + S.pcapng_epb(0, 10**6, frame())
+    assert rows(gzip.compress(data)) == rows(data)
