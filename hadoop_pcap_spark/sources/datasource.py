@@ -87,10 +87,23 @@ class PcapSimpleStreamReader(SimpleDataSourceStreamReader):
     'live feed = more pcap files arriving' model (SURVEY §2.4
     streaming analogs).
 
-    Offset = {"seen": [file, ...]} (grows with file count; fine for a
-    capture-rotation directory; compact to a watermark-on-mtime offset
-    for unbounded dirs).  readBetweenOffsets replays exactly the
-    delta, giving effectively-once semantics on restart."""
+    Offset (compacted, bounded): ``{"wm": <mtime-ns watermark>,
+    "recent": {path: mtime_ns, ...}}``.  A file is *already processed*
+    iff its mtime is below the watermark or it appears in ``recent``.
+    Each batch advances ``wm`` to ``max_seen_mtime - retention`` and
+    prunes ``recent`` entries older than the new watermark, so the
+    offset size is bounded by the file-arrival rate × retention window
+    instead of growing with every file ever seen (capture-rotation
+    dirs run forever).  Files processed in the current batch are kept
+    in ``recent`` unconditionally until the *next* batch so
+    ``readBetweenOffsets`` can replay the exact delta after a restart
+    (effectively-once).  Tradeoff, same as Spark's FileStreamSource
+    ``maxFileAge``: a file that first appears with an mtime older than
+    ``retention`` behind the newest file is treated as already
+    processed and skipped — set option ``offsetretentionsec`` (default
+    300) to the max expected arrival lateness.  Legacy ``{"seen":
+    [...]}`` offsets from pre-compaction checkpoints are still
+    understood."""
 
     def __init__(self, schema: StructType, options: dict):
         self._schema = schema
@@ -98,31 +111,74 @@ class PcapSimpleStreamReader(SimpleDataSourceStreamReader):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("pcap streaming source requires a path")
+        self._retention_ns = int(
+            float(options.get("offsetretentionsec", "300")) * 1e9
+        )
 
     def initialOffset(self) -> dict:
-        return {"seen": []}
+        return {"wm": 0, "recent": {}}
+
+    @staticmethod
+    def _processed(start: dict, path: str, mtime_ns: int) -> bool:
+        if "seen" in start:  # legacy offset shape
+            return path in set(start["seen"])
+        return mtime_ns < start.get("wm", 0) or path in start.get("recent", {})
+
+    def _list_files(self):
+        out = []
+        for p in _expand_paths(self._path):
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue
+            if os.path.isfile(p):
+                out.append((p, st.st_mtime_ns))
+        return out
 
     def _decode_files(self, files):
         names = [f.name for f in self._schema.fields]
         opts = _decode_opts(self._options)
         out = []
         for path in files:
-            with open(path, "rb") as f:
-                data = f.read()
+            try:
+                with open(path, "rb") as f:
+                    data = f.read()
+            except OSError:
+                continue  # rotated away between listing and read
             for pkt in decode_pcap(data, name=path, opts=opts):
                 pkt["file"] = path
                 out.append(tuple(pkt.get(n) for n in names))
         return out
 
     def read(self, start: dict):
-        seen = set(start.get("seen", []))
-        current = [p for p in _expand_paths(self._path) if os.path.isfile(p)]
-        new = sorted(set(current) - seen)
-        end = {"seen": sorted(seen | set(new))}
-        return iter(self._decode_files(new)), end
+        current = self._list_files()
+        new = sorted(
+            (p, m) for p, m in current if not self._processed(start, p, m)
+        )
+        max_m = max((m for _, m in current), default=0)
+        wm = max(start.get("wm", 0), max_m - self._retention_ns)
+        recent = {}
+        if "seen" not in start:
+            recent.update(
+                {p: m for p, m in start.get("recent", {}).items() if m >= wm}
+            )
+        else:
+            # legacy upgrade: carry the legacy paths with their real
+            # mtimes (missing files pin to wm and age out immediately)
+            cur = dict(current)
+            recent.update({p: cur.get(p, wm) for p in start["seen"]})
+        # batch files stay in `recent` regardless of wm so that
+        # readBetweenOffsets(start, end) can replay them exactly
+        recent.update(dict(new))
+        end = {"wm": wm, "recent": recent}
+        return iter(self._decode_files([p for p, _ in new])), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        delta = sorted(set(end.get("seen", [])) - set(start.get("seen", [])))
+        delta = sorted(
+            p
+            for p, m in end.get("recent", {}).items()
+            if not self._processed(start, p, m)
+        )
         return iter(self._decode_files(delta))
 
 

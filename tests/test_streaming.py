@@ -197,3 +197,62 @@ def test_stateful_flow_counts_accumulates_across_batches(spark, tmp_path):
     assert latest == expected
     # and the first batch alone was a strict subset (state really accumulated)
     assert all(first[u] < expected[u] for u in first)
+
+
+def test_pcap_stream_offset_compaction(tmp_path):
+    """Offset stays bounded (watermark-on-mtime prunes `recent`),
+    replay between offsets is exact, legacy offsets upgrade."""
+    import os
+
+    from hadoop_pcap_spark.pcap import synth as S
+    from hadoop_pcap_spark.sources.datasource import PcapSimpleStreamReader
+    from hadoop_pcap_spark.sources.pcap_source import packet_schema
+
+    d = tmp_path / "caps"
+    d.mkdir()
+    schema = packet_schema("ip")
+    rdr = PcapSimpleStreamReader(
+        schema, {"path": str(d), "offsetretentionsec": "100"}
+    )
+
+    def write(name, age_sec):
+        p = d / name
+        p.write_bytes(S.dns_exchange_pcap())
+        t = 1_700_000_000 - age_sec
+        os.utime(p, (t, t))
+        return str(p)
+
+    o0 = rdr.initialOffset()
+    a = write("a.pcap", 500)
+    b = write("b.pcap", 400)
+    rows1, o1 = rdr.read(o0)
+    rows1 = list(rows1)
+    assert len(rows1) == 4  # 2 files x 2 packets
+    assert set(o1["recent"]) == {a, b}
+
+    # batch 2: newer file advances the watermark far past a/b, so the
+    # offset compacts to just the fresh window
+    c = write("c.pcap", 0)
+    rows2, o2 = rdr.read(o1)
+    assert len(list(rows2)) == 2
+    assert set(o2["recent"]) == {c}  # a,b pruned: mtime < wm
+    assert o2["wm"] > o1["wm"]
+
+    # batch 3: nothing new; a file appearing older than retention
+    # behind the newest is skipped (documented maxFileAge tradeoff)
+    write("late.pcap", 900)
+    rows3, o3 = rdr.read(o2)
+    assert list(rows3) == []
+    assert set(o3["recent"]) == {c}
+
+    # restart replay: delta between consecutive offsets is exact
+    assert len(list(rdr.readBetweenOffsets(o0, o1))) == 4
+    assert len(list(rdr.readBetweenOffsets(o1, o2))) == 2
+    assert list(rdr.readBetweenOffsets(o2, o3)) == []
+
+    # legacy {"seen": [...]} offsets: only the unseen file replays,
+    # and the offset upgrades to the compacted shape
+    legacy = {"seen": [a, b]}
+    rows_l, o_l = rdr.read(legacy)
+    assert {t[0] for t in rows_l} == {c, str(d / "late.pcap")} - set()
+    assert "wm" in o_l and "seen" not in o_l
