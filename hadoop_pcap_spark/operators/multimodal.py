@@ -5,13 +5,20 @@ metadata columns; decode / feature-extract / resize / frame-sample run
 as Arrow-batched pandas iterators over ``mapInPandas`` so each task
 processes a column of byte blobs without JVM round-trips per row.
 
-The actual codec work (PIL/librosa/ffmpeg) is NOT available in this
-environment, so the decoders below are deterministic STUBS behind
-``import``-guards: the Spark-side plumbing (schema, batching,
-partitioning, UDF signatures) is real and tested; swap `_decode_*_stub`
-for a real codec in production.  (North-star multimodal columns,
-SURVEY.md §2.5; the payload BinaryType column D12 is the pcap
-instance of the same pattern.)
+Decoder resolution order (each step import-guarded / format-guarded):
+
+1. a real codec library when importable — PIL for images, soundfile
+   for audio (neither ships in this container, both picked up
+   automatically in production);
+2. pure-Python header parsers for the common container formats
+   (PNG/GIF/JPEG/BMP dimensions, WAV duration+sample-rate) — real
+   metadata, no dependencies;
+3. a deterministic hash-based stub for anything else, so pipelines
+   exercise the full plumbing (schema, Arrow batching, partitioning)
+   with stable fake values.
+
+(North-star multimodal columns, SURVEY.md §2.5; the payload BinaryType
+column D12 is the pcap instance of the same pattern.)
 """
 
 from __future__ import annotations
@@ -54,20 +61,67 @@ def sniff_format(data: bytes) -> str:
 
 
 def _decode_image_stub(data: bytes) -> tuple:
-    """Deterministic fake decode: derives (width, height) from a hash
-    of the bytes.  Replace with PIL: ``Image.open(BytesIO(data)).size``.
-    Raises on empty input like a real decoder would."""
+    """Deterministic fake decode for unknown formats: (width, height)
+    from a hash of the bytes.  Raises on empty input like a real
+    decoder would."""
+    if not data:
+        raise ValueError("empty image buffer")
+    h = hashlib.sha256(data).digest()
+    w = 16 + (struct.unpack(">H", h[:2])[0] % 2048)
+    hgt = 16 + (struct.unpack(">H", h[2:4])[0] % 2048)
+    return w, hgt
+
+
+def _parse_image_dims(data: bytes):
+    """Pure-Python (width, height) from PNG/GIF/JPEG/BMP headers
+    (public container formats); None when unrecognized/corrupt."""
+    try:
+        if data[:8] == b"\x89PNG\r\n\x1a\n" and data[12:16] == b"IHDR":
+            return struct.unpack(">II", data[16:24])
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            return struct.unpack("<HH", data[6:10])
+        if data[:2] == b"BM" and len(data) >= 26:
+            w, h = struct.unpack("<ii", data[18:26])
+            return (w, abs(h))  # negative height = top-down DIB
+        if data[:3] == b"\xff\xd8\xff":
+            # walk JPEG markers to the first SOFn frame header
+            pos = 2
+            while pos + 4 <= len(data):
+                if data[pos] != 0xFF:
+                    return None
+                marker = data[pos + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    pos += 2
+                    continue
+                seglen = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", data[pos + 5 : pos + 9])
+                    return (w, h)
+                pos += 2 + seglen
+    except (struct.error, IndexError):
+        return None
+    return None
+
+
+def _decode_image(data: bytes) -> tuple:
+    """(width, height): PIL when importable → header parse → stub."""
     if not data:
         raise ValueError("empty image buffer")
     try:
-        import PIL.Image  # noqa: F401  (not in this environment)
+        import io
 
-        raise NotImplementedError("real PIL decode path not wired in this env")
+        import PIL.Image
+
+        try:
+            return PIL.Image.open(io.BytesIO(data)).size
+        except Exception:
+            raise ValueError("undecodable image") from None
     except ImportError:
-        h = hashlib.sha256(data).digest()
-        w = 16 + (struct.unpack(">H", h[:2])[0] % 2048)
-        hgt = 16 + (struct.unpack(">H", h[2:4])[0] % 2048)
-        return w, hgt
+        pass
+    dims = _parse_image_dims(data)
+    if dims is not None:
+        return int(dims[0]), int(dims[1])
+    return _decode_image_stub(data)
 
 
 def image_features(df: DataFrame, id_col: str = "media_id", bytes_col: str = "content") -> DataFrame:
@@ -83,7 +137,7 @@ def image_features(df: DataFrame, id_col: str = "media_id", bytes_col: str = "co
             for mid, data in zip(pdf[id_col], pdf[bytes_col]):
                 data = bytes(data) if data is not None else b""
                 try:
-                    w, h = _decode_image_stub(data)
+                    w, h = _decode_image(data)
                 except ValueError:
                     w, h = None, None
                 rows.append(
@@ -150,20 +204,66 @@ _AUDIO_MAGIC = {b"RIFF": "wav", b"fLaC": "flac", b"ID3": "mp3", b"OggS": "ogg"}
 
 
 def _decode_audio_stub(data: bytes) -> tuple:
-    """Deterministic fake decode: (duration_ms, sample_rate) derived
-    from a hash.  Replace with librosa/soundfile in production; raises
-    on empty input like a real decoder."""
+    """Deterministic fake decode for unknown formats: (duration_ms,
+    sample_rate) from a hash; raises on empty input like a real
+    decoder."""
+    if not data:
+        raise ValueError("empty audio buffer")
+    h = hashlib.sha256(data).digest()
+    duration = 100 + (struct.unpack(">I", h[:4])[0] % 600000)
+    rate = [8000, 16000, 22050, 44100, 48000][h[4] % 5]
+    return duration, rate
+
+
+def _parse_wav(data: bytes):
+    """Pure-Python (duration_ms, sample_rate) from a RIFF/WAVE header
+    (public format); None when unrecognized/corrupt."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos, n = 12, len(data)
+    byte_rate = sample_rate = data_len = None
+    try:
+        while pos + 8 <= n:
+            cid = data[pos : pos + 4]
+            clen = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+            if cid == b"fmt " and clen >= 16:
+                _fmt, _ch, sample_rate, byte_rate = struct.unpack(
+                    "<HHII", data[pos + 8 : pos + 20]
+                )
+            elif cid == b"data":
+                data_len = clen
+            pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    except struct.error:
+        return None
+    if byte_rate and sample_rate and data_len is not None:
+        return (data_len * 1000 // byte_rate, sample_rate)
+    return None
+
+
+def _decode_audio(data: bytes) -> tuple:
+    """(duration_ms, sample_rate): soundfile when importable → WAV
+    header parse → stub."""
     if not data:
         raise ValueError("empty audio buffer")
     try:
-        import soundfile  # noqa: F401  (not in this environment)
+        import io
 
-        raise NotImplementedError("real soundfile decode path not wired in this env")
+        import soundfile
+
+        try:
+            info = soundfile.SoundFile(io.BytesIO(data))
+            return (
+                int(info.frames * 1000 // info.samplerate),
+                int(info.samplerate),
+            )
+        except Exception:
+            raise ValueError("undecodable audio") from None
     except ImportError:
-        h = hashlib.sha256(data).digest()
-        duration = 100 + (struct.unpack(">I", h[:4])[0] % 600000)
-        rate = [8000, 16000, 22050, 44100, 48000][h[4] % 5]
-        return duration, rate
+        pass
+    parsed = _parse_wav(data)
+    if parsed is not None:
+        return parsed
+    return _decode_audio_stub(data)
 
 
 def audio_features(df: DataFrame, id_col: str = "media_id", bytes_col: str = "content") -> DataFrame:
@@ -181,7 +281,7 @@ def audio_features(df: DataFrame, id_col: str = "media_id", bytes_col: str = "co
                         fmt = name
                         break
                 try:
-                    dur, rate = _decode_audio_stub(data)
+                    dur, rate = _decode_audio(data)
                 except ValueError:
                     dur, rate = None, None
                 rows.append(

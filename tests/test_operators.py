@@ -336,3 +336,57 @@ def test_multimodal_audio_features(spark):
     assert out[1].format_guess == "wav" and out[2].format_guess == "flac"
     assert out[1].duration_ms >= 100 and out[1].sample_rate in (8000, 16000, 22050, 44100, 48000)
     assert out[3].duration_ms is None
+
+
+def test_multimodal_real_header_parsers(spark):
+    """Known container formats decode REAL metadata via the pure-Python
+    header parsers (PIL/soundfile path takes over when importable);
+    unknown bytes keep the deterministic stub."""
+    import struct as _s
+
+    png = (b"\x89PNG\r\n\x1a\n" + _s.pack(">I", 13) + b"IHDR"
+           + _s.pack(">IIBBBBB", 640, 480, 8, 2, 0, 0, 0) + b"\x00" * 4)
+    gif = b"GIF89a" + _s.pack("<HH", 320, 200) + b"\x00" * 20
+    # JPEG: SOI, APP0 (len 4), SOF0 with h=99 w=77
+    jpeg = (b"\xff\xd8" + b"\xff\xe0" + _s.pack(">H", 4) + b"JF"
+            + b"\xff\xc0" + _s.pack(">H", 11) + b"\x08" + _s.pack(">HH", 99, 77)
+            + b"\x03" + b"\xff\xd9")
+    bmp = b"BM" + b"\x00" * 16 + _s.pack("<ii", 123, -45) + b"\x00" * 20
+    rows = [
+        Row(media_id=1, content=png),
+        Row(media_id=2, content=gif),
+        Row(media_id=3, content=jpeg),
+        Row(media_id=4, content=bmp),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r.media_id: r for r in MM.image_features(df).collect()}
+    assert (out[1].width, out[1].height) == (640, 480)
+    assert (out[2].width, out[2].height) == (320, 200)
+    assert (out[3].width, out[3].height) == (77, 99)
+    assert (out[4].width, out[4].height) == (123, 45)  # top-down DIB
+
+    # WAV: 16-bit mono 8kHz, 1600 data bytes -> 100 ms
+    fmt = _s.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (b"RIFF" + _s.pack("<I", 36 + 1600) + b"WAVE"
+           + b"fmt " + _s.pack("<I", 16) + fmt
+           + b"data" + _s.pack("<I", 1600) + b"\x00" * 1600)
+    adf = spark.createDataFrame([Row(media_id=1, content=wav)],
+                                "media_id long, content binary")
+    a = MM.audio_features(adf).collect()[0]
+    assert (a.duration_ms, a.sample_rate) == (100, 8000)
+    assert a.format_guess == "wav"
+
+
+def test_multimodal_decoder_fallback_order():
+    """Dispatcher unit checks: header parse beats stub; stub handles
+    unknown; real-codec path is import-guarded (absent here)."""
+    from hadoop_pcap_spark.operators.multimodal import (
+        _decode_audio, _decode_image, _parse_image_dims, _parse_wav)
+
+    assert _parse_image_dims(b"garbage") is None
+    assert _parse_wav(b"RIFF\x00\x00\x00\x00JUNK") is None
+    w, h = _decode_image(b"not-an-image-at-all")
+    assert 16 <= w < 2064 and 16 <= h < 2064  # deterministic stub range
+    assert _decode_image(b"not-an-image-at-all") == (w, h)
+    d, r = _decode_audio(b"not-audio")
+    assert d >= 100 and r in (8000, 16000, 22050, 44100, 48000)
