@@ -161,27 +161,32 @@ def candidate_pairs(bands: DataFrame, max_bucket: int = 64) -> DataFrame:
     Jaccard verification still scores every emitted pair, and connected
     components recovers the full cluster through the anchor.  The cap
     sits well above observed honest bucket sizes (13 at sf0.1), so
-    sub-cap results are byte-identical to the unguarded join."""
-    sized = bands.withColumn(
-        "_bsz", F.count("*").over(Window.partitionBy("band", "key"))
-    )
-    cold = sized.filter(F.col("_bsz") <= max_bucket).drop("_bsz")
-    hot = sized.filter(F.col("_bsz") > max_bucket).drop("_bsz")
+    sub-cap results are byte-identical to the unguarded join.
 
-    l = cold.alias("l")
-    r = cold.alias("r")
+    Mechanically the buckets are built with ONE shuffle
+    (groupBy(band, key) → member list) and pairs explode row-locally
+    from each member array — no window, no bucket self-join, and the
+    upstream signature lineage is consumed exactly once (the previous
+    window + self-join formulation re-evaluated it up to 4×: measured
+    2.2× CPU on the end-to-end pipeline).  A pathological bucket's
+    member array is O(m) on its reducer (8 MB per million members) —
+    linear, vs the m² pair blowup the guard exists to prevent."""
+    buckets = bands.groupBy("band", "key").agg(
+        F.collect_list("doc_id").alias("members")
+    )
+    sz = F.size("members")
     cold_pairs = (
-        l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.key") == F.col("r.key")))
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        buckets.filter(sz <= max_bucket)
+        .select(F.explode("members").alias("a"), "members")
+        .select("a", F.explode("members").alias("b"))
+        .filter(F.col("a") < F.col("b"))
     )
-    anchors = hot.groupBy("band", "key").agg(F.min("doc_id").alias("anchor"))
     hot_pairs = (
-        hot.join(anchors, ["band", "key"])
-        .filter(F.col("doc_id") != F.col("anchor"))
-        .select(F.col("anchor").alias("a"), F.col("doc_id").alias("b"))
+        buckets.filter(sz > max_bucket)
+        .select(F.array_min("members").alias("a"), F.explode("members").alias("b"))
+        .filter(F.col("a") != F.col("b"))
     )
-    return cold_pairs.unionByName(hot_pairs).distinct()
+    return cold_pairs.select("a", "b").unionByName(hot_pairs.select("a", "b")).distinct()
 
 
 def jaccard_verify(pairs: DataFrame, arrays: DataFrame, threshold: float) -> DataFrame:
