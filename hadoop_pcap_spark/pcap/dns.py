@@ -16,6 +16,8 @@ with a small self-contained parser.  Output conventions:
 
 from __future__ import annotations
 
+import base64
+import datetime
 import ipaddress
 import struct
 from dataclasses import dataclass, field
@@ -161,10 +163,79 @@ def _render_rdata(data: bytes, rtype: int, rd_start: int, rd_len: int) -> str:
         tag = rdata[2 : 2 + tag_len].decode("ascii", "replace")
         value = rdata[2 + tag_len :].decode("ascii", "replace")
         return f'{flags} {tag} "{value}"'
+    if rtype == 35 and rd_len >= 4:  # NAPTR
+        order, pref = struct.unpack_from(">HH", data, rd_start)
+        pos = rd_start + 4
+        strs = []
+        for _ in range(3):  # flags, service, regexp <character-string>s
+            if pos >= rd_start + rd_len:
+                break
+            ln = data[pos]
+            strs.append(_render_char_strings(data[pos : pos + 1 + ln]))
+            pos += 1 + ln
+        repl, _ = _read_name(data, pos)
+        return f"{order} {pref} {' '.join(strs)} {repl}"
+    if rtype in (36, 18) and rd_len >= 3:  # KX / AFSDB (same shape as MX)
+        pref = struct.unpack_from(">H", data, rd_start)[0]
+        target, _ = _read_name(data, rd_start + 2)
+        return f"{pref} {target}"
+    if rtype == 13:  # HINFO: cpu + os <character-string>s
+        return _render_char_strings(rdata)
+    if rtype == 17:  # RP: mbox-dname txt-dname
+        mbox, p = _read_name(data, rd_start)
+        txt, _ = _read_name(data, p)
+        return f"{mbox} {txt}"
+    if rtype in (48, 60, 25) and rd_len >= 4:  # DNSKEY / CDNSKEY / KEY
+        flags, proto, alg = struct.unpack_from(">HBB", data, rd_start)
+        key = base64.b64encode(rdata[4:]).decode("ascii")
+        return f"{flags} {proto} {alg} {key}"
+    if rtype in (43, 59) and rd_len >= 4:  # DS / CDS
+        keytag, alg, digtype = struct.unpack_from(">HBB", data, rd_start)
+        return f"{keytag} {alg} {digtype} {rdata[4:].hex().upper()}"
+    if rtype == 44 and rd_len >= 2:  # SSHFP
+        return f"{rdata[0]} {rdata[1]} {rdata[2:].hex().upper()}"
+    if rtype == 52 and rd_len >= 3:  # TLSA
+        return f"{rdata[0]} {rdata[1]} {rdata[2]} {rdata[3:].hex().upper()}"
+    if rtype in (46, 24) and rd_len >= 18:  # RRSIG / SIG
+        covered, alg, labels_n, origttl, expire, incept, keytag = struct.unpack_from(
+            ">HBBIIIH", data, rd_start
+        )
+        signer, p = _read_name(data, rd_start + 18)
+        sig = base64.b64encode(data[p : rd_start + rd_len]).decode("ascii")
+        return (
+            f"{type_name(covered)} {alg} {labels_n} {origttl} "
+            f"{_sig_time(expire)} {_sig_time(incept)} {keytag} {signer} {sig}"
+        )
+    if rtype == 47 and rd_len >= 1:  # NSEC: next name + type bitmap
+        nxt, p = _read_name(data, rd_start)
+        types = _render_type_bitmap(data[p : rd_start + rd_len])
+        return f"{nxt} {types}" if types else nxt
     # generic / unknown (RFC 3597)
     if rd_len == 0:
         return "\\# 0"
     return f"\\# {rd_len} " + rdata.hex().upper()
+
+
+def _sig_time(epoch: int) -> str:
+    """RRSIG timestamps in presentation form (YYYYMMDDHHMMSS, UTC)."""
+    return datetime.datetime.fromtimestamp(
+        epoch, tz=datetime.timezone.utc
+    ).strftime("%Y%m%d%H%M%S")
+
+
+def _render_type_bitmap(bitmap: bytes) -> str:
+    """NSEC window-block type bitmap → space-separated type names."""
+    out = []
+    pos = 0
+    while pos + 2 <= len(bitmap):
+        window, blen = bitmap[pos], bitmap[pos + 1]
+        pos += 2
+        for i, octet in enumerate(bitmap[pos : pos + blen]):
+            for bit in range(8):
+                if octet & (0x80 >> bit):
+                    out.append(type_name(window * 256 + i * 8 + bit))
+        pos += blen
+    return " ".join(out)
 
 
 @dataclass

@@ -423,3 +423,72 @@ def test_dns_label_escaping_and_root():
     hdr = bytes.fromhex("000101000001000000000000")
     parsed2 = DNS.parse_message(hdr + raw)
     assert parsed2.qname == "\\007.ok."
+
+
+def test_dns_rr_extended_type_rendering():
+    """Second tier of RR renderers: NAPTR, DNSKEY, DS, SSHFP, TLSA,
+    HINFO, RP, KX/AFSDB, RRSIG, NSEC (dnsjava emits presentation
+    format for all of these via Record.toString; our single-spaced
+    equivalent is the documented divergence N4)."""
+    import base64 as _b64
+    import struct as _s
+
+    from hadoop_pcap_spark.pcap import dns as DNS
+
+    def rr(name, rtype, rdata, ttl=300):
+        return (name, ttl, rtype, rdata)
+
+    def name_bytes(n):
+        out = b""
+        for lab in n.rstrip(".").split("."):
+            out += bytes([len(lab)]) + lab.encode()
+        return out + b"\x00"
+
+    key = b"\x01\x02\x03\xff"
+    sig = b"\xaa\xbb\xcc"
+    answers = [
+        rr("n.example", 35, _s.pack(">HH", 100, 50) + b"\x01s\x07SIP+D2U\x00"
+           + name_bytes("_sip._udp.example")),                              # NAPTR
+        rr("k.example", 48, _s.pack(">HBB", 256, 3, 8) + key),              # DNSKEY
+        rr("d.example", 43, _s.pack(">HBB", 60485, 5, 1) + b"\x2b\xb1\x83"),# DS
+        rr("f.example", 44, bytes([1, 1]) + b"\x12\x34\xab"),               # SSHFP
+        rr("t.example", 52, bytes([3, 1, 1]) + b"\xfe\xed"),                # TLSA
+        rr("h.example", 13, b"\x05intel\x05linux"),                         # HINFO
+        rr("r.example", 17, name_bytes("admin.example") + name_bytes("txt.example")),  # RP
+        rr("x.example", 36, _s.pack(">H", 5) + name_bytes("kx.example")),   # KX
+        rr("ns.example", 47, name_bytes("next.example")
+           + bytes([0, 3, 0b01100000, 0, 0b10000000])),                     # NSEC: A NS (bit16=TXT? no: window0 byte2 bit0 -> type16 TXT)
+    ]
+    msg = S.dns_response(0x42, "q.example", 1, answers=answers)
+    a = DNS.parse_message(msg).answers
+    assert a[0] == 'n.example. 300 IN NAPTR 100 50 "s" "SIP+D2U" "" _sip._udp.example.'
+    assert a[1] == f"k.example. 300 IN DNSKEY 256 3 8 {_b64.b64encode(key).decode()}"
+    assert a[2] == "d.example. 300 IN DS 60485 5 1 2BB183"
+    assert a[3] == "f.example. 300 IN SSHFP 1 1 1234AB"
+    assert a[4] == "t.example. 300 IN TLSA 3 1 1 FEED"
+    assert a[5] == 'h.example. 300 IN HINFO "intel" "linux"'
+    assert a[6] == "r.example. 300 IN RP admin.example. txt.example."
+    assert a[7] == "x.example. 300 IN KX 5 kx.example."
+    assert a[8] == "ns.example. 300 IN NSEC next.example. A NS TXT"
+
+
+def test_dns_rrsig_rendering():
+    import base64 as _b64
+    import struct as _s
+
+    from hadoop_pcap_spark.pcap import dns as DNS
+
+    def name_bytes(n):
+        out = b""
+        for lab in n.rstrip(".").split("."):
+            out += bytes([len(lab)]) + lab.encode()
+        return out + b"\x00"
+
+    sig = b"\x01\x02\x03\x04"
+    rdata = (_s.pack(">HBBIIIH", 1, 8, 2, 3600, 1700003600, 1700000000, 12345)
+             + name_bytes("example.com") + sig)
+    msg = S.dns_response(7, "q.example", 1, answers=[("s.example", 300, 46, rdata)])
+    (a,) = DNS.parse_message(msg).answers
+    # epoch 1700000000 = 20231114 22:13:20 UTC
+    assert a == ("s.example. 300 IN RRSIG A 8 2 3600 20231114231320 "
+                 f"20231114221320 12345 example.com. {_b64.b64encode(sig).decode()}")
