@@ -280,3 +280,86 @@ def cosine_topk_ivf(
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def sign_bands(
+    vecs: DataFrame,
+    n_bands: int = 4,
+    band_dims: int = 8,
+    id_col: str = "doc_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """(id, band, key) rows: key = the sign-bit string of the band's
+    coordinate slice (band b covers dims [b·band_dims, (b+1)·band_dims)).
+
+    This is hyperplane LSH with *coordinate* hyperplanes — deterministic
+    and reproducible in plain SQL, which is what the correctness oracle
+    needs.  Production near-dup on real embeddings should use random
+    projections (see :func:`_hyperplanes`); the banding/candidate shape
+    is identical either way."""
+    bands = []
+    for b in range(n_bands):
+        bits = [
+            F.when(
+                F.element_at(F.col(vec_col), b * band_dims + j + 1) >= 0, F.lit("1")
+            ).otherwise(F.lit("0"))
+            for j in range(band_dims)
+        ]
+        bands.append(F.struct(F.lit(b).alias("band"), F.concat(*bits).alias("key")))
+    return vecs.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array(*bands)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_bands: int = 4,
+    band_dims: int = 8,
+    max_bucket: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector member of the
+    dedup family (exact / minhash / simhash / ngram / embedding).
+
+    Candidates come from sign-band buckets (a pair is a candidate iff
+    it agrees on the FULL sign signature of ≥1 band), generated with
+    the same one-shuffle bucket builder as MinHash LSH (including its
+    hot-bucket star guard); verification is exact cosine ≥ threshold.
+    Never materializes O(n²) pairs — the 100 TB shape.
+
+    Output: (a, b, cos) with a < b, cos rounded to 6 places."""
+    from .dedup import candidate_pairs
+
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    vecs = emb.repartition(par).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    from pyspark import StorageLevel
+
+    # vecs feeds banding + both verification sides
+    vecs = vecs.persist(StorageLevel.MEMORY_AND_DISK)
+    cands = candidate_pairs(sign_bands(vecs, n_bands, band_dims), max_bucket)
+    a = vecs.select(
+        F.col("doc_id").alias("a"), F.col("vec").alias("vec_a"), F.col("nrm").alias("nrm_a")
+    )
+    b = vecs.select(
+        F.col("doc_id").alias("b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b")
+    )
+    return (
+        a.join(cands, "a")
+        .join(b, "b")
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("vec_a"), F.col("vec_b"))
+                / F.nullif(F.col("nrm_a") * F.col("nrm_b"), F.lit(0.0)),
+                6,
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )

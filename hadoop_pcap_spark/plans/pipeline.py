@@ -242,6 +242,64 @@ def q_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
+def _sql_sign_band(b: int, band_dims: int = 8) -> str:
+    lo, hi = b * band_dims + 1, (b + 1) * band_dims
+    return (
+        f"array_to_string(list_transform(embedding[{lo}:{hi}], "
+        "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')"
+    )
+
+
+_SQL_DOT_AB = (
+    "list_sum(list_transform(list_zip(ea.embedding, eb.embedding), "
+    "t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))"
+)
+_SQL_NORM_A = "sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+_SQL_NORM_B = "sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+_SQL_COS_AB = f"ROUND({_SQL_DOT_AB} / ({_SQL_NORM_A} * {_SQL_NORM_B}), 6)"
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, {_sql_sign_band(0)} AS k0, {_sql_sign_band(1)} AS k1,
+             {_sql_sign_band(2)} AS k2, {_sql_sign_band(3)} AS k3
+      FROM embeddings
+    ),
+    bands AS (
+      SELECT vec_id, 0 AS band, k0 AS key FROM sig
+      UNION ALL SELECT vec_id, 1, k1 FROM sig
+      UNION ALL SELECT vec_id, 2, k2 FROM sig
+      UNION ALL SELECT vec_id, 3, k3 FROM sig
+    ),
+    cands AS (
+      SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+      FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+      WHERE l.vec_id < r.vec_id
+    )
+    SELECT c.a, c.b, {_SQL_COS_AB} AS cos
+    FROM cands c
+    JOIN embeddings ea ON ea.vec_id = c.a
+    JOIN embeddings eb ON eb.vec_id = c.b
+    WHERE {_SQL_COS_AB} >= 0.35
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup — the vector member of the dedup
+    family (exact / minhash / simhash / ngram / embedding).  Sign-band
+    LSH candidates (coordinate hyperplanes, so the oracle reproduces
+    the exact candidate set) → exact cosine ≥ 0.35.  The synthetic
+    corpus has no true near-dups (max all-pairs cosine ≈0.51), so the
+    threshold is set low to exercise the operator; production uses
+    ≥0.9 with random-projection bands.  Scale: O(n·bands) shuffle +
+    per-bucket row-local pairs with the hot-bucket guard — never
+    O(n²)."""
+    return SIM.embedding_near_dup(
+        table(spark, sf, "embeddings"), threshold=0.35
+    )
+
+
 @query("similarity_ann_lsh")  # rows-only: LSH recall asserted in pytest
 def q_similarity_ann(spark: SparkSession, sf: str) -> DataFrame:
     """LSH-bucketed approximate nearest neighbors (hyperplane signs →

@@ -390,3 +390,50 @@ def test_multimodal_decoder_fallback_order():
     assert _decode_image(b"not-an-image-at-all") == (w, h)
     d, r = _decode_audio(b"not-audio")
     assert d >= 100 and r in (8000, 16000, 22050, 44100, 48000)
+
+
+def test_embedding_near_dup(spark):
+    """Vector near-dup: candidates only from shared sign bands, exact
+    cosine verify, a<b, and full agreement with a brute-force check
+    restricted to band-sharing pairs."""
+    import itertools
+    import math
+    import random
+
+    from hadoop_pcap_spark.operators import similarity as SIM2
+
+    rng = random.Random(11)
+    base = [rng.uniform(-1, 1) for _ in range(32)]
+    vecs = []
+    for i in range(30):
+        if i % 3 == 0:  # near-copies of base → true near-dups
+            v = [x + rng.uniform(-0.05, 0.05) for x in base]
+        else:
+            v = [rng.uniform(-1, 1) for _ in range(32)]
+        vecs.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {(r.a, r.b): r.cos
+           for r in SIM2.embedding_near_dup(df, threshold=0.9).collect()}
+    assert all(a < b for a, b in got)
+    assert all(c >= 0.9 for c in got.values())
+
+    # brute-force reference, restricted to pairs sharing >=1 sign band
+    def f32(x):
+        import struct as _s
+        return _s.unpack("f", _s.pack("f", x))[0]
+
+    emb = {i: [f32(x) for x in v] for i, v in vecs}
+
+    def bandsig(v, b):
+        return tuple(x >= 0 for x in v[b * 8:(b + 1) * 8])
+
+    def cos(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        return d / (math.sqrt(sum(x * x for x in u)) * math.sqrt(sum(y * y for y in v)))
+
+    want = set()
+    for a, b in itertools.combinations(sorted(emb), 2):
+        shares = any(bandsig(emb[a], k) == bandsig(emb[b], k) for k in range(4))
+        if shares and cos(emb[a], emb[b]) >= 0.9 - 1e-9:
+            want.add((a, b))
+    assert set(got) == want and len(want) >= 10
