@@ -152,6 +152,27 @@ def decompress_auto(data: bytes, name: str = "") -> bytes:
         return bz2.decompress(data)
     if lowered.endswith(".xz") or data[:6] == b"\xfd7zXZ\x00":
         return lzma.decompress(data)
+    # optional codecs (Hadoop's CompressionCodecFactory also resolves
+    # these; libraries are import-guarded — a clear error beats a
+    # magic-bytes decode failure downstream)
+    if lowered.endswith(".zst") or data[:4] == b"\x28\xb5\x2f\xfd":
+        try:
+            import zstandard
+        except ImportError:
+            raise OSError(f"{name}: zstd-compressed; `zstandard` not installed")
+        return zstandard.ZstdDecompressor().decompress(data, max_output_size=1 << 31)
+    if lowered.endswith(".lz4") or data[:4] == b"\x04\x22\x4d\x18":
+        try:
+            import lz4.frame
+        except ImportError:
+            raise OSError(f"{name}: lz4-compressed; `lz4` not installed")
+        return lz4.frame.decompress(data)
+    if lowered.endswith(".snappy"):
+        try:
+            import snappy
+        except ImportError:
+            raise OSError(f"{name}: snappy-compressed; `python-snappy` not installed")
+        return snappy.decompress(data)
     return data
 
 

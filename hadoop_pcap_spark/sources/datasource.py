@@ -50,12 +50,36 @@ class PcapDataSourceReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self._schema = schema
         self._options = options
+        self._file_preds: List = []
+
+    def _keep_file(self, path: str) -> bool:
+        from pyspark.sql.datasource import (
+            EqualTo,
+            In,
+            StringContains,
+            StringStartsWith,
+        )
+
+        for f in self._file_preds:
+            if isinstance(f, EqualTo) and path != f.value:
+                return False
+            if isinstance(f, In) and path not in f.values:
+                return False
+            if isinstance(f, StringStartsWith) and not path.startswith(f.value):
+                return False
+            if isinstance(f, StringContains) and f.value not in path:
+                return False
+        return True
 
     def partitions(self) -> List[InputPartition]:
         path = self._options.get("path")
         if not path:
             raise ValueError("pcap datasource requires a path")
-        return [_PcapFilePartition(p) for p in _expand_paths(path)]
+        return [
+            _PcapFilePartition(p)
+            for p in _expand_paths(path)
+            if self._keep_file(p)
+        ]
 
     def read(self, partition: _PcapFilePartition):
         """Yields pyarrow RecordBatches (PySpark 4 DataSource API fast
@@ -69,6 +93,41 @@ class PcapDataSourceReader(DataSourceReader):
         yield from decode_files_to_arrow_columnar(
             [(partition.path, data)], self._schema, opts
         )
+
+
+class PcapPushdownReader(PcapDataSourceReader):
+    """Reader with filter pushdown, selected via ``.option("pushdown",
+    "true")``.  It cannot be the default: Spark hard-errors on any
+    reader that merely *defines* pushFilters while
+    ``spark.sql.python.filterPushdown.enabled`` is false (the planning
+    worker has no way to let the source inspect that conf), so
+    pushdown is double-opt-in — the session conf plus the option."""
+
+    def pushFilters(self, filters):
+        """Absorb predicates on the ``file`` column — they prune whole
+        files before any bytes are read (the pcap analog of partition
+        pruning: one file = one partition = one distinct ``file``
+        value, so path-level evaluation is EXACT and Spark need not
+        re-apply the filter).  Everything else is returned for Spark
+        to evaluate post-decode."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            In,
+            IsNotNull,
+            StringContains,
+            StringStartsWith,
+        )
+
+        self._file_preds = []
+        for f in filters:
+            if getattr(f, "attribute", None) != ("file",):
+                yield f
+            elif isinstance(f, (EqualTo, In, StringStartsWith, StringContains)):
+                self._file_preds.append(f)
+            elif isinstance(f, IsNotNull):
+                pass  # file is the source path: never null, always true
+            else:
+                yield f
 
 
 def _decode_opts(options: dict) -> DecodeOptions:
@@ -194,7 +253,13 @@ class PcapDataSource(DataSource):
         return packet_schema(self.options.get("decoder", "ip"))
 
     def reader(self, schema: StructType) -> PcapDataSourceReader:
-        return PcapDataSourceReader(schema, dict(self.options))
+        opts = dict(self.options)
+        cls = (
+            PcapPushdownReader
+            if str(opts.get("pushdown", "false")).lower() == "true"
+            else PcapDataSourceReader
+        )
+        return cls(schema, opts)
 
     def simpleStreamReader(self, schema: StructType) -> PcapSimpleStreamReader:
         return PcapSimpleStreamReader(schema, dict(self.options))

@@ -492,3 +492,32 @@ def test_dns_rrsig_rendering():
     # epoch 1700000000 = 20231114 22:13:20 UTC
     assert a == ("s.example. 300 IN RRSIG A 8 2 3600 20231114231320 "
                  f"20231114221320 12345 example.com. {_b64.b64encode(sig).decode()}")
+
+
+def test_optional_codec_paths():
+    """zstd/lz4/snappy inputs: real decompression when the library is
+    importable, a clear error (→ 0 rows in PERMISSIVE) otherwise —
+    never a confusing bad-magic failure downstream."""
+    import pytest as _pt
+
+    data = S.global_header() + S.record(1, S.ethernet(S.ipv4(
+        S.udp(b"x", 1, 2), 17, "1.1.1.1", "2.2.2.2")))
+    zstd_magic = b"\x28\xb5\x2f\xfd" + b"\x00" * 20
+    try:
+        import zstandard
+
+        blob = zstandard.ZstdCompressor().compress(data)
+        assert list(decode_pcap(blob, "c.pcap.zst"))[0]["ts"] == 1
+    except ImportError:
+        with _pt.raises(PcapFormatError, match="zstandard"):
+            list(decode_pcap(zstd_magic, "c.pcap.zst"))
+        assert list(decode_pcap(zstd_magic, "c.pcap.zst",
+                                DecodeOptions(mode="PERMISSIVE"))) == []
+    try:
+        import lz4.frame
+
+        blob = lz4.frame.compress(data)
+        assert list(decode_pcap(blob, "c.pcap.lz4"))[0]["ts"] == 1
+    except ImportError:
+        with _pt.raises(PcapFormatError, match="lz4"):
+            list(decode_pcap(b"\x04\x22\x4d\x18" + b"\x00" * 9, "c.pcap.lz4"))

@@ -164,3 +164,42 @@ def test_engines_identical(spark, pcap_dir):
             for eng in ("arrow", "arrow-scalar", "pandas")
         }
         assert frames["arrow"] == frames["arrow-scalar"] == frames["pandas"]
+
+
+def test_datasource_file_filter_pushdown(spark, pcap_dir):
+    """file-column predicates prune whole files at the source (the
+    pcap partition-pruning analog; double-opt-in: session conf +
+    .option('pushdown')) and results stay correct."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, StringContains
+    from hadoop_pcap_spark.sources.datasource import (
+        PcapDataSourceReader, PcapPushdownReader)
+    from hadoop_pcap_spark.sources.pcap_source import packet_schema
+
+    # unit: pushFilters absorbs file predicates, yields the rest back
+    rdr = PcapPushdownReader(packet_schema("ip"), {"path": pcap_dir})
+    a_path = os.path.join(pcap_dir, "a.pcap")
+    leftover = list(rdr.pushFilters([EqualTo(("file",), a_path),
+                                     GreaterThan(("ts",), 0)]))
+    assert [type(f).__name__ for f in leftover] == ["GreaterThan"]
+    assert [p.path for p in rdr.partitions()] == [a_path]
+    rdr2 = PcapPushdownReader(packet_schema("ip"), {"path": pcap_dir})
+    assert list(rdr2.pushFilters([StringContains(("file",), "b.pcap")])) == []
+    assert [os.path.basename(p.path) for p in rdr2.partitions()] == ["b.pcap.gz"]
+    # plain reader has no pushFilters of its own -> never triggers
+    # Spark's pushdown-disabled error
+    assert "pushFilters" not in PcapDataSourceReader.__dict__
+
+    # end-to-end: conf + option -> file pruned at planning time
+    from hadoop_pcap_spark.sources import register_pcap_datasource
+    register_pcap_datasource(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        df = spark.read.format("pcap").option("pushdown", "true").load(pcap_dir)
+        flt = df.filter(F.col("file") == a_path)
+        rows = flt.select("file", "pkt_no").collect()
+        assert len(rows) == 2 and all(r.file == a_path for r in rows)
+        assert flt.rdd.getNumPartitions() == 1  # other files pruned
+        plan = flt._jdf.queryExecution().executedPlan().toString()
+        assert ") Filter " not in plan  # no Filter operator: fully absorbed
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
