@@ -81,7 +81,7 @@ class ColumnarResult:
     """n rows; numeric → (values ndarray, null-mask ndarray); object →
     numpy object ndarray with None for NULL."""
 
-    __slots__ = ("n", "numeric", "objects")
+    __slots__ = ("n", "numeric", "objects", "payload_spans", "data", "emit_payload")
 
     def __init__(self, n: int):
         self.n = n
@@ -90,6 +90,27 @@ class ColumnarResult:
             for c, dt in NUMERIC_COLS.items()
         }
         self.objects = {c: np.full(n, None, dtype=object) for c in OBJECT_COLS}
+        # Fast-path payload is recorded as (abs_start, length, has) spans
+        # into ``data`` instead of per-row bytes objects — consumers
+        # gather the whole column in one vectorized pass (Arrow
+        # from_buffers) or slice lazily.  Slow-path (scalar-fallback)
+        # rows still carry bytes in objects["payload"], which takes
+        # precedence over the span.
+        self.payload_spans = None  # (starts[m], lens[m], has[m]), m ≤ n
+        self.data = b""
+        self.emit_payload = True  # False when pruned/keep_payload=False
+
+    def payload_at(self, i: int):
+        """Row payload: slow-path bytes, else span slice, else None."""
+        obj = self.objects["payload"][i]
+        if obj is not None:
+            return obj
+        if self.payload_spans is not None and i < len(self.payload_spans[2]):
+            starts, lens, has = self.payload_spans
+            if has[i]:
+                a = starts[i]
+                return self.data[a : a + lens[i]]
+        return None
 
     def set_num(self, col, idx_or_mask, values):
         # bool masks may be shorter than the arrays (a truncated-tail row
@@ -118,6 +139,10 @@ class ColumnarResult:
             for c, lst in self.objects.items():
                 if lst[i] is not None:
                     r[c] = lst[i]
+            if self.emit_payload and "payload" not in r:
+                pl = self.payload_at(i)
+                if pl is not None:
+                    r["payload"] = pl
             out.append(r)
         return out
 
@@ -483,16 +508,12 @@ def decode_pcap_columnar(
         payload_start = np.where(tcp_ok, l4_rel + doff, payload_start)
 
     has_payload = payload_start >= 0
+    res.data = data
+    plen = np.maximum(0, caplen - payload_start)
+    res.payload_spans = (pkt + payload_start, plen, has_payload)
+    res.emit_payload = bool(opts.keep_payload and _want(opts, "payload"))
     if has_payload.any():
-        plen = np.maximum(0, caplen - payload_start)
         res.set_num("len", has_payload, plen[has_payload])
-        if opts.keep_payload and _want(opts, "payload"):
-            pl = res.objects["payload"]
-            abs_start = pkt + payload_start
-            for i in np.nonzero(has_payload)[0].tolist():
-                a = abs_start[i]
-                # out-of-range → b'' (readPayload parity) — here a+plen==end
-                pl[i] = data[a : a + plen[i]] if a <= end[i] else b""
 
     # --- slow rows: scalar kernel fallback (IPv6 ext chains etc.) ------------
     if slow.any():
@@ -516,22 +537,13 @@ def decode_pcap_columnar(
         sp_vals, sp_mask = res.numeric["src_port"]
         dp_vals, dp_mask = res.numeric["dst_port"]
         cand = ((~sp_mask) & (sp_vals == 53)) | ((~dp_mask) & (dp_vals == 53))
-        pay = res.objects["payload"]
         proto_col = res.objects["protocol"]
-        if not (opts.keep_payload and _want(opts, "payload")):
-            # payload column pruned: recompute slices just for DNS rows
-            pay = list(res.objects["payload"])
-            abs_start = pkt + payload_start
-            for i in np.nonzero(cand[:m] & has_payload)[0].tolist():
-                a = abs_start[i]
-                b = a + max(0, caplen[i] - payload_start[i])
-                pay[i] = data[a:b]
         for i in np.nonzero(cand[:m])[0].tolist():
             p = {
                 "src_port": int(sp_vals[i]) if not sp_mask[i] else None,
                 "dst_port": int(dp_vals[i]) if not dp_mask[i] else None,
                 "protocol": proto_col[i],
-                "_payload": pay[i],
+                "_payload": res.payload_at(i),
             }
             _decode_dns(p, opts)
             for col in (
