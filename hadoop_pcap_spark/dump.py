@@ -29,12 +29,18 @@ def main(argv=None) -> int:
     ap.add_argument("--decoder", choices=["ip", "dns"], default="ip")
     ap.add_argument("--md5", action="store_true", help="compute per-packet MD5")
     ap.add_argument("--permissive", action="store_true", help="skip bad files")
+    ap.add_argument(
+        "--no-strict", action="store_true",
+        help="accept pcapng/nanosecond/big-endian captures and use "
+             "RFC-correct (rather than reference-parity) decode quirks",
+    )
     ap.add_argument("--limit", type=int, default=0, help="stop after N packets/file")
     args = ap.parse_args(argv)
 
     opts = DecodeOptions(
         decoder=args.decoder,
         calculate_md5=args.md5,
+        strict_reference=not args.no_strict,
         mode="PERMISSIVE" if args.permissive else "FAILFAST",
     )
     status = 0

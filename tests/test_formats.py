@@ -163,3 +163,53 @@ def test_gz_wrapped_pcapng():
     import gzip
     data = S.pcapng_shb() + S.pcapng_idb() + S.pcapng_epb(0, 10**6, frame())
     assert rows(gzip.compress(data)) == rows(data)
+
+
+# --- CLI + fuzz --------------------------------------------------------------
+
+def test_dump_cli_pcapng(tmp_path, capsys):
+    from hadoop_pcap_spark import dump
+
+    p = tmp_path / "c.pcapng"
+    p.write_bytes(S.pcapng_shb() + S.pcapng_idb()
+                  + S.pcapng_epb(0, 7 * 10**6, frame()))
+    assert dump.main(["--no-strict", str(p)]) == 0
+    out = capsys.readouterr().out
+    assert "ts=7" in out and "dst_port=53" in out
+    # strict CLI (default) rejects it
+    assert dump.main([str(p)]) == 1
+
+
+def test_pcapng_fuzz_no_crash():
+    """Arbitrary mutations of a valid pcapng must decode or fail
+    cleanly (PcapFormatError) — never crash — in both modes, and both
+    kernels must agree row-for-row."""
+    import random
+
+    from hadoop_pcap_spark.pcap.decode import PcapFormatError
+
+    base = (S.pcapng_shb() + S.pcapng_idb(tsresol=9)
+            + S.pcapng_epb(0, 10**9, frame())
+            + S.pcapng_spb(frame())
+            + S.pcapng_shb(e=">") + S.pcapng_idb(e=">")
+            + S.pcapng_epb(0, 2 * 10**6, frame(), e=">"))
+    rnd = random.Random(42)
+    for trial in range(300):
+        data = bytearray(base)
+        for _ in range(rnd.randrange(1, 6)):
+            data[rnd.randrange(len(data))] = rnd.randrange(256)
+        data = bytes(data[: rnd.randrange(8, len(data) + 1)])
+        for mode in ("PERMISSIVE", "FAILFAST"):
+            o = DecodeOptions(strict_reference=False, mode=mode)
+            try:
+                scalar = [
+                    {k: v for k, v in p.items() if not k.startswith("_")}
+                    for p in decode_pcap(data, "fz", o)
+                ]
+            except PcapFormatError:
+                scalar = PcapFormatError
+            try:
+                col = decode_pcap_columnar(data, "fz", o).rows()
+            except PcapFormatError:
+                col = PcapFormatError
+            assert scalar == col or (scalar is PcapFormatError and col is PcapFormatError)
