@@ -158,10 +158,17 @@ def candidate_pairs(bands: DataFrame, max_bucket: int = 64) -> DataFrame:
     circuit through the exact-dup path: all members share the band's
     full minhash signature slice, so instead of the clique we emit only
     the m−1 star pairs around the bucket's min doc_id.  Downstream
-    Jaccard verification still scores every emitted pair, and connected
-    components recovers the full cluster through the anchor.  The cap
-    sits well above observed honest bucket sizes (13 at sf0.1), so
-    sub-cap results are byte-identical to the unguarded join.
+    Jaccard verification still scores every emitted pair; for the true
+    duplicate-cluster case (near-identical docs) the anchor pairs
+    verify and connected components recovers the full cluster through
+    the anchor.  Known recall tradeoff above the cap: a member-member
+    pair whose similarity exceeds the threshold while both anchor
+    pairs fall below it is not emitted — acceptable because the guard
+    only fires on pathological buckets where the m² clique is not
+    computable anyway; raise ``max_bucket`` if that tail matters more
+    than boundedness.  The cap sits well above observed honest bucket
+    sizes (13 at sf0.1), so sub-cap results are byte-identical to the
+    unguarded join.
 
     Mechanically the buckets are built with ONE shuffle
     (groupBy(band, key) → member list) and pairs explode row-locally

@@ -340,7 +340,10 @@ def embedding_near_dup(
     )
     from pyspark import StorageLevel
 
-    # vecs feeds banding + both verification sides
+    # vecs feeds banding + both verification sides.  The persist lives
+    # as long as the returned (lazy) DataFrame; callers looping over
+    # many corpora should unpersist via spark.catalog.clearCache() or
+    # materialize + release per batch.
     vecs = vecs.persist(StorageLevel.MEMORY_AND_DISK)
     cands = candidate_pairs(sign_bands(vecs, n_bands, band_dims), max_bucket)
     a = vecs.select(

@@ -140,9 +140,9 @@ class ColumnarResult:
                 if not mask[i]:
                     r[c] = int(vals[i])
             for c, lst in self.objects.items():
-                if lst[i] is not None:
+                if c != "payload" and lst[i] is not None:
                     r[c] = lst[i]
-            if self.emit_payload and "payload" not in r:
+            if self.emit_payload:
                 pl = self.payload_at(i)
                 if pl is not None:
                     r["payload"] = pl
@@ -525,8 +525,11 @@ def decode_pcap_columnar(
         for i in np.nonzero(slow)[0].tolist():
             p: dict = {}
             _decode_l3_l4(p, data[pkt[i] : end[i]], int(ip_rel[i]), opts)
+            # keep the bytes unconditionally: the DNS pass below needs
+            # them even when the payload column itself is pruned —
+            # emission is gated by res.emit_payload at read time
             payload = p.pop("_payload", None)
-            if opts.keep_payload and payload is not None and _want(opts, "payload"):
+            if payload is not None:
                 p["payload"] = payload
             for col, val in p.items():
                 if col in NUMERIC_COLS:

@@ -27,10 +27,11 @@ pcapng notes (format per the IETF pcapng draft / wireshark docs):
 * EPB / SPB / obsolete PB blocks become records; everything else
   (NRB, ISB, custom) is skipped;
 * classic pcap carries exactly one link type, so the emitted file uses
-  the FIRST interface's link type and packets captured on interfaces
-  with a *different* link type are dropped (counted, not silently:
-  a ``PcapFormatError`` is raised instead when every interface
-  disagrees with packet 1's).
+  the link type of the FIRST packet's interface, and packets captured
+  on interfaces with a *different* link type are dropped — a
+  documented lossy tradeoff for mixed-link captures (decode each link
+  type with a separate read if you need both; the first packet always
+  survives, so the drop can never discard everything).
 """
 
 from __future__ import annotations
@@ -133,12 +134,11 @@ def _rewrite_pcapng(data: bytes, name: str) -> bytes:
     n = len(data)
     pos = 0
     endian: Optional[str] = None
-    # interfaces of the CURRENT section: (linktype, units_per_sec)
-    section_ifaces: List[Tuple[int, int]] = []
+    # interfaces of the CURRENT section: (linktype, units_per_sec, snaplen)
+    section_ifaces: List[Tuple[int, int, int]] = []
     out_link: Optional[int] = None
     snaplen_out = 65535
     records: List[bytes] = []
-    dropped_other_link = 0
 
     def read_block(pos: int) -> Tuple[int, bytes, int]:
         # SHB type bytes are endian-invariant; its length needs the
@@ -157,12 +157,11 @@ def _rewrite_pcapng(data: bytes, name: str) -> bytes:
         return btype, data[pos + 8 : pos + blen - 4], pos + blen
 
     def emit(link: int, units: int, ts64: int, cap: bytes, origlen: int):
-        nonlocal out_link, dropped_other_link
+        nonlocal out_link
         if out_link is None:
             out_link = link
         if link != out_link:
-            dropped_other_link += 1
-            return
+            return  # documented other-link drop (module header)
         sec, rem = divmod(ts64, units)
         usec = rem * 1_000_000 // units
         records.append(
@@ -189,7 +188,7 @@ def _rewrite_pcapng(data: bytes, name: str) -> bytes:
                 snap = struct.unpack_from(endian + "I", body, 4)[0]
                 if snap:
                     snaplen_out = max(snaplen_out, snap)
-                section_ifaces.append((link, _parse_idb_tsresol(body, endian)))
+                section_ifaces.append((link, _parse_idb_tsresol(body, endian), snap))
             elif btype == _BLK_EPB:
                 if len(body) < 20:
                     raise _Trunc()
@@ -198,7 +197,7 @@ def _rewrite_pcapng(data: bytes, name: str) -> bytes:
                 )
                 if if_id >= len(section_ifaces):
                     raise ValueError(f"{name}: pcapng EPB references unknown interface {if_id}")
-                link, units = section_ifaces[if_id]
+                link, units, _snap = section_ifaces[if_id]
                 emit(link, units, (ts_hi << 32) | ts_lo, body[20 : 20 + caplen], origlen)
             elif btype == _BLK_SPB:
                 if len(body) < 4:
@@ -206,8 +205,13 @@ def _rewrite_pcapng(data: bytes, name: str) -> bytes:
                 if not section_ifaces:
                     raise ValueError(f"{name}: pcapng SPB before any IDB")
                 origlen = struct.unpack_from(endian + "I", body, 0)[0]
-                link, units = section_ifaces[0]
+                link, units, snap = section_ifaces[0]
+                # SPB stores no caplen: captured = min(origlen, snaplen),
+                # clamped to the (4-byte padded) block body — without the
+                # snaplen clamp a truncated packet would absorb padding
                 caplen = min(origlen, len(body) - 4)
+                if snap:
+                    caplen = min(caplen, snap)
                 emit(link, units, 0, body[4 : 4 + caplen], origlen)
             elif btype == _BLK_PB:
                 if len(body) < 20:
@@ -217,7 +221,7 @@ def _rewrite_pcapng(data: bytes, name: str) -> bytes:
                 )
                 if if_id >= len(section_ifaces):
                     raise ValueError(f"{name}: pcapng PB references unknown interface {if_id}")
-                link, units = section_ifaces[if_id]
+                link, units, _snap = section_ifaces[if_id]
                 emit(link, units, (ts_hi << 32) | ts_lo, body[20 : 20 + caplen], origlen)
             # all other block types skipped
     except _Trunc:

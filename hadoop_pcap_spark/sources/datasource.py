@@ -63,7 +63,7 @@ class PcapDataSourceReader(DataSourceReader):
         for f in self._file_preds:
             if isinstance(f, EqualTo) and path != f.value:
                 return False
-            if isinstance(f, In) and path not in f.values:
+            if isinstance(f, In) and path not in f.value:  # .value is the tuple
                 return False
             if isinstance(f, StringStartsWith) and not path.startswith(f.value):
                 return False
@@ -211,6 +211,7 @@ class PcapSimpleStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         current = self._list_files()
+        cur = dict(current)
         new = sorted(
             (p, m) for p, m in current if not self._processed(start, p, m)
         )
@@ -218,13 +219,19 @@ class PcapSimpleStreamReader(SimpleDataSourceStreamReader):
         wm = max(start.get("wm", 0), max_m - self._retention_ns)
         recent = {}
         if "seen" not in start:
-            recent.update(
-                {p: m for p, m in start.get("recent", {}).items() if m >= wm}
-            )
+            for p, m in start.get("recent", {}).items():
+                if m >= wm:
+                    recent[p] = m
+                elif cur.get(p, -1) >= wm:
+                    # live-appended file (e.g. `tcpdump -w current.pcap`):
+                    # its mtime keeps advancing, so refresh the entry
+                    # instead of pruning — pruning would make the file
+                    # look unprocessed and re-deliver it wholesale.
+                    # Bounded: one entry per still-being-written file.
+                    recent[p] = cur[p]
         else:
             # legacy upgrade: carry the legacy paths with their real
             # mtimes (missing files pin to wm and age out immediately)
-            cur = dict(current)
             recent.update({p: cur.get(p, wm) for p in start["seen"]})
         # batch files stay in `recent` regardless of wm so that
         # readBetweenOffsets(start, end) can replay them exactly

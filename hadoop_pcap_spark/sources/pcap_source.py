@@ -190,8 +190,12 @@ def decode_files_to_arrow_columnar(
                 elif n in res.numeric:
                     vals, mask = res.numeric[n]
                     arrays.append(pa.array(vals[s0:s1], type=t, mask=mask[s0:s1]))
-                elif n == "payload" and res.emit_payload:
-                    arrays.append(_payload_arrow(res, s0, s1, np, pa))
+                elif n == "payload":
+                    arrays.append(
+                        _payload_arrow(res, s0, s1, np, pa)
+                        if res.emit_payload
+                        else pa.nulls(s1 - s0, type=t)
+                    )
                 else:
                     arrays.append(
                         pa.array(res.objects[n][s0:s1], type=t, from_pandas=True)

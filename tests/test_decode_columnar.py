@@ -139,3 +139,32 @@ def test_garbage_bytes_equiv(blob):
     # frame (or reject) identically in PERMISSIVE mode
     assert_equiv(S.global_header() + blob,
                  DecodeOptions(mode="PERMISSIVE"))
+
+
+def test_dns_over_ipv6_ext_with_pruned_payload_equiv():
+    """Slow-path (IPv6 ext-header) DNS rows must decode dns_* columns
+    even when the payload column is pruned or keep_payload=False —
+    regression: the slow-row loop used to drop the bytes before the
+    DNS pass."""
+    q = S.dns_query(7, "example.com")
+    # HopByHop ext header (next=UDP, len=0 → 8 bytes) forces the
+    # scalar-fallback chain walk; the RFC-correct non-strict walk then
+    # lands on the UDP header and the DNS parse must still run
+    hbh = bytes([17, 0]) + b"\x00" * 6
+    frame = S.ethernet(S.ipv6(
+        hbh + S.udp(q, 5353, 53), 0, "2001:db8::1", "2001:db8::2"))
+    data = S.global_header() + S.record(1, frame)
+    saw_dns = False
+    for opts in (
+        DecodeOptions(decoder="dns", keep_payload=False),
+        DecodeOptions(decoder="dns", wanted={"pkt_no", "dns_qname"},
+                      strict_reference=False),
+        DecodeOptions(decoder="dns", keep_payload=False, strict_reference=False),
+    ):
+        assert_equiv(data, opts)
+        got = decode_pcap_columnar(data, "t", opts).rows()
+        if got and got[0].get("dst_port") == 53:
+            saw_dns = True
+            assert got[0]["dns_qname"] == "example.com."
+            assert "payload" not in got[0]
+    assert saw_dns  # at least the non-strict walks must reach the DNS parse

@@ -213,3 +213,14 @@ def test_pcapng_fuzz_no_crash():
             except PcapFormatError:
                 col = PcapFormatError
             assert scalar == col or (scalar is PcapFormatError and col is PcapFormatError)
+
+
+def test_pcapng_spb_snaplen_truncation_excludes_padding():
+    """A snaplen-truncated SPB packet must not absorb the block's
+    32-bit padding bytes (regression: caplen was len(body)-4)."""
+    pkt = frame(payload=b"0123456789")  # 52 bytes
+    snap = len(pkt) - 6  # force truncation to a non-multiple of 4
+    data = (S.pcapng_shb() + S.pcapng_idb(snaplen=snap)
+            + S.pcapng_spb(pkt[:snap], orig_len=len(pkt)))
+    (p,) = rows(data)
+    assert p["size"] == snap  # not rounded up to the padded body length

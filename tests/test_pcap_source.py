@@ -185,6 +185,12 @@ def test_datasource_file_filter_pushdown(spark, pcap_dir):
     rdr2 = PcapPushdownReader(packet_schema("ip"), {"path": pcap_dir})
     assert list(rdr2.pushFilters([StringContains(("file",), "b.pcap")])) == []
     assert [os.path.basename(p.path) for p in rdr2.partitions()] == ["b.pcap.gz"]
+    # In filter: PySpark names the tuple field .value (regression:
+    # .values raised AttributeError after the filter was absorbed)
+    from pyspark.sql.datasource import In
+    rdr3 = PcapPushdownReader(packet_schema("ip"), {"path": pcap_dir})
+    assert list(rdr3.pushFilters([In(("file",), (a_path, "/nope"))])) == []
+    assert [p.path for p in rdr3.partitions()] == [a_path]
     # plain reader has no pushFilters of its own -> never triggers
     # Spark's pushdown-disabled error
     assert "pushFilters" not in PcapDataSourceReader.__dict__

@@ -256,3 +256,51 @@ def test_pcap_stream_offset_compaction(tmp_path):
     rows_l, o_l = rdr.read(legacy)
     assert {t[0] for t in rows_l} == {c, str(d / "late.pcap")} - set()
     assert "wm" in o_l and "seen" not in o_l
+
+
+def test_pcap_stream_live_appended_file_not_redelivered(tmp_path):
+    """A file whose mtime keeps advancing (tcpdump -w style) must not
+    be re-delivered when its original mtime ages past the watermark —
+    its `recent` entry refreshes instead of pruning."""
+    import os
+
+    from hadoop_pcap_spark.pcap import synth as S
+    from hadoop_pcap_spark.sources.datasource import PcapSimpleStreamReader
+    from hadoop_pcap_spark.sources.pcap_source import packet_schema
+
+    d = tmp_path / "caps"
+    d.mkdir()
+    rdr = PcapSimpleStreamReader(
+        packet_schema("ip"), {"path": str(d), "offsetretentionsec": "100"}
+    )
+    base = 1_700_000_000
+
+    live = d / "current.pcap"
+    live.write_bytes(S.dns_exchange_pcap())
+    os.utime(live, (base, base))
+
+    rows1, o1 = rdr.read(rdr.initialOffset())
+    assert len(list(rows1)) == 2
+
+    # 400s later: live file was appended (mtime advanced), plus a new
+    # rotated file arrived — watermark jumps past the ORIGINAL mtime
+    os.utime(live, (base + 400, base + 400))
+    rot = d / "rotated.pcap"
+    rot.write_bytes(S.dns_exchange_pcap())
+    os.utime(rot, (base + 400, base + 400))
+
+    rows2, o2 = rdr.read(o1)
+    files2 = {t[0] for t in rows2}
+    assert files2 == {str(rot)}  # live file NOT re-delivered
+    assert str(live) in o2["recent"]  # entry refreshed, not pruned
+
+    # once the live file goes quiet for > retention, it ages out of the
+    # offset entirely and stays processed via the watermark
+    far = base + 1000
+    os.utime(rot, (far, far))
+    fresh = d / "fresh.pcap"
+    fresh.write_bytes(S.dns_exchange_pcap())
+    os.utime(fresh, (far, far))
+    rows3, o3 = rdr.read(o2)
+    assert {t[0] for t in rows3} == {str(fresh)}
+    assert str(live) not in o3["recent"]
