@@ -69,6 +69,18 @@ def class_name(c: int) -> str:
     return CLASS_NAMES.get(c, f"CLASS{c}")
 
 
+# label-escape machinery: plain bytes pass through, '.'/'\' get
+# backslash-escaped, non-printables render as \DDD (presentation form)
+_PLAIN_LABEL_BYTES = (
+    b"abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-_"
+)
+_ESCAPE_TABLE = [
+    "\\." if b == 0x2E else ("\\\\" if b == 0x5C else
+     (chr(b) if 0x20 <= b < 0x7F else "\\%03d" % b))
+    for b in range(256)
+]
+
+
 def _read_name(data: bytes, pos: int) -> tuple:
     """Decode a (possibly compressed) domain name.
 
@@ -101,13 +113,13 @@ def _read_name(data: bytes, pos: int) -> tuple:
         if pos + length > len(data):
             raise DnsParseError("label runs past message end")
         raw = data[pos : pos + length]
-        # escape dots/backslashes inside labels (presentation format)
-        text = "".join(
-            "\\." if b == 0x2E else ("\\\\" if b == 0x5C else
-             (chr(b) if 0x20 <= b < 0x7F else f"\\{b:03d}"))
-            for b in raw
-        )
-        labels.append(text.lower())
+        # fast path: plain hostname bytes (the overwhelmingly common
+        # case) decode directly; anything else goes through the escape
+        # table (dots/backslashes/non-printables, presentation format)
+        if not raw.translate(None, _PLAIN_LABEL_BYTES):
+            labels.append(raw.decode("ascii").lower())
+        else:
+            labels.append("".join(map(_ESCAPE_TABLE.__getitem__, raw)).lower())
         pos += length
     name = ".".join(labels) + "." if labels else "."
     return name, (next_pos if next_pos >= 0 else pos)
@@ -253,6 +265,9 @@ class DnsMessage:
     additional: List[str] = field(default_factory=list)
 
 
+_FLAGS_TEXT_CACHE: dict = {}
+
+
 def parse_message(data: bytes) -> DnsMessage:
     """Parse a full DNS message (header + question + 3 RR sections)."""
     if len(data) < 12:
@@ -260,7 +275,11 @@ def parse_message(data: bytes) -> DnsMessage:
     qid, flags, qd, an, ns, ar = struct.unpack_from(">HHHHHH", data, 0)
     msg = DnsMessage(query_id=qid)
     msg.qr = bool(flags & 0x8000)
-    msg.flags_text = " ".join(name for bit, name in FLAG_BITS if flags & bit)
+    ft = _FLAGS_TEXT_CACHE.get(flags)
+    if ft is None:  # bounded: ≤ 2^16 distinct flag words
+        ft = " ".join(name for bit, name in FLAG_BITS if flags & bit)
+        _FLAGS_TEXT_CACHE[flags] = ft
+    msg.flags_text = ft
     opcode = (flags >> 11) & 0xF
     msg.opcode_text = OPCODE_NAMES.get(opcode, f"RESERVED{opcode}")
     rcode = flags & 0xF
