@@ -68,10 +68,10 @@ SQL_SHINGLES3 = f"""list_distinct(
            ELSE [array_to_string({SQL_TOKENS}, ' ')] END)"""
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH tok AS (
+# Shared CTE chain reproducing the MinHash→LSH→Jaccard pipeline in
+# DuckDB SQL; reused by the pair query and the connected-components
+# oracle (the final verified pair set is `mh_pairs`).
+_SQL_MINHASH_CTES = f"""tok AS (
       SELECT doc_id, unnest({SQL_SHINGLES3}) AS token FROM documents
     ),
     sigs AS (
@@ -94,14 +94,23 @@ SQL_SHINGLES3 = f"""list_distinct(
       SELECT ta.doc_id AS a, tb.doc_id AS b, count(*) AS inter
       FROM tok ta JOIN tok tb ON ta.token = tb.token AND ta.doc_id < tb.doc_id
       GROUP BY 1, 2
-    )
-    SELECT i.a, i.b, i.inter,
-           ROUND(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) AS jaccard
-    FROM inter i
-    JOIN cands c ON i.a = c.a AND i.b = c.b
-    JOIN sizes sa ON sa.doc_id = i.a
-    JOIN sizes sb ON sb.doc_id = i.b
-    WHERE ROUND(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) >= 0.5
+    ),
+    mh_pairs AS (
+      SELECT i.a, i.b, i.inter,
+             ROUND(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+      FROM inter i
+      JOIN cands c ON i.a = c.a AND i.b = c.b
+      JOIN sizes sa ON sa.doc_id = i.a
+      JOIN sizes sb ON sb.doc_id = i.b
+      WHERE ROUND(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) >= 0.5
+    )"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SQL_MINHASH_CTES}
+    SELECT a, b, inter, jaccard FROM mh_pairs
     """,
 )
 def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -525,15 +534,33 @@ def q_text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("dedup_cluster_components")  # rows-only: iterative, not SQL-expressible
+@query(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_MINHASH_CTES},
+    sym AS (
+      SELECT a AS x, b AS y FROM mh_pairs
+      UNION SELECT b, a FROM mh_pairs
+    ),
+    reach(x, y) AS (
+      SELECT DISTINCT x, x FROM sym
+      UNION
+      SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x
+    )
+    SELECT x AS doc_id, MIN(y) AS component FROM reach GROUP BY x
+    """,
+)
 def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup CLUSTERS via connected components over the LSH pair
     graph (iterative smallest-id label propagation — the 'one
     representative per duplicate cluster' op a training-data pipeline
-    actually runs).  Non-SQL-expressible (iteration) → rows-only check;
-    invariants tested in pytest.
-    Scale: label propagation converges in O(cluster diameter) joins;
-    near-dup clusters are shallow (diameter ≤ ~3) in practice."""
+    actually runs).  The Spark side iterates to a fixpoint; the oracle
+    reaches the same fixpoint with a recursive-CTE transitive closure
+    (min reachable id), so even this iterative operator is
+    hash-checked.  Scale: label propagation converges in O(cluster
+    diameter) joins; near-dup clusters are shallow (diameter ≤ ~3) in
+    practice.  (The closure oracle is oracle-side only — quadratic in
+    cluster size, fine at validation SFs.)"""
     from ..operators.dedup import connected_components, minhash_lsh_pairs
 
     pairs = minhash_lsh_pairs(table(spark, sf, "documents"), threshold=0.5)

@@ -11,12 +11,12 @@ def test_registry_shape():
     assert len(qs) >= 60
     assert set(os_) <= set(qs), "oracle without a query"
     rows_only = set(qs) - set(os_)
-    # rows-only set is exactly the approx/iterative/pcap/ANN queries
+    # rows-only set is exactly the approx/pcap/ANN queries (iterative
+    # connected components gained a recursive-CTE oracle in round 2)
     assert rows_only == {
         "approx_count_distinct",
         "similarity_ann_lsh",
         "similarity_ann_ivf",
-        "dedup_cluster_components",
         "pcap_port_count",
         "pcap_dns_qname_topk",
         "pcap_dedup_md5",
