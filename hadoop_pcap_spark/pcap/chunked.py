@@ -1,0 +1,183 @@
+"""Bounded-memory (chunked) capture ingestion.
+
+The reference streams every capture through a ``DataInputStream`` in
+O(1) memory (PcapReader.java:67,75-77 loop / 167-181 per-record
+reads); round 1-2 of this repo materialized whole files instead —
+``binaryFile``'s ``content`` column caps at 2 GiB and a multi-GiB
+rotated capture spiked per-task memory.  This module restores the
+reference's physical property for Spark tasks:
+
+* :func:`open_decompressed` — file-like reader with *streaming*
+  decompression (gz/bz2/xz stdlib; zstd/lz4 behind import guards;
+  snappy falls back to whole-buffer, it has no stdlib stream form).
+* :func:`iter_capture_chunks` — yields record-aligned byte chunks,
+  each a self-contained classic-pcap "file" (24-byte global header +
+  whole records), so the existing scalar and columnar kernels decode
+  each chunk unchanged.  Peak memory is ``chunk_bytes`` + the largest
+  single record, independent of file size.
+
+Record alignment: within a chunk the framing walk
+(ts_sec,ts_usec,incl_len,orig_len @ incl_len-sized hops) finds the
+last complete record; the remainder is carried into the next read.
+Only the *final* chunk can end mid-record, which reproduces the
+reference's truncated-tail ts-only row (PcapReader.java:177-180)
+exactly once, at the true end of file.
+
+pcapng is block-structured with stateful section headers, so it is
+not chunked here — the stream is drained whole and handed to the
+kernel (``formats.normalize_capture`` does the rewrite).  Classic
+captures in all four magic variants (LE/BE × µs/ns) chunk fine: the
+framing endianness follows the magic, and the non-strict
+normalization inside the kernels is per-record, hence per-chunk safe.
+"""
+
+from __future__ import annotations
+
+import bz2
+import gzip
+import io
+import lzma
+import os
+import struct
+from typing import BinaryIO, Iterator
+
+GLOBAL_HEADER_SIZE = 24
+RECORD_HEADER_SIZE = 16
+DEFAULT_CHUNK_BYTES = 64 << 20  # 64 MiB: ~0.1 s of decode per chunk,
+# small enough that 32 concurrent tasks stay ≪ executor memory
+
+# first 4 file bytes read as a little-endian u32
+_MAGIC_LE_US = 0xA1B2C3D4
+_MAGIC_LE_NS = 0xA1B23C4D
+_MAGIC_BE_US = 0xD4C3B2A1
+_MAGIC_BE_NS = 0x4D3CB2A1
+
+
+def open_decompressed(path: str) -> BinaryIO:
+    """Open ``path`` with streaming decompression (magic-sniffed, same
+    codec set as :func:`..decode.decompress_auto`).  The returned
+    file-like only ever holds one read-window in memory."""
+    raw = open(path, "rb")
+    try:
+        magic = raw.read(6)
+        raw.seek(0)
+    except OSError:
+        raw.close()
+        raise
+    lowered = path.lower()
+    if lowered.endswith(".gz") or magic[:2] == b"\x1f\x8b":
+        return gzip.GzipFile(fileobj=raw)  # type: ignore[return-value]
+    if lowered.endswith(".bz2") or magic[:3] == b"BZh":
+        return bz2.BZ2File(raw)  # type: ignore[return-value]
+    if lowered.endswith(".xz") or magic[:6] == b"\xfd7zXZ\x00":
+        return lzma.LZMAFile(raw)  # type: ignore[return-value]
+    if lowered.endswith(".zst") or magic[:4] == b"\x28\xb5\x2f\xfd":
+        try:
+            import zstandard
+        except ImportError:
+            raw.close()
+            raise OSError(f"{path}: zstd-compressed; `zstandard` not installed")
+        return zstandard.ZstdDecompressor().stream_reader(raw)  # streams
+    if lowered.endswith(".lz4") or magic[:4] == b"\x04\x22\x4d\x18":
+        try:
+            import lz4.frame
+        except ImportError:
+            raw.close()
+            raise OSError(f"{path}: lz4-compressed; `lz4` not installed")
+        return lz4.frame.open(raw, mode="rb")
+    if lowered.endswith(".snappy"):
+        # no stdlib streaming form — bounded fallback: snappy block
+        # format needs the whole buffer anyway
+        from .decode import decompress_auto
+
+        data = raw.read()
+        raw.close()
+        return io.BytesIO(decompress_auto(data, path))
+    return raw
+
+
+def iter_capture_chunks(
+    stream: BinaryIO,
+    name: str = "",
+    chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+) -> Iterator[bytes]:
+    """Yield self-contained, record-aligned classic-pcap byte chunks.
+
+    Each yielded value starts with the file's own 24-byte global
+    header, so the per-file decode kernels accept it verbatim; callers
+    stitch ``pkt_no`` continuity (consecutive chunks of the same file
+    continue the ordinal).  Non-classic input (pcapng, junk, short
+    header) is yielded as ONE whole-stream chunk so error/normalize
+    semantics stay byte-identical with the whole-file path.
+    """
+    header = stream.read(GLOBAL_HEADER_SIZE)
+    if len(header) < GLOBAL_HEADER_SIZE:
+        yield header  # kernel decides: empty→0 rows, short→error
+        return
+    magic = int.from_bytes(header[:4], "little")
+    if magic in (_MAGIC_LE_US, _MAGIC_LE_NS):
+        fmt = "<I"
+    elif magic in (_MAGIC_BE_US, _MAGIC_BE_NS):
+        fmt = ">I"
+    else:
+        # pcapng / unknown: stateful or unframeable — whole stream
+        yield header + stream.read()
+        return
+
+    unpack_u32 = struct.Struct(fmt).unpack_from
+    buf = bytearray()
+    yielded = False
+    while True:
+        chunk = stream.read(chunk_bytes)
+        if not chunk:
+            break
+        buf += chunk
+        # last complete-record boundary in buf
+        pos = 0
+        n = len(buf)
+        while pos + RECORD_HEADER_SIZE <= n:
+            nxt = pos + RECORD_HEADER_SIZE + unpack_u32(buf, pos + 8)[0]
+            if nxt > n:
+                break
+            pos = nxt
+        if pos:
+            # single-copy assembly (header + aligned records)
+            yield b"".join((header, memoryview(buf)[:pos]))
+            yielded = True
+            del buf[:pos]
+    if buf or not yielded:
+        # tail: a trailing partial record (→ ts-only row), or an
+        # empty/record-less file that still must reach the kernel once
+        yield b"".join((header, buf))
+
+
+def local_path(spark_path: str) -> str:
+    """``file:/x`` / ``file:///x`` URIs (as emitted by Spark's
+    binaryFile source) → a local filesystem path; other strings pass
+    through untouched."""
+    if spark_path.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(spark_path).path)
+    return spark_path
+
+
+def stream_file_chunks(
+    paths,
+    chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+) -> Iterator[tuple]:
+    """(display_path, chunk_bytes) pairs for a sequence of capture
+    files — the chunked drop-in for the ``(path, whole_file_bytes)``
+    pairs the ``decode_files_to_*`` consumers take.  Consecutive pairs
+    sharing a path are pkt_no-continued by those consumers."""
+    for p in paths:
+        with open_decompressed(local_path(p)) as f:
+            for chunk in iter_capture_chunks(f, name=p, chunk_bytes=chunk_bytes):
+                yield p, chunk
+
+
+def file_size(path: str) -> int:
+    try:
+        return os.path.getsize(local_path(path))
+    except OSError:
+        return -1

@@ -145,6 +145,15 @@ def decompress_auto(data: bytes, name: str = "") -> bytes:
     file extension [io/PcapInputFormat.java:46-49]; gzip in the CLI
     runner [run/PcapReaderRunner.java:36-37].
     """
+    if len(data) >= 4:
+        magic = int.from_bytes(data[:4], "little")
+        if magic in (0xA1B2C3D4, 0xA1B23C4D, 0xD4C3B2A1, 0x4D3CB2A1, 0x0A0D0D0A):
+            # already a capture (classic LE/BE × µs/ns, or pcapng) —
+            # never re-decompress, whatever the filename says.  The
+            # chunked feed (.gz et al streamed by chunked.py) hands
+            # decompressed record-aligned chunks under the original
+            # path name; no compression format starts with these bytes.
+            return data
     lowered = name.lower()
     if lowered.endswith(".gz") or data[:2] == b"\x1f\x8b":
         return gzip.decompress(data)

@@ -84,14 +84,20 @@ class PcapDataSourceReader(DataSourceReader):
     def read(self, partition: _PcapFilePartition):
         """Yields pyarrow RecordBatches (PySpark 4 DataSource API fast
         path) built by the vectorized columnar kernel — same rows as
-        the scalar per-tuple path, ~3.5× the decode throughput."""
+        the scalar per-tuple path, ~3.5× the decode throughput.
+
+        Bounded memory: the file streams through record-aligned chunks
+        (``chunkbytes`` option, default 64 MiB) instead of one
+        ``f.read()`` — the reference's O(1) DataInputStream property
+        (PcapReader.java:67,75-77) at Spark-task grain, so multi-GiB
+        rotated captures decode without per-task memory spikes."""
+        from ..pcap.chunked import DEFAULT_CHUNK_BYTES, stream_file_chunks
         from .pcap_source import decode_files_to_arrow_columnar
 
         opts = _decode_opts(self._options)
-        with open(partition.path, "rb") as f:
-            data = f.read()
+        chunk_bytes = int(self._options.get("chunkbytes", DEFAULT_CHUNK_BYTES))
         yield from decode_files_to_arrow_columnar(
-            [(partition.path, data)], self._schema, opts
+            stream_file_chunks([partition.path], chunk_bytes), self._schema, opts
         )
 
 
@@ -195,18 +201,26 @@ class PcapSimpleStreamReader(SimpleDataSourceStreamReader):
         return out
 
     def _decode_files(self, files):
+        from ..pcap.chunked import iter_capture_chunks, open_decompressed
+
         names = [f.name for f in self._schema.fields]
         opts = _decode_opts(self._options)
         out = []
         for path in files:
             try:
-                with open(path, "rb") as f:
-                    data = f.read()
+                stream = open_decompressed(path)
             except OSError:
                 continue  # rotated away between listing and read
-            for pkt in decode_pcap(data, name=path, opts=opts):
-                pkt["file"] = path
-                out.append(tuple(pkt.get(n) for n in names))
+            with stream:
+                pkt_off = 0
+                for chunk in iter_capture_chunks(stream, name=path):
+                    seen = 0
+                    for pkt in decode_pcap(chunk, name=path, opts=opts):
+                        pkt["file"] = path
+                        pkt["pkt_no"] += pkt_off
+                        seen = pkt["pkt_no"] - pkt_off
+                        out.append(tuple(pkt.get(n) for n in names))
+                    pkt_off += seen
         return out
 
     def read(self, start: dict):

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..pcap.decode import DecodeOptions, decode_pcap
+from ..pcap.decode import DecodeOptions, PcapFormatError, decode_pcap
 
 # --- the wide packet schema (SURVEY.md §1.5; FIXTURES.md §1-2) ---------------
 
@@ -103,18 +103,30 @@ def decode_files_to_frames(
     Shared by the mapInPandas path and the DataSource V2 reader.
     Missing keys become None → NULL, mirroring the Hive SerDe's
     missing-key→NULL projection (PcapDeserializer.java:50-60).
+
+    Continuation contract (all three ``decode_files_to_*``):
+    consecutive pairs with the SAME path are record-aligned chunks of
+    one file (see :mod:`..pcap.chunked`) — ``pkt_no`` continues across
+    them, so chunked and whole-file decode yield identical rows.
     """
     names = [f.name for f in schema.fields]
     buf: List[dict] = []
+    prev_path, pkt_off = None, 0
     for path, data in file_rows:
+        if path != prev_path:
+            prev_path, pkt_off = path, 0
+        seen = 0
         for pkt in decode_pcap(data, name=path, opts=opts):
             pkt["file"] = path
+            pkt["pkt_no"] += pkt_off
+            seen = pkt["pkt_no"] - pkt_off
             buf.append(pkt)
             if len(buf) >= batch_rows:
                 yield pd.DataFrame(
                     {n: [row.get(n) for row in buf] for n in names}
                 )
                 buf = []
+        pkt_off += seen
     if buf:
         yield pd.DataFrame({n: [row.get(n) for row in buf] for n in names})
 
@@ -136,9 +148,15 @@ def decode_files_to_arrow(
     names = [f.name for f in schema.fields]
     cols = {n: [] for n in names}
     count = 0
+    prev_path, pkt_off = None, 0
     for path, data in file_rows:
+        if path != prev_path:
+            prev_path, pkt_off = path, 0
+        seen = 0
         for pkt in decode_pcap(data, name=path, opts=opts):
             pkt["file"] = path
+            pkt["pkt_no"] += pkt_off
+            seen = pkt["pkt_no"] - pkt_off
             for n in names:
                 cols[n].append(pkt.get(n))
             count += 1
@@ -149,6 +167,7 @@ def decode_files_to_arrow(
                 )
                 cols = {n: [] for n in names}
                 count = 0
+        pkt_off += seen
     if count:
         yield pa.RecordBatch.from_arrays(
             [pa.array(cols[n], type=arrow_schema.field(n).type) for n in names],
@@ -178,10 +197,16 @@ def decode_files_to_arrow_columnar(
 
     arrow_schema = to_arrow_schema(schema)
     names = [f.name for f in schema.fields]
+    prev_path, pkt_off = None, 0
     for path, data in file_rows:
+        if path != prev_path:
+            prev_path, pkt_off = path, 0
         res = decode_pcap_columnar(data, name=path, opts=opts)
-        for s0 in range(0, res.n, batch_rows):
-            s1 = min(s0 + batch_rows, res.n)
+        if pkt_off:
+            # consecutive chunks of one file: continue the ordinal
+            res.numeric["pkt_no"][0][:] += pkt_off
+        pkt_off += res.n
+        for s0, s1 in _batch_ranges(res, batch_rows, np):
             arrays = []
             for n in names:
                 t = arrow_schema.field(n).type
@@ -201,6 +226,55 @@ def decode_files_to_arrow_columnar(
                         pa.array(res.objects[n][s0:s1], type=t, from_pandas=True)
                     )
             yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+
+# Max payload bytes per Arrow RecordBatch: BinaryType uses 32-bit
+# offsets, so a batch's payload column must stay under 2 GiB total.
+# Batches are row-split to respect this (ADVICE r2: the old list-based
+# fallback built a ChunkedArray, which RecordBatch.from_arrays rejects).
+PAYLOAD_BATCH_LIMIT = (1 << 31) - (1 << 20)
+
+
+def _payload_lens(res, np):
+    """Per-row payload byte counts (0 where NULL): span lengths for
+    fast-path rows, ``len(bytes)`` for scalar-fallback rows."""
+    lens = np.zeros(res.n, dtype=np.int64)
+    if res.payload_spans is not None:
+        _starts, lens_all, has_all = res.payload_spans
+        m = len(has_all)
+        lens[:m] = np.where(has_all, lens_all, 0)
+    objs = res.objects["payload"]
+    for i in np.nonzero(objs != None)[0].tolist():  # noqa: E711
+        lens[i] = len(objs[i])
+    return lens
+
+
+def _batch_ranges(res, batch_rows: int, np, limit: int | None = None):
+    """Row ranges [s0, s1) of ≤ batch_rows rows whose total payload
+    bytes fit 32-bit Arrow binary offsets.  Jumbo captures (64 KiB
+    caplen × 65536 rows ≈ 4 GiB) split into multiple batches instead
+    of crashing the from_arrays path."""
+    limit = PAYLOAD_BATCH_LIMIT if limit is None else limit
+    if not res.emit_payload:
+        for s0 in range(0, res.n, batch_rows):
+            yield s0, min(s0 + batch_rows, res.n)
+        return
+    lens = _payload_lens(res, np)
+    s0 = 0
+    while s0 < res.n:
+        s1 = min(s0 + batch_rows, res.n)
+        if int(lens[s0:s1].sum()) > limit:
+            cum = np.cumsum(lens[s0:s1])
+            cut = int(np.searchsorted(cum, limit, side="right"))
+            if cut == 0:
+                raise PcapFormatError(
+                    f"packet {s0 + 1}: single payload of {int(lens[s0])} bytes "
+                    "exceeds the 2 GiB Arrow binary batch budget; re-read with "
+                    "keep_payload=False or a columns= list without 'payload'"
+                )
+            s1 = s0 + cut
+        yield s0, s1
+        s0 = s1
 
 
 def _payload_arrow(res, s0: int, s1: int, np, pa):
@@ -230,9 +304,10 @@ def _payload_arrow(res, s0: int, s1: int, np, pa):
         valid[i] = True
 
     total_bytes = int(lens.sum())
-    if total_bytes > 2**31 - 1:  # 32-bit Arrow binary offsets
-        return pa.array(
-            [res.payload_at(s0 + i) for i in range(k)], type=pa.binary()
+    if total_bytes > 2**31 - 1:  # _batch_ranges guarantees this never fires
+        raise AssertionError(
+            f"payload batch of {total_bytes} bytes overflows 32-bit Arrow "
+            "offsets; _batch_ranges should have split this slice"
         )
     offsets = np.zeros(k + 1, dtype=np.int32)
     np.cumsum(lens, out=offsets[1:])
@@ -280,6 +355,7 @@ def read_pcap(
     columns: Optional[Iterable[str]] = None,
     path_glob: Optional[str] = None,
     engine: str = "arrow",
+    chunk_bytes: Optional[int] = None,
 ) -> DataFrame:
     """Read pcap file(s) into a typed DataFrame.
 
@@ -291,11 +367,27 @@ def read_pcap(
     ``'arrow-scalar'`` keeps the per-packet kernel behind the same
     Arrow plumbing (cross-check path); ``'pandas'`` the mapInPandas
     path.
+
+    Memory: local files are decoded in bounded memory — the driver
+    lists paths only (no ``content`` materialization, so binaryFile's
+    2 GiB cap does not apply) and each task streams its file through
+    record-aligned chunks (``chunk_bytes``, default 64 MiB — the
+    reference's O(1) DataInputStream loop, PcapReader.java:75-77,
+    re-expressed per-chunk).  Non-local URIs (hdfs://, s3a://, …)
+    fall back to whole-content materialization since Python tasks
+    can't open them directly; pass ``chunk_bytes=0`` to force that
+    path for local files too.
     """
     if engine not in ("arrow", "arrow-scalar", "pandas"):
         raise ValueError(
             f"engine must be 'arrow', 'arrow-scalar' or 'pandas', got {engine!r}"
         )
+    from urllib.parse import urlparse
+
+    from ..pcap.chunked import DEFAULT_CHUNK_BYTES, stream_file_chunks
+
+    if chunk_bytes is None:
+        chunk_bytes = DEFAULT_CHUNK_BYTES
     schema = packet_schema(decoder, columns)
     wanted = set(f.name for f in schema.fields) if columns is not None else None
     opts = DecodeOptions(
@@ -306,11 +398,16 @@ def read_pcap(
         mode=mode,
         wanted=wanted,
     )
+    streamed = bool(chunk_bytes) and urlparse(path).scheme in ("", "file")
 
     reader = spark.read.format("binaryFile")
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
-    files = reader.load(path).select("path", "content")
+    files = (
+        reader.load(path).select("path")
+        if streamed
+        else reader.load(path).select("path", "content")
+    )
 
     if engine in ("arrow", "arrow-scalar"):
         to_batches = (
@@ -323,8 +420,11 @@ def read_pcap(
             def gen():
                 for rb in batches:
                     paths = rb.column(0).to_pylist()
-                    contents = rb.column(1).to_pylist()
-                    yield from zip(paths, contents)
+                    if streamed:
+                        yield from stream_file_chunks(paths, chunk_bytes)
+                    else:
+                        contents = rb.column(1).to_pylist()
+                        yield from zip(paths, contents)
 
             yield from to_batches(gen(), schema, opts)
 
@@ -333,7 +433,10 @@ def read_pcap(
     def decode_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def gen():
             for pdf in it:
-                yield from zip(pdf["path"], pdf["content"])
+                if streamed:
+                    yield from stream_file_chunks(pdf["path"], chunk_bytes)
+                else:
+                    yield from zip(pdf["path"], pdf["content"])
         yield from decode_files_to_frames(gen(), schema, opts)
 
     return files.mapInPandas(decode_partition, schema)
