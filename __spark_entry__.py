@@ -35,7 +35,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # Run first, in this order: one representative per operator family so
 # that a capped/time-boxed driver run still covers every family with a
 # hash-compared result (the remaining oracle queries follow, then
-# rows-only checks last).
+# rows-only checks last).  Every entry here MUST carry an oracle —
+# rows-only queries never burn a slot inside the driver's row cap
+# (VERDICT r2 item 2: pcap_dns_qname_topk used to).
 _PRIORITY = [
     "tpch_q1",
     "projection_filter",
@@ -53,7 +55,6 @@ _PRIORITY = [
     "rollup_region_nation",
     "join_asof_nearest",
     "time_bucket_tumbling",
-    "pcap_dns_qname_topk",
 ]
 
 

@@ -52,3 +52,18 @@ def test_entry_flagship(spark):
         "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
         "sum_disc_price", "sum_charge", "count_order",
     }
+
+
+def test_oracle_bearing_queries_precede_rows_only():
+    """The driver caps its correctness run at N rows; every query
+    inside the cap must be hash-comparable (VERDICT r2 item 2).  All
+    62 oracle-bearing entries come before any rows-only entry, and the
+    priority block itself is all-oracle."""
+    names = list(e.queries())
+    oracles = e.oracle_sql()
+    first_rows_only = next(
+        (i for i, n in enumerate(names) if n not in oracles), len(names)
+    )
+    assert all(n in oracles for n in names[:first_rows_only])
+    assert all(n not in oracles for n in names[first_rows_only:])
+    assert all(n in oracles for n in e._PRIORITY)
