@@ -1,1 +1,9 @@
-"""Reusable large-scale operators: dedup, similarity, multimodal."""
+"""Reusable large-scale operators: dedup, similarity, multimodal.
+
+Cache hygiene: operators that persist an internal intermediate attach
+it to their result — release with :func:`release_persisted` (or the
+:func:`released` context manager) after materializing."""
+
+from .cache import register_persisted, release_persisted, released
+
+__all__ = ["register_persisted", "release_persisted", "released"]

@@ -259,7 +259,12 @@ def minhash_lsh_pairs(
     arrays = arrays.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures_from_arrays(arrays, n_hashes)
     cands = candidate_pairs(lsh_bands(sigs, n_bands, n_hashes))
-    return jaccard_verify(cands, arrays, threshold)
+    from .cache import register_persisted
+
+    # caller releases via operators.release_persisted(result) after
+    # materializing (ADVICE r2: no unpersist path leaked cache blocks
+    # across benchmark loops / multi-corpus jobs)
+    return register_persisted(jaccard_verify(cands, arrays, threshold), arrays)
 
 
 HEX_DIGITS = "0123456789abcdef"

@@ -341,9 +341,10 @@ def embedding_near_dup(
     from pyspark import StorageLevel
 
     # vecs feeds banding + both verification sides.  The persist lives
-    # as long as the returned (lazy) DataFrame; callers looping over
-    # many corpora should unpersist via spark.catalog.clearCache() or
-    # materialize + release per batch.
+    # as long as the returned (lazy) DataFrame; the result carries a
+    # release handle — operators.release_persisted(result) after
+    # materializing unpersists exactly this cache (ADVICE r2: relying
+    # on spark.catalog.clearCache() evicted unrelated caches too).
     vecs = vecs.persist(StorageLevel.MEMORY_AND_DISK)
     cands = candidate_pairs(sign_bands(vecs, n_bands, band_dims), max_bucket)
     a = vecs.select(
@@ -352,7 +353,9 @@ def embedding_near_dup(
     b = vecs.select(
         F.col("doc_id").alias("b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b")
     )
-    return (
+    from .cache import register_persisted
+
+    return register_persisted(
         a.join(cands, "a")
         .join(b, "b")
         .withColumn(
@@ -364,5 +367,6 @@ def embedding_near_dup(
             ),
         )
         .filter(F.col("cos") >= threshold)
-        .select("a", "b", "cos")
+        .select("a", "b", "cos"),
+        vecs,
     )

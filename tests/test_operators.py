@@ -437,3 +437,63 @@ def test_embedding_near_dup(spark):
         if shares and cos(emb[a], emb[b]) >= 0.9 - 1e-9:
             want.add((a, b))
     assert set(got) == want and len(want) >= 10
+
+
+def _persistent_rdd_ids(spark):
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+
+def test_release_persisted_unpersists_minhash_cache(spark, docs):
+    from hadoop_pcap_spark.operators import release_persisted
+
+    before = _persistent_rdd_ids(spark)
+    pairs = DD.minhash_lsh_pairs(docs.limit(60), threshold=0.5)
+    pairs.count()  # materialize → shingle-array cache is live
+    assert _persistent_rdd_ids(spark) - before, "expected a registered cache"
+    release_persisted(pairs, blocking=True)
+    assert _persistent_rdd_ids(spark) - before == set()
+
+
+def test_release_persisted_unpersists_embedding_cache(spark, emb):
+    from hadoop_pcap_spark.operators import released
+
+    before = _persistent_rdd_ids(spark)
+    with released(SIM.embedding_near_dup(emb, threshold=0.35), blocking=True) as pairs:
+        pairs.count()
+        assert _persistent_rdd_ids(spark) - before
+    assert _persistent_rdd_ids(spark) - before == set()
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_hot_bucket_guard_headroom_at_validation_sfs(spark, sf):
+    """ADVICE r2: the star guard (max_bucket) is NOT modeled by the
+    DuckDB oracles — they build the full per-bucket clique.  The
+    oracle gate is therefore only sound while no bucket exceeds the
+    cap at any validation SF.  Pin that: observed max bucket size must
+    keep clear headroom under the cap for both the minhash-LSH and
+    sign-band (embedding) bucket spaces, at every SF the driver or
+    bench touches."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    sigs = DD.minhash_signatures_from_arrays(DD.doc_shingle_arrays(docs, 3))
+    biggest = (
+        DD.lsh_bands(sigs)
+        .groupBy("band", "key")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert biggest <= 64 // 2, f"minhash bucket {biggest} within 2x of the cap"
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("vec")
+    )
+    biggest_sb = (
+        SIM.sign_bands(emb)
+        .groupBy("band", "key")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert biggest_sb <= 4096 // 2, f"sign-band bucket {biggest_sb} within 2x of cap"
