@@ -449,9 +449,20 @@ def _decode_l3_l4(packet: dict, data: bytes, ip_start: int, opts: DecodeOptions)
     packet["_payload"] = payload  # internal; surfaced per keep_payload
 
 
+DNS_COLUMNS = (
+    "dns_queryid", "dns_flags", "dns_qr", "dns_opcode", "dns_rcode",
+    "dns_qname", "dns_qtype", "dns_qtype_str",
+    "dns_answer", "dns_authority", "dns_additional",
+)
+
+
 def _decode_dns(packet: dict, opts: DecodeOptions) -> None:
-    """L7 DNS decode, attempted iff a port is 53; failures silently
-    leave the dns_* fields absent [DnsPcapReader.java:23,38,53-55]."""
+    """L7 DNS decode, attempted iff a port is 53 AND some dns_* column
+    is wanted; failures silently leave the dns_* fields absent
+    [DnsPcapReader.java:23,38,53-55].  The wanted-gate mirrors the
+    reference's decode-only-when-asked laziness for pruned reads."""
+    if not _want(opts, *DNS_COLUMNS):
+        return
     if packet.get("src_port") != 53 and packet.get("dst_port") != 53:
         return
     payload = packet.get("_payload")

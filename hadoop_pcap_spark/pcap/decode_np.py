@@ -541,7 +541,11 @@ def decode_pcap_columnar(
     # nothing to do for fast rows.
 
     # --- DNS (decoder='dns'): per-row parse on the port-53 subset ------------
-    if opts.decoder == "dns":
+    # wanted-gate: a pruned read without dns_* columns skips the whole
+    # per-row loop, not just the inner parse
+    from .decode import DNS_COLUMNS
+
+    if opts.decoder == "dns" and _want(opts, *DNS_COLUMNS):
         sp_vals, sp_mask = res.numeric["src_port"]
         dp_vals, dp_mask = res.numeric["dst_port"]
         cand = ((~sp_mask) & (sp_vals == 53)) | ((~dp_mask) & (dp_vals == 53))

@@ -94,7 +94,7 @@ class PcapDataSourceReader(DataSourceReader):
         from ..pcap.chunked import DEFAULT_CHUNK_BYTES, stream_file_chunks
         from .pcap_source import decode_files_to_arrow_columnar
 
-        opts = _decode_opts(self._options)
+        opts = _decode_opts(self._options, self._schema)
         chunk_bytes = int(self._options.get("chunkbytes", DEFAULT_CHUNK_BYTES))
         yield from decode_files_to_arrow_columnar(
             stream_file_chunks([partition.path], chunk_bytes), self._schema, opts
@@ -136,13 +136,28 @@ class PcapPushdownReader(PcapDataSourceReader):
                 yield f
 
 
-def _decode_opts(options: dict) -> DecodeOptions:
+def _decode_opts(options: dict, schema: StructType | None = None) -> DecodeOptions:
+    """Build decoder options; when ``schema`` is a strict subset of the
+    decoder's full schema (via the ``columns`` option or a
+    user-supplied ``.schema(...)``), push the projection INTO the
+    decoder — MD5 / DNS / payload work is skipped entirely, matching
+    the reference's conditional-decode laziness
+    (PcapReader.java:79-91,184; DnsPcapReader.java:38).  The Python
+    DSv2 API has no pruneColumns hook yet; when it grows one, wire it
+    here and Catalyst projections will prune automatically too."""
+    wanted = None
+    if schema is not None:
+        full = {f.name for f in packet_schema(options.get("decoder", "ip")).fields}
+        names = {f.name for f in schema.fields}
+        if names < full:
+            wanted = names
     return DecodeOptions(
         decoder=options.get("decoder", "ip"),
         calculate_md5=str(options.get("calculatemd5", "false")).lower() == "true",
         keep_payload=str(options.get("keeppayload", "true")).lower() == "true",
         strict_reference=str(options.get("strictreference", "true")).lower() == "true",
         mode=options.get("mode", "FAILFAST"),
+        wanted=wanted,
     )
 
 
@@ -204,7 +219,7 @@ class PcapSimpleStreamReader(SimpleDataSourceStreamReader):
         from ..pcap.chunked import iter_capture_chunks, open_decompressed
 
         names = [f.name for f in self._schema.fields]
-        opts = _decode_opts(self._options)
+        opts = _decode_opts(self._options, self._schema)
         out = []
         for path in files:
             try:
@@ -271,7 +286,15 @@ class PcapDataSource(DataSource):
         return "pcap"
 
     def schema(self) -> StructType:
-        return packet_schema(self.options.get("decoder", "ip"))
+        """Full wide schema for the decoder, or — with the ``columns``
+        option (comma-separated) — the pruned subset, in canonical
+        field order.  Pruning reaches the decode kernels: unrequested
+        md5/DNS/payload work is skipped, not computed-then-dropped."""
+        cols = self.options.get("columns")
+        return packet_schema(
+            self.options.get("decoder", "ip"),
+            [c.strip() for c in cols.split(",")] if cols else None,
+        )
 
     def reader(self, schema: StructType) -> PcapDataSourceReader:
         opts = dict(self.options)

@@ -209,3 +209,60 @@ def test_datasource_file_filter_pushdown(spark, pcap_dir):
         assert ") Filter " not in plan  # no Filter operator: fully absorbed
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+
+
+def test_datasource_columns_option_prunes_schema_and_matches(spark, pcap_dir):
+    """`columns` option pushes projection into the decode kernel (the
+    DSv2 analog of read_pcap(columns=...); VERDICT r2 item 3)."""
+    register_pcap_datasource(spark)
+    pruned = (
+        spark.read.format("pcap")
+        .option("decoder", "dns")
+        .option("columns", "file, ts, src, dst, dns_qname")
+        .load(pcap_dir)
+    )
+    assert pruned.columns == ["file", "ts", "src", "dst", "dns_qname"]
+    full = (
+        spark.read.format("pcap")
+        .option("decoder", "dns")
+        .load(pcap_dir)
+        .select("file", "ts", "src", "dst", "dns_qname")
+    )
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_datasource_user_schema_prunes(spark, pcap_dir):
+    from hadoop_pcap_spark.sources.pcap_source import packet_schema
+
+    sub = packet_schema("ip", ["file", "pkt_no", "src_port", "dst_port"])
+    df = spark.read.format("pcap").schema(sub).load(pcap_dir)
+    assert df.columns == ["file", "pkt_no", "src_port", "dst_port"]
+    full = (
+        spark.read.format("pcap")
+        .load(pcap_dir)
+        .select("file", "pkt_no", "src_port", "dst_port")
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_datasource_pruning_reaches_decoder_opts():
+    """Pruned schema must translate to DecodeOptions.wanted so the
+    kernels skip md5/DNS/payload work (not compute-then-drop)."""
+    from hadoop_pcap_spark.pcap.decode import DecodeOptions
+    from hadoop_pcap_spark.pcap.decode_np import decode_pcap_columnar
+    from hadoop_pcap_spark.sources.datasource import _decode_opts
+    from hadoop_pcap_spark.sources.pcap_source import packet_schema
+
+    assert _decode_opts({"decoder": "dns"}, packet_schema("dns")).wanted is None
+    sub = packet_schema("dns", ["file", "ts", "src"])
+    opts = _decode_opts({"decoder": "dns", "calculatemd5": "true"}, sub)
+    assert opts.wanted == {"file", "ts", "src"}
+    # and the kernel observably skips the pruned work
+    res = decode_pcap_columnar(
+        S.dns_exchange_pcap(), opts=DecodeOptions(
+            decoder="dns", calculate_md5=True, wanted={"file", "ts", "src"}
+        ),
+    )
+    assert res.emit_payload is False  # payload never gathered
+    assert all(v is None for v in res.objects["md5"])  # md5 never hashed
+    assert all(v is None for v in res.objects["dns_qname"])  # DNS not parsed
