@@ -381,6 +381,22 @@ def _decode_l3_l4(packet: dict, data: bytes, ip_start: int, opts: DecodeOptions)
         packet["src"] = _ipv4_text(src_b)
         packet["dst"] = _ipv4_text(dst_b)
         l4_start = ip_start + ihl * 4
+        if not opts.strict_reference:
+            # v4 fragmentation (SURVEY §1.4): the reference ignores the
+            # flags/offset word and parses "ports" out of mid-datagram
+            # bytes on non-first fragments (strict keeps that quirk).
+            # Non-strict: flag every fragment, and on non-first
+            # fragments skip L4 entirely — there is no L4 header; the
+            # raw fragment bytes become the payload (reassembly input).
+            flags_frag = struct.unpack_from(">H", data, ip_start + 6)[0]
+            if flags_frag & 0x3FFF:  # MF bit or nonzero offset
+                packet["frag"] = True
+            if flags_frag & 0x1FFF:  # non-first fragment
+                if packet["protocol"] in (PROTOCOL_TCP, PROTOCOL_UDP) and l4_start <= len(data):
+                    flen = max(0, len(data) - l4_start)
+                    packet["len"] = flen
+                    packet["_payload"] = _read_payload(data, l4_start, flen)
+                return
     elif version == 6:
         if ip_start + 40 > len(data):
             return

@@ -395,6 +395,7 @@ def decode_pcap_columnar(
     has_l4 = np.zeros(m, dtype=bool)
     ipv6_mask = np.zeros(m, dtype=bool)
     slow = np.zeros(m, dtype=bool)  # rows delegated to the scalar kernel
+    nonfirst4 = np.zeros(m, dtype=bool)  # non-first v4 fragments (non-strict)
 
     # --- IPv4 ----------------------------------------------------------------
     if v4.any():
@@ -420,6 +421,16 @@ def decode_pcap_columnar(
         proto_id = np.where(v4, raw, proto_id)
         l4_rel = np.where(v4, ip_rel + ihl * 4, l4_rel)
         has_l4 = has_l4 | v4
+        if not strict:
+            # v4 fragmentation, vectorized twin of the scalar branch:
+            # flag fragments; non-first fragments get no L4 parse
+            ff = _be16(u, ip + 6, v4)
+            fragd = v4 & ((ff & 0x3FFF) != 0)
+            nonfirst4 = nonfirst4 | (v4 & ((ff & 0x1FFF) != 0))
+            if fragd.any():
+                fr = np.full(m, None, dtype=object)
+                fr[fragd] = True
+                res.overlay("frag", fr)
 
     # --- IPv6 ----------------------------------------------------------------
     if v6.any():
@@ -461,14 +472,14 @@ def decode_pcap_columnar(
     is_tcp = has_l4 & (proto_id == 6)
     is_udp = has_l4 & (proto_id == 17)
     l4 = pkt + l4_rel
-    ports_ok = (is_tcp | is_udp) & (l4_rel + 4 <= caplen) & ~slow
+    ports_ok = (is_tcp | is_udp) & (l4_rel + 4 <= caplen) & ~slow & ~nonfirst4
     if ports_ok.any():
         res.set_num("src_port", ports_ok, _be16(u, l4, ports_ok)[ports_ok])
         res.set_num("dst_port", ports_ok, _be16(u, l4 + 2, ports_ok)[ports_ok])
 
     payload_start = np.full(m, -1, dtype=np.int64)
 
-    udp_ok = is_udp & (l4_rel + 8 <= caplen) & ~slow
+    udp_ok = is_udp & (l4_rel + 8 <= caplen) & ~slow & ~nonfirst4
     if udp_ok.any():
         if _want(opts, "udpsum"):
             wire = _be16(u, l4 + 6, udp_ok)
@@ -507,10 +518,15 @@ def decode_pcap_columnar(
                 res.set_num("udpsum", idx, _fold16(ph + seg_total))
         payload_start = np.where(udp_ok, l4_rel + 8, payload_start)
 
-    tcp_ok = is_tcp & (l4_rel + 13 <= caplen) & ~slow
+    tcp_ok = is_tcp & (l4_rel + 13 <= caplen) & ~slow & ~nonfirst4
     if tcp_ok.any():
         doff = (_byte(u, l4 + 12, tcp_ok) >> 4) * 4
         payload_start = np.where(tcp_ok, l4_rel + doff, payload_start)
+
+    # non-first v4 fragments of TCP/UDP: no L4 header exists — the raw
+    # fragment bytes (from the IP payload) are the payload
+    frag_pl = nonfirst4 & (is_tcp | is_udp) & (l4_rel <= caplen) & ~slow
+    payload_start = np.where(frag_pl, l4_rel, payload_start)
 
     has_payload = payload_start >= 0
     res.data = data

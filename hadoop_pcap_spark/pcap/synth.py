@@ -41,11 +41,17 @@ def _cksum16(data: bytes) -> int:
     return (~total) & 0xFFFF
 
 
-def ipv4(payload: bytes, proto: int, src: str, dst: str, ttl: int = 64) -> bytes:
+def ipv4(payload: bytes, proto: int, src: str, dst: str, ttl: int = 64,
+         flags_frag: int = 0, ident: int = 0) -> bytes:
+    """flags_frag: the 16-bit flags/fragment-offset word — e.g.
+    0x2000 = MF set (first fragment), 0x00B9 = offset 185·8 bytes."""
     src_b = bytes(int(x) for x in src.split("."))
     dst_b = bytes(int(x) for x in dst.split("."))
     total_len = 20 + len(payload)
-    hdr = struct.pack(">BBHHHBBH4s4s", 0x45, 0, total_len, 0, 0, ttl, proto, 0, src_b, dst_b)
+    hdr = struct.pack(
+        ">BBHHHBBH4s4s", 0x45, 0, total_len, ident, flags_frag, ttl, proto, 0,
+        src_b, dst_b,
+    )
     cksum = _cksum16(hdr)
     hdr = hdr[:10] + struct.pack(">H", cksum) + hdr[12:]
     return hdr + payload

@@ -521,3 +521,65 @@ def test_optional_codec_paths():
     except ImportError:
         with _pt.raises(PcapFormatError, match="lz4"):
             list(decode_pcap(b"\x04\x22\x4d\x18" + b"\x00" * 9, "c.pcap.lz4"))
+
+
+# --- IPv4 fragmentation (SURVEY §1.4; VERDICT r2 item 4) ----------------------
+
+
+def _frag_capture():
+    """A UDP datagram (ports 4000→53) split into two v4 fragments, plus
+    one unfragmented control packet."""
+    udp_seg = S.udp(bytes(range(24)) + b"tail-data-0123456789abcdef", 4000, 53)
+    first = udp_seg[: 8 + 24]          # UDP header + first 24 payload bytes
+    rest = udp_seg[8 + 24:]            # continues at offset 32 = 4 × 8
+    recs = [
+        S.record(100, S.ethernet(S.ipv4(first, 17, "10.0.0.1", "10.0.0.2",
+                                        flags_frag=0x2000, ident=7))),
+        S.record(101, S.ethernet(S.ipv4(rest, 17, "10.0.0.1", "10.0.0.2",
+                                        flags_frag=0x0004, ident=7))),
+        S.record(102, S.ethernet(S.ipv4(S.udp(b"solo", 5, 6), 17, "10.9.9.9", "10.8.8.8"))),
+    ]
+    return S.global_header() + b"".join(recs)
+
+
+def test_ipv4_fragments_nonstrict_scalar():
+    rows = list(decode_pcap(_frag_capture(), opts=DecodeOptions(strict_reference=False)))
+    first, nonfirst, solo = rows
+    assert first["frag"] is True and first["src_port"] == 4000 and first["dst_port"] == 53
+    assert first["protocol"] == "UDP"
+    # non-first fragment: no L4 header on the wire → ports/udpsum absent
+    assert nonfirst["frag"] is True
+    assert "src_port" not in nonfirst and "dst_port" not in nonfirst
+    assert "udpsum" not in nonfirst
+    # raw fragment bytes surface as payload for reassembly
+    assert nonfirst["payload"] == b"tail-data-0123456789abcdef"
+    assert nonfirst["len"] == 26
+    assert "frag" not in solo and solo["src_port"] == 5
+
+
+def test_ipv4_fragments_strict_keeps_reference_quirk():
+    """Strict = reference parity: no frag flag for v4, and 'ports' are
+    parsed out of mid-datagram bytes on non-first fragments
+    [PcapReader.java ignores the flags/offset word]."""
+    rows = list(decode_pcap(_frag_capture(), opts=DecodeOptions(strict_reference=True)))
+    first, nonfirst, _ = rows
+    assert "frag" not in first and "frag" not in nonfirst
+    # garbage-but-present ports on the non-first fragment
+    assert "src_port" in nonfirst and "dst_port" in nonfirst
+    import struct as _s
+    frag_data = b"tail-data-0123456789abcdef"
+    assert nonfirst["src_port"] == _s.unpack_from(">H", frag_data, 0)[0]
+    assert nonfirst["dst_port"] == _s.unpack_from(">H", frag_data, 2)[0]
+
+
+@pytest.mark.parametrize("strict", [True, False])
+def test_ipv4_fragments_kernels_agree(strict):
+    from hadoop_pcap_spark.pcap.decode_np import decode_pcap_columnar
+
+    opts = DecodeOptions(strict_reference=strict)
+    scalar = []
+    for pkt in decode_pcap(_frag_capture(), opts=opts):
+        pkt.pop("_payload", None)
+        scalar.append(pkt)
+    columnar = decode_pcap_columnar(_frag_capture(), opts=opts).rows()
+    assert columnar == scalar
