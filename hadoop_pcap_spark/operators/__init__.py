@@ -5,5 +5,11 @@ it to their result — release with :func:`release_persisted` (or the
 :func:`released` context manager) after materializing."""
 
 from .cache import register_persisted, release_persisted, released
+from .flows import reassemble_dns_tcp
 
-__all__ = ["register_persisted", "release_persisted", "released"]
+__all__ = [
+    "register_persisted",
+    "release_persisted",
+    "released",
+    "reassemble_dns_tcp",
+]

@@ -1,0 +1,164 @@
+"""TCP flow reassembly for DNS-over-TCP.
+
+The reference silently yields no ``dns_*`` columns for TCP DNS — its
+per-packet decoder hands the raw TCP payload (2-byte length prefix
+included) to dnsjava, which throws, and the exception is swallowed
+[DnsPcapReader.java:53-55].  Per-packet parsing is the wrong grain for
+TCP anyway: one DNS message may span several segments, and one segment
+may carry several messages (RFC 1035 §4.2.2 framing).
+
+``reassemble_dns_tcp`` is the flow-grain operator: it keeps only
+port-53 TCP segments that carry bytes, shuffles ONCE on the directional
+flow 5-tuple, and per flow (``applyInPandas``) orders the segments,
+concatenates their payloads, walks the 2-byte big-endian length-prefix
+framing, and re-parses each complete message with the same pure-Python
+RFC 1035 parser the per-packet path uses — so a message that reassembles
+to the bytes of a UDP message renders identical ``dns_*`` values.
+
+Scale notes (100 TB):
+
+* The shuffle carries only port-53 TCP segments with payload — a tiny,
+  pre-filtered slice of the capture; filter and projection happen before
+  the exchange so the wide packet columns never shuffle.
+* Per-flow state is the flow's DNS byte stream, not the packet stream;
+  a flow group is bounded by ``max_flow_bytes`` (default 64 MiB) — a
+  hot flow beyond the cap is truncated (trailing bytes dropped) rather
+  than OOMing the task, mirroring the hot-bucket guard in dedup.
+* On endless captures, bucket the flow key by a time window upstream
+  (``F.window(ts)``) so state stays bounded; the streaming analog is
+  ``applyInPandasWithState`` with the same framing walk.
+
+Ordering uses ``pkt_no`` (the per-file capture ordinal): capture order
+is the reference's implicit processing order.  TCP retransmits and
+out-of-order segments are out of scope, matching the semantics of a
+passive single-point capture (documented divergence, not silent).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+REASSEMBLED_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType(), True),
+        T.StructField("src", T.StringType(), True),
+        T.StructField("dst", T.StringType(), True),
+        T.StructField("src_port", T.IntegerType(), True),
+        T.StructField("dst_port", T.IntegerType(), True),
+        T.StructField("n_segments", T.IntegerType(), True),
+        T.StructField("msg_no", T.IntegerType(), True),
+        T.StructField("dns_queryid", T.IntegerType(), True),
+        T.StructField("dns_flags", T.StringType(), True),
+        T.StructField("dns_qr", T.BooleanType(), True),
+        T.StructField("dns_opcode", T.StringType(), True),
+        T.StructField("dns_rcode", T.StringType(), True),
+        T.StructField("dns_qname", T.StringType(), True),
+        T.StructField("dns_qtype", T.IntegerType(), True),
+        T.StructField("dns_qtype_str", T.StringType(), True),
+        T.StructField("dns_answer", T.ArrayType(T.StringType()), True),
+        T.StructField("dns_authority", T.ArrayType(T.StringType()), True),
+        T.StructField("dns_additional", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+_FLOW_KEY = ["file", "src", "dst", "src_port", "dst_port"]
+
+
+def _frame_messages(stream: bytes) -> List[bytes]:
+    """Walk RFC 1035 §4.2.2 2-byte length-prefix framing; an incomplete
+    trailing message (capture cut mid-flow) is dropped, not an error."""
+    out: List[bytes] = []
+    pos, n = 0, len(stream)
+    while pos + 2 <= n:
+        mlen = int.from_bytes(stream[pos : pos + 2], "big")
+        if mlen == 0 or pos + 2 + mlen > n:
+            break
+        out.append(stream[pos + 2 : pos + 2 + mlen])
+        pos += 2 + mlen
+    return out
+
+
+def _reassemble_group(pdf: pd.DataFrame, max_flow_bytes: int) -> pd.DataFrame:
+    from ..pcap import dns as _dns
+
+    pdf = pdf.sort_values("pkt_no", kind="stable")
+    chunks: List[bytes] = []
+    total = 0
+    for payload in pdf["payload"]:
+        if payload is None:
+            continue
+        b = bytes(payload)
+        if total + len(b) > max_flow_bytes:
+            b = b[: max_flow_bytes - total]  # hot-flow guard: truncate
+        chunks.append(b)
+        total += len(b)
+        if total >= max_flow_bytes:
+            break
+    stream = b"".join(chunks)
+
+    key = pdf.iloc[0]
+    rows = []
+    for i, msg_bytes in enumerate(_frame_messages(stream), start=1):
+        try:
+            msg = _dns.parse_message(msg_bytes)
+        except Exception:
+            continue  # silent-skip parity with the per-packet path
+        rows.append(
+            {
+                "file": key["file"],
+                "src": key["src"],
+                "dst": key["dst"],
+                "src_port": None if pd.isna(key["src_port"]) else int(key["src_port"]),
+                "dst_port": None if pd.isna(key["dst_port"]) else int(key["dst_port"]),
+                "n_segments": int(len(pdf)),
+                "msg_no": i,
+                "dns_queryid": msg.query_id,
+                "dns_flags": msg.flags_text,
+                "dns_qr": msg.qr,
+                "dns_opcode": msg.opcode_text,
+                "dns_rcode": msg.rcode_text,
+                "dns_qname": msg.qname,
+                "dns_qtype": msg.qtype,
+                "dns_qtype_str": msg.qtype_text,
+                "dns_answer": msg.answers,
+                "dns_authority": msg.authority,
+                "dns_additional": msg.additional,
+            }
+        )
+    if not rows:
+        return pd.DataFrame(columns=[f.name for f in REASSEMBLED_SCHEMA.fields])
+    return pd.DataFrame(rows)
+
+
+def reassemble_dns_tcp(
+    packets: DataFrame,
+    max_flow_bytes: int = 64 * 1024 * 1024,
+) -> DataFrame:
+    """Reassemble DNS-over-TCP flows from a ``read_pcap`` DataFrame and
+    return one row per complete DNS message (REASSEMBLED_SCHEMA).
+
+    ``packets`` needs columns ``file src dst src_port dst_port protocol
+    pkt_no payload`` (the default ``read_pcap`` schema; pass
+    ``columns=[...]`` with exactly these for a pruned decode).
+    """
+    segments = (
+        packets.filter(
+            (F.col("protocol") == "TCP")
+            & ((F.col("src_port") == 53) | (F.col("dst_port") == 53))
+            & F.col("payload").isNotNull()
+            & (F.length("payload") > 0)
+        )
+        # project BEFORE the shuffle: only the flow key + ordinal + bytes move
+        .select(*_FLOW_KEY, "pkt_no", "payload")
+    )
+
+    def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _reassemble_group(pdf, max_flow_bytes)
+
+    return segments.groupBy(*_FLOW_KEY).applyInPandas(apply_fn, REASSEMBLED_SCHEMA)

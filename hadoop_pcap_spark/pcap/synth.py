@@ -138,6 +138,54 @@ def dns_response(qid: int, qname: str, qtype: int = 1,
     return hdr + body
 
 
+def dns_tcp_segments(messages: Iterable[bytes],
+                     split_sizes: Iterable[int]) -> list:
+    """Frame DNS messages per RFC 1035 §4.2.2 (2-byte BE length prefix
+    each) into one byte stream, then split it into TCP-segment payloads
+    at the given sizes (remainder, if any, becomes a final segment).
+    Segment boundaries need not align with message boundaries — that's
+    the point."""
+    stream = b"".join(struct.pack(">H", len(m)) + m for m in messages)
+    segs, pos = [], 0
+    for s in split_sizes:
+        if pos >= len(stream):
+            break
+        segs.append(stream[pos:pos + s])
+        pos += s
+    if pos < len(stream):
+        segs.append(stream[pos:])
+    return segs
+
+
+def dns_tcp_exchange_pcap(ts: int = 1317993942) -> bytes:
+    """A DNS-over-TCP capture for flow reassembly: client query in one
+    segment; a large response split mid-message across two segments,
+    with a second (small) response sharing the tail segment — so both
+    "message spans segments" and "segment carries >1 message" occur."""
+    q = dns_query(0x4242, "bigzone.example", 252)  # AXFR-ish motif
+    r1 = dns_response(
+        0x4242, "bigzone.example", 252,
+        answers=[(f"h{i}.bigzone.example", 600, 1, a_rdata(f"10.1.{i}.1"))
+                 for i in range(20)],
+    )
+    r2 = dns_response(0x4243, "bigzone.example", 6,
+                      answers=[("bigzone.example", 600, 2,
+                                ns_rdata("ns1.bigzone.example"))])
+    cli, srv = "192.0.2.10", "192.0.2.53"
+    q_segs = dns_tcp_segments([q], [2 + len(q)])
+    # response stream split so segment 1 ends mid-r1
+    r_segs = dns_tcp_segments([r1, r2], [120])
+    out = global_header(1)
+    t = ts
+    for seg in q_segs:
+        out += record(t, ethernet(ipv4(tcp(seg, 40000, 53), 6, cli, srv)))
+        t += 1
+    for seg in r_segs:
+        out += record(t, ethernet(ipv4(tcp(seg, 53, 40000), 6, srv, cli)))
+        t += 1
+    return out
+
+
 def ns_rdata(target: str) -> bytes:
     return _name(target)
 

@@ -93,6 +93,46 @@ def q_pcap_multimodal(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_TCP_DIR = None
+
+
+def tcp_fixture_dir() -> str:
+    """DNS-over-TCP capture (message split across segments + two
+    messages sharing a segment), built once per process."""
+    global _TCP_DIR
+    if _TCP_DIR is None or not os.path.isdir(_TCP_DIR):
+        d = tempfile.mkdtemp(prefix="pcap_tcp_fixture_")
+        with open(os.path.join(d, "tcpdns.pcap"), "wb") as f:
+            f.write(S.dns_tcp_exchange_pcap())
+        _TCP_DIR = d
+    return _TCP_DIR
+
+
+@query("pcap_dns_tcp_reassembly")  # rows-only
+def q_pcap_dns_tcp_reassembly(spark: SparkSession, sf: str) -> DataFrame:
+    """DNS-over-TCP flow reassembly — the flow-grain operator the
+    reference lacks (it silently drops TCP DNS, DnsPcapReader.java:
+    53-55): port-53 TCP segments shuffle once on the flow 5-tuple,
+    per-flow ordered concat + RFC 1035 §4.2.2 length-prefix framing
+    walk + re-parse.  Golden assertions in tests/test_flows.py."""
+    from ..operators.flows import reassemble_dns_tcp
+
+    pkts = read_pcap(
+        spark,
+        tcp_fixture_dir(),
+        columns=["file", "src", "dst", "src_port", "dst_port",
+                 "protocol", "pkt_no", "payload"],
+        strict_reference=False,
+    )
+    return (
+        reassemble_dns_tcp(pkts)
+        .select("src", "dst", "msg_no", "dns_queryid", "dns_qname",
+                "dns_qr", "n_segments",
+                F.size("dns_answer").alias("n_answers"))
+        .orderBy("src", "msg_no")
+    )
+
+
 _TDIR = None
 
 

@@ -21,6 +21,7 @@ def test_registry_shape():
         "pcap_dns_qname_topk",
         "pcap_dedup_md5",
         "pcap_multimodal_payload",
+        "pcap_dns_tcp_reassembly",
         "pcap_decode_100k",
     }, f"unexpected rows-only set: {sorted(rows_only)}"
     for name, fn in qs.items():
