@@ -600,6 +600,4 @@ def q_similarity_ivf(spark: SparkSession, sf: str) -> DataFrame:
     exact rerank) — the scale path when the corpus is stored bucketed
     by cell.  Recall vs brute force asserted in pytest."""
     emb = table(spark, sf, "embeddings")
-    return SIM.cosine_topk_ivf(
-        emb, emb.filter(F.col("vec_id") < 8), k=5, n_cells=16, n_probe=4
-    )
+    return SIM.cosine_topk_ivf(emb, emb.filter(F.col("vec_id") < 8), k=5)

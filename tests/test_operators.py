@@ -124,7 +124,10 @@ def test_lsh_hot_bucket_guard_bounds_pairs(spark):
     assert guarded == unguarded
 
 
-def test_lsh_ann_recall_vs_bruteforce(spark, emb):
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    """Recall ≥0.8 at sf0.1 (2000 near-uniform random vectors — the
+    hard case for hyperplane LSH; see cosine_topk_lsh docstring)."""
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 8)
     truth = {
         (r.q_id, r.n_id)
@@ -134,7 +137,20 @@ def test_lsh_ann_recall_vs_bruteforce(spark, emb):
         (r.q_id, r.n_id) for r in SIM.cosine_topk_lsh(emb, q, k=5).collect()
     }
     recall = len(truth & approx) / len(truth)
-    assert recall >= 0.4, f"LSH recall too low: {recall}"
+    n_planes, probe_bits = 6, 3  # the cosine_topk_lsh defaults
+    probe_frac = len(SIM._probe_masks(n_planes, probe_bits)) / 2 ** n_planes
+    print(f"LSH recall={recall:.2f} probed bucket fraction={probe_frac:.2f}")
+    assert recall >= 0.8, f"LSH recall too low: {recall}"
+
+
+def test_probe_masks_cover_requested_bits():
+    """Round-2 bug: probe_bits=3 silently produced the 2-bit mask set."""
+    m2 = SIM._probe_masks(6, 2)
+    m3 = SIM._probe_masks(6, 3)
+    assert len(m2) == 1 + 6 + 15
+    assert len(m3) == 1 + 6 + 15 + 20
+    assert all(bin(m).count("1") <= 3 for m in m3)
+    assert len(set(m3)) == len(m3)
 
 
 def test_bruteforce_topk_selfconsistency(spark, emb):
@@ -274,17 +290,20 @@ def test_salted_join_rejects_right_full(spark):
             salted_join(df, df, "k", how=how)
 
 
-def test_ivf_ann_recall_and_bound(spark, emb):
-    """IVF ANN: recall vs brute force with 4/16 cells probed must beat
-    the probed fraction by a wide margin (cells are locality-aware)."""
+def test_ivf_ann_recall_and_bound(spark):
+    """IVF ANN at the defaults (32 cells, 12 probed, trained on the
+    full sf0.1 corpus): recall ≥0.8 while probing 38% of cells —
+    locality-aware cells beat the probed fraction by a wide margin."""
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 8)
     truth = {
         (r.q_id, r.n_id) for r in SIM.cosine_topk_bruteforce(emb, q, k=5).collect()
     }
-    got = SIM.cosine_topk_ivf(emb, q, k=5, n_cells=16, n_probe=4).collect()
+    got = SIM.cosine_topk_ivf(emb, q, k=5).collect()
     approx = {(r.q_id, r.n_id) for r in got}
     recall = len(truth & approx) / len(truth)
-    assert recall >= 0.4, f"IVF recall too low: {recall}"
+    print(f"IVF recall={recall:.2f} probed cell fraction={12 / 32:.2f}")
+    assert recall >= 0.8, f"IVF recall too low: {recall}"
     # per-query output is a valid ranked top-k
     per_q = {}
     for r in got:
