@@ -30,6 +30,53 @@ def register_persisted(result: DataFrame, *deps: DataFrame) -> DataFrame:
     return result
 
 
+_CK_ATTR = "_graft_checkpointed"
+
+
+def _checkpoint_jrdd(df: DataFrame):
+    """The JVM RDD backing a ``localCheckpoint()``-ed DataFrame (its
+    analyzed plan is a LogicalRDD wrapping the checkpointed RDD)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith("LogicalRDD"):
+            return plan.rdd()
+    except Exception:
+        pass
+    return None
+
+
+def release_checkpoint(df: DataFrame) -> None:
+    """Free the blocks of a ``localCheckpoint()``-ed DataFrame NOW
+    instead of waiting for the ContextCleaner.  The checkpoint
+    truncated the lineage, so the DataFrame is unusable afterwards —
+    only call on state nothing references anymore (e.g. a superseded
+    iteration of an iterative algorithm)."""
+    jrdd = _checkpoint_jrdd(df)
+    if jrdd is not None:
+        jrdd.unpersist(False)
+
+
+def register_checkpointed(result: DataFrame, *deps: DataFrame) -> DataFrame:
+    """Record ``deps`` (localCheckpoint'ed DataFrames) for release via
+    :func:`release_persisted`.  Unlike a persisted dep, a released
+    checkpoint cannot be recomputed — release only after the result is
+    fully materialized."""
+    existing = list(getattr(result, _CK_ATTR, ()))
+    setattr(result, _CK_ATTR, existing + list(deps))
+    return result
+
+
+def propagate_persisted(result: DataFrame, source: DataFrame) -> DataFrame:
+    """Move the cache dependencies registered on an intermediate
+    ``source`` onto a derived ``result`` (for operators that wrap
+    another operator's output)."""
+    register_persisted(result, *getattr(source, _ATTR, ()))
+    setattr(source, _ATTR, [])
+    register_checkpointed(result, *getattr(source, _CK_ATTR, ()))
+    setattr(source, _CK_ATTR, [])
+    return result
+
+
 def release_persisted(df: DataFrame, blocking: bool = False) -> None:
     """Unpersist every cache dependency an operator registered on
     ``df``.  Call AFTER materializing (collect/write/count) — the
@@ -38,6 +85,9 @@ def release_persisted(df: DataFrame, blocking: bool = False) -> None:
     for dep in getattr(df, _ATTR, ()):
         dep.unpersist(blocking=blocking)
     setattr(df, _ATTR, [])
+    for dep in getattr(df, _CK_ATTR, ()):
+        release_checkpoint(dep)
+    setattr(df, _CK_ATTR, [])
 
 
 @contextmanager

@@ -402,8 +402,20 @@ def connected_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
     Iterates join-propagate-aggregate until labels stop changing
     (near-dup graphs converge in a few rounds: cluster diameters are
     small).  Each iteration is one shuffle on doc_id; the edge list is
-    re-used as-is.  localCheckpoint truncates the growing lineage so
-    iteration N doesn't replay iterations 1..N-1."""
+    persisted once and re-used as-is.
+
+    Lineage & cache hygiene: each iteration references the previous
+    labels twice (propagation join + convergence check), so without
+    truncation the logical plan doubles per iteration — localCheckpoint
+    keeps plans flat AND avoids replaying iterations 1..N-1.  Each
+    superseded iteration's checkpoint blocks are freed eagerly
+    (cache.release_checkpoint) instead of waiting for the
+    ContextCleaner; the final labels and the symmetrized edge list
+    back the returned DataFrame and are registered on it — call
+    ``operators.release_persisted(result)`` after materializing to
+    free them too (the result is not recomputable afterwards)."""
+    from .cache import register_checkpointed, release_checkpoint
+
     sym = (
         edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .union(edges.select(F.col("b").alias("x"), F.col("a").alias("y")))
@@ -430,7 +442,7 @@ def connected_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint()
+            .localCheckpoint()  # eager: materialized here
         )
         changed = (
             new_labels.alias("n")
@@ -439,7 +451,100 @@ def connected_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
             .limit(1)
             .count()
         )
+        release_checkpoint(labels)  # superseded; nothing references it
         labels = new_labels
         if changed == 0:
             break
-    return labels
+    return register_checkpointed(labels, labels, sym)
+
+
+def corpus_keep_set(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The end-to-end corpus-dedup decision table: exact-dup removal
+    followed by near-dup cluster representative selection, one row per
+    input doc.
+
+    Output: ``(doc_id, kept, reason, rep)`` where
+
+    * ``reason='exact_dup'`` — another doc with a smaller id has the
+      same normalized-content fingerprint; ``rep`` is that doc.
+    * ``reason='near_dup'`` — among exact survivors, MinHash-LSH pairs
+      (Jaccard ≥ ``threshold``) connect this doc to a component whose
+      smallest member id is ``rep``.
+    * ``reason='kept'`` — the doc is its own representative
+      (``kept=true``, ``rep=doc_id``); everything else has
+      ``kept=false``.
+
+    Filtering ``kept`` and joining back to the corpus materializes the
+    deduped training set — see :func:`dedup_corpus`.
+
+    Scale: one shuffle on the 128-bit fingerprint, then the standard
+    banded-LSH pipeline over the (smaller) survivor set, then
+    O(cluster-diameter) label-propagation joins.  Nothing here is
+    quadratic; the decision table is one row per doc.
+    """
+    from ..functions.text import exact_fingerprint
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    fp = base.withColumn("fp", exact_fingerprint(F.col("text")))
+    exact_rep = fp.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    assign = fp.join(exact_rep, "fp").select("doc_id", "text", "rep")
+
+    survivors = assign.filter(F.col("doc_id") == F.col("rep")).select(
+        "doc_id", "text"
+    )
+    pairs = minhash_lsh_pairs(survivors, threshold=threshold)
+    comp = connected_components(pairs.select("a", "b"))
+
+    dropped_exact = assign.filter(F.col("doc_id") != F.col("rep")).select(
+        "doc_id",
+        F.lit(False).alias("kept"),
+        F.lit("exact_dup").alias("reason"),
+        F.col("rep"),
+    )
+    # component = min reachable id (≤ doc_id when present); the doc is
+    # the cluster representative iff it IS that minimum (or is isolated)
+    surv_out = (
+        survivors.join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("component").isNull() | (F.col("component") == F.col("doc_id"))).alias("kept"),
+            F.when(
+                F.col("component").isNull() | (F.col("component") == F.col("doc_id")),
+                F.lit("kept"),
+            ).otherwise(F.lit("near_dup")).alias("reason"),
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("rep"),
+        )
+    )
+    from .cache import propagate_persisted
+
+    # minhash_lsh_pairs persisted its shingle arrays and
+    # connected_components its labels/edges; move both handles to the
+    # unioned result so release_persisted() frees everything
+    out = propagate_persisted(dropped_exact.unionByName(surv_out), pairs)
+    return propagate_persisted(out, comp)
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The deduped corpus itself: input rows (full width) whose doc_id
+    is in the keep set.  Write with ``.write.parquet(path)`` — the
+    decision table is one broadcast-or-shuffle semi-join away from the
+    corpus scan, so the materialization plan is scan→join→write."""
+    from .cache import propagate_persisted
+
+    decisions = corpus_keep_set(docs, threshold, id_col, text_col)
+    keep = decisions.filter("kept").select(F.col("doc_id").alias(id_col))
+    return propagate_persisted(
+        docs.join(keep, id_col, "left_semi"), decisions
+    )

@@ -69,10 +69,13 @@ SQL_SHINGLES3 = f"""list_distinct(
 
 
 # Shared CTE chain reproducing the MinHash→LSH→Jaccard pipeline in
-# DuckDB SQL; reused by the pair query and the connected-components
-# oracle (the final verified pair set is `mh_pairs`).
-_SQL_MINHASH_CTES = f"""tok AS (
-      SELECT doc_id, unnest({SQL_SHINGLES3}) AS token FROM documents
+# DuckDB SQL; reused by the pair query, the connected-components
+# oracle and the corpus-keep-set oracle (the final verified pair set
+# is `mh_pairs`).  ``src`` is the doc source relation — it must expose
+# (doc_id, text).
+def _sql_minhash_ctes(src: str = "documents") -> str:
+    return f"""tok AS (
+      SELECT doc_id, unnest({SQL_SHINGLES3}) AS token FROM {src}
     ),
     sigs AS (
       SELECT doc_id, {_sql_minhash_cols(8)}
@@ -104,6 +107,9 @@ _SQL_MINHASH_CTES = f"""tok AS (
       JOIN sizes sb ON sb.doc_id = i.b
       WHERE ROUND(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) >= 0.5
     )"""
+
+
+_SQL_MINHASH_CTES = _sql_minhash_ctes("documents")
 
 
 @query(
@@ -565,6 +571,59 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
     pairs = minhash_lsh_pairs(table(spark, sf, "documents"), threshold=0.5)
     return connected_components(pairs.select("a", "b"))
+
+
+@query(
+    "dedup_corpus_keep_set",
+    oracle=f"""
+    WITH RECURSIVE
+    fpt AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    erep AS (SELECT fp, MIN(doc_id) AS rep FROM fpt GROUP BY fp),
+    eassign AS (SELECT f.doc_id, r.rep FROM fpt f JOIN erep r ON f.fp = r.fp),
+    survivors AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN eassign e ON d.doc_id = e.doc_id
+      WHERE e.doc_id = e.rep
+    ),
+    {_sql_minhash_ctes("survivors")},
+    sym AS (
+      SELECT a AS x, b AS y FROM mh_pairs
+      UNION SELECT b, a FROM mh_pairs
+    ),
+    reach(x, y) AS (
+      SELECT DISTINCT x, x FROM sym
+      UNION
+      SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x
+    ),
+    comp AS (SELECT x AS doc_id, MIN(y) AS component FROM reach GROUP BY x)
+    SELECT e.doc_id,
+           CASE WHEN e.doc_id != e.rep THEN FALSE
+                WHEN c.component IS NOT NULL AND c.component < e.doc_id THEN FALSE
+                ELSE TRUE END AS kept,
+           CASE WHEN e.doc_id != e.rep THEN 'exact_dup'
+                WHEN c.component IS NOT NULL AND c.component < e.doc_id THEN 'near_dup'
+                ELSE 'kept' END AS reason,
+           CASE WHEN e.doc_id != e.rep THEN e.rep
+                WHEN c.component IS NOT NULL AND c.component < e.doc_id THEN c.component
+                ELSE e.doc_id END AS rep
+    FROM eassign e LEFT JOIN comp c ON e.doc_id = c.doc_id
+    """,
+)
+def q_dedup_corpus_keep_set(spark: SparkSession, sf: str) -> DataFrame:
+    """The pipeline deliverable: 'write the deduped corpus'.  One
+    decision row per doc — exact-dup removal (min doc_id per
+    normalized-content fingerprint) then near-dup cluster
+    representative selection over the exact survivors (MinHash-LSH
+    pairs → connected components → min id per component).  The oracle
+    reproduces both stages, including the recursive-CTE closure, so
+    the full keep/drop decision is hash-checked.  Scale: see
+    operators/dedup.py:corpus_keep_set — fingerprint shuffle + banded
+    LSH + label propagation; never quadratic."""
+    return DD.corpus_keep_set(table(spark, sf, "documents"), threshold=0.5)
 
 
 @query(

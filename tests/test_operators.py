@@ -473,6 +473,50 @@ def test_release_persisted_unpersists_minhash_cache(spark, docs):
     assert _persistent_rdd_ids(spark) - before == set()
 
 
+def test_corpus_keep_set_planted_corpus(spark):
+    """Planted exact + near dups: the decision table keeps exactly one
+    representative (min id) per duplicate family."""
+    near_a = "the quick brown fox jumps over the lazy dog again and again today"
+    near_b = near_a.replace("today", "tonight")  # high shingle overlap
+    rows = [
+        Row(doc_id=1, text="alpha beta gamma delta epsilon zeta"),
+        Row(doc_id=2, text="  Alpha beta   GAMMA delta epsilon zeta "),  # exact dup of 1
+        Row(doc_id=3, text=near_a),
+        Row(doc_id=4, text=near_b),  # near dup of 3
+        Row(doc_id=5, text="completely unrelated content about spark engines"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in DD.corpus_keep_set(spark.createDataFrame(rows), threshold=0.5).collect()
+    }
+    assert len(out) == 5
+    assert (out[1].kept, out[1].reason, out[1].rep) == (True, "kept", 1)
+    assert (out[2].kept, out[2].reason, out[2].rep) == (False, "exact_dup", 1)
+    assert (out[3].kept, out[3].reason, out[3].rep) == (True, "kept", 3)
+    assert (out[4].kept, out[4].reason, out[4].rep) == (False, "near_dup", 3)
+    assert (out[5].kept, out[5].reason, out[5].rep) == (True, "kept", 5)
+
+
+def test_dedup_corpus_parquet_write_roundtrip(spark, tmp_path):
+    """The materialization path: write the deduped corpus to parquet
+    and read it back — full-width rows, keep set only."""
+    from hadoop_pcap_spark.operators import released
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    before = _persistent_rdd_ids(spark)
+    path = str(tmp_path / "deduped")
+    with released(DD.dedup_corpus(docs, threshold=0.5), blocking=True) as kept:
+        kept.write.parquet(path)
+    assert _persistent_rdd_ids(spark) - before == set()
+
+    back = spark.read.parquet(path)
+    assert back.columns == docs.columns  # full width preserved
+    decisions = DD.corpus_keep_set(docs, threshold=0.5)
+    want = {r.doc_id for r in decisions.filter("kept").collect()}
+    got = {r.doc_id for r in back.select("doc_id").collect()}
+    assert got == want and 0 < len(got) < docs.count()
+
+
 def test_release_persisted_unpersists_embedding_cache(spark, emb):
     from hadoop_pcap_spark.operators import released
 
