@@ -1,9 +1,21 @@
 """PCAP-source queries registered with the driver harness.
 
 The driver's parquet tables don't include a packets table, so these
-run on a deterministic synthesized capture directory (built once per
-process under /tmp) — rows-only checks from the driver's side; the
-full golden assertions live in tests/test_pcap_source.py.
+run on a deterministic synthesized capture directory — rows-only
+checks from the driver's side; the full golden assertions live in
+tests/test_pcap_source.py.
+
+Fixture placement contract: the pcap source reads raw files BY PATH
+from executor tasks, so the fixture directory must be visible to both
+the driver (which writes it) and the executors (which open it).
+
+* Default: a per-process tempdir under ``$TMPDIR`` — valid exactly
+  when driver and executors share a filesystem, i.e. ``local[*]``
+  mode, which is the sandbox driver's contract.
+* Real cluster: set ``SPARK_GRAFT_FIXTURE_DIR`` to a shared path
+  (NFS / fuse-mounted object store); builders are idempotent and
+  write-atomic (tmp + rename), so concurrent drivers sharing the
+  directory race benignly.
 """
 
 from __future__ import annotations
@@ -19,20 +31,47 @@ from . import query
 from ..pcap import synth as S
 from ..sources import read_pcap
 
-_DIR = None
+
+def _atomic_write(path: str, data: bytes) -> None:
+    """Idempotent shared-dir-safe file build: skip if present, write
+    via tmp + rename (atomic on POSIX) otherwise."""
+    if os.path.exists(path):
+        return
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.rename(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+_ROOTS: dict = {}
+
+
+def _fixture_subdir(name: str) -> str:
+    """``$SPARK_GRAFT_FIXTURE_DIR/<name>`` when configured (shared-fs
+    cluster mode), else a per-process tempdir (local mode — see module
+    docstring for the visibility contract)."""
+    if name not in _ROOTS or not os.path.isdir(_ROOTS[name]):
+        shared = os.environ.get("SPARK_GRAFT_FIXTURE_DIR")
+        if shared:
+            d = os.path.join(shared, name)
+            os.makedirs(d, exist_ok=True)
+        else:
+            d = tempfile.mkdtemp(prefix=f"pcap_{name}_")
+        _ROOTS[name] = d
+    return _ROOTS[name]
 
 
 def fixture_dir() -> str:
-    global _DIR
-    if _DIR is None or not os.path.isdir(_DIR):
-        d = tempfile.mkdtemp(prefix="pcap_fixture_")
-        raw = S.dns_exchange_pcap()
-        with open(os.path.join(d, "a.pcap"), "wb") as f:
-            f.write(raw)
-        with open(os.path.join(d, "b.pcap.gz"), "wb") as f:
-            f.write(gzip.compress(raw))
-        _DIR = d
-    return _DIR
+    d = _fixture_subdir("fixture")
+    raw = S.dns_exchange_pcap()
+    _atomic_write(os.path.join(d, "a.pcap"), raw)
+    _atomic_write(os.path.join(d, "b.pcap.gz"), gzip.compress(raw))
+    return d
 
 
 @query("pcap_port_count")  # rows-only: no packets table in the oracle DB
@@ -93,19 +132,13 @@ def q_pcap_multimodal(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_TCP_DIR = None
-
-
 def tcp_fixture_dir() -> str:
     """DNS-over-TCP capture (message split across segments + two
-    messages sharing a segment), built once per process."""
-    global _TCP_DIR
-    if _TCP_DIR is None or not os.path.isdir(_TCP_DIR):
-        d = tempfile.mkdtemp(prefix="pcap_tcp_fixture_")
-        with open(os.path.join(d, "tcpdns.pcap"), "wb") as f:
-            f.write(S.dns_tcp_exchange_pcap())
-        _TCP_DIR = d
-    return _TCP_DIR
+    messages sharing a segment).  Placement contract: module
+    docstring."""
+    d = _fixture_subdir("tcp_fixture")
+    _atomic_write(os.path.join(d, "tcpdns.pcap"), S.dns_tcp_exchange_pcap())
+    return d
 
 
 @query("pcap_dns_tcp_reassembly")  # rows-only
@@ -133,30 +166,27 @@ def q_pcap_dns_tcp_reassembly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_TDIR = None
-
-
 def throughput_dir(n_files: int = 8, pkts_per_file: int = 12500) -> str:
     """Deterministic 100k-packet capture set (8 files → 8-way decode
-    parallelism), built once per process."""
-    global _TDIR
-    if _TDIR is None or not os.path.isdir(_TDIR):
-        d = tempfile.mkdtemp(prefix="pcap_tput_")
-        q = S.dns_query(7, "example.com")
-        frames = [
-            S.ethernet(S.ipv4(S.udp(q, 5353, 53, "10.0.0.1", "10.0.0.2"), 17, "10.0.0.1", "10.0.0.2")),
-            S.ethernet(S.ipv4(S.tcp(b"x" * 200, 44000, 443), 6, "10.0.0.3", "10.0.0.4")),
-            S.ethernet(S.ipv4(b"\x08\x00" + b"\x00" * 30, 1, "10.0.0.5", "10.0.0.6")),
-        ]
-        for fi in range(n_files):
-            data = S.global_header(1) + b"".join(
-                S.record(1700000000 + fi * pkts_per_file + i, frames[(fi + i) % 3])
-                for i in range(pkts_per_file)
-            )
-            with open(os.path.join(d, f"cap{fi}.pcap"), "wb") as f:
-                f.write(data)
-        _TDIR = d
-    return _TDIR
+    parallelism).  Placement contract: module docstring."""
+    d = _fixture_subdir("tput")
+    if all(
+        os.path.exists(os.path.join(d, f"cap{fi}.pcap")) for fi in range(n_files)
+    ):
+        return d  # synthesis of 100k records isn't free; skip when built
+    q = S.dns_query(7, "example.com")
+    frames = [
+        S.ethernet(S.ipv4(S.udp(q, 5353, 53, "10.0.0.1", "10.0.0.2"), 17, "10.0.0.1", "10.0.0.2")),
+        S.ethernet(S.ipv4(S.tcp(b"x" * 200, 44000, 443), 6, "10.0.0.3", "10.0.0.4")),
+        S.ethernet(S.ipv4(b"\x08\x00" + b"\x00" * 30, 1, "10.0.0.5", "10.0.0.6")),
+    ]
+    for fi in range(n_files):
+        data = S.global_header(1) + b"".join(
+            S.record(1700000000 + fi * pkts_per_file + i, frames[(fi + i) % 3])
+            for i in range(pkts_per_file)
+        )
+        _atomic_write(os.path.join(d, f"cap{fi}.pcap"), data)
+    return d
 
 
 @query("pcap_decode_100k")  # rows-only: decode-throughput benchmark
