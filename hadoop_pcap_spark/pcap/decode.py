@@ -132,6 +132,10 @@ class DecodeOptions:
     # Columns requested by the caller; None = all.  Lets the Spark source
     # push column pruning into the decoder (skip md5/DNS/payload work).
     wanted: Optional[set] = None
+    # Emit the raw captured frame bytes + record orig_len (the write_pcap
+    # round-trip columns).  Off by default: frame duplicates the whole
+    # capture through the row path.
+    keep_frame: bool = False
 
 
 def _want(opts: DecodeOptions, *cols: str) -> bool:
@@ -583,6 +587,14 @@ def decode_pcap(
         pkt_data = data[pos : pos + caplen]
         pos += caplen
         packet["size"] = caplen
+        if opts.keep_frame:
+            if _want(opts, "frame"):
+                packet["frame"] = pkt_data
+            if _want(opts, "orig_len"):
+                # record header field 4 (pos currently = record end)
+                packet["orig_len"] = struct.unpack_from(
+                    "<I", data, pos - caplen - 4
+                )[0]
         if opts.calculate_md5 and _want(opts, "md5"):
             # uppercase hex, parity with convertToHexString [D16]
             packet["md5"] = hashlib.md5(pkt_data).hexdigest().upper()

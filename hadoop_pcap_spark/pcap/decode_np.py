@@ -70,6 +70,7 @@ NUMERIC_COLS = {
     "udpsum": np.int64,
     "payload_len": np.int64,
     "ext_count": np.int64,
+    "orig_len": np.int64,
 }
 OBJECT_COLS = [
     "md5", "ether_type", "protocol", "src", "dst", "ext_headers", "payload",
@@ -84,7 +85,10 @@ class ColumnarResult:
     """n rows; numeric → (values ndarray, null-mask ndarray); object →
     numpy object ndarray with None for NULL."""
 
-    __slots__ = ("n", "numeric", "objects", "payload_spans", "data", "emit_payload")
+    __slots__ = (
+        "n", "numeric", "objects", "payload_spans", "data", "emit_payload",
+        "frame_spans", "emit_frame",
+    )
 
     def __init__(self, n: int):
         self.n = n
@@ -102,6 +106,10 @@ class ColumnarResult:
         self.payload_spans = None  # (starts[m], lens[m], has[m]), m ≤ n
         self.data = b""
         self.emit_payload = True  # False when pruned/keep_payload=False
+        # Raw frame bytes as spans (same shape as payload_spans); only
+        # populated when DecodeOptions.keep_frame requests them.
+        self.frame_spans = None
+        self.emit_frame = False
 
     def payload_at(self, i: int):
         """Row payload: slow-path bytes, else span slice, else None."""
@@ -349,6 +357,12 @@ def decode_pcap_columnar(
     res.set_num("size", rows, caplen)
     pkt = rec + RECORD_HEADER_SIZE
     end = pkt + caplen
+
+    if opts.keep_frame:
+        if _want(opts, "orig_len"):
+            res.set_num("orig_len", rows, _u32le(u, rec + 12))
+        res.frame_spans = (pkt, caplen, np.ones(m, dtype=bool))
+        res.emit_frame = bool(_want(opts, "frame"))
 
     if opts.calculate_md5 and _want(opts, "md5"):
         md5col = res.objects["md5"]

@@ -2,9 +2,11 @@
 
 from .pcap_source import (  # noqa: F401
     DNS_PACKET_SCHEMA,
+    FRAME_FIELDS,
     PACKET_SCHEMA,
     packet_schema,
     read_pcap,
     write_packets_parquet,
+    write_pcap,
 )
 from .datasource import PcapDataSource, register_pcap_datasource  # noqa: F401

@@ -29,6 +29,7 @@ configured).
 
 from __future__ import annotations
 
+import os
 from typing import Iterable, Iterator, List, Optional
 
 import pandas as pd
@@ -83,13 +84,30 @@ DNS_FIELDS: List[T.StructField] = [
 PACKET_SCHEMA = T.StructType(BASE_FIELDS)
 DNS_PACKET_SCHEMA = T.StructType(BASE_FIELDS + DNS_FIELDS)
 
+# Opt-in round-trip columns (read_pcap(keep_frame=True) or columns=
+# containing them): the raw captured frame bytes + the record header's
+# original length — what write_pcap needs to re-emit capture files.
+FRAME_FIELDS: List[T.StructField] = [
+    T.StructField("frame", T.BinaryType(), True),
+    T.StructField("orig_len", T.LongType(), True),
+]
+_FRAME_COLS = {f.name for f in FRAME_FIELDS}
 
-def packet_schema(decoder: str = "ip", columns: Optional[Iterable[str]] = None) -> T.StructType:
-    full = DNS_PACKET_SCHEMA if decoder == "dns" else PACKET_SCHEMA
+
+def packet_schema(
+    decoder: str = "ip",
+    columns: Optional[Iterable[str]] = None,
+    keep_frame: bool = False,
+) -> T.StructType:
+    fields = list((DNS_PACKET_SCHEMA if decoder == "dns" else PACKET_SCHEMA).fields)
     if columns is None:
-        return full
+        if keep_frame:
+            fields += FRAME_FIELDS
+        return T.StructType(fields)
     wanted = set(columns)
-    return T.StructType([f for f in full.fields if f.name in wanted])
+    return T.StructType(
+        [f for f in fields + FRAME_FIELDS if f.name in wanted]
+    )
 
 
 def decode_files_to_frames(
@@ -217,8 +235,17 @@ def decode_files_to_arrow_columnar(
                     arrays.append(pa.array(vals[s0:s1], type=t, mask=mask[s0:s1]))
                 elif n == "payload":
                     arrays.append(
-                        _payload_arrow(res, s0, s1, np, pa)
+                        _spans_arrow(
+                            res, res.payload_spans, res.objects["payload"],
+                            s0, s1, np, pa,
+                        )
                         if res.emit_payload
+                        else pa.nulls(s1 - s0, type=t)
+                    )
+                elif n == "frame":
+                    arrays.append(
+                        _spans_arrow(res, res.frame_spans, None, s0, s1, np, pa)
+                        if res.emit_frame and res.frame_spans is not None
                         else pa.nulls(s1 - s0, type=t)
                     )
                 else:
@@ -235,31 +262,43 @@ def decode_files_to_arrow_columnar(
 PAYLOAD_BATCH_LIMIT = (1 << 31) - (1 << 20)
 
 
-def _payload_lens(res, np):
-    """Per-row payload byte counts (0 where NULL): span lengths for
-    fast-path rows, ``len(bytes)`` for scalar-fallback rows."""
+def _binary_lens(res, spans, objs, np):
+    """Per-row byte counts of one binary column (0 where NULL): span
+    lengths for fast-path rows, ``len(bytes)`` for scalar-fallback
+    rows (``objs`` may be None for span-only columns like frame)."""
     lens = np.zeros(res.n, dtype=np.int64)
-    if res.payload_spans is not None:
-        _starts, lens_all, has_all = res.payload_spans
+    if spans is not None:
+        _starts, lens_all, has_all = spans
         m = len(has_all)
         lens[:m] = np.where(has_all, lens_all, 0)
-    objs = res.objects["payload"]
-    for i in np.nonzero(objs != None)[0].tolist():  # noqa: E711
-        lens[i] = len(objs[i])
+    if objs is not None:
+        for i in np.nonzero(objs != None)[0].tolist():  # noqa: E711
+            lens[i] = len(objs[i])
     return lens
+
+
+def _payload_lens(res, np):
+    return _binary_lens(res, res.payload_spans, res.objects["payload"], np)
 
 
 def _batch_ranges(res, batch_rows: int, np, limit: int | None = None):
     """Row ranges [s0, s1) of ≤ batch_rows rows whose total payload
-    bytes fit 32-bit Arrow binary offsets.  Jumbo captures (64 KiB
-    caplen × 65536 rows ≈ 4 GiB) split into multiple batches instead
-    of crashing the from_arrays path."""
+    (and frame, when emitted) bytes fit 32-bit Arrow binary offsets.
+    Jumbo captures (64 KiB caplen × 65536 rows ≈ 4 GiB) split into
+    multiple batches instead of crashing the from_arrays path."""
     limit = PAYLOAD_BATCH_LIMIT if limit is None else limit
-    if not res.emit_payload:
+    emit_frame = res.emit_frame and res.frame_spans is not None
+    if not res.emit_payload and not emit_frame:
         for s0 in range(0, res.n, batch_rows):
             yield s0, min(s0 + batch_rows, res.n)
         return
-    lens = _payload_lens(res, np)
+    # budget on the widest emitted binary column: each column's batch
+    # total must individually stay under the 32-bit offset limit
+    lens = np.zeros(res.n, dtype=np.int64)
+    if res.emit_payload:
+        lens = _payload_lens(res, np)
+    if emit_frame:
+        lens = np.maximum(lens, _binary_lens(res, res.frame_spans, None, np))
     s0 = 0
     while s0 < res.n:
         s1 = min(s0 + batch_rows, res.n)
@@ -277,17 +316,26 @@ def _batch_ranges(res, batch_rows: int, np, limit: int | None = None):
         s0 = s1
 
 
-def _payload_arrow(res, s0: int, s1: int, np, pa):
-    """Payload column as BinaryArray.from_buffers: fast-path rows are
-    gathered from the file buffer in ONE vectorized pass (no per-row
-    Python bytes), slow-path (scalar-fallback) rows copy their bytes
-    in.  ~20% off whole-file decode vs per-row slicing."""
+def _spans_arrow(res, spans, objs_col, s0: int, s1: int, np, pa):
+    """A span-recorded binary column (payload or frame) as
+    BinaryArray.from_buffers: fast-path rows are gathered from the
+    file buffer in ONE vectorized pass (no per-row Python bytes),
+    slow-path (scalar-fallback) rows — present only when ``objs_col``
+    is given — copy their bytes in.  ~20% off whole-file decode vs
+    per-row slicing."""
     k = s1 - s0
-    starts_all, lens_all, has_all = res.payload_spans
+    if spans is None:  # e.g. a chunk holding only a truncated tail row
+        z = np.zeros(0, dtype=np.int64)
+        spans = (z, z, np.zeros(0, dtype=bool))
+    starts_all, lens_all, has_all = spans
     m = len(has_all)
     u = np.frombuffer(res.data, dtype=np.uint8)
-    objs = res.objects["payload"][s0:s1]
-    obj_mask = objs != None  # noqa: E711
+    if objs_col is not None:
+        objs = objs_col[s0:s1]
+        obj_mask = objs != None  # noqa: E711
+    else:
+        objs = np.full(k, None, dtype=object)
+        obj_mask = np.zeros(k, dtype=bool)
 
     lens = np.zeros(k, dtype=np.int64)
     valid = np.zeros(k, dtype=bool)
@@ -356,8 +404,14 @@ def read_pcap(
     path_glob: Optional[str] = None,
     engine: str = "arrow",
     chunk_bytes: Optional[int] = None,
+    keep_frame: bool = False,
 ) -> DataFrame:
     """Read pcap file(s) into a typed DataFrame.
+
+    ``keep_frame=True`` (or a ``columns`` list naming ``frame`` /
+    ``orig_len``) adds the raw captured frame bytes and the record
+    header's original length — the columns :func:`write_pcap` needs to
+    round-trip filtered packets back to capture files.
 
     The reference's pluggable-reader conf
     (``net.ripe.hadoop.pcap.io.reader.class``) becomes the ``decoder``
@@ -388,7 +442,7 @@ def read_pcap(
 
     if chunk_bytes is None:
         chunk_bytes = DEFAULT_CHUNK_BYTES
-    schema = packet_schema(decoder, columns)
+    schema = packet_schema(decoder, columns, keep_frame)
     wanted = set(f.name for f in schema.fields) if columns is not None else None
     opts = DecodeOptions(
         decoder=decoder,
@@ -397,6 +451,7 @@ def read_pcap(
         strict_reference=strict_reference,
         mode=mode,
         wanted=wanted,
+        keep_frame=keep_frame or bool(wanted and (wanted & _FRAME_COLS)),
     )
     streamed = bool(chunk_bytes) and urlparse(path).scheme in ("", "file")
 
@@ -458,3 +513,85 @@ def write_packets_parquet(
         df = df.withColumn("capture_date", F.to_date(F.timestamp_seconds(F.col("ts"))))
         partition_by = ["capture_date"]
     df.write.mode(mode).partitionBy(*partition_by).parquet(out_path)
+
+
+def write_pcap(
+    df: DataFrame,
+    out_path: str,
+    snaplen: int = 65535,
+    link_type: int = 1,
+) -> List[tuple]:
+    """Write packets back to classic LE-µs pcap capture files — the
+    ``tcpdump -w`` / ``editcap`` motif (filter a capture, keep the
+    result *as a capture*).  The reference has no sink at all; this is
+    pure value-add over it.
+
+    Requires ``ts`` and ``frame`` columns (read with
+    ``keep_frame=True``); ``ts_usec`` and ``orig_len`` are used when
+    present, else default to 0 / ``len(frame)``.  Rows with a NULL
+    frame (e.g. the ts-only truncated-tail row) are skipped.
+
+    One part file per non-empty partition is written into ``out_path``
+    (``part-<partition_id>.pcap``, tmp+rename atomic), preserving row
+    order within each partition — so a single-partition DataFrame
+    round-trips byte-identically.  Placement contract: the directory
+    must be writable from executor tasks and visible to whoever reads
+    it (local mode or a shared filesystem — same contract as the pcap
+    *read* path).  Returns [(file, n_packets), ...]; this is an
+    action.
+
+    Scale: the write is embarrassingly parallel (one task, one file,
+    zero shuffles); repartition/sortWithinPartitions upstream to
+    control file count and packet order.
+    """
+    cols = set(df.columns)
+    if "frame" not in cols or "ts" not in cols:
+        raise ValueError(
+            "write_pcap needs 'ts' and 'frame' columns — read with "
+            "read_pcap(..., keep_frame=True)"
+        )
+    sel = df.filter(F.col("frame").isNotNull()).select(
+        F.col("ts").cast("long").alias("ts"),
+        (F.col("ts_usec") if "ts_usec" in cols else F.lit(0))
+        .cast("long").alias("ts_usec"),
+        F.col("frame"),
+        (F.col("orig_len") if "orig_len" in cols else F.length("frame"))
+        .cast("long").alias("orig_len"),
+        F.spark_partition_id().alias("_pid"),
+    )
+    os.makedirs(out_path, exist_ok=True)
+
+    def write_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+        import tempfile as _tempfile
+
+        fh, tmp, final, n_rec = None, None, None, 0
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if fh is None:
+                pid = int(pdf["_pid"].iloc[0])
+                final = os.path.join(out_path, f"part-{pid:05d}.pcap")
+                fd, tmp = _tempfile.mkstemp(dir=out_path, suffix=".tmp")
+                fh = os.fdopen(fd, "wb")
+                fh.write(
+                    _struct.pack(
+                        "<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, snaplen, link_type
+                    )
+                )
+            for ts, us, fr, ol in zip(
+                pdf["ts"], pdf["ts_usec"], pdf["frame"], pdf["orig_len"]
+            ):
+                b = bytes(fr)
+                us_i = 0 if us is None or us != us else int(us)
+                ol_i = len(b) if ol is None or ol != ol else int(ol)
+                fh.write(_struct.pack("<IIII", int(ts), us_i, len(b), ol_i))
+                fh.write(b)
+                n_rec += 1
+        if fh is not None:
+            fh.close()
+            os.rename(tmp, final)
+            yield pd.DataFrame({"file": [final], "n_packets": [n_rec]})
+
+    out = sel.mapInPandas(write_partition, "file string, n_packets long").collect()
+    return sorted((r["file"], r["n_packets"]) for r in out)
