@@ -492,9 +492,15 @@ def corpus_keep_set(
     base = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
-    fp = base.withColumn("fp", exact_fingerprint(F.col("text")))
-    exact_rep = fp.groupBy("fp").agg(F.min("doc_id").alias("rep"))
-    assign = fp.join(exact_rep, "fp").select("doc_id", "text", "rep")
+    # min-per-fingerprint via a window, not a groupBy+self-join: one
+    # scan subtree and one exchange (on fp), which Spark's ReuseExchange
+    # dedupes across the dropped/survivor branches of the final union
+    w = Window.partitionBy("fp")
+    assign = (
+        base.withColumn("fp", exact_fingerprint(F.col("text")))
+        .withColumn("rep", F.min("doc_id").over(w))
+        .drop("fp")
+    )
 
     survivors = assign.filter(F.col("doc_id") == F.col("rep")).select(
         "doc_id", "text"
