@@ -146,10 +146,13 @@ def _decode_opts(options: dict, schema: StructType | None = None) -> DecodeOptio
     DSv2 API has no pruneColumns hook yet; when it grows one, wire it
     here and Catalyst projections will prune automatically too."""
     wanted = None
+    keep_frame = str(options.get("keepframe", "false")).lower() == "true"
     if schema is not None:
+        frame_cols = {"frame", "orig_len"}
         full = {f.name for f in packet_schema(options.get("decoder", "ip")).fields}
         names = {f.name for f in schema.fields}
-        if names < full:
+        keep_frame = keep_frame or bool(names & frame_cols)
+        if names - frame_cols < full:
             wanted = names
     return DecodeOptions(
         decoder=options.get("decoder", "ip"),
@@ -158,6 +161,7 @@ def _decode_opts(options: dict, schema: StructType | None = None) -> DecodeOptio
         strict_reference=str(options.get("strictreference", "true")).lower() == "true",
         mode=options.get("mode", "FAILFAST"),
         wanted=wanted,
+        keep_frame=keep_frame,
     )
 
 
@@ -294,6 +298,8 @@ class PcapDataSource(DataSource):
         return packet_schema(
             self.options.get("decoder", "ip"),
             [c.strip() for c in cols.split(",")] if cols else None,
+            keep_frame=str(self.options.get("keepframe", "false")).lower()
+            == "true",
         )
 
     def reader(self, schema: StructType) -> PcapDataSourceReader:

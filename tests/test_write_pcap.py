@@ -94,6 +94,25 @@ def test_truncated_tail_row_skipped(spark, tmp_path):
     assert read_pcap(spark, out).count() == 1
 
 
+def test_datasource_keepframe_option(spark, capture):
+    from hadoop_pcap_spark.sources import register_pcap_datasource
+
+    d, raw = capture
+    register_pcap_datasource(spark)
+    df = spark.read.format("pcap").option("keepframe", "true").load(d)
+    assert "frame" in df.columns and "orig_len" in df.columns
+    rows = df.orderBy("pkt_no").collect()
+    assert all(len(r["frame"]) == r["size"] for r in rows)
+    # columns= option can also request frame directly
+    pruned = (
+        spark.read.format("pcap")
+        .option("columns", "pkt_no,frame")
+        .load(d)
+    )
+    assert pruned.columns == ["pkt_no", "frame"]
+    assert all(r["frame"] is not None for r in pruned.collect())
+
+
 def test_write_pcap_requires_frame(spark, capture):
     d, _ = capture
     with pytest.raises(ValueError, match="keep_frame"):
