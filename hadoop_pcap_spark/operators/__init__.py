@@ -5,11 +5,12 @@ it to their result — release with :func:`release_persisted` (or the
 :func:`released` context manager) after materializing."""
 
 from .cache import register_persisted, release_persisted, released
-from .flows import reassemble_dns_tcp
+from .flows import flow_stats, reassemble_dns_tcp
 
 __all__ = [
     "register_persisted",
     "release_persisted",
     "released",
+    "flow_stats",
     "reassemble_dns_tcp",
 ]

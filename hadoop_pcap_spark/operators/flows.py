@@ -162,3 +162,78 @@ def reassemble_dns_tcp(
         return _reassemble_group(pdf, max_flow_bytes)
 
     return segments.groupBy(*_FLOW_KEY).applyInPandas(apply_fn, REASSEMBLED_SCHEMA)
+
+
+def flow_stats(packets: DataFrame, bidirectional: bool = True) -> DataFrame:
+    """NetFlow-style flow export: one row per flow with packet/byte
+    counts, time bounds and per-direction splits — the other weekly
+    job of a packet engineer (the reference's README counts packets
+    per port; this is the flow-grain generalization).
+
+    ``bidirectional=True`` canonicalizes the 5-tuple so both
+    directions of a conversation land in one row (endpoint A = the
+    lexicographically smaller (ip, port) pair); ``False`` keeps
+    unidirectional flows.  All expressions are JVM-side built-ins —
+    a single groupBy shuffle on the flow key, map-side partial aggs.
+
+    Output: (file, proto, ip_a, port_a, ip_b, port_b, n_packets,
+    n_bytes, first_ts, last_ts, duration_s, a_to_b_packets,
+    b_to_a_packets) — bytes = captured frame sizes (``size``).
+
+    Scale: the flow key is high-cardinality and hash-uniform (no hot
+    reducer); at 100 TB this is scan → partial agg → one exchange.
+    For endless captures add a time bucket to the key upstream
+    (``F.window(ts)``) — same pattern as the reassembler."""
+    src_ep = F.struct(F.col("src").alias("ip"), F.col("src_port").alias("port"))
+    dst_ep = F.struct(F.col("dst").alias("ip"), F.col("dst_port").alias("port"))
+    if bidirectional:
+        a_first = (F.col("src") < F.col("dst")) | (
+            (F.col("src") == F.col("dst"))
+            & (F.coalesce(F.col("src_port"), F.lit(-1))
+               <= F.coalesce(F.col("dst_port"), F.lit(-1)))
+        )
+        ep_a = F.when(a_first, src_ep).otherwise(dst_ep)
+        ep_b = F.when(a_first, dst_ep).otherwise(src_ep)
+        fwd = a_first
+    else:
+        ep_a, ep_b, fwd = src_ep, dst_ep, F.lit(True)
+    keyed = packets.filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
+    ).select(
+        "file",
+        F.col("protocol").alias("proto"),
+        ep_a.alias("_a"),
+        ep_b.alias("_b"),
+        fwd.alias("_fwd"),
+        "ts",
+        "ts_usec",
+        F.coalesce(F.col("size"), F.lit(0)).alias("size"),
+    )
+    us = F.col("ts") * F.lit(1_000_000) + F.coalesce(F.col("ts_usec"), F.lit(0))
+    return (
+        keyed.withColumn("_us", us)
+        .groupBy("file", "proto", "_a", "_b")
+        .agg(
+            F.count("*").alias("n_packets"),
+            F.sum("size").alias("n_bytes"),
+            F.min("_us").alias("_first_us"),
+            F.max("_us").alias("_last_us"),
+            F.sum(F.when(F.col("_fwd"), 1).otherwise(0)).alias("a_to_b_packets"),
+            F.sum(F.when(F.col("_fwd"), 0).otherwise(1)).alias("b_to_a_packets"),
+        )
+        .select(
+            "file",
+            "proto",
+            F.col("_a.ip").alias("ip_a"),
+            F.col("_a.port").alias("port_a"),
+            F.col("_b.ip").alias("ip_b"),
+            F.col("_b.port").alias("port_b"),
+            "n_packets",
+            "n_bytes",
+            (F.col("_first_us") / 1e6).alias("first_ts"),
+            (F.col("_last_us") / 1e6).alias("last_ts"),
+            ((F.col("_last_us") - F.col("_first_us")) / 1e6).alias("duration_s"),
+            "a_to_b_packets",
+            "b_to_a_packets",
+        )
+    )

@@ -166,6 +166,23 @@ def q_pcap_dns_tcp_reassembly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("pcap_flow_stats")  # rows-only
+def q_pcap_flow_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """NetFlow-style flow export over the capture: canonical
+    bidirectional 5-tuple → packets/bytes/time-bounds/per-direction
+    counts, one groupBy shuffle, all JVM-side.  Golden assertions in
+    tests/test_flows.py."""
+    from ..operators.flows import flow_stats
+
+    return (
+        flow_stats(read_pcap(spark, fixture_dir()))
+        .select("proto", "ip_a", "port_a", "ip_b", "port_b",
+                "n_packets", "n_bytes", "a_to_b_packets", "b_to_a_packets",
+                F.round("duration_s", 6).alias("duration_s"))
+        .orderBy("proto", "ip_a", "port_a", "ip_b", "port_b")
+    )
+
+
 def throughput_dir(n_files: int = 8, pkts_per_file: int = 12500) -> str:
     """Deterministic 100k-packet capture set (8 files → 8-way decode
     parallelism).  Placement contract: module docstring."""

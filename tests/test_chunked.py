@@ -85,6 +85,30 @@ def test_chunked_equals_whole_columnar(chunk_bytes):
     assert got == whole
 
 
+@pytest.mark.parametrize("chunk_bytes", [48, 512])
+def test_chunked_frame_column_equals_whole(chunk_bytes):
+    """frame/orig_len survive chunk boundaries in both kernels: a
+    chunked decode's frame bytes equal the whole-file decode's."""
+    import io
+
+    from hadoop_pcap_spark.pcap.chunked import iter_capture_chunks
+    from hadoop_pcap_spark.pcap.decode import DecodeOptions, decode_pcap
+
+    data = _pcap_many(24)
+    opts = DecodeOptions(keep_frame=True)
+    whole = [
+        (p.get("frame"), p.get("orig_len"))
+        for p in decode_pcap(data, opts=opts)
+    ]
+    chunked = []
+    for chunk in iter_capture_chunks(io.BytesIO(data), chunk_bytes=chunk_bytes):
+        chunked.extend(
+            (p.get("frame"), p.get("orig_len"))
+            for p in decode_pcap(chunk, opts=opts)
+        )
+    assert chunked == whole and any(f for f, _ in whole)
+
+
 def test_chunked_truncated_tail_only_in_last_chunk():
     data = _pcap_many(n_pkts=10) + S.record(999, b"\xab" * 50)[:30]  # cut mid-record
     whole = list(decode_pcap(data, name="t.pcap"))

@@ -122,3 +122,37 @@ def test_truncation_sweep_never_crashes():
             list(decode_pcap(base[:cut], opts=DecodeOptions(decoder="dns")))
         except PcapFormatError:
             pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    recs=st.lists(
+        st.tuples(
+            ts_vals,
+            st.integers(0, 999_999),
+            st.binary(min_size=0, max_size=120),
+            st.integers(0, 2**16),
+        ),
+        min_size=0,
+        max_size=8,
+    )
+)
+def test_keep_frame_reserializes_byte_identical(recs):
+    """keep_frame fidelity (the write_pcap contract): decoding with
+    frame/orig_len and re-packing <IIII ts us len(frame) orig_len> +
+    frame must reproduce the capture byte-for-byte — for arbitrary
+    frame bytes, timestamps and orig_len values."""
+    import struct
+
+    data = S.global_header(1) + b"".join(
+        S.record(ts, fr, ts_usec=us, orig_len=ol) for ts, us, fr, ol in recs
+    )
+    out = rows(data, keep_frame=True)
+    assert len(out) == len(recs)
+    rebuilt = S.global_header(1)
+    for p in out:
+        fr = p["frame"]
+        rebuilt += struct.pack(
+            "<IIII", p["ts"], p["ts_usec"], len(fr), p["orig_len"]
+        ) + fr
+    assert rebuilt == data

@@ -141,3 +141,61 @@ def test_driver_query_registered(spark):
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
     rows = df.collect()
     assert [r["n_answers"] for r in rows] == [0, 20, 1]
+
+
+# --- flow_stats --------------------------------------------------------------
+
+
+def test_flow_stats_bidirectional_golden(spark, tmp_path):
+    """The synth DNS exchange (query + response, same conversation)
+    collapses into ONE bidirectional flow with a 1/1 direction split."""
+    from hadoop_pcap_spark.operators.flows import flow_stats
+
+    d = tmp_path / "cap"
+    d.mkdir()
+    (d / "x.pcap").write_bytes(S.dns_exchange_pcap())
+    pkts = read_pcap(spark, str(d))
+    rows = flow_stats(pkts).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # endpoint A = lexicographically smaller (ip, port)
+    assert (r["ip_a"], r["port_a"]) == ("193.0.10.82", 52938)
+    assert (r["ip_b"], r["port_b"]) == ("193.0.14.129", 53)
+    assert r["proto"] == "UDP"
+    assert r["n_packets"] == 2
+    assert r["a_to_b_packets"] == 1 and r["b_to_a_packets"] == 1
+    assert r["n_bytes"] == sum(p["size"] for p in pkts.select("size").collect())
+    assert r["duration_s"] == 0.0  # both packets share ts in the fixture
+    # unidirectional mode splits the conversation into 2 flows
+    uni = flow_stats(pkts, bidirectional=False).collect()
+    assert len(uni) == 2 and all(u["n_packets"] == 1 for u in uni)
+
+
+def test_flow_stats_duration_and_multiflow(spark, tmp_path):
+    from hadoop_pcap_spark.operators.flows import flow_stats
+
+    frames = [
+        (1700000000, 250000, S.ethernet(S.ipv4(S.udp(b"a", 1111, 53, "10.0.0.1", "10.0.0.9"), 17, "10.0.0.1", "10.0.0.9"))),
+        (1700000002, 750000, S.ethernet(S.ipv4(S.udp(b"bb", 53, 1111, "10.0.0.9", "10.0.0.1"), 17, "10.0.0.9", "10.0.0.1"))),
+        (1700000005, 0, S.ethernet(S.ipv4(S.tcp(b"ccc", 2222, 80), 6, "10.0.0.1", "10.0.0.9"))),
+    ]
+    raw = S.global_header(1) + b"".join(
+        S.record(ts, f, ts_usec=us) for ts, us, f in frames)
+    d = tmp_path / "cap"
+    d.mkdir()
+    (d / "y.pcap").write_bytes(raw)
+    rows = {r["proto"]: r for r in flow_stats(read_pcap(spark, str(d))).collect()}
+    assert set(rows) == {"UDP", "TCP"}
+    assert rows["UDP"]["n_packets"] == 2
+    assert abs(rows["UDP"]["duration_s"] - 2.5) < 1e-9
+    assert rows["TCP"]["n_packets"] == 1 and rows["TCP"]["duration_s"] == 0.0
+
+
+def test_flow_stats_driver_query(spark):
+    from hadoop_pcap_spark.plans import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["pcap_flow_stats"](spark, "/root/testdata/sf0.001").collect()
+    # fixture_dir: same 2-packet exchange in a.pcap and b.pcap.gz → 2 flows
+    assert len(rows) == 2
+    assert all(r["n_packets"] == 2 and r["a_to_b_packets"] == 1 for r in rows)
