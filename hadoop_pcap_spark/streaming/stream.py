@@ -133,3 +133,110 @@ def stateful_flow_counts(events: DataFrame, key_col: str = "user_id") -> DataFra
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+DNS_TCP_OUTPUT = (
+    "src STRING, dst STRING, src_port INT, dst_port INT, msg_no INT, "
+    "dns_queryid INT, dns_flags STRING, dns_qr BOOLEAN, dns_opcode STRING, "
+    "dns_rcode STRING, dns_qname STRING, dns_qtype INT, dns_qtype_str STRING, "
+    "dns_answer ARRAY<STRING>, dns_authority ARRAY<STRING>, "
+    "dns_additional ARRAY<STRING>, n_segments BIGINT"
+)
+DNS_TCP_STATE = "residual BINARY, n_msgs BIGINT, n_segments BIGINT"
+
+
+def streaming_dns_tcp_reassembly(
+    packets: DataFrame,
+    max_flow_bytes: int = 64 * 1024 * 1024,
+) -> DataFrame:
+    """DNS-over-TCP reassembly as a custom stateful streaming operator
+    (applyInPandasWithState) — the live twin of
+    :func:`..operators.flows.reassemble_dns_tcp`.
+
+    Per-flow state is the *unconsumed byte residual* of the TCP stream
+    plus message/segment counters: each micro-batch appends its
+    segments in capture order, walks the RFC 1035 §4.2.2 length-prefix
+    framing, emits every message that COMPLETED in this batch
+    (``msg_no`` continues across batches), and carries the incomplete
+    tail forward — so a message split across micro-batches is emitted
+    exactly once, when its last segment arrives.
+
+    State hygiene: the residual is capped at ``max_flow_bytes``
+    (excess dropped — the hot-flow guard), and a zero length prefix
+    (protocol violation, would wedge the walk forever) clears the
+    flow's residual.  Production deployments should add an idle-flow
+    TTL (timeoutConf + state.hasTimedOut) sized to the capture's flow
+    timeout; NoTimeout keeps the demo deterministic.
+
+    Input: a streaming packet DataFrame (``readStream.format("pcap")``)
+    with at least src/dst/src_port/dst_port/protocol/pkt_no/ts/payload.
+    """
+    import pandas as pd
+
+    from ..operators.flows import _frame_messages
+    from ..pcap import dns as _dns
+
+    segments = packets.filter(
+        (F.col("protocol") == "TCP")
+        & ((F.col("src_port") == 53) | (F.col("dst_port") == 53))
+        & F.col("payload").isNotNull()
+        & (F.length("payload") > 0)
+    ).select("src", "dst", "src_port", "dst_port", "ts", "pkt_no", "payload")
+
+    def update(key, pdfs, state):
+        residual, n_msgs, n_segs = (
+            state.get if state.exists else (b"", 0, 0)
+        )
+        residual = bytes(residual or b"")
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch) == 0:
+            return
+        batch = batch.sort_values(["ts", "pkt_no"], kind="stable")
+        n_segs += len(batch)
+        stream = residual + b"".join(
+            bytes(p) for p in batch["payload"] if p is not None
+        )
+        if len(stream) > max_flow_bytes:
+            stream = stream[:max_flow_bytes]  # hot-flow guard
+        msgs = _frame_messages(stream)
+        consumed = sum(2 + len(m) for m in msgs)
+        residual = stream[consumed:]
+        if residual[:2] == b"\x00\x00":
+            residual = b""  # zero-length prefix: unstick the flow
+        rows = []
+        for m in msgs:
+            n_msgs += 1
+            try:
+                msg = _dns.parse_message(m)
+            except Exception:
+                continue  # silent-skip parity
+            rows.append(
+                {
+                    "src": key[0], "dst": key[1],
+                    "src_port": key[2], "dst_port": key[3],
+                    "msg_no": n_msgs,
+                    "dns_queryid": msg.query_id,
+                    "dns_flags": msg.flags_text,
+                    "dns_qr": msg.qr,
+                    "dns_opcode": msg.opcode_text,
+                    "dns_rcode": msg.rcode_text,
+                    "dns_qname": msg.qname,
+                    "dns_qtype": msg.qtype,
+                    "dns_qtype_str": msg.qtype_text,
+                    "dns_answer": msg.answers,
+                    "dns_authority": msg.authority,
+                    "dns_additional": msg.additional,
+                    "n_segments": n_segs,
+                }
+            )
+        state.update((residual, n_msgs, n_segs))
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return segments.groupBy("src", "dst", "src_port", "dst_port").applyInPandasWithState(
+        update,
+        outputStructType=DNS_TCP_OUTPUT,
+        stateStructType=DNS_TCP_STATE,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -141,6 +141,75 @@ def test_streaming_pcap_source_incremental(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_dns_tcp_reassembly_across_batches(spark, tmp_path):
+    """A DNS message split across MICRO-BATCHES (not just segments) is
+    emitted exactly once, when its final segment arrives; per-flow
+    msg_no continues across batches."""
+    import os
+
+    from hadoop_pcap_spark.pcap import synth as S
+    from hadoop_pcap_spark.sources import register_pcap_datasource
+
+    register_pcap_datasource(spark)
+    d = str(tmp_path / "tcpcaps")
+    os.makedirs(d)
+
+    q_msg = S.dns_query(0x4242, "bigzone.example", 252)
+    r1 = S.dns_response(
+        0x4242, "bigzone.example", 252,
+        answers=[(f"h{i}.bigzone.example", 600, 1, S.a_rdata(f"10.1.{i}.1"))
+                 for i in range(20)],
+    )
+    r2 = S.dns_response(0x4243, "bigzone.example", 6,
+                        answers=[("bigzone.example", 600, 2,
+                                  S.ns_rdata("ns1.bigzone.example"))])
+    cli, srv = "192.0.2.10", "192.0.2.53"
+    (q_seg,) = S.dns_tcp_segments([q_msg], [2 + len(q_msg)])
+    rs1, rs2 = S.dns_tcp_segments([r1, r2], [120])
+
+    # wave 1: complete query + first half of the response stream
+    wave1 = (
+        S.global_header(1)
+        + S.record(1700000000, S.ethernet(S.ipv4(S.tcp(q_seg, 40000, 53), 6, cli, srv)))
+        + S.record(1700000001, S.ethernet(S.ipv4(S.tcp(rs1, 53, 40000), 6, srv, cli)))
+    )
+    (tmp_path / "tcpcaps" / "w1.pcap").write_bytes(wave1)
+
+    stream = spark.readStream.format("pcap").option("path", d).load()
+    out = STRM.streaming_dns_tcp_reassembly(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tcp_reasm")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b1 = spark.sql("SELECT * FROM tcp_reasm").collect()
+        # only the query completed; the response tail is parked in state
+        assert [(r.src, r.msg_no, r.dns_queryid) for r in b1] == [
+            (cli, 1, 0x4242)
+        ]
+        # wave 2: the rest of the response stream (completes r1 AND r2)
+        wave2 = S.global_header(1) + S.record(
+            1700000002, S.ethernet(S.ipv4(S.tcp(rs2, 53, 40000), 6, srv, cli))
+        )
+        (tmp_path / "tcpcaps" / "w2.pcap").write_bytes(wave2)
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM tcp_reasm ORDER BY src, msg_no"
+        ).collect()
+    finally:
+        q.stop()
+
+    assert [(r.src, r.msg_no, r.dns_queryid) for r in rows] == [
+        (cli, 1, 0x4242), (srv, 1, 0x4242), (srv, 2, 0x4243)
+    ]
+    srv_rows = [r for r in rows if r.src == srv]
+    assert len(srv_rows[0].dns_answer) == 20 and len(srv_rows[1].dns_answer) == 1
+    assert srv_rows[0].n_segments == 2  # state carried the batch-1 segment
+
+
 def test_stateful_flow_counts_accumulates_across_batches(spark, tmp_path):
     """applyInPandasWithState: state accumulates across micro-batches —
     feed two parquet files arriving separately, totals must carry over."""
