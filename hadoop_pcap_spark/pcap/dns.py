@@ -29,7 +29,8 @@ TYPE_NAMES = {
     1: "A", 2: "NS", 5: "CNAME", 6: "SOA", 12: "PTR", 13: "HINFO",
     15: "MX", 16: "TXT", 17: "RP", 18: "AFSDB", 24: "SIG", 25: "KEY",
     28: "AAAA", 29: "LOC", 33: "SRV", 35: "NAPTR", 36: "KX", 37: "CERT",
-    39: "DNAME", 41: "OPT", 43: "DS", 44: "SSHFP", 46: "RRSIG",
+    39: "DNAME", 41: "OPT", 43: "DS", 44: "SSHFP", 45: "IPSECKEY",
+    46: "RRSIG", 49: "DHCID",
     47: "NSEC", 48: "DNSKEY", 50: "NSEC3", 51: "NSEC3PARAM",
     52: "TLSA", 59: "CDS", 60: "CDNSKEY", 99: "SPF", 250: "TSIG",
     251: "IXFR", 252: "AXFR", 255: "ANY", 256: "URI", 257: "CAA",
@@ -222,10 +223,87 @@ def _render_rdata(data: bytes, rtype: int, rd_start: int, rd_len: int) -> str:
         nxt, p = _read_name(data, rd_start)
         types = _render_type_bitmap(data[p : rd_start + rd_len])
         return f"{nxt} {types}" if types else nxt
+    if rtype in (50, 51) and rd_len >= 5:  # NSEC3 / NSEC3PARAM
+        alg, flags, iters = struct.unpack_from(">BBH", data, rd_start)
+        slen = rdata[4]
+        salt = rdata[5 : 5 + slen].hex().upper() if slen else "-"
+        head = f"{alg} {flags} {iters} {salt}"
+        if rtype == 51:
+            return head
+        pos = 5 + slen
+        hlen = rdata[pos] if pos < rd_len else 0
+        nxt = _b32hex(rdata[pos + 1 : pos + 1 + hlen])
+        types = _render_type_bitmap(rdata[pos + 1 + hlen :])
+        return f"{head} {nxt} {types}" if types else f"{head} {nxt}"
+    if rtype == 29 and rd_len >= 16 and rdata[0] == 0:  # LOC (RFC 1876 v0)
+        size, hp, vp = rdata[1], rdata[2], rdata[3]
+        lat, lon, alt = struct.unpack_from(">III", data, rd_start + 4)
+        return (
+            f"{_loc_coord(lat, 'N', 'S')} {_loc_coord(lon, 'E', 'W')} "
+            f"{(alt - 10_000_000) / 100:.2f}m "
+            f"{_loc_prec(size)} {_loc_prec(hp)} {_loc_prec(vp)}"
+        )
+    if rtype == 37 and rd_len >= 5:  # CERT (RFC 4398)
+        ctype, keytag = struct.unpack_from(">HH", data, rd_start)
+        alg = rdata[4]
+        cert = base64.b64encode(rdata[5:]).decode("ascii")
+        return f"{ctype} {keytag} {alg} {cert}"
+    if rtype == 49 and rd_len >= 1:  # DHCID (RFC 4701): opaque base64
+        return base64.b64encode(rdata).decode("ascii")
+    if rtype == 45 and rd_len >= 3:  # IPSECKEY (RFC 4025)
+        prec, gw_type, alg = rdata[0], rdata[1], rdata[2]
+        pos = rd_start + 3
+        if gw_type == 0:
+            gw = "."
+        elif gw_type == 1 and rd_len >= 7:
+            gw = ".".join(str(b) for b in rdata[3:7])
+            pos += 4
+        elif gw_type == 2 and rd_len >= 19:
+            gw = str(ipaddress.IPv6Address(rdata[3:19]))
+            pos += 16
+        else:
+            gw, pos = _read_name(data, pos)
+        key = base64.b64encode(data[pos : rd_start + rd_len]).decode("ascii")
+        return f"{prec} {gw_type} {alg} {gw} {key}" if key else f"{prec} {gw_type} {alg} {gw}"
     # generic / unknown (RFC 3597)
     if rd_len == 0:
         return "\\# 0"
     return f"\\# {rd_len} " + rdata.hex().upper()
+
+
+_B32HEX = "0123456789ABCDEFGHIJKLMNOPQRSTUV"
+
+
+def _b32hex(b: bytes) -> str:
+    """Base32 with the extended-hex alphabet, unpadded (RFC 4648 §7) —
+    the NSEC3 next-hashed-owner presentation form."""
+    out, acc, bits = [], 0, 0
+    for byte in b:
+        acc = (acc << 8) | byte
+        bits += 8
+        while bits >= 5:
+            bits -= 5
+            out.append(_B32HEX[(acc >> bits) & 0x1F])
+    if bits:
+        out.append(_B32HEX[(acc << (5 - bits)) & 0x1F])
+    return "".join(out)
+
+
+def _loc_coord(v: int, pos_h: str, neg_h: str) -> str:
+    """RFC 1876 lat/lon: thousandths of an arc second, offset 2^31."""
+    d = v - (1 << 31)
+    hemi = pos_h if d >= 0 else neg_h
+    d = abs(d)
+    deg, rem = divmod(d, 3_600_000)
+    minute, msec = divmod(rem, 60_000)
+    return f"{deg} {minute} {msec / 1000:.3f} {hemi}"
+
+
+def _loc_prec(octet: int) -> str:
+    """RFC 1876 size/precision: 4-bit mantissa × 10^(4-bit exp) cm."""
+    cm = (octet >> 4) * 10 ** (octet & 0x0F)
+    m = cm / 100
+    return f"{int(m)}m" if m == int(m) else f"{m:.2f}m"
 
 
 def _sig_time(epoch: int) -> str:

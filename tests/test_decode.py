@@ -472,6 +472,50 @@ def test_dns_rr_extended_type_rendering():
     assert a[8] == "ns.example. 300 IN NSEC next.example. A NS TXT"
 
 
+def test_dns_rr_tail_type_rendering():
+    """Third tier (dnsjava tail): NSEC3, NSEC3PARAM, LOC, CERT, DHCID,
+    IPSECKEY — plus the RFC 3597 fallback for a truly unknown type."""
+    import base64 as _b64
+    import struct as _s
+
+    from hadoop_pcap_spark.pcap import dns as DNS
+
+    def rr(name, rtype, rdata, ttl=300):
+        return (name, ttl, rtype, rdata)
+
+    hashed = b"\x01\x23\x45\x67\x89"
+    cert = b"\xde\xad\xbe\xef"
+    dhcid = b"\x00\x01\x02"
+    ipseckey_key = b"\x11\x22\x33"
+    # LOC: 37°46'29.744"N 122°24'44.652"W, alt -25m, size 1m hp 10000m vp 10m
+    lat = (1 << 31) + (37 * 3_600_000 + 46 * 60_000 + 29_744)
+    lon = (1 << 31) - (122 * 3_600_000 + 24 * 60_000 + 44_652)
+    loc = bytes([0, 0x12, 0x16, 0x13]) + _s.pack(
+        ">III", lat, lon, 10_000_000 - 2_500
+    )
+    answers = [
+        rr("h3.example", 50, _s.pack(">BBH", 1, 0, 12) + bytes([2]) + b"\xab\xcd"
+           + bytes([len(hashed)]) + hashed + bytes([0, 1, 0b01000000])),  # NSEC3 (+A)
+        rr("p.example", 51, _s.pack(">BBH", 1, 0, 12) + bytes([0])),      # NSEC3PARAM, empty salt
+        rr("l.example", 29, loc),                                          # LOC
+        rr("c.example", 37, _s.pack(">HH", 1, 12345) + bytes([8]) + cert), # CERT
+        rr("dh.example", 49, dhcid),                                       # DHCID
+        rr("ik.example", 45, bytes([10, 1, 2]) + bytes([192, 0, 2, 3]) + ipseckey_key),  # IPSECKEY v4 gw
+        rr("u.example", 1234, b"\xca\xfe"),                                # unknown → RFC 3597
+    ]
+    msg = S.dns_response(0x43, "q.example", 1, answers=answers)
+    a = DNS.parse_message(msg).answers
+    assert a[0] == "h3.example. 300 IN NSEC3 1 0 12 ABCD 04HKAPS9 A"
+    assert a[1] == "p.example. 300 IN NSEC3PARAM 1 0 12 -"
+    assert a[2] == ("l.example. 300 IN LOC 37 46 29.744 N 122 24 44.652 W "
+                    "-25.00m 1m 10000m 10m")
+    assert a[3] == f"c.example. 300 IN CERT 1 12345 8 {_b64.b64encode(cert).decode()}"
+    assert a[4] == f"dh.example. 300 IN DHCID {_b64.b64encode(dhcid).decode()}"
+    assert a[5] == (f"ik.example. 300 IN IPSECKEY 10 1 2 192.0.2.3 "
+                    f"{_b64.b64encode(ipseckey_key).decode()}")
+    assert a[6] == "u.example. 300 IN TYPE1234 \\# 2 CAFE"
+
+
 def test_dns_rrsig_rendering():
     import base64 as _b64
     import struct as _s
