@@ -1,0 +1,128 @@
+"""Physical-plan audits: the scale claims in SCALE.md / BASELINE.md as
+mechanical assertions, so a plan regression (lost pushdown, a surprise
+shuffle, a broadcast that became a sort-merge) fails CI instead of
+only showing up at 100 TB.
+
+These assert plan *shape*, not timings — stable across hosts."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hadoop_pcap_spark.plans import QUERIES, load_all
+
+SF = "/root/testdata/sf0.01"
+
+load_all()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_tpch_q6_pushes_filters_and_prunes_columns(spark):
+    plan = plan_of(QUERIES["tpch_q6_forecast_revenue"](spark, SF))
+    assert "PushedFilters: [" in plan and "IsNotNull" in plan
+    # projection pruned to the columns the query touches
+    read = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "l_comment" not in read and "l_orderkey" not in read
+
+
+def test_tpch_q5_broadcasts_dims_no_cartesian(spark):
+    """Dims ride broadcast joins and nothing degenerates to a
+    cartesian.  (Whether orders⋈lineitem is SMJ or broadcast is
+    size-dependent — at sf0.01 everything fits the broadcast
+    threshold, at scale AQE picks SMJ; both are correct plans.)"""
+    plan = plan_of(QUERIES["tpch_q5_local_supplier_volume"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_topn_per_group_uses_window_group_limit(spark):
+    plan = plan_of(QUERIES["window_topn_per_group"](spark, SF))
+    assert "WindowGroupLimit" in plan
+
+
+def test_topk_global_takes_ordered(spark):
+    plan = plan_of(QUERIES["topk_global"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_join_shapes(spark):
+    assert "LeftSemi" in plan_of(QUERIES["join_semi"](spark, SF))
+    assert "LeftAnti" in plan_of(QUERIES["join_anti"](spark, SF))
+
+
+def test_range_join_is_not_a_nested_loop(spark):
+    plan = plan_of(QUERIES["join_range_interval"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_flow_stats_single_exchange(spark):
+    """flow_stats = scan → partial agg → ONE exchange → final agg."""
+    from hadoop_pcap_spark.operators.flows import flow_stats
+    from hadoop_pcap_spark.plans.pcap_queries import fixture_dir
+    from hadoop_pcap_spark.sources import read_pcap
+
+    plan = plan_of(flow_stats(read_pcap(spark, fixture_dir())))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_reassembly_single_exchange_and_early_projection(spark):
+    """reassemble_dns_tcp shuffles once, and only the narrow segment
+    projection (key + ordinal + payload) crosses the exchange."""
+    from hadoop_pcap_spark.operators.flows import reassemble_dns_tcp
+    from hadoop_pcap_spark.plans.pcap_queries import tcp_fixture_dir
+    from hadoop_pcap_spark.sources import read_pcap
+
+    pkts = read_pcap(
+        spark, tcp_fixture_dir(),
+        columns=["file", "src", "dst", "src_port", "dst_port",
+                 "protocol", "pkt_no", "payload"],
+        strict_reference=False,
+    )
+    plan = plan_of(reassemble_dns_tcp(pkts))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_agg_is_partial_then_final(spark):
+    plan = plan_of(QUERIES["agg_count_by_key"](spark, SF))
+    assert "partial_" in plan  # map-side combine before the exchange
+
+
+def test_broadcast_dim_join_does_not_shuffle_fact(spark):
+    plan = plan_of(QUERIES["join_broadcast_dim"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_corpus_keep_set_no_cartesian_no_extra_scans(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from hadoop_pcap_spark.operators.dedup import corpus_keep_set
+
+    plan = plan_of(corpus_keep_set(docs, 0.5))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") <= 2  # window rewrite keeps it at 2
+
+
+def test_no_python_row_udfs_anywhere(spark):
+    """Every registered query stays Arrow-batched or JVM-side: no
+    row-at-a-time BatchEvalPython in any plan (sampled over the full
+    registry at the smallest SF)."""
+    offenders = []
+    for name, fn in QUERIES.items():
+        try:
+            plan = plan_of(fn(spark, "/root/testdata/sf0.001"))
+        except Exception:
+            continue  # pcap fixtures etc. handled in their own tests
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
