@@ -51,18 +51,23 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS) which Spark's parquet
-    reader rejects; with nanosAsLong the ``ts`` column arrives as
-    BIGINT nanoseconds-since-epoch.  DuckDB 1.0 truncates the same
-    column to microseconds on read, so the cross-engine convention is
-    *epoch-microsecond longs*: here ``ts div 1000`` (floor), in the
-    oracles ``epoch_us(ts)`` (also truncating).  All event-time
-    arithmetic stays in integer µs — exact on both engines."""
+    """The cross-engine convention for ``events.ts`` is *epoch-
+    microsecond longs* (oracles use DuckDB ``epoch_us(ts)``), so all
+    event-time arithmetic stays in exact integer µs on both engines.
+    The driver's generator has shipped two physical layouts, both
+    normalized here: TIMESTAMP(NANOS) (rejected by Spark's reader
+    unless ``nanosAsLong`` maps it to BIGINT nanos → ``div 1000``)
+    and TIMESTAMP(MICROS) (arrives as TIMESTAMP_NTZ → unix micros;
+    session TZ is pinned UTC so the NTZ→LTZ cast is the identity)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
-    return df.withColumn("ts", F.expr("ts div 1000"))
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn("ts", F.expr("ts div 1000"))
+    return df.withColumn("ts", F.unix_micros(F.col("ts").cast("timestamp")))
 
 
 def load_all() -> None:
