@@ -1439,3 +1439,312 @@ def q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+# --- correlated subqueries (EXISTS / NOT EXISTS / scalar) ---------------------
+# TPC-H shapes adapted to the driver tables (lineitem has no
+# commitdate/receiptdate/shipmode; nations are NATION_0..24, brands
+# Brand#1..; predicates use observed values so results are non-empty).
+
+
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS (orders with at least one
+    line shipped after the order date) counted by priority.
+    Scale: the EXISTS decorrelates to a LeftSemi hash join on
+    l_orderkey with the date comparison as a residual condition —
+    never a per-row subquery; the date filter pushes into the
+    orders scan, and lineitem is pruned to two columns."""
+    o = table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(vol) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year, {DISC_PRICE_SQL} AS vol
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+    ) GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between a nation pair by year —
+    a disjunctive join predicate over two roles of the same dim.
+    Scale: both nation lookups broadcast (two aliases of a 25-row
+    dim); supplier broadcasts onto lineitem so the nation-pair
+    filter prunes lineitem rows *before* the only big-big shuffle
+    (lineitem⋈orders); the pair disjunction is a residual on the
+    already-joined dims, never a cartesian."""
+    n1 = table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    su = table(spark, sf, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")
+    ).filter(F.col("supp_nation").isin("NATION_3", "NATION_7"))
+    c = table(spark, sf, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")
+    ).filter(F.col("cust_nation").isin("NATION_3", "NATION_7"))
+    li = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders")
+    pair_ok = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(pair_ok)
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(F.expr(DISC_PRICE_SQL)).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    oracle=f"""
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {DISC_PRICE_SQL}
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+           CAST(SUM({DISC_PRICE_SQL}) AS DOUBLE) AS total_revenue,
+           count(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue share — conditional
+    aggregation over a fact⋈dim join.  (The ratio is left to the
+    caller: two exact-decimal sums are order-independent, a
+    division of them is one deterministic double op client-side.)
+    Scale: part broadcasts; the month filter pushes into the
+    lineitem scan; single partial-agg, no wide shuffle."""
+    li = table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = table(spark, sf, "part").select("p_partkey", "p_type")
+    promo = F.when(
+        F.col("p_type") == "PROMO", F.expr(DISC_PRICE_SQL)
+    ).otherwise(F.lit(0).cast("decimal(18,4)"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(F.expr(DISC_PRICE_SQL)).cast("double").alias("total_revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "tpch_q16_supplier_cnt",
+    oracle="""
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand NOT IN ('Brand#2', 'Brand#4')
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+    GROUP BY p_brand, p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    with a NOT IN exclusion list (static → plain scan filter, no
+    anti join needed).  Scale: part filters push to its scan, part
+    broadcasts onto lineitem, count(distinct) expands to Spark's
+    two-phase exact distinct aggregation."""
+    p = table(spark, sf, "part").filter(
+        ~F.col("p_brand").isin("Brand#2", "Brand#4")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    li = table(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q17_small_qty_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           count(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: lines below 20% of their part's average
+    quantity — a correlated scalar subquery per part.
+    Scale: decorrelated by hand the way Catalyst would: one
+    per-part aggregate over lineitem (single shuffle on l_partkey,
+    exact because integer quantities sum exactly in double), then a
+    broadcast join of the filtered-brand thresholds back onto the
+    fact; the brand filter broadcasts so the threshold table is
+    tiny.  Never a per-row subquery."""
+    p = table(spark, sf, "part").filter(F.col("p_brand") == "Brand#13").select(
+        "p_partkey"
+    )
+    li = table(spark, sf, "lineitem")
+    # thresholds only for the brand's parts: semi-filter before the agg
+    thresholds = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_cap"))
+        .withColumnRenamed("l_partkey", "t_partkey")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .join(F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "tpch_q19_disjunctive",
+    oracle=f"""
+    SELECT CAST(SUM({DISC_PRICE_SQL}) AS DOUBLE) AS revenue, count(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 40)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 50)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of brand/size/quantity conjuncts
+    across the join.  Scale: the part-only disjuncts (brand+size)
+    collapse to one scan filter on part (broadcast side), so only
+    candidate parts join; the mixed part×lineitem disjunction stays
+    a residual filter on the joined row — Catalyst's constraint
+    propagation also derives a lineitem-only quantity range
+    (1..50 here) that pushes to the fact scan."""
+    p = table(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    li = table(spark, sf, "lineitem")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 40)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(F.expr(DISC_PRICE_SQL)).cast("double").alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "tpch_q22_idle_customers",
+    oracle="""
+    SELECT c_mktsegment AS segment, count(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*)
+        FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no
+    urgent order — an uncorrelated scalar subquery (global
+    threshold) plus a NOT EXISTS (anti join).  (Every customer in
+    the driver data has *some* order, so the exclusion is on urgent
+    orders to keep the anti join's survivor set non-empty.)
+    Scale: the threshold is a 1-row aggregate broadcast onto
+    customer (the exact-decimal sum / count division is one
+    deterministic double op, identical on both engines); the NOT
+    EXISTS decorrelates to a LeftAnti hash join on o_custkey —
+    orders is projected to the single join key before shuffling."""
+    c = table(spark, sf, "customer")
+    threshold = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("avg_bal")
+        )
+    )
+    o = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )

@@ -113,6 +113,43 @@ def test_corpus_keep_set_no_cartesian_no_extra_scans(spark):
     assert plan.count("Scan parquet") <= 2  # window rewrite keeps it at 2
 
 
+def test_q4_exists_decorrelates_to_semi_join(spark):
+    """The correlated EXISTS must plan as a LeftSemi hash join with
+    the date comparison as a residual — not a nested-loop or a
+    per-row subquery."""
+    plan = plan_of(QUERIES["tpch_q4_order_priority"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_anti_join_and_broadcast_threshold(spark):
+    """NOT EXISTS → LeftAnti; the 1-row scalar-subquery threshold
+    rides a broadcast, never a shuffle of customer against it."""
+    plan = plan_of(QUERIES["tpch_q22_idle_customers"](spark, SF))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q19_disjunction_keeps_hash_join(spark):
+    """The brand/size/quantity disjunction must stay a residual on a
+    hash join (part broadcasts); if it leaked into the join keys the
+    plan would degrade to a nested loop."""
+    plan = plan_of(QUERIES["tpch_q19_disjunctive"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q17_threshold_join_broadcasts(spark):
+    """The decorrelated per-part threshold table (one brand's parts)
+    broadcasts back onto the fact — no shuffle of lineitem on
+    l_partkey beyond the aggregation's own exchange."""
+    plan = plan_of(QUERIES["tpch_q17_small_qty_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_no_python_row_udfs_anywhere(spark):
     """Every registered query stays Arrow-batched or JVM-side: no
     row-at-a-time BatchEvalPython in any plan (sampled over the full
