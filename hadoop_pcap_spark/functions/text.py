@@ -122,3 +122,35 @@ def bpe_pretoken_count(col) -> Column:
     """Count of BPE-style pretokens (letters/digits/punct runs) — a
     closer proxy for LLM token budgets than whitespace words."""
     return F.size(F.regexp_extract_all(col, F.lit(BPE_PRETOKEN_RE), 0))
+
+
+# PII redaction contract shared with the oracles.  Patterns are kept
+# inside the Java-regex ∩ RE2 common dialect (char classes, bounded
+# repeats, \b word boundaries — no lookaround) so Spark and DuckDB
+# produce byte-identical scrubbed text.  Replacement order matters
+# and is part of the contract: emails first (their local parts may
+# contain digit runs a later pattern would chew on), then dotted
+# quads, then free-form phone runs (whose class excludes '.' so it
+# can never straddle an IP).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def pii_counts(col) -> dict:
+    """Per-category PII match counts (pre-redaction), JVM-side."""
+    return {
+        name: F.regexp_count(col, F.lit(pat)) for name, pat, _repl in PII_PATTERNS
+    }
+
+
+def scrub_pii(col) -> Column:
+    """Redact emails, IPv4 addresses and phone-like digit runs.
+    Pure regexp_replace chain — stays in whole-stage codegen; at
+    100 TB this is a map-only pass over the corpus scan."""
+    out = col
+    for _name, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out

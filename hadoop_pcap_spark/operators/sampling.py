@@ -1,0 +1,79 @@
+"""Deterministic sampling operators for corpus curation.
+
+LLM data pipelines need *reproducible* samples — the same subset on
+every run, resumable across clusters, auditable against an oracle.
+``df.sample()`` can't provide that (seed semantics are partition-
+dependent), so both operators here key the decision on a content
+hash of a stable unique key:
+
+* :func:`hash_sample` — Bernoulli-by-hash: keep a row iff the hex
+  prefix of ``md5(key)`` falls under the fraction threshold.  A pure
+  scan filter: no shuffle, no state, embarrassingly parallel — the
+  100 TB default.
+* :func:`stratified_sample_exact` — exact per-stratum fractions via
+  one window pass: rank rows inside each stratum by hash order and
+  keep the first ``ceil(fraction × stratum_size)``.  Costs one
+  shuffle on the strata key; use when per-group quotas must be hit
+  exactly (e.g. language-balance requirements), not just in
+  expectation.
+
+Both are JVM-side expressions (md5 / window built-ins) with exact
+DuckDB SQL twins registered in plans/pipeline.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _hash_key(key) -> Column:
+    col = F.col(key) if isinstance(key, str) else key
+    return F.md5(col.cast("string"))
+
+
+def hash_threshold(fraction: float, prefix_len: int = 8) -> str:
+    """Hex threshold t such that P[md5-prefix < t] == fraction (to
+    16**-prefix_len resolution)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    cap = min(int(fraction * (16**prefix_len)), 16**prefix_len - 1)
+    return format(cap, f"0{prefix_len}x")
+
+
+def hash_sample(df: DataFrame, key, fraction: float, prefix_len: int = 8) -> DataFrame:
+    """Deterministic Bernoulli sample: rows whose ``md5(key)`` hex
+    prefix sorts under the fraction threshold.  Scan-only (the
+    filter pushes to the source when the key is a stored column);
+    reproducible across runs, partitionings and engines."""
+    return df.filter(
+        F.substring(_hash_key(key), 1, prefix_len)
+        < F.lit(hash_threshold(fraction, prefix_len))
+    )
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata: Sequence[str],
+    fraction: float,
+    key: str,
+    rank_col: str = "rn",
+    size_col: str = "n_stratum",
+) -> DataFrame:
+    """Exactly ``ceil(fraction × |stratum|)`` rows per stratum,
+    chosen by hash order (deterministic, content-keyed, engine-
+    independent).  One shuffle on the strata columns; the unique
+    ``key`` tie-breaks hash collisions so the selection is total-
+    order stable."""
+    order = [_hash_key(key), F.col(key)]
+    w_rank = W.partitionBy(*strata).orderBy(*order)
+    w_all = W.partitionBy(*strata)
+    quota = F.ceil(F.lit(float(fraction)) * F.col(size_col)).cast("long")
+    return (
+        df.withColumn(rank_col, F.row_number().over(w_rank))
+        .withColumn(size_col, F.count("*").over(w_all))
+        .filter(F.col(rank_col) <= quota)
+    )

@@ -660,3 +660,110 @@ def q_similarity_ivf(spark: SparkSession, sf: str) -> DataFrame:
     by cell.  Recall vs brute force asserted in pytest."""
     emb = table(spark, sf, "embeddings")
     return SIM.cosine_topk_ivf(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+# --- PII scrubbing & deterministic sampling -----------------------------------
+# The synthetic documents carry no natural PII, so the scrub query
+# *injects* deterministic PII derived from doc_id — identically in
+# both engines — then redacts it; the md5 of the scrubbed text is the
+# hash-checked evidence that every replacement came out byte-equal.
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4 = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+_PII_PHONE = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com from 10.1.'
+                  || CAST(doc_id % 200 AS VARCHAR)
+                  || '.7 call +1 555 010 ' || CAST(doc_id AS VARCHAR) AS t
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_email,
+           len(regexp_extract_all(t, '{_PII_IPV4}')) AS n_ipv4,
+           len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IPV4}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g')) AS scrub_fp
+    FROM aug
+    """,
+)
+def q_text_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction over the corpus: count and replace emails, IPv4
+    addresses and phone-like runs (functions.text.scrub_pii).
+    Scale: a regexp_replace chain in whole-stage codegen — map-only
+    over the scan, no shuffle, no Python; the category counts are
+    regexp_count on the same pass."""
+    docs = table(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.1."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".7 call +1 555 010 "),
+        F.col("doc_id").cast("string"),
+    )
+    counts = TXT.pii_counts(aug)
+    return docs.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["phone"].alias("n_phone"),
+        F.md5(TXT.scrub_pii(aug)).alias("scrub_fp"),
+    )
+
+
+@query(
+    "docs_hash_sample",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999'
+    """,
+)
+def q_docs_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 10% Bernoulli-by-hash sample (operators.
+    sampling.hash_sample): keep rows whose md5(doc_id) hex prefix
+    sorts under the fraction threshold.
+    Scale: a pure scan filter — no shuffle, no state, reproducible
+    across runs/partitionings/engines; THE way to cut a stable
+    dev-subset out of a 100 TB corpus."""
+    from ..operators.sampling import hash_sample
+
+    docs = table(spark, sf, "documents").select("doc_id", "lang", "source")
+    return hash_sample(docs, "doc_id", 0.1)
+
+
+@query(
+    "docs_stratified_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n_stratum
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, rn, n_stratum FROM ranked
+    WHERE rn <= CAST(ceil(0.1 * n_stratum) AS BIGINT)
+    """,
+)
+def q_docs_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 10%-per-language sample (operators.sampling.
+    stratified_sample_exact): rank within each stratum by content
+    hash, keep the first ceil(0.1·n).
+    Scale: one shuffle on the strata key (the window); selection is
+    hash-ordered so it's deterministic and engine-independent —
+    used when language-balance quotas must be exact, vs the
+    shuffle-free expectation-only hash_sample."""
+    from ..operators.sampling import stratified_sample_exact
+
+    docs = table(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    return stratified_sample_exact(docs, ["lang"], 0.1, "doc_id")

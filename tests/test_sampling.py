@@ -1,0 +1,79 @@
+"""Deterministic-sampling operator tests (operators/sampling.py)."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hadoop_pcap_spark.operators.sampling import (
+    hash_sample,
+    hash_threshold,
+    stratified_sample_exact,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def test_hash_threshold_resolution():
+    assert hash_threshold(0.0) == "00000000"
+    assert hash_threshold(1.0) == "ffffffff"
+    assert hash_threshold(0.1) == "19999999"
+    with pytest.raises(ValueError):
+        hash_threshold(1.5)
+
+
+def test_hash_sample_deterministic_and_near_fraction(docs):
+    a = {r.doc_id for r in hash_sample(docs, "doc_id", 0.2).collect()}
+    b = {r.doc_id for r in hash_sample(docs, "doc_id", 0.2).collect()}
+    assert a == b  # same subset on every run
+    n = docs.count()
+    # Bernoulli at p=0.2: observed fraction within 5 sigma
+    sigma = math.sqrt(0.2 * 0.8 / n)
+    assert abs(len(a) / n - 0.2) < 5 * sigma
+
+
+def test_hash_sample_nested_subsets(docs):
+    """Smaller fractions select subsets of larger ones (threshold
+    monotonicity) — lets a pipeline grow a sample without churn."""
+    s5 = {r.doc_id for r in hash_sample(docs, "doc_id", 0.05).collect()}
+    s20 = {r.doc_id for r in hash_sample(docs, "doc_id", 0.20).collect()}
+    assert s5 <= s20
+
+
+def test_hash_sample_is_scan_only(docs, spark):
+    plan = (
+        hash_sample(docs, "doc_id", 0.1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # pure filter, no shuffle
+
+
+def test_stratified_sample_exact_quotas(docs):
+    out = stratified_sample_exact(docs, ["lang"], 0.1, "doc_id")
+    got = {r.lang: r.cnt for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    want = {
+        r.lang: math.ceil(0.1 * r.cnt)
+        for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == want  # exactly ceil(frac·n) per stratum, all strata present
+
+
+def test_stratified_sample_deterministic(docs):
+    a = sorted(r.doc_id for r in stratified_sample_exact(docs, ["lang"], 0.1, "doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in stratified_sample_exact(
+            docs.repartition(7), ["lang"], 0.1, "doc_id"
+        ).collect()
+    )
+    assert a == b  # partitioning-independent selection

@@ -102,3 +102,50 @@ def test_quality_score_ranges(spark):
     assert 0.9 <= scores[1] <= 1.0  # long, readable, stopword-rich
     assert scores[2] < scores[1]
     assert all(0.0 <= v <= 1.0 for v in scores.values())
+
+
+# --- PII scrubbing ------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pii_df(spark):
+    rows = [
+        Row(id=1, text="mail me at alice.b+x@corp.example.org today"),
+        Row(id=2, text="server at 192.168.0.17 went down"),
+        Row(id=3, text="call +1 (555) 010-7788 now"),
+        Row(id=4, text="no pii here, just words and 7 digits"),
+        Row(id=5, text="bob@h.io or 10.0.0.1 or +44 20 7946 0958"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_scrub_pii_redacts_each_category(pii_df):
+    out = {
+        r.id: r.v
+        for r in pii_df.select(
+            "id", TXT.scrub_pii(F.col("text")).alias("v")
+        ).collect()
+    }
+    assert out[1] == "mail me at <EMAIL> today"
+    assert out[2] == "server at <IP> went down"
+    assert out[3] == "call <PHONE> now"
+    assert out[4] == "no pii here, just words and 7 digits"  # untouched
+    assert out[5] == "<EMAIL> or <IP> or <PHONE>"
+
+
+def test_pii_counts_match_scrub(pii_df):
+    counts = TXT.pii_counts(F.col("text"))
+    rows = {
+        r.id: (r.e, r.i, r.p)
+        for r in pii_df.select(
+            "id",
+            counts["email"].alias("e"),
+            counts["ipv4"].alias("i"),
+            counts["phone"].alias("p"),
+        ).collect()
+    }
+    assert rows[1] == (1, 0, 0)
+    assert rows[2] == (0, 1, 0)
+    assert rows[3] == (0, 0, 1)
+    assert rows[4] == (0, 0, 0)
+    assert rows[5] == (1, 1, 1)
