@@ -1,0 +1,69 @@
+"""Benchmark-contamination detection for training corpora.
+
+The standard decontamination step in LLM data prep: flag corpus
+documents that share word n-grams with a benchmark/eval set, so
+test data can be excised from the training corpus before training.
+
+Shape at 100 TB: the benchmark side is small (eval suites are MBs
+against a corpus of TBs), so its distinct shingle set broadcasts;
+the corpus side is a map-only shingle explode over the scan followed
+by a broadcast hash join and ONE shuffle for the per-document
+aggregate.  Never an all-pairs comparison — the n-gram join is the
+industrial decontamination algorithm (exact-substring variant of
+the shingle overlap used by dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import doc_shingle_arrays, doc_shingles
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus documents sharing ≥1 distinct k-word shingle with any
+    benchmark document.
+
+    Returns one row per contaminated corpus doc:
+      ``doc_id`` — corpus document id
+      ``n_hit_shingles`` — distinct shingles shared with the benchmark
+      ``n_bench_docs`` — distinct benchmark docs it overlaps
+      ``contamination`` — n_hit_shingles / its distinct-shingle count
+
+    Plan: benchmark shingles broadcast; corpus shingles are a map-only
+    explode; the join is a BroadcastHashJoin (no corpus shuffle before
+    the filter); one exchange for the per-doc aggregate; the shingle-
+    count side table is narrow (doc_id, sz) and joins post-aggregate.
+    """
+    bench = (
+        doc_shingles(benchmark, k=k, id_col=id_col, text_col=text_col)
+        .select(F.col("token").alias("shingle"), F.col("doc_id").alias("bench_id"))
+        .distinct()
+    )
+    corp = doc_shingles(corpus, k=k, id_col=id_col, text_col=text_col).select(
+        "doc_id", F.col("token").alias("shingle")
+    )
+    sizes = doc_shingle_arrays(corpus, k=k, id_col=id_col, text_col=text_col).select(
+        "doc_id", "sz"
+    )
+    hits = (
+        corp.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_hit_shingles"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_hit_shingles",
+        "n_bench_docs",
+        F.round(F.col("n_hit_shingles") / F.col("sz"), 6).alias("contamination"),
+    )

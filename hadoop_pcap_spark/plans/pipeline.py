@@ -767,3 +767,62 @@ def q_docs_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = table(spark, sf, "documents").select("doc_id", "lang", "n_chars")
     return stratified_sample_exact(docs, ["lang"], 0.1, "doc_id")
+
+
+# --- benchmark contamination ---------------------------------------------------
+
+
+def _sql_shingles_k(k: int) -> str:
+    """DuckDB twin of dedup.doc_shingle_arrays for arbitrary k."""
+    joined = " || ' ' || ".join(f"{SQL_TOKENS}[i+{j}]" for j in range(k))
+    return f"""list_distinct(
+      CASE WHEN len({SQL_TOKENS}) >= {k}
+           THEN list_transform(range(1, len({SQL_TOKENS}) - {k - 2}),
+                i -> {joined.replace(f'{SQL_TOKENS}[i+0]', f'{SQL_TOKENS}[i]')})
+           ELSE [array_to_string({SQL_TOKENS}, ' ')] END)"""
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH btok AS (
+      SELECT DISTINCT unnest({_sql_shingles_k(5)}) AS shingle, doc_id AS bench_id
+      FROM documents WHERE source = 'src0'
+    ),
+    ctok AS (
+      SELECT doc_id, unnest({_sql_shingles_k(5)}) AS shingle
+      FROM documents WHERE source <> 'src0'
+    ),
+    sizes AS (
+      SELECT doc_id, len({_sql_shingles_k(5)}) AS sz
+      FROM documents WHERE source <> 'src0'
+    ),
+    hits AS (
+      SELECT c.doc_id,
+             count(DISTINCT c.shingle) AS n_hit_shingles,
+             count(DISTINCT b.bench_id) AS n_bench_docs
+      FROM ctok c JOIN btok b USING (shingle)
+      GROUP BY c.doc_id
+    )
+    SELECT h.doc_id, h.n_hit_shingles, h.n_bench_docs,
+           ROUND(h.n_hit_shingles * 1.0 / s.sz, 6) AS contamination
+    FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (operators.contamination): corpus
+    docs (source <> 'src0') sharing any distinct 5-word shingle with
+    the benchmark set (source = 'src0'), with overlap counts and the
+    contaminated-shingle fraction.
+    Scale: benchmark shingles broadcast (eval sets are MBs vs a
+    corpus of TBs); corpus side is a map-only shingle explode +
+    BroadcastHashJoin, then one exchange for the per-doc aggregate —
+    never all-pairs."""
+    from ..operators.contamination import ngram_contamination
+
+    docs = table(spark, sf, "documents")
+    return ngram_contamination(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        k=5,
+    )

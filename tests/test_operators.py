@@ -560,3 +560,62 @@ def test_hot_bucket_guard_headroom_at_validation_sfs(spark, sf):
         .first()[0]
     )
     assert biggest_sb <= 4096 // 2, f"sign-band bucket {biggest_sb} within 2x of cap"
+
+
+# --- contamination detection ---------------------------------------------------
+
+
+def test_ngram_contamination_plants_and_finds(spark):
+    from pyspark.sql import Row
+
+    from hadoop_pcap_spark.operators.contamination import ngram_contamination
+
+    bench = spark.createDataFrame(
+        [Row(doc_id=1000, text="the secret benchmark answer is forty two exactly")]
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark 5-gram "secret benchmark answer is forty"
+            Row(doc_id=1, text="copied: the secret benchmark answer is forty two"),
+            Row(doc_id=2, text="clean text about sparks and rivers flowing home"),
+            # shares words but no 5-gram run
+            Row(doc_id=3, text="benchmark the answer secret forty is two the"),
+        ]
+    )
+    out = {r.doc_id: r for r in ngram_contamination(corpus, bench, k=5).collect()}
+    assert set(out) == {1}
+    assert out[1].n_hit_shingles >= 3  # overlapping window of 5-grams
+    assert out[1].n_bench_docs == 1
+    assert 0 < out[1].contamination <= 1
+
+
+def test_ngram_contamination_short_docs_whole_text(spark):
+    """Docs shorter than k fall back to whole-text shingles — an exact
+    short-text match is caught, a different short text is not."""
+    from pyspark.sql import Row
+
+    from hadoop_pcap_spark.operators.contamination import ngram_contamination
+
+    bench = spark.createDataFrame([Row(doc_id=9, text="tiny eval prompt")])
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text="tiny eval prompt"), Row(doc_id=2, text="other words")]
+    )
+    out = [r.doc_id for r in ngram_contamination(corpus, bench, k=5).collect()]
+    assert out == [1]
+
+
+def test_ngram_contamination_broadcasts_benchmark(spark):
+    from hadoop_pcap_spark.operators.contamination import ngram_contamination
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        ngram_contamination(
+            docs.filter(F.col("source") != "src0"),
+            docs.filter(F.col("source") == "src0"),
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
