@@ -1748,3 +1748,537 @@ def q_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+# --- TPC-H completion: the 9 remaining query shapes ---------------------------
+#
+# The driver's testdata has no ``partsupp`` table and lineitem lacks
+# shipmode/commitdate/receiptdate, so Q2/Q9/Q11/Q12/Q20/Q21 are *shape
+# adaptations*: the relational structure (correlated min, market-share
+# division, profit expression, value-share threshold, conditional
+# counts, nested IN + correlated threshold, double-EXISTS lateness) is
+# preserved over the columns that exist.  Q8/Q13/Q15 run essentially
+# verbatim.  Lateness, where the spec uses commit/receipt dates, is
+# re-expressed as ``l_shipdate > o_orderdate + INTERVAL N DAYS``.
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH eu_supp AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'),
+    cost AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS supply_cost
+        FROM lineitem JOIN eu_supp ON l_suppkey = s_suppkey
+        GROUP BY l_partkey, l_suppkey)
+    SELECT s_acctbal, s_name, n_name, p_partkey, s_suppkey,
+           CAST(supply_cost AS DOUBLE) AS supply_cost
+    FROM cost
+    JOIN part ON p_partkey = l_partkey
+    JOIN eu_supp ON l_suppkey = s_suppkey
+    WHERE p_type = 'STANDARD' AND p_size <= 10
+      AND supply_cost = (SELECT MIN(c2.supply_cost) FROM cost c2
+                         WHERE c2.l_partkey = cost.l_partkey)
+    ORDER BY s_acctbal DESC, p_partkey, s_suppkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp table, so the part↔supplier
+    relation is derived from lineitem and supply cost is the minimum
+    extended price a EUROPE supplier ever charged for the part — a
+    correlated MIN subquery per part, exactly Q2's structure).
+    Scale: the EUROPE supplier dim broadcasts onto lineitem; the
+    per-(part, supplier) MIN is one shuffle on the compound key; the
+    correlated min decorrelates to a window MIN over l_partkey
+    (second, narrower shuffle) instead of a per-row subquery; part is
+    filter-pushed and broadcast; final top-20 is
+    TakeOrderedAndProject.  Exact DECIMAL(18,2) comparisons — no
+    float-equality hazard in the min-match."""
+    n = table(spark, sf, "nation")
+    r = table(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    eu_supp = (
+        table(spark, sf, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = table(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    cost = (
+        li.join(F.broadcast(eu_supp), li.l_suppkey == eu_supp.s_suppkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("supply_cost")
+        )
+    )
+    part_min = W.partitionBy("l_partkey")
+    best = cost.withColumn("min_cost", F.min("supply_cost").over(part_min)).filter(
+        F.col("supply_cost") == F.col("min_cost")
+    )
+    p = table(spark, sf, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(eu_supp), best.l_suppkey == eu_supp.s_suppkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "s_suppkey",
+            F.col("supply_cost").cast("double").alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "p_partkey", "s_suppkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+    WITH vol AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+               {DISC_PRICE_SQL} AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01')
+    SELECT o_year,
+           CAST(COALESCE(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                                       THEN volume END) AS DOUBLE), 0)
+                / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM vol GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 (national market share) — runs structurally verbatim:
+    8-table join, per-year division of one nation's volume by total
+    volume.  Scale: every dimension chain (part, customer→nation→
+    region, supplier→nation) broadcasts; the only big-big exchange is
+    orders⋈lineitem; the division happens on two exact decimal sums
+    cast to double (one IEEE op, identical in both engines)."""
+    p = table(spark, sf, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    o = table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    n1 = table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey")
+    )
+    r = table(spark, sf, "region").filter(F.col("r_name") == "AMERICA")
+    cust = (
+        table(spark, sf, "customer")
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    n2 = table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    supp = (
+        table(spark, sf, "supplier")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .select("s_suppkey", "supp_nation")
+    )
+    li = table(spark, sf, "lineitem")
+    vol = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            F.expr(DISC_PRICE_SQL).alias("volume"),
+            "supp_nation",
+        )
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+                    ).cast("double"),
+                    F.lit(0.0),
+                )
+                / F.sum("volume").cast("double")
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           CAST(SUM({DISC_PRICE_SQL}
+                    - CAST(p_retailprice AS DECIMAL(18,2))
+                      * CAST(0.2 AS DECIMAL(3,2))
+                      * CAST(l_quantity AS DECIMAL(9,0))) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit; adapted: no partsupp, so
+    supply cost is modeled as 20% of the part's retail price — the
+    profit expression keeps Q9's revenue-minus-cost-times-quantity
+    structure).  Scale: part (name-filtered) and supplier→nation
+    broadcast onto lineitem; orders⋈lineitem is the one shuffle; the
+    profit expression is exact decimal arithmetic summed exactly."""
+    p = table(spark, sf, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    n = table(spark, sf, "nation")
+    supp = (
+        table(spark, sf, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", "n_name")
+    )
+    o = table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    li = table(spark, sf, "lineitem")
+    profit = (
+        F.expr(DISC_PRICE_SQL)
+        - F.col("p_retailprice").cast("decimal(18,2)")
+        * F.lit(0.2).cast("decimal(3,2)")
+        * F.col("l_quantity").cast("decimal(9,0)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "tpch_q11_important_parts",
+    oracle="""
+    WITH val AS (
+        SELECT l_partkey AS partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY l_partkey)
+    SELECT partkey, CAST(value AS DOUBLE) AS value
+    FROM val
+    WHERE value > (SELECT SUM(value) * CAST(0.001 AS DECIMAL(6,4)) FROM val)
+    ORDER BY value DESC, partkey
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock; adapted: no partsupp, so a
+    part's "value" for one nation's suppliers is the total extended
+    price its lineitems shipped — keeping Q11's structure: per-key
+    aggregate filtered by an uncorrelated fraction-of-global-total
+    scalar subquery).  Scale: the nation-filtered supplier dim
+    broadcasts; one shuffle for the per-part agg; the global total is
+    a 1-row broadcast; threshold comparison is exact decimal."""
+    n = table(spark, sf, "nation").filter(F.col("n_name") == "NATION_7")
+    supp = (
+        table(spark, sf, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey")
+    )
+    li = table(spark, sf, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    val = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "left_semi")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("value"))
+    )
+    threshold = val.agg(
+        (F.sum("value") * F.lit(0.001).cast("decimal(6,4)")).alias("cap")
+    )
+    return (
+        val.crossJoin(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("cap"))
+        .select("partkey", F.col("value").cast("double").alias("value"))
+        .orderBy(F.desc("value"), "partkey")
+    )
+
+
+@query(
+    "tpch_q12_late_lines_priority",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND l_shipdate < TIMESTAMP '1999-01-01'
+    GROUP BY l_returnflag ORDER BY flag
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes / late lines; adapted: no
+    l_shipmode or commit/receipt dates, so the group key is
+    l_returnflag and "late" is shipping >90 days after the order
+    date — the high/low-priority conditional counts are verbatim).
+    Scale: orders⋈lineitem is the one shuffle; the lateness predicate
+    is a post-join residual (it references both sides); the
+    conditional counts are map-side partial aggregates."""
+    o = table(spark, sf, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") < "1999-01-01"
+    ).select("l_orderkey", "l_shipdate", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("flag")
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    WITH c_orders AS (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        GROUP BY c_custkey)
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution) — verbatim shape;
+    the order exclusion predicate (spec: comment NOT LIKE) is the
+    priority filter, applied *inside* the outer join so zero-order
+    customers survive.  Scale: the exclusion pushes to the orders
+    scan; customer⋈orders shuffles on custkey; the per-customer count
+    then re-aggregates on the (tiny-cardinality) count value — the
+    second shuffle moves one row per customer."""
+    c = table(spark, sf, "customer").select("c_custkey")
+    o = table(spark, sf, "orders").filter(F.col("o_orderpriority") != "5-LOW").select(
+        "o_custkey", "o_orderkey"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM({DISC_PRICE_SQL}) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 (top supplier) — verbatim shape: the revenue "view"
+    is a quarter's per-supplier aggregate, and the MAX scalar
+    subquery picks the top supplier(s).  Scale: one shuffle for the
+    per-supplier agg; the MAX is a 1-row broadcast back onto it (no
+    second full pass); supplier joins by broadcast.  The revenue
+    equality is exact-decimal, so ties are exact, as the spec
+    requires."""
+    li = table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.expr(DISC_PRICE_SQL)).alias("total_revenue")
+    )
+    best = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    s = table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q20_excess_shipments",
+    oracle="""
+    WITH blue_parts AS (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'blue%'),
+    early AS (
+        SELECT l_partkey, SUM(l_quantity) AS early_qty
+        FROM lineitem JOIN blue_parts ON l_partkey = p_partkey
+        WHERE l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_partkey),
+    late AS (
+        SELECT l_suppkey, l_partkey, SUM(l_quantity) AS late_qty
+        FROM lineitem JOIN blue_parts ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey, l_partkey)
+    SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM late JOIN early USING (l_partkey)
+        WHERE late_qty > 0.5 * early_qty)
+    ORDER BY s_suppkey
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape (excess inventory; adapted: no partsupp
+    availqty, so the test is "shipped more of a blue part after 1997
+    than half of what everyone shipped before" — keeping Q20's
+    nested-IN + correlated-threshold structure).  Scale: the part
+    name filter broadcasts into both lineitem passes; each per-key
+    agg is one shuffle; the early-quantity thresholds join by
+    broadcast (small: one row per blue part); the final IN
+    decorrelates to a LeftSemi on s_suppkey."""
+    bp = table(spark, sf, "part").filter(F.col("p_name").like("blue%")).select(
+        "p_partkey"
+    )
+    li = table(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    blue_li = li.join(F.broadcast(bp), li.l_partkey == bp.p_partkey, "left_semi")
+    early = (
+        blue_li.filter(F.col("l_shipdate") < "1997-01-01")
+        .groupBy("l_partkey")
+        .agg(F.sum("l_quantity").alias("early_qty"))
+        .withColumnRenamed("l_partkey", "e_partkey")
+    )
+    late = (
+        blue_li.filter(F.col("l_shipdate") >= "1997-01-01")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("late_qty"))
+    )
+    excess = (
+        late.join(F.broadcast(early), F.col("l_partkey") == F.col("e_partkey"))
+        .filter(F.col("late_qty") > 0.5 * F.col("early_qty"))
+        .select("l_suppkey")
+    )
+    s = table(spark, sf, "supplier")
+    return (
+        s.join(excess, s.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", F.col("s_acctbal").cast("double").alias("acctbal"))
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q21_suppliers_kept_waiting",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders   ON o_orderkey = l1.l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      JOIN orders o2 ON o2.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o2.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting; adapted:
+    lateness is shipping >60 days after the order date instead of
+    receipt-after-commit).  The EXISTS / NOT EXISTS pair over other
+    suppliers' lines decorrelates to one per-order aggregate —
+    distinct suppliers and distinct *late* suppliers — joined back to
+    the late lines: "multi-supplier order whose only late supplier is
+    this one" ⇔ n_supp > 1 AND n_late_supp = 1.  Scale: this turns
+    two correlated subqueries into ONE extra shuffle (the per-order
+    agg) instead of two self-joins of the fact; the supplier+nation
+    dim broadcasts; numwait counts late lines exactly like the
+    nested-EXISTS form."""
+    o = table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    n = table(spark, sf, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    supp = (
+        table(spark, sf, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", "s_name")
+    )
+    waiting = (
+        lo.filter(F.col("is_late"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            per_order.withColumnRenamed("l_orderkey", "po_orderkey"),
+            F.col("l_orderkey") == F.col("po_orderkey"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        waiting.groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )

@@ -150,6 +150,44 @@ def test_q17_threshold_join_broadcasts(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q2_correlated_min_is_window_not_subquery(spark):
+    """The per-part correlated MIN decorrelates to a window over the
+    (part, supplier) aggregate — one narrow exchange, no self-join of
+    the cost table and no nested loop."""
+    plan = plan_of(QUERIES["tpch_q2_min_cost_supplier"](spark, SF))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q8_single_fact_exchange(spark):
+    """Q8's eight-table join keeps every dimension chain on the
+    broadcast side; orders⋈lineitem is the only big-big join."""
+    plan = plan_of(QUERIES["tpch_q8_market_share"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("SortMergeJoin") <= 1  # at most the orders⋈lineitem pair
+
+
+def test_q15_max_revenue_rides_a_broadcast(spark):
+    """The MAX(total_revenue) scalar joins back by broadcast onto the
+    per-supplier aggregate — never a shuffle against a 1-row table."""
+    plan = plan_of(QUERIES["tpch_q15_top_supplier"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_double_exists_is_one_aggregate(spark):
+    """The EXISTS/NOT-EXISTS pair decorrelates to a single per-order
+    aggregate joined back — the lineitem fact is scanned for the agg
+    and for the late lines, not once per subquery."""
+    plan = plan_of(QUERIES["tpch_q21_suppliers_kept_waiting"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan parquet") <= 6  # 2×lineitem + 2×orders + 2 dims
+
+
 def test_no_python_row_udfs_anywhere(spark):
     """Every registered query stays Arrow-batched or JVM-side: no
     row-at-a-time BatchEvalPython in any plan (sampled over the full
