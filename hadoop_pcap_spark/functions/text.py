@@ -154,3 +154,39 @@ def scrub_pii(col) -> Column:
     for _name, pat, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+def bigrams(col) -> Column:
+    """text → array of adjacent token bigrams ("tok_i tok_i+1").
+    Empty array for 0/1-token text.  JVM-side (zip_with over two
+    slices) — stays in whole-stage codegen."""
+    toks = tokens(col)
+    n = F.size(toks)
+    bg = F.zip_with(
+        F.slice(toks, F.lit(1), n - 1),
+        F.slice(toks, F.lit(2), n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return F.when(n >= 2, bg).otherwise(F.array().cast("array<string>"))
+
+
+# Gopher-style quality rule thresholds (Rae et al. 2021, Table A1
+# shape).  Word-count and repetition bounds are re-tuned to the
+# synthetic corpus (10-99 words/doc) so each rule keeps AND drops
+# documents; the mean-word-length band [3, 10] is the published one.
+GOPHER_WC_MIN, GOPHER_WC_MAX = 25, 80
+GOPHER_MWL_MIN, GOPHER_MWL_MAX = 3.0, 10.0
+GOPHER_STOPWORD_MIN = 0.03
+
+
+def gopher_flags(col):
+    """The per-document Gopher rule verdicts as named boolean columns:
+    word-count band, mean-word-length band, minimum stopword mass."""
+    wc = token_count(col)
+    atl = avg_token_len(col)
+    sw = stopword_ratio(col)
+    return {
+        "wc_ok": wc.between(GOPHER_WC_MIN, GOPHER_WC_MAX),
+        "mwl_ok": (atl >= GOPHER_MWL_MIN) & (atl <= GOPHER_MWL_MAX),
+        "sw_ok": sw >= GOPHER_STOPWORD_MIN,
+    }

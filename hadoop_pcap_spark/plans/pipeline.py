@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from . import query, table
 from ..functions import text as TXT
@@ -825,4 +826,166 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
         docs.filter(F.col("source") != "src0"),
         docs.filter(F.col("source") == "src0"),
         k=5,
+    )
+
+
+# --- Gopher-style rule filtering, repetition, sequence packing ----------------
+# Three more training-data-pipeline staples over `documents`: rule-based
+# quality filtering (Gopher/C4 motif), intra-document repetition
+# detection (the "top bigram dominates the text" signal), and greedy
+# sequence packing (concat-and-chunk batching by token budget).
+
+
+@query(
+    "docs_gopher_quality_filter",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, source,
+             len({SQL_TOKENS}) AS wc,
+             ROUND(list_sum(list_transform({SQL_TOKENS}, t -> CAST(length(t) AS DOUBLE)))
+                   / NULLIF(len({SQL_TOKENS}), 0), 4) AS atl,
+             ROUND(len(list_filter({SQL_TOKENS},
+                   t -> list_contains(['the','a','an','of','and','to','in','is','on','for'], t))) * 1.0
+                   / NULLIF(len({SQL_TOKENS}), 0), 6) AS sw
+      FROM documents),
+    flags AS (
+      SELECT source,
+             (wc BETWEEN 25 AND 80) AS wc_ok,
+             (atl BETWEEN 3.0 AND 10.0) AS mwl_ok,
+             (sw >= 0.03) AS sw_ok
+      FROM feats)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(SUM(CASE WHEN wc_ok AND mwl_ok AND sw_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN NOT wc_ok THEN 1 ELSE 0 END) AS BIGINT) AS fail_wordcount,
+           CAST(SUM(CASE WHEN NOT mwl_ok THEN 1 ELSE 0 END) AS BIGINT) AS fail_wordlen,
+           CAST(SUM(CASE WHEN NOT sw_ok THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopword
+    FROM flags GROUP BY source
+    """,
+)
+def q_gopher_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style rule-based quality filter (word-count band,
+    mean-word-length band, minimum stopword mass) with a per-source
+    keep/fail breakdown — the first gate of an LLM corpus pipeline.
+    Scale: pure scan + map (all rules are JVM expressions over the
+    token array) + one tiny agg exchange on source; at 100 TB this is
+    embarrassingly parallel and the real output is the filtered
+    corpus write (`.filter(keep)`), which shares the same plan."""
+    docs = table(spark, sf, "documents")
+    flags = TXT.gopher_flags(F.col("text"))
+    keep = flags["wc_ok"] & flags["mwl_ok"] & flags["sw_ok"]
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return (
+        docs.select("source", keep.alias("keep"), *[v.alias(k) for k, v in flags.items()])
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            one_if(F.col("keep")).alias("n_kept"),
+            one_if(~F.col("wc_ok")).alias("fail_wordcount"),
+            one_if(~F.col("mwl_ok")).alias("fail_wordlen"),
+            one_if(~F.col("sw_ok")).alias("fail_stopword"),
+        )
+    )
+
+
+@query(
+    "text_repetition_topgram",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {SQL_TOKENS} AS toks FROM documents),
+    b AS (
+      SELECT doc_id, source,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      FROM t),
+    c AS (SELECT doc_id, source, bg, count(*) AS n FROM b GROUP BY 1, 2, 3),
+    m AS (
+      SELECT doc_id, source,
+             ROUND(max(n) * 1.0 / sum(n), 6) AS top_bigram_frac
+      FROM c GROUP BY 1, 2)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(SUM(CASE WHEN top_bigram_frac >= 0.08 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repetitive,
+           ROUND(AVG(top_bigram_frac), 4) AS avg_top_bigram_frac
+    FROM m GROUP BY source
+    """,
+)
+def q_repetition_topgram(spark: SparkSession, sf: str) -> DataFrame:
+    """Intra-document repetition: the fraction of a document's bigrams
+    taken by its single most frequent bigram (Gopher's duplicated-
+    n-gram rule family); documents above 8% are flagged repetitive.
+    Scale: bigrams explode map-side from the token array (no join);
+    ONE shuffle on (doc_id, bigram) for the counts, then the per-doc
+    max/sum re-partitions by doc_id — both exchanges are partial-
+    aggregated.  The per-doc fraction is rounded before the per-source
+    AVG so the only order-dependent float sum works on values exact at
+    6 decimals."""
+    docs = table(spark, sf, "documents")
+    bg = docs.select(
+        "doc_id", "source", F.explode(TXT.bigrams(F.col("text"))).alias("bg")
+    )
+    per_doc = (
+        bg.groupBy("doc_id", "source", "bg")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round(F.max("n") * 1.0 / F.sum("n"), 6).alias("top_bigram_frac")
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("top_bigram_frac") >= 0.08, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_repetitive"),
+        F.round(F.avg("top_bigram_frac"), 4).alias("avg_top_bigram_frac"),
+    )
+
+
+@query(
+    "docs_pack_sequences",
+    oracle=f"""
+    WITH wc AS (
+      SELECT doc_id, source, len({SQL_TOKENS}) AS n_tok FROM documents),
+    packed AS (
+      SELECT source, n_tok,
+             CAST((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tok) // 256
+                  AS BIGINT) AS seq_id
+      FROM wc)
+    SELECT source,
+           CAST(MAX(seq_id) + 1 AS BIGINT) AS n_sequences,
+           count(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(n_tok) AS DOUBLE) / ((MAX(seq_id) + 1) * 256.0), 4)
+               AS fill_ratio
+    FROM packed GROUP BY source
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy sequence packing (concat-and-chunk): documents are laid
+    end-to-end per source shard in doc_id order and cut into
+    256-token training sequences; a document's sequence is where its
+    first token lands.  Reports sequences, docs, tokens and fill
+    ratio per source.  Scale: ONE shuffle (the window's partition on
+    source); at 100 TB the shard key would be (source, shard_id) so
+    each window partition stays executor-sized — the cumulative-sum
+    assignment itself is a single ordered pass per partition,
+    exactly how a streaming packer would run."""
+    docs = table(spark, sf, "documents")
+    wc = docs.select(
+        "doc_id", "source", TXT.token_count(F.col("text")).alias("n_tok")
+    )
+    win = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    packed = (
+        wc.withColumn("cum", F.sum("n_tok").over(win))
+        .withColumn("seq_id", F.expr("(cum - n_tok) div 256"))
+    )
+    return packed.groupBy("source").agg(
+        (F.max("seq_id") + 1).cast("bigint").alias("n_sequences"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum("n_tok").cast("double") / ((F.max("seq_id") + 1) * 256.0), 4
+        ).alias("fill_ratio"),
     )

