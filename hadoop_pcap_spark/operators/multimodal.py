@@ -297,3 +297,85 @@ def audio_features(df: DataFrame, id_col: str = "media_id", bytes_col: str = "co
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields])
 
     return df.select(id_col, bytes_col).mapInPandas(fn, AUDIO_FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("resized", T.BooleanType()),
+    ]
+)
+
+
+def _fit_dims(w: int, h: int, max_dim: int) -> tuple:
+    """Aspect-preserving fit of (w, h) into a max_dim square; never
+    upscales.  Pure integer policy shared by the real and stub paths
+    so the output schema is testable without PIL."""
+    if max(w, h) <= max_dim:
+        return w, h
+    if w >= h:
+        return max_dim, max(1, (h * max_dim) // w)
+    return max(1, (w * max_dim) // h), max_dim
+
+
+def resize_images(
+    df: DataFrame,
+    max_dim: int = 256,
+    id_col: str = "media_id",
+    bytes_col: str = "content",
+) -> DataFrame:
+    """Resize the binary image column to fit a ``max_dim`` square
+    (aspect-preserving, never upscaling) — the thumbnailing pass of a
+    multimodal training pipeline.  Resolution chain as elsewhere in
+    this module: PIL when importable (re-encoded PNG bytes), else the
+    original bytes pass through unchanged with ``resized = false`` and
+    only the *target* dimensions computed from the parsed header — the
+    Spark plumbing (schema, Arrow batching, per-task memory shape) is
+    identical either way.
+
+    Scale: pure map, no shuffle; output rows carry re-encoded blobs so
+    the downstream write re-partitions by size, not here."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import io
+
+            import PIL.Image as PILImage
+        except ImportError:
+            PILImage = None
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                data = bytes(data) if data is not None else b""
+                try:
+                    sw, sh = _decode_image(data)
+                except ValueError:
+                    sw, sh = None, None
+                if sw is None:
+                    rows.append(
+                        dict(media_id=int(mid), src_width=None, src_height=None,
+                             width=None, height=None, content=data, resized=False)
+                    )
+                    continue
+                w, h = _fit_dims(sw, sh, max_dim)
+                out, did = data, False
+                if PILImage is not None and (w, h) != (sw, sh):
+                    try:
+                        img = PILImage.open(io.BytesIO(data)).resize((w, h))
+                        buf = io.BytesIO()
+                        img.save(buf, format="PNG")
+                        out, did = buf.getvalue(), True
+                    except Exception:
+                        out, did = data, False
+                rows.append(
+                    dict(media_id=int(mid), src_width=sw, src_height=sh,
+                         width=w, height=h, content=out, resized=did)
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return df.select(id_col, bytes_col).mapInPandas(fn, RESIZED_SCHEMA)

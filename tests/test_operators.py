@@ -619,3 +619,34 @@ def test_ngram_contamination_broadcasts_benchmark(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_multimodal_resize_policy(spark):
+    """Resize plumbing: aspect-preserving fit, never upscaling; with
+    no codec importable the bytes pass through but target dims are
+    computed from the parsed header."""
+    import struct
+
+    def png(w, h):
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + b"IHDR"
+            + struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            + b"\x00" * 16
+        )
+
+    rows = [
+        Row(media_id=1, content=png(1024, 512)),
+        Row(media_id=2, content=png(100, 50)),   # already fits
+        Row(media_id=3, content=b""),            # undecodable
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r.media_id: r for r in MM.resize_images(df, max_dim=256).collect()}
+    assert (out[1].src_width, out[1].src_height) == (1024, 512)
+    assert (out[1].width, out[1].height) == (256, 128)
+    assert (out[2].width, out[2].height) == (100, 50)  # no upscale
+    assert out[3].width is None and out[3].resized is False
+    # pure-fit policy is codec-independent
+    assert MM._fit_dims(512, 1024, 256) == (128, 256)
+    assert MM._fit_dims(10000, 3, 256) == (256, 1)
