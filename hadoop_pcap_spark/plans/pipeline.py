@@ -57,9 +57,9 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _sql_minhash_cols(n: int) -> str:
-    return ",\n".join(
-        f"MIN(md5('{i}:' || token)) AS m{i}" for i in range(n)
-    )
+    # Kirsch-Mitzenmacher family off one md5 (mirrors dedup.py):
+    # h_i = a + i*b over the digest's two 60-bit halves.
+    return ",\n".join(f"MIN(ha + {i} * hb) AS m{i}" for i in range(n))
 
 
 SQL_SHINGLES3 = f"""list_distinct(
@@ -78,15 +78,22 @@ def _sql_minhash_ctes(src: str = "documents") -> str:
     return f"""tok AS (
       SELECT doc_id, unnest({SQL_SHINGLES3}) AS token FROM {src}
     ),
+    tokh AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS ha,
+             CAST(concat('0x', substr(md5(token), 17, 15)) AS BIGINT) AS hb
+      FROM tok
+    ),
     sigs AS (
       SELECT doc_id, {_sql_minhash_cols(8)}
-      FROM tok GROUP BY doc_id
+      FROM tokh GROUP BY doc_id
     ),
     bands AS (
-      SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS key FROM sigs
-      UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sigs
-      UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sigs
-      UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sigs
+      SELECT doc_id, 0 AS band,
+             md5(CAST(m0 AS VARCHAR) || '|' || CAST(m1 AS VARCHAR)) AS key FROM sigs
+      UNION ALL SELECT doc_id, 1, md5(CAST(m2 AS VARCHAR) || '|' || CAST(m3 AS VARCHAR)) FROM sigs
+      UNION ALL SELECT doc_id, 2, md5(CAST(m4 AS VARCHAR) || '|' || CAST(m5 AS VARCHAR)) FROM sigs
+      UNION ALL SELECT doc_id, 3, md5(CAST(m6 AS VARCHAR) || '|' || CAST(m7 AS VARCHAR)) FROM sigs
     ),
     cands AS (
       SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
