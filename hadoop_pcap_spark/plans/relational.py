@@ -2282,3 +2282,111 @@ def q_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+# --- event-analytics shapes: funnel + retention -------------------------------
+# Classic product-analytics staples over the events table; both stay
+# in exact integer microsecond/day arithmetic so the oracles compare
+# bit-for-bit.  (``events.ts`` is epoch-µs BIGINT on both engines —
+# see plans/__init__.py::events_table.)
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+      GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM v) AS step_view,
+           (SELECT count(*) FROM c) AS step_click,
+           (SELECT count(*) FROM p) AS step_purchase,
+           ROUND((SELECT count(*) FROM p) * 1.0
+                 / NULLIF((SELECT count(*) FROM v), 0), 6) AS conversion
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel (view → click-after-view → purchase-after-click):
+    per step, the earliest qualifying event strictly after the user's
+    previous-step time.  Scale: each step is one shuffle on user_id
+    over a type-filtered scan (the filter pushes down); the per-step
+    user tables shrink monotonically, so steps 2+ broadcast their
+    predecessor.  Day-one product analytics, same plan at 100 TB with
+    user-bucketed storage making every step co-partitioned."""
+    ev = table(spark, sf, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        v.agg(F.count("*").alias("step_view"))
+        .crossJoin(c.agg(F.count("*").alias("step_click")))
+        .crossJoin(p.agg(F.count("*").alias("step_purchase")))
+    )
+    return counts.select(
+        "step_view",
+        "step_click",
+        "step_purchase",
+        F.round(
+            F.col("step_purchase") * 1.0 / F.nullif(F.col("step_view"), F.lit(0)), 6
+        ).alias("conversion"),
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH days AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+    cohorts AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id)
+    SELECT CAST(c.cohort_day // 7 AS BIGINT) AS cohort_week,
+           CAST((d.day - c.cohort_day) // 7 AS BIGINT) AS week_offset,
+           count(DISTINCT d.user_id) AS n_users
+    FROM days d JOIN cohorts c ON d.user_id = c.user_id
+    GROUP BY 1, 2
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def q_events_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-activity week,
+    counted distinct in each subsequent week offset.  Exact integer
+    day/week arithmetic end-to-end.  Scale: one shuffle on user_id
+    for the cohort assignment (broadcast back), one for the distinct
+    count on (cohort_week, offset) — the matrix itself is tiny."""
+    ev = table(spark, sf, "events")
+    days = ev.select("user_id", F.expr("ts div 86400000000").alias("day"))
+    cohorts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(F.broadcast(cohorts), "user_id")
+        .groupBy(
+            F.expr("cohort_day div 7").cast("bigint").alias("cohort_week"),
+            F.expr("(day - cohort_day) div 7").cast("bigint").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
