@@ -2390,3 +2390,72 @@ def q_events_retention(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "unpivot_long",
+    oracle="""
+    SELECT measure,
+           CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           count(*) AS n
+    FROM (
+      SELECT 'quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'tax', l_tax FROM lineitem
+    ) GROUP BY measure ORDER BY measure
+    """,
+)
+def q_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide→long reshape (unpivot/melt — the inverse of pivot_wide)
+    with a per-measure rollup.  Scale: unpivot is a map-side
+    row-expansion (no shuffle, no scan duplication — ONE pass emits
+    all measures, unlike the UNION-of-scans the oracle spells); the
+    agg exchange carries 3 rows per partition."""
+    li = table(spark, sf, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_extendedprice").cast("double").alias("extendedprice"),
+        F.col("l_tax").cast("double").alias("tax"),
+    )
+    long = li.unpivot([], ["quantity", "extendedprice", "tax"], "measure", "val")
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.sum(F.col("val").cast("decimal(18,2)")).cast("double").alias("total"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("measure")
+    )
+
+
+@query(
+    "histogram_fixed_buckets",
+    oracle="""
+    -- DuckDB has no width_bucket; this spells out the same edge
+    -- semantics: bucket i covers [lo + (i-1)*w, lo + i*w), clamped
+    -- to 0 / n+1 outside [lo, hi)
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 600000 THEN 13
+                ELSE CAST(FLOOR(o_totalprice / 50000) AS BIGINT) + 1 END AS bucket,
+           count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width histogram via width_bucket — the single-pass
+    distribution profile (identical bucket-edge semantics in Spark
+    and DuckDB: bucket i covers [lo + (i-1)·w, lo + i·w)).
+    Scale: map-side bucket assignment, partial→final agg on ≤14
+    bucket keys; contrast percentiles_exact, which needs a sort —
+    at 100 TB the histogram is the cheap first look."""
+    return (
+        table(spark, sf, "orders")
+        .groupBy(
+            F.width_bucket(F.col("o_totalprice"), F.lit(0), F.lit(600000), F.lit(12)).alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .orderBy("bucket")
+    )
