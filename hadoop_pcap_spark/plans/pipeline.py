@@ -996,3 +996,107 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("n_tok").cast("double") / ((F.max("seq_id") + 1) * 256.0), 4
         ).alias("fill_ratio"),
     )
+
+
+@query(
+    "docs_mixture_weights",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source, CAST(SUM(len({SQL_TOKENS})) AS BIGINT) AS tokens
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT SUM(sqrt(CAST(tokens AS DOUBLE))) AS z,
+             SUM(tokens) AS corpus_tokens
+      FROM per_src)
+    SELECT source, tokens,
+           ROUND(sqrt(CAST(tokens AS DOUBLE)) / z, 6) AS target_share,
+           ROUND(LEAST(1.0, (sqrt(CAST(tokens AS DOUBLE)) / z)
+                            * (0.5 * corpus_tokens) / tokens), 6) AS sample_rate
+    FROM per_src, tot
+    ORDER BY source
+    """,
+)
+def q_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus mixture re-weighting: per-source sampling rates that
+    steer a 50%-of-corpus token budget toward sqrt-of-size target
+    shares (the square-root tempering used to keep small sources
+    from vanishing in LLM mixtures).  Scale: one agg shuffle to
+    per-source totals (20 rows), the normalizer is a 1-row broadcast;
+    the rates then drive a map-only Bernoulli filter over the corpus
+    (see docs_hash_sample for the deterministic sampler)."""
+    per_src = (
+        table(spark, sf, "documents")
+        .groupBy("source")
+        .agg(F.sum(TXT.token_count(F.col("text"))).cast("bigint").alias("tokens"))
+    )
+    tot = per_src.agg(
+        F.sum(F.sqrt(F.col("tokens").cast("double"))).alias("z"),
+        F.sum("tokens").alias("corpus_tokens"),
+    )
+    share = F.sqrt(F.col("tokens").cast("double")) / F.col("z")
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "tokens",
+            F.round(share, 6).alias("target_share"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    share * (0.5 * F.col("corpus_tokens")) / F.col("tokens"),
+                ),
+                6,
+            ).alias("sample_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "dedup_incremental",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents),
+    existing AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0),
+    incoming AS (SELECT * FROM fp WHERE doc_id % 2 = 1)
+    SELECT source,
+           count(*) AS n_incoming,
+           CAST(SUM(CASE WHEN e.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN e.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_of_existing
+    FROM incoming i LEFT JOIN existing e ON i.fp = e.fp
+    GROUP BY source ORDER BY source
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental (snapshot-delta) dedup: an incoming batch checked
+    against the existing corpus's fingerprint set (even doc_ids stand
+    in for the existing snapshot, odd for the delta).  Scale: the
+    existing side is ONLY distinct 128-bit fingerprints — at 100 TB
+    that set lives as a bucketed fingerprint table so the probe is a
+    co-located join; here AQE broadcasts it.  The left join (not
+    anti) keeps both verdict counts in one pass."""
+    fp = table(spark, sf, "documents").select(
+        "doc_id", "source", TXT.exact_fingerprint(F.col("text")).alias("fp")
+    )
+    existing = fp.filter(F.col("doc_id") % 2 == 0).select("fp").distinct()
+    incoming = fp.filter(F.col("doc_id") % 2 == 1)
+    return (
+        incoming.join(
+            existing.withColumnRenamed("fp", "efp"),
+            incoming.fp == F.col("efp"),
+            "left_outer",
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_incoming"),
+            F.sum(F.when(F.col("efp").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum(F.when(F.col("efp").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_of_existing"),
+        )
+        .orderBy("source")
+    )
