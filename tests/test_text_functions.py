@@ -216,3 +216,62 @@ def test_pack_sequences_invariants(spark):
         assert 1 <= r.n_sequences <= r.n_docs
         # fill ratio: bins hold ≥256 tokens except possibly the last
         assert r.fill_ratio > 0.5
+
+
+# --- property tests (driver-side expression semantics via one Spark job) ------
+
+
+def test_bigrams_property_random_token_lists(spark):
+    """For arbitrary token lists: len(bigrams) == max(0, n-1) and each
+    bigram is the space-join of adjacent tokens.  One Spark job over
+    a generated corpus (hypothesis shrinks poorly across JVM calls,
+    so the generator is a seeded exhaustive sweep of lengths 0..12)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i, n in enumerate(list(range(13)) * 3):
+        toks = [f"t{rng.randrange(5)}" for _ in range(n)]
+        rows.append(Row(id=i, text=" ".join(toks), toks=toks))
+    df = spark.createDataFrame([Row(id=r.id, text=r.text) for r in rows])
+    got = {
+        r.id: r.bg
+        for r in df.select("id", TXT.bigrams(F.col("text")).alias("bg")).collect()
+    }
+    for r in rows:
+        expect = [f"{a} {b}" for a, b in zip(r.toks, r.toks[1:])]
+        assert got[r.id] == expect, (r.toks, got[r.id])
+
+
+def test_pack_sequences_matches_reference_packer(spark):
+    """The window-cumsum bin assignment must equal a sequential
+    reference packer run doc-by-doc in doc_id order."""
+    import random, tempfile, os
+    from hadoop_pcap_spark.plans import QUERIES, load_all
+
+    load_all()
+    rng = random.Random(11)
+    sizes = {i: rng.randrange(1, 120) for i in range(200)}
+    rows = [
+        Row(doc_id=i, source=f"s{i % 3}", text="x " * sizes[i]) for i in range(200)
+    ]
+    # reference: greedy concat-and-chunk per source in doc_id order
+    expect = {}
+    for src in ("s0", "s1", "s2"):
+        cum = 0
+        bins = set()
+        n_docs = tok = 0
+        for i in sorted(sizes):
+            if f"s{i % 3}" != src:
+                continue
+            bins.add(cum // 256)
+            cum += sizes[i]
+            n_docs += 1
+            tok += sizes[i]
+        expect[src] = (max(bins) + 1, n_docs, tok)
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows).write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r.source: r for r in QUERIES["docs_pack_sequences"](spark, d).collect()}
+    for src, (nseq, ndocs, tok) in expect.items():
+        r = got[src]
+        assert (r.n_sequences, r.n_docs, r.total_tokens) == (nseq, ndocs, tok), src
