@@ -188,6 +188,55 @@ def test_q21_double_exists_is_one_aggregate(spark):
     assert plan.count("Scan parquet") <= 6  # 2×lineitem + 2×orders + 2 dims
 
 
+def test_gopher_filter_is_map_plus_tiny_agg(spark):
+    """Rule filtering must stay a scan + map + one agg exchange —
+    no joins, no windows, no Python."""
+    plan = plan_of(QUERIES["docs_gopher_quality_filter"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_repetition_two_exchanges(spark):
+    """Bigram counts shuffle on (doc, bigram); the per-doc max/sum
+    re-partitions by doc; the per-source rollup rides the second
+    exchange's partial aggregation.  No joins anywhere."""
+    plan = plan_of(QUERIES["text_repetition_topgram"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "Join" not in plan
+
+
+def test_pack_sequences_single_window_exchange(spark):
+    """Packing = ONE window (partition on source) + its agg."""
+    plan = plan_of(QUERIES["docs_pack_sequences"](spark, SF))
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_funnel_steps_broadcast_predecessors(spark):
+    """Funnel steps must broadcast the shrinking user sets — the
+    events fact is never shuffled against a step table."""
+    plan = plan_of(QUERIES["events_funnel_conversion"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_unpivot_is_expand_not_union_of_scans(spark):
+    """The wide→long reshape must be a single-scan Expand, not the
+    oracle's UNION of three scans."""
+    plan = plan_of(QUERIES["unpivot_long"](spark, SF))
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_incremental_dedup_probe_is_single_pass(spark):
+    """One corpus scan per side, fingerprint probe joined once; the
+    existing side is distinct fingerprints only."""
+    plan = plan_of(QUERIES["dedup_incremental"](spark, SF))
+    assert plan.count("Scan parquet") <= 2, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_no_python_row_udfs_anywhere(spark):
     """Every registered query stays Arrow-batched or JVM-side: no
     row-at-a-time BatchEvalPython in any plan (sampled over the full
