@@ -53,11 +53,70 @@ _MAGIC_BE_US = 0xD4C3B2A1
 _MAGIC_BE_NS = 0x4D3CB2A1
 
 
+# URI schemes routed through pyarrow.fs (when importable).  Hadoop-ish
+# aliases map onto the pyarrow-native scheme; anything else is treated
+# as a local path.  Listing/opening may still fail at runtime for a
+# scheme pyarrow recognises but cannot reach (no credentials, no
+# libhdfs) — that surfaces as the task error it is.
+_PA_SCHEME_ALIASES = {
+    "s3a": "s3", "s3n": "s3", "gcs": "gs", "abfss": "abfs", "wasb": "abfs",
+    "wasbs": "abfs",
+}
+_PA_SCHEMES = {"s3", "gs", "hdfs", "abfs", "mock"}
+
+
+def uri_scheme(path: str) -> str:
+    from urllib.parse import urlparse
+
+    return urlparse(path).scheme.lower()
+
+
+def supports_scheme(scheme: str) -> bool:
+    """Can the chunked reader stream this scheme?  Local always; remote
+    schemes when pyarrow.fs is importable."""
+    scheme = _PA_SCHEME_ALIASES.get(scheme.lower(), scheme.lower())
+    if scheme in ("", "file"):
+        return True
+    if scheme not in _PA_SCHEMES:
+        return False
+    try:
+        import pyarrow.fs  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _filesystem_for(path: str):
+    """(pyarrow FileSystem, inner_path) for a remote URI, or None for
+    local paths / file: URIs."""
+    scheme = uri_scheme(path)
+    mapped = _PA_SCHEME_ALIASES.get(scheme, scheme)
+    if mapped in ("", "file") or mapped not in _PA_SCHEMES:
+        return None
+    import pyarrow.fs as pafs
+
+    if mapped != scheme:
+        path = mapped + path[len(scheme):]
+    return pafs.FileSystem.from_uri(path)
+
+
+def open_raw(path: str) -> BinaryIO:
+    """Seekable binary reader for a local path, ``file:`` URI, or a
+    pyarrow.fs-reachable remote URI (O(1) memory either way —
+    ``open_input_file`` is a random-access stream, not a download)."""
+    remote = _filesystem_for(path)
+    if remote is None:
+        return open(local_path(path), "rb")
+    fs, inner = remote
+    return fs.open_input_file(inner)
+
+
 def open_decompressed(path: str) -> BinaryIO:
     """Open ``path`` with streaming decompression (magic-sniffed, same
     codec set as :func:`..decode.decompress_auto`).  The returned
     file-like only ever holds one read-window in memory."""
-    raw = open(path, "rb")
+    raw = open_raw(path)
     try:
         magic = raw.read(6)
         raw.seek(0)
@@ -171,13 +230,18 @@ def stream_file_chunks(
     pairs the ``decode_files_to_*`` consumers take.  Consecutive pairs
     sharing a path are pkt_no-continued by those consumers."""
     for p in paths:
-        with open_decompressed(local_path(p)) as f:
+        with open_decompressed(p) as f:
             for chunk in iter_capture_chunks(f, name=p, chunk_bytes=chunk_bytes):
                 yield p, chunk
 
 
 def file_size(path: str) -> int:
     try:
+        remote = _filesystem_for(path)
+        if remote is not None:
+            fs, inner = remote
+            size = fs.get_file_info(inner).size
+            return -1 if size is None else size
         return os.path.getsize(local_path(path))
     except OSError:
         return -1

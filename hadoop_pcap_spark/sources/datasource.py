@@ -32,6 +32,25 @@ from .pcap_source import packet_schema
 
 
 def _expand_paths(path: str) -> List[str]:
+    from ..pcap.chunked import _filesystem_for, uri_scheme
+
+    remote = _filesystem_for(path) if uri_scheme(path) else None
+    if remote is not None:
+        # remote URI: recursive listing via pyarrow.fs (no glob
+        # support remotely — pass a directory or an exact key)
+        import pyarrow.fs as pafs
+
+        fs, inner = remote
+        info = fs.get_file_info(inner)
+        if info.type == pafs.FileType.Directory:
+            sel = pafs.FileSelector(inner, recursive=True)
+            scheme = uri_scheme(path)
+            return sorted(
+                f"{scheme}://{fi.path}"
+                for fi in fs.get_file_info(sel)
+                if fi.type == pafs.FileType.File
+            )
+        return [path]
     if os.path.isdir(path):
         out = []
         for root, _dirs, files in os.walk(path):

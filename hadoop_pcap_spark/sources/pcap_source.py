@@ -427,9 +427,11 @@ def read_pcap(
     2 GiB cap does not apply) and each task streams its file through
     record-aligned chunks (``chunk_bytes``, default 64 MiB — the
     reference's O(1) DataInputStream loop, PcapReader.java:75-77,
-    re-expressed per-chunk).  Non-local URIs (hdfs://, s3a://, …)
-    fall back to whole-content materialization since Python tasks
-    can't open them directly; pass ``chunk_bytes=0`` to force that
+    re-expressed per-chunk).  Remote URIs (s3/s3a, gs, hdfs, abfs)
+    stream through pyarrow.fs when it is importable — same
+    record-aligned chunk feed, random-access reads, O(1) memory;
+    unrecognised schemes fall back to whole-content materialization
+    via binaryFile.  Pass ``chunk_bytes=0`` to force the whole-file
     path for local files too.
     """
     if engine not in ("arrow", "arrow-scalar", "pandas"):
@@ -453,7 +455,9 @@ def read_pcap(
         wanted=wanted,
         keep_frame=keep_frame or bool(wanted and (wanted & _FRAME_COLS)),
     )
-    streamed = bool(chunk_bytes) and urlparse(path).scheme in ("", "file")
+    from ..pcap.chunked import supports_scheme
+
+    streamed = bool(chunk_bytes) and supports_scheme(urlparse(path).scheme)
 
     reader = spark.read.format("binaryFile")
     if path_glob:
