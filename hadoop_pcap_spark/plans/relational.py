@@ -2459,3 +2459,105 @@ def q_histogram(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "window_range_frame_trailing",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS day_value
+      FROM events GROUP BY 1, 2)
+    SELECT user_id, CAST(day AS BIGINT) AS day,
+           CAST(SUM(CAST(day_value AS DECIMAL(18,4))) OVER (
+             PARTITION BY user_id ORDER BY day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS trailing_7d
+    FROM daily ORDER BY user_id, day
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing 7-day sum per user via a RANGE window frame — value-
+    based framing over (possibly gappy) day offsets, vs the ROWS
+    frames elsewhere in the suite.  Scale: one shuffle to daily
+    grain, the window rides the same hash partitioning (user_id) —
+    Spark plans the pair as a single exchange."""
+    ev = table(spark, sf, "events")
+    daily = (
+        ev.select(
+            "user_id",
+            F.expr("ts div 86400000000").alias("day"),
+            F.col("value").cast("decimal(18,4)").alias("v"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("v").cast("double").alias("day_value"))
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rangeBetween(-6, W.currentRow)
+    )
+    return (
+        daily.select(
+            "user_id",
+            F.col("day").cast("bigint").alias("day"),
+            F.sum(F.col("day_value").cast("decimal(18,4)"))
+            .over(w)
+            .cast("double")
+            .alias("trailing_7d"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+@query(
+    "time_bucket_gapfill",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2),
+    bounds AS (
+      SELECT MIN(day) AS lo, MAX(day) AS hi
+      FROM (SELECT epoch_us(ts) // 86400000000 AS day FROM events)),
+    grid AS (
+      SELECT t.event_type, g.day
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS day FROM bounds) g)
+    SELECT grid.event_type AS event_type, CAST(grid.day AS BIGINT) AS day,
+           CAST(COALESCE(daily.n, 0) AS BIGINT) AS n
+    FROM grid LEFT JOIN daily
+      ON grid.event_type = daily.event_type AND grid.day = daily.day
+    ORDER BY grid.event_type, grid.day
+    """,
+)
+def q_time_bucket_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-filled daily counts per event type (the hypertable /
+    timeseries-rollup motif): a dense day grid generated from the
+    observed bounds, zero-filled where no events landed.  Scale: the
+    grid is dims × days (tiny — it broadcasts); the one real shuffle
+    is the daily aggregate; sequence() generates the grid without a
+    driver-side loop."""
+    ev = table(spark, sf, "events")
+    days = ev.select(F.expr("ts div 86400000000").alias("day"))
+    daily = (
+        ev.select("event_type", F.expr("ts div 86400000000").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    bounds = days.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    return (
+        grid.join(daily, ["event_type", "day"], "left_outer")
+        .select(
+            "event_type",
+            F.col("day").cast("bigint").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+        )
+        .orderBy("event_type", "day")
+    )
