@@ -228,8 +228,23 @@ class PcapSimpleStreamReader(SimpleDataSourceStreamReader):
         return mtime_ns < start.get("wm", 0) or path in start.get("recent", {})
 
     def _list_files(self):
+        from ..pcap.chunked import _filesystem_for, uri_scheme
+
         out = []
         for p in _expand_paths(self._path):
+            remote = _filesystem_for(p) if uri_scheme(p) else None
+            if remote is not None:
+                # remote: mtime from the filesystem's file info (the
+                # same watermark semantics; object stores report
+                # upload time, which is exactly the arrival signal
+                # the offset tracks)
+                import pyarrow.fs as pafs
+
+                fs, inner = remote
+                info = fs.get_file_info(inner)
+                if info.type == pafs.FileType.File and info.mtime_ns is not None:
+                    out.append((p, info.mtime_ns))
+                continue
             try:
                 st = os.stat(p)
             except OSError:

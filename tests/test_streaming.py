@@ -373,3 +373,31 @@ def test_pcap_stream_live_appended_file_not_redelivered(tmp_path):
     rows3, o3 = rdr.read(o2)
     assert {t[0] for t in rows3} == {str(fresh)}
     assert str(live) not in o3["recent"]
+
+
+def test_streaming_lists_remote_files(tmp_path, monkeypatch):
+    """The streaming source's mtime watermark works over a remote
+    (pyarrow.fs) root exactly like a local directory."""
+    import pyarrow.fs as pafs
+
+    from hadoop_pcap_spark.pcap import chunked as C
+    from hadoop_pcap_spark.pcap import synth as S
+    from hadoop_pcap_spark.sources import datasource as DS
+
+    fs = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    real = C._filesystem_for
+
+    def fake(path):
+        if path.startswith("rmt://"):
+            return fs, path[len("rmt://"):]
+        return real(path)
+
+    monkeypatch.setattr(C, "_filesystem_for", fake)
+    (tmp_path / "a.pcap").write_bytes(S.dns_exchange_pcap())
+    (tmp_path / "b.pcap").write_bytes(S.dns_exchange_pcap(ts=1317994000))
+
+    reader = DS.PcapSimpleStreamReader.__new__(DS.PcapSimpleStreamReader)
+    reader._path = "rmt://"
+    files = reader._list_files()
+    assert sorted(p.split("://")[1] for p, _m in files) == ["a.pcap", "b.pcap"]
+    assert all(m > 0 for _p, m in files)
