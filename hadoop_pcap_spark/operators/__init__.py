@@ -4,6 +4,7 @@ Cache hygiene: operators that persist an internal intermediate attach
 it to their result — release with :func:`release_persisted` (or the
 :func:`released` context manager) after materializing."""
 
+from .bucketing import bucketed_join, write_bucketed
 from .cache import register_persisted, release_persisted, released
 from .flows import flow_stats, reassemble_dns_tcp
 
@@ -13,4 +14,6 @@ __all__ = [
     "released",
     "flow_stats",
     "reassemble_dns_tcp",
+    "write_bucketed",
+    "bucketed_join",
 ]

@@ -250,3 +250,29 @@ def test_no_python_row_udfs_anywhere(spark):
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """The 100 TB join strategy, CI-asserted: two tables bucketed on
+    the join key with equal bucket counts join as SortMergeJoin with
+    ZERO Exchange; the unbucketed twin of the same join shuffles."""
+    from hadoop_pcap_spark.operators.bucketing import bucketed_join, write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        stats = docs.selectExpr("doc_id", "n_chars * 2 AS twice")
+        write_bucketed(docs, "b_docs", "doc_id", n_buckets=8)
+        write_bucketed(stats, "b_stats", "doc_id", n_buckets=8)
+        joined = bucketed_join(spark, "b_docs", "b_stats", "doc_id")
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == docs.count()
+        # unbucketed twin: same join, two exchanges
+        plain = docs.join(stats, "doc_id")
+        assert "Exchange" in plan_of(plain)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_docs")
+        spark.sql("DROP TABLE IF EXISTS b_stats")
