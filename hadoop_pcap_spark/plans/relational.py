@@ -2561,3 +2561,35 @@ def q_time_bucket_gapfill(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query("approx_percentiles_sketch")  # rows-only: sketch values are
+# engine-specific by construction; the error bound is pytest-asserted
+# against percentiles_exact (tests/test_operators.py)
+def q_approx_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate percentiles per returnflag via percentile_approx
+    (Greenwald-Khanna sketch: bounded memory, mergeable across
+    partitions — the 100 TB default where the exact form needs a
+    per-group sort).  accuracy=1000 ⇒ rank error ≤ 0.1%."""
+    return (
+        table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_quantity", 0.5, 1000).alias("median_qty"),
+            F.percentile_approx("l_extendedprice", 0.9, 1000).alias("p90_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query("frequent_items_sketch")  # rows-only: freq counts above the
+# threshold are exact-superset by the space-saving guarantee;
+# pytest asserts true heavy hitters are all present
+def q_frequent_items(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy hitters over (event_type, user_id) via the space-saving
+    style freqItems sketch — single pass, bounded memory, no exact
+    groupBy of the full key space.  The guarantee is one-sided
+    (superset of everything above the support threshold), which is
+    the right trade for 'which keys would skew my shuffle'."""
+    ev = table(spark, sf, "events")
+    return ev.stat.freqItems(["event_type", "user_id"], support=0.05)

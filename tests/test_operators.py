@@ -650,3 +650,42 @@ def test_multimodal_resize_policy(spark):
     # pure-fit policy is codec-independent
     assert MM._fit_dims(512, 1024, 256) == (128, 256)
     assert MM._fit_dims(10000, 3, 256) == (256, 1)
+
+
+def test_approx_percentiles_error_bound(spark):
+    """GK sketch at accuracy=1000: the approximate median/p90 must sit
+    within the value range of ranks ±0.5% around the target rank."""
+    from hadoop_pcap_spark.plans import QUERIES, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r.l_returnflag: r
+        for r in QUERIES["approx_percentiles_sketch"](spark, sf).collect()
+    }
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    for flag, row in got.items():
+        vals = sorted(
+            r.l_quantity for r in li.filter(F.col("l_returnflag") == flag).collect()
+        )
+        n = len(vals)
+        lo, hi = vals[max(0, int(0.495 * n))], vals[min(n - 1, int(0.505 * n))]
+        assert lo <= row.median_qty <= hi, (flag, row.median_qty, lo, hi)
+
+
+def test_frequent_items_superset_of_true_heavy_hitters(spark):
+    """Every key with true frequency ≥ support must appear in the
+    sketch output (the one-sided space-saving guarantee)."""
+    from hadoop_pcap_spark.plans import QUERIES, load_all
+
+    load_all()
+    sf = "/root/testdata/sf0.01"
+    out = QUERIES["frequent_items_sketch"](spark, sf).collect()[0]
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    total = ev.count()
+    true_heavy = {
+        r.event_type
+        for r in ev.groupBy("event_type").count().collect()
+        if r["count"] >= 0.05 * total
+    }
+    assert true_heavy <= set(out.event_type_freqItems)
