@@ -55,6 +55,20 @@ _PRIORITY = [
     "rollup_region_nation",
     "join_asof_nearest",
     "time_bucket_tumbling",
+    # round-3 family representatives (all oracle-bearing)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q21_suppliers_kept_waiting",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "docs_gopher_quality_filter",
+    "text_repetition_topgram",
+    "docs_pack_sequences",
+    "docs_mixture_weights",
+    "dedup_incremental",
+    "time_bucket_gapfill",
+    "window_range_frame_trailing",
+    "unpivot_long",
+    "histogram_fixed_buckets",
 ]
 
 
