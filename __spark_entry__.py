@@ -26,10 +26,13 @@ def _registry():
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: TPC-H Q1 (the
-    scan-heavy aggregate; driver checks rows > 0)."""
+    """Flagship query on /root/testdata/sf0.001: the end-to-end
+    corpus build (Gopher rules → PII scrub → exact dedup → near-dup
+    keep set → sequence packing) with per-source stage counts — the
+    whole pipeline in one dataflow, hash-checked against a composed
+    DuckDB oracle at sf0.01."""
     queries_map, _ = _registry()
-    return queries_map["tpch_q1"](spark, "/root/testdata/sf0.001")
+    return queries_map["corpus_build_stats"](spark, "/root/testdata/sf0.001")
 
 
 # Run first, in this order: one representative per operator family so
@@ -56,6 +59,7 @@ _PRIORITY = [
     "join_asof_nearest",
     "time_bucket_tumbling",
     # round-3 family representatives (all oracle-bearing)
+    "corpus_build_stats",
     "tpch_q2_min_cost_supplier",
     "tpch_q21_suppliers_kept_waiting",
     "events_funnel_conversion",

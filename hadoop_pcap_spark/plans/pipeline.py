@@ -1100,3 +1100,143 @@ def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- the end-to-end corpus build ----------------------------------------------
+# Every pipeline stage above, composed in execution order over one
+# corpus pass-through: Gopher rules → PII scrub → exact dedup →
+# near-dup keep set → sequence packing.  The oracle chains the same
+# stages' SQL twins (including the recursive-CTE component closure),
+# so the WHOLE pipeline's per-source outcome is hash-checked — not
+# just each stage in isolation.
+
+_SQL_SCRUB = (
+    "regexp_replace(regexp_replace(regexp_replace(text, "
+    f"'{_PII_EMAIL}', '<EMAIL>', 'g'), "
+    f"'{_PII_IPV4}', '<IP>', 'g'), "
+    f"'{_PII_PHONE}', '<PHONE>', 'g')"
+)
+
+
+@query(
+    "corpus_build_stats",
+    oracle=f"""
+    WITH RECURSIVE
+    feats AS (
+      SELECT doc_id, source, text,
+             len({SQL_TOKENS}) AS wc,
+             ROUND(list_sum(list_transform({SQL_TOKENS}, t -> CAST(length(t) AS DOUBLE)))
+                   / NULLIF(len({SQL_TOKENS}), 0), 4) AS atl,
+             ROUND(len(list_filter({SQL_TOKENS},
+                   t -> list_contains(['the','a','an','of','and','to','in','is','on','for'], t))) * 1.0
+                   / NULLIF(len({SQL_TOKENS}), 0), 6) AS sw
+      FROM documents),
+    rules AS (
+      SELECT doc_id, source, {_SQL_SCRUB} AS text
+      FROM feats
+      WHERE (wc BETWEEN 25 AND 80) AND (atl BETWEEN 3.0 AND 10.0) AND (sw >= 0.03)),
+    fpt AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM rules),
+    erep AS (SELECT fp, MIN(doc_id) AS rep FROM fpt GROUP BY fp),
+    eassign AS (SELECT f.doc_id, r.rep FROM fpt f JOIN erep r ON f.fp = r.fp),
+    survivors AS (
+      SELECT r.doc_id, r.source, r.text FROM rules r
+      JOIN eassign e ON r.doc_id = e.doc_id
+      WHERE e.doc_id = e.rep),
+    {_sql_minhash_ctes("survivors")},
+    sym AS (
+      SELECT a AS x, b AS y FROM mh_pairs
+      UNION SELECT b, a FROM mh_pairs),
+    reach(x, y) AS (
+      SELECT DISTINCT x, x FROM sym
+      UNION
+      SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x),
+    comp AS (SELECT x AS doc_id, MIN(y) AS component FROM reach GROUP BY x),
+    final AS (
+      SELECT s.doc_id, s.source, s.text
+      FROM survivors s LEFT JOIN comp c ON s.doc_id = c.doc_id
+      WHERE c.component IS NULL OR c.component >= s.doc_id),
+    packed AS (
+      SELECT source,
+             len({SQL_TOKENS}) AS n_tok,
+             CAST((SUM(len({SQL_TOKENS})) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - len({SQL_TOKENS})) // 256
+                  AS BIGINT) AS seq_id
+      FROM final),
+    raw_n AS (SELECT source, count(*) AS n_raw FROM documents GROUP BY source),
+    rules_n AS (SELECT source, count(*) AS n FROM rules GROUP BY source),
+    surv_n AS (SELECT source, count(*) AS n FROM survivors GROUP BY source),
+    pack_n AS (
+      SELECT source, count(*) AS n_final,
+             CAST(MAX(seq_id) + 1 AS BIGINT) AS n_sequences,
+             CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+      FROM packed GROUP BY source)
+    SELECT raw_n.source AS source,
+           n_raw,
+           CAST(COALESCE(rules_n.n, 0) AS BIGINT) AS n_rules_kept,
+           CAST(COALESCE(surv_n.n, 0) AS BIGINT) AS n_exact_survivors,
+           CAST(COALESCE(pack_n.n_final, 0) AS BIGINT) AS n_final,
+           CAST(COALESCE(pack_n.n_sequences, 0) AS BIGINT) AS n_sequences,
+           CAST(COALESCE(pack_n.total_tokens, 0) AS BIGINT) AS total_tokens
+    FROM raw_n
+    LEFT JOIN rules_n ON raw_n.source = rules_n.source
+    LEFT JOIN surv_n  ON raw_n.source = surv_n.source
+    LEFT JOIN pack_n  ON raw_n.source = pack_n.source
+    ORDER BY source
+    """,
+)
+def q_corpus_build_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """The whole training-corpus build as ONE dataflow: Gopher-rule
+    filtering → PII scrub → exact dedup → MinHash-LSH near-dup keep
+    set → 256-token sequence packing, reporting per-source survivors
+    at every stage.  Scale: the stages compose without a collect —
+    rules+scrub are map-only over the scan, dedup is the banded-LSH
+    chain (never quadratic), packing is one window; at 100 TB this
+    is the job you actually run, and the per-stage counts are the
+    monitoring you actually ship."""
+    docs = table(spark, sf, "documents")
+    flags = TXT.gopher_flags(F.col("text"))
+    rules = docs.filter(
+        flags["wc_ok"] & flags["mwl_ok"] & flags["sw_ok"]
+    ).select("doc_id", "source", TXT.scrub_pii(F.col("text")).alias("text"))
+    decisions = DD.corpus_keep_set(rules, threshold=0.5)
+    d2 = decisions.join(rules.select("doc_id", "source"), "doc_id")
+    finals = (
+        d2.filter(F.col("kept"))
+        .join(rules, "doc_id")
+        .select("doc_id", d2["source"], TXT.token_count(F.col("text")).alias("n_tok"))
+    )
+    win = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    packed = finals.withColumn("cum", F.sum("n_tok").over(win)).withColumn(
+        "seq_id", F.expr("(cum - n_tok) div 256")
+    )
+    raw_n = docs.groupBy("source").agg(F.count("*").alias("n_raw"))
+    rules_n = rules.groupBy("source").agg(F.count("*").alias("rn"))
+    surv_n = (
+        d2.filter(F.col("reason") != "exact_dup")
+        .groupBy("source")
+        .agg(F.count("*").alias("sn"))
+    )
+    pack_n = packed.groupBy("source").agg(
+        F.count("*").alias("fn"),
+        (F.max("seq_id") + 1).cast("bigint").alias("ns"),
+        F.sum("n_tok").cast("bigint").alias("tt"),
+    )
+    z = F.lit(0).cast("bigint")
+    return (
+        raw_n.join(rules_n, "source", "left_outer")
+        .join(surv_n, "source", "left_outer")
+        .join(pack_n, "source", "left_outer")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce(F.col("rn").cast("bigint"), z).alias("n_rules_kept"),
+            F.coalesce(F.col("sn").cast("bigint"), z).alias("n_exact_survivors"),
+            F.coalesce(F.col("fn").cast("bigint"), z).alias("n_final"),
+            F.coalesce(F.col("ns"), z).alias("n_sequences"),
+            F.coalesce(F.col("tt"), z).alias("total_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -15,6 +15,8 @@ def test_registry_shape():
     # connected components gained a recursive-CTE oracle in round 2)
     assert rows_only == {
         "approx_count_distinct",
+        "approx_percentiles_sketch",
+        "frequent_items_sketch",
         "similarity_ann_lsh",
         "similarity_ann_ivf",
         "pcap_port_count",
@@ -51,9 +53,12 @@ def test_entry_flagship(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(df.columns) == {
-        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
-        "sum_disc_price", "sum_charge", "count_order",
+        "source", "n_raw", "n_rules_kept", "n_exact_survivors",
+        "n_final", "n_sequences", "total_tokens",
     }
+    # stage counts are monotone survivors of one pipeline
+    for r in rows:
+        assert r.n_raw >= r.n_rules_kept >= r.n_exact_survivors >= r.n_final
 
 
 def test_oracle_bearing_queries_precede_rows_only():
