@@ -48,7 +48,11 @@ def hash_sample(df: DataFrame, key, fraction: float, prefix_len: int = 8) -> Dat
     """Deterministic Bernoulli sample: rows whose ``md5(key)`` hex
     prefix sorts under the fraction threshold.  Scan-only (the
     filter pushes to the source when the key is a stored column);
-    reproducible across runs, partitionings and engines."""
+    reproducible across runs, partitionings and engines.
+    ``fraction=1.0`` short-circuits to the identity — the clamped
+    threshold would otherwise drop rows whose prefix is all f's."""
+    if fraction >= 1.0:
+        return df
     return df.filter(
         F.substring(_hash_key(key), 1, prefix_len)
         < F.lit(hash_threshold(fraction, prefix_len))

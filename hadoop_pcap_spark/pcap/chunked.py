@@ -39,6 +39,7 @@ import io
 import lzma
 import os
 import struct
+import zlib
 from typing import BinaryIO, Iterator
 
 GLOBAL_HEADER_SIZE = 24
@@ -124,6 +125,14 @@ def open_decompressed(path: str) -> BinaryIO:
         raw.close()
         raise
     lowered = path.lower()
+    # a recognizable capture magic wins over a misleading extension
+    # (a raw pcap named *.gz must not be fed to GzipFile)
+    if len(magic) >= 4:
+        m = int.from_bytes(magic[:4], "little")
+        if m in (_MAGIC_LE_US, _MAGIC_LE_NS, _MAGIC_BE_US, _MAGIC_BE_NS) or magic[
+            :4
+        ] == b"\x0a\x0d\x0d\x0a":
+            return raw
     if lowered.endswith(".gz") or magic[:2] == b"\x1f\x8b":
         return gzip.GzipFile(fileobj=raw)  # type: ignore[return-value]
     if lowered.endswith(".bz2") or magic[:3] == b"BZh":
@@ -169,6 +178,12 @@ def iter_capture_chunks(
     header) is yielded as ONE whole-stream chunk so error/normalize
     semantics stay byte-identical with the whole-file path.
     """
+    if chunk_bytes <= 0:
+        # "no chunking": the whole stream as one self-contained blob
+        # (the documented chunk_bytes=0 escape hatch — previously a
+        # read(0) loop here silently yielded only the global header)
+        yield stream.read()
+        return
     header = stream.read(GLOBAL_HEADER_SIZE)
     if len(header) < GLOBAL_HEADER_SIZE:
         yield header  # kernel decides: empty→0 rows, short→error
@@ -224,15 +239,33 @@ def local_path(spark_path: str) -> str:
 def stream_file_chunks(
     paths,
     chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+    permissive: bool = False,
 ) -> Iterator[tuple]:
     """(display_path, chunk_bytes) pairs for a sequence of capture
     files — the chunked drop-in for the ``(path, whole_file_bytes)``
     pairs the ``decode_files_to_*`` consumers take.  Consecutive pairs
-    sharing a path are pkt_no-continued by those consumers."""
+    sharing a path are pkt_no-continued by those consumers.
+
+    ``permissive=True`` mirrors DecodeOptions PERMISSIVE for the I/O
+    layer the whole-file path never exposed: a file that cannot be
+    opened or whose decompression stream breaks mid-read is skipped
+    (chunks already yielded stand — the same partial-output semantics
+    as a truncated raw capture) instead of failing the task."""
     for p in paths:
-        with open_decompressed(p) as f:
-            for chunk in iter_capture_chunks(f, name=p, chunk_bytes=chunk_bytes):
-                yield p, chunk
+        try:
+            f = open_decompressed(p)
+        except (OSError, ValueError):
+            if permissive:
+                continue
+            raise
+        try:
+            with f:
+                for chunk in iter_capture_chunks(f, name=p, chunk_bytes=chunk_bytes):
+                    yield p, chunk
+        except (OSError, EOFError, ValueError, zlib.error, lzma.LZMAError) as exc:
+            if permissive:
+                continue
+            raise OSError(f"{p}: {exc}") from exc
 
 
 def file_size(path: str) -> int:

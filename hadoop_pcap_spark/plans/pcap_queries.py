@@ -68,9 +68,12 @@ def _fixture_subdir(name: str) -> str:
 
 def fixture_dir() -> str:
     d = _fixture_subdir("fixture")
+    paths = [os.path.join(d, "a.pcap"), os.path.join(d, "b.pcap.gz")]
+    if all(os.path.exists(p) for p in paths):  # skip re-synthesis per call
+        return d
     raw = S.dns_exchange_pcap()
-    _atomic_write(os.path.join(d, "a.pcap"), raw)
-    _atomic_write(os.path.join(d, "b.pcap.gz"), gzip.compress(raw))
+    _atomic_write(paths[0], raw)
+    _atomic_write(paths[1], gzip.compress(raw))
     return d
 
 
@@ -137,7 +140,9 @@ def tcp_fixture_dir() -> str:
     messages sharing a segment).  Placement contract: module
     docstring."""
     d = _fixture_subdir("tcp_fixture")
-    _atomic_write(os.path.join(d, "tcpdns.pcap"), S.dns_tcp_exchange_pcap())
+    p = os.path.join(d, "tcpdns.pcap")
+    if not os.path.exists(p):  # skip re-synthesis per call
+        _atomic_write(p, S.dns_tcp_exchange_pcap())
     return d
 
 

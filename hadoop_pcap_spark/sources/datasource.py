@@ -31,25 +31,56 @@ from ..pcap.decode import DecodeOptions, decode_pcap
 from .pcap_source import packet_schema
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _skip_broken_stream(path: str):
+    """A corrupt/truncated rotated file must not kill the stream query
+    — decompression errors mid-read skip the file (its complete
+    chunks already decoded stand, like a truncated raw capture)."""
+    try:
+        yield
+    except (OSError, EOFError, ValueError) as exc:
+        del exc
+    except Exception as exc:  # zlib.error, lzma.LZMAError, ...
+        import lzma
+        import zlib
+
+        if not isinstance(exc, (zlib.error, lzma.LZMAError)):
+            raise
+
+
 def _expand_paths(path: str) -> List[str]:
     from ..pcap.chunked import _filesystem_for, uri_scheme
 
     remote = _filesystem_for(path) if uri_scheme(path) else None
     if remote is not None:
         # remote URI: recursive listing via pyarrow.fs (no glob
-        # support remotely — pass a directory or an exact key)
+        # support remotely — pass a directory or an exact key).
+        # Listed paths are rebuilt as <original-uri> + <suffix
+        # relative to its inner path>, preserving scheme AND
+        # authority (hdfs://namenode:8020/..., abfss://container@
+        # account/... — FileInfo.path alone drops the netloc).
         import pyarrow.fs as pafs
 
         fs, inner = remote
         info = fs.get_file_info(inner)
         if info.type == pafs.FileType.Directory:
             sel = pafs.FileSelector(inner, recursive=True)
-            scheme = uri_scheme(path)
-            return sorted(
-                f"{scheme}://{fi.path}"
-                for fi in fs.get_file_info(sel)
-                if fi.type == pafs.FileType.File
-            )
+            base = path
+            while base.endswith("/") and not base.endswith("://"):
+                base = base[:-1]
+            inner_norm = inner.rstrip("/")
+            out = []
+            for fi in fs.get_file_info(sel):
+                if fi.type != pafs.FileType.File:
+                    continue
+                suffix = fi.path[len(inner_norm):] if inner_norm else "/" + fi.path
+                if base.endswith("://"):
+                    suffix = suffix.lstrip("/")
+                out.append(base + suffix)
+            return sorted(out)
         return [path]
     if os.path.isdir(path):
         out = []
@@ -116,7 +147,11 @@ class PcapDataSourceReader(DataSourceReader):
         opts = _decode_opts(self._options, self._schema)
         chunk_bytes = int(self._options.get("chunkbytes", DEFAULT_CHUNK_BYTES))
         yield from decode_files_to_arrow_columnar(
-            stream_file_chunks([partition.path], chunk_bytes), self._schema, opts
+            stream_file_chunks(
+                [partition.path], chunk_bytes, permissive=opts.mode == "PERMISSIVE"
+            ),
+            self._schema,
+            opts,
         )
 
 
@@ -264,7 +299,7 @@ class PcapSimpleStreamReader(SimpleDataSourceStreamReader):
                 stream = open_decompressed(path)
             except OSError:
                 continue  # rotated away between listing and read
-            with stream:
+            with _skip_broken_stream(path), stream:
                 pkt_off = 0
                 for chunk in iter_capture_chunks(stream, name=path):
                     seen = 0

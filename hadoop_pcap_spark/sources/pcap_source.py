@@ -480,7 +480,9 @@ def read_pcap(
                 for rb in batches:
                     paths = rb.column(0).to_pylist()
                     if streamed:
-                        yield from stream_file_chunks(paths, chunk_bytes)
+                        yield from stream_file_chunks(
+                            paths, chunk_bytes, permissive=opts.mode == "PERMISSIVE"
+                        )
                     else:
                         contents = rb.column(1).to_pylist()
                         yield from zip(paths, contents)
@@ -493,7 +495,9 @@ def read_pcap(
         def gen():
             for pdf in it:
                 if streamed:
-                    yield from stream_file_chunks(pdf["path"], chunk_bytes)
+                    yield from stream_file_chunks(
+                        pdf["path"], chunk_bytes, permissive=opts.mode == "PERMISSIVE"
+                    )
                 else:
                     yield from zip(pdf["path"], pdf["content"])
         yield from decode_files_to_frames(gen(), schema, opts)

@@ -161,10 +161,12 @@ def streaming_dns_tcp_reassembly(
     tail forward — so a message split across micro-batches is emitted
     exactly once, when its last segment arrives.
 
-    State hygiene: the residual is capped at ``max_flow_bytes``
-    (excess dropped — the hot-flow guard), and a zero length prefix
-    (protocol violation, would wedge the walk forever) clears the
-    flow's residual.  Production deployments should add an idle-flow
+    State hygiene: after framing, a carried residual larger than
+    ``max_flow_bytes`` resets the flow (dropping the buffered bytes —
+    the hot-flow guard; clipping the NEW bytes instead would wedge
+    the flow forever on a poisoned length prefix, since every batch
+    would re-truncate back to the same stuck residual), and a zero
+    length prefix (protocol violation, same wedge) clears it too.  Production deployments should add an idle-flow
     TTL (timeoutConf + state.hasTimedOut) sized to the capture's flow
     timeout; NoTimeout keeps the demo deterministic.
 
@@ -196,11 +198,11 @@ def streaming_dns_tcp_reassembly(
         stream = residual + b"".join(
             bytes(p) for p in batch["payload"] if p is not None
         )
-        if len(stream) > max_flow_bytes:
-            stream = stream[:max_flow_bytes]  # hot-flow guard
         msgs = _frame_messages(stream)
         consumed = sum(2 + len(m) for m in msgs)
         residual = stream[consumed:]
+        if len(residual) > max_flow_bytes:
+            residual = b""  # hot-flow guard: reset, resync later
         if residual[:2] == b"\x00\x00":
             residual = b""  # zero-length prefix: unstick the flow
         rows = []

@@ -445,3 +445,50 @@ def test_remote_directory_listing(fake_remote, monkeypatch):
 
     got = _expand_paths("rmt://")
     assert [p.split("://")[1] for p in got] == ["a.pcap", "sub/b.pcap"]
+
+
+def test_chunk_bytes_zero_yields_whole_stream():
+    """chunk_bytes<=0 = "no chunking": the whole stream as one blob
+    (review finding: a read(0) loop used to yield only the global
+    header — a silent empty result for .option('chunkbytes', 0))."""
+    data = _pcap_many(10)
+    chunks = list(iter_capture_chunks(io.BytesIO(data), chunk_bytes=0))
+    assert chunks == [data]
+    rows = list(decode_pcap(data, name="t"))
+    via_zero = [r for c in chunks for r in decode_pcap(c, name="t")]
+    assert len(via_zero) == len(rows)
+
+
+def test_permissive_skips_corrupt_gzip(tmp_path):
+    """A corrupt .gz capture must not kill a PERMISSIVE read: the
+    chunked path now mirrors decode_pcap's mode semantics at the I/O
+    layer (review finding: GzipFile errors escaped the task)."""
+    from hadoop_pcap_spark.pcap.chunked import stream_file_chunks
+
+    good = tmp_path / "good.pcap"
+    good.write_bytes(_pcap_many(5))
+    bad = tmp_path / "bad.pcap.gz"
+    bad.write_bytes(b"\x1f\x8b\x08\x00garbage-not-really-gzip")
+    paths = [str(bad), str(good)]
+    with pytest.raises(OSError):
+        list(stream_file_chunks(paths, 1 << 12))
+    out = list(stream_file_chunks(paths, 1 << 12, permissive=True))
+    assert {p for p, _c in out} == {str(good)}  # bad skipped, good intact
+
+
+def test_misnamed_gz_containing_raw_pcap_decodes():
+    """Magic beats extension: a raw classic pcap named *.gz must be
+    read as pcap, not fed to GzipFile (review finding)."""
+    from hadoop_pcap_spark.pcap.chunked import open_decompressed
+
+    import tempfile
+
+    data = _pcap_many(3)
+    with tempfile.NamedTemporaryFile(suffix=".gz", delete=False) as f:
+        f.write(data)
+        name = f.name
+    try:
+        with open_decompressed(name) as fh:
+            assert fh.read() == data
+    finally:
+        os.unlink(name)

@@ -77,3 +77,12 @@ def test_stratified_sample_deterministic(docs):
         ).collect()
     )
     assert a == b  # partitioning-independent selection
+
+
+def test_hash_sample_full_fraction_is_identity(spark):
+    """fraction=1.0 must keep EVERY row — the clamped threshold used
+    to drop rows whose md5 prefix is all f's (review finding)."""
+    from hadoop_pcap_spark.operators.sampling import hash_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    assert hash_sample(docs, "doc_id", 1.0).count() == docs.count()

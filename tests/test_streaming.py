@@ -401,3 +401,53 @@ def test_streaming_lists_remote_files(tmp_path, monkeypatch):
     files = reader._list_files()
     assert sorted(p.split("://")[1] for p, _m in files) == ["a.pcap", "b.pcap"]
     assert all(m > 0 for _p, m in files)
+
+
+def test_reassembly_hot_flow_guard_recovers(spark, tmp_path):
+    """A flow whose buffered residual exceeds max_flow_bytes must be
+    RESET, not tail-clipped: the old guard re-truncated every batch to
+    the same stuck residual, silently discarding all later segments
+    (review finding).  After the poisoned batch, a fresh complete
+    message on the same flow must still be emitted."""
+    import os
+
+    from hadoop_pcap_spark.pcap import synth as S
+    from hadoop_pcap_spark.sources import register_pcap_datasource
+
+    register_pcap_datasource(spark)
+    d = str(tmp_path / "hotcaps")
+    os.makedirs(d)
+    cli, srv = "192.0.2.10", "192.0.2.53"
+
+    # wave 1: a poisoned stream — length prefix promises 0xffff bytes
+    # that never arrive, and the carried residual (102 B) exceeds the
+    # tiny max_flow_bytes
+    poison = b"\xff\xff" + b"A" * 100
+    wave1 = S.global_header(1) + S.record(
+        1700000000, S.ethernet(S.ipv4(S.tcp(poison, 40000, 53), 6, cli, srv))
+    )
+    (tmp_path / "hotcaps" / "w1.pcap").write_bytes(wave1)
+
+    stream = spark.readStream.format("pcap").option("path", d).load()
+    out = STRM.streaming_dns_tcp_reassembly(stream, max_flow_bytes=64)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tcp_hot")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM tcp_hot").count() == 0
+        # wave 2: same flow, a complete well-formed query
+        msg = S.dns_query(7, "x.example", 1)
+        (seg,) = S.dns_tcp_segments([msg], [2 + len(msg)])
+        wave2 = S.global_header(1) + S.record(
+            1700000001, S.ethernet(S.ipv4(S.tcp(seg, 40000, 53), 6, cli, srv))
+        )
+        (tmp_path / "hotcaps" / "w2.pcap").write_bytes(wave2)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM tcp_hot").collect()
+    finally:
+        q.stop()
+    assert [(r.src, r.dns_queryid) for r in rows] == [(cli, 7)]
