@@ -1240,3 +1240,31 @@ def q_corpus_build_stats(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "corpus_shard_manifest",
+    oracle="""
+    WITH sharded AS (
+      SELECT doc_id, text,
+             CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 8 AS INT) AS shard
+      FROM documents)
+    SELECT shard,
+           count(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           bit_xor(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT))
+               AS content_digest
+    FROM sharded GROUP BY shard ORDER BY shard
+    """,
+)
+def q_corpus_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """Shard membership + reproducibility manifest for the corpus
+    writer (operators/shards.py): deterministic md5-mod shard
+    assignment and an order-insensitive XOR content digest per shard
+    — two builds of the same corpus compare manifest-to-manifest.
+    Scale: one exchange on shard (8-way here); the digest is a
+    map-side-combinable aggregate."""
+    from ..operators.shards import assign_shards, shard_manifest
+
+    return shard_manifest(assign_shards(table(spark, sf, "documents"), 8))

@@ -689,3 +689,37 @@ def test_frequent_items_superset_of_true_heavy_hitters(spark):
         if r["count"] >= 0.05 * total
     }
     assert true_heavy <= set(out.event_type_freqItems)
+
+
+def test_corpus_shards_roundtrip_and_deterministic_manifest(spark, tmp_path):
+    """Shard writer: every doc lands in exactly one shard, shard
+    membership is stable across runs/partitionings, and two builds of
+    the same corpus produce identical manifests."""
+    from hadoop_pcap_spark.operators.shards import (
+        shard_manifest,
+        write_corpus_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    out = str(tmp_path / "corpus")
+    m1 = {r.shard: r for r in write_corpus_shards(docs, out, n_shards=8).collect()}
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+    assert set(m1) == set(range(8))
+    assert sum(r.n_docs for r in m1.values()) == docs.count()
+    # rebuild from a different partitioning → identical manifest
+    from hadoop_pcap_spark.operators.shards import assign_shards
+
+    m2 = {
+        r.shard: r
+        for r in shard_manifest(assign_shards(docs.repartition(13), 8)).collect()
+    }
+    assert {k: (v.n_docs, v.content_digest) for k, v in m1.items()} == {
+        k: (v.n_docs, v.content_digest) for k, v in m2.items()
+    }
+    # and the persisted manifest matches the returned one
+    stored = {r.shard: r for r in spark.read.parquet(f"{out}/_manifest").collect()}
+    assert {k: v.content_digest for k, v in stored.items()} == {
+        k: v.content_digest for k, v in m1.items()
+    }
