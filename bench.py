@@ -136,6 +136,11 @@ def main():
                 "value_cpu": round(sum(cpu_timings.values()), 3),
                 "runs": runs,
                 "sf": sf_dir,
+                # host-contention forensics: CPU-seconds inflate with
+                # neighbor memory-bandwidth pressure (BASELINE.md);
+                # loadavg lets a reader judge whether a reading came
+                # from a quiet or a hammered host
+                "loadavg_1m": round(os.getloadavg()[0], 2),
             }
         )
     )

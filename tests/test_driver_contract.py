@@ -74,3 +74,23 @@ def test_oracle_bearing_queries_precede_rows_only():
     assert all(n in oracles for n in names[:first_rows_only])
     assert all(n not in oracles for n in names[first_rows_only:])
     assert all(n in oracles for n in e._PRIORITY)
+
+
+def test_run_query_cli_smoke():
+    """tools/run_query.py: --list names every registered query and
+    --oracle prints runnable SQL without starting Spark."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "tools/run_query.py", "--list"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert r.returncode == 0
+    names = {line.split()[0] for line in r.stdout.strip().splitlines()}
+    assert {"tpch_q1", "corpus_build_stats", "dedup_minhash_lsh"} <= names
+    r2 = subprocess.run(
+        [sys.executable, "tools/run_query.py", "tpch_q1", "--oracle"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert r2.returncode == 0 and "l_returnflag" in r2.stdout
