@@ -1268,3 +1268,80 @@ def q_corpus_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.shards import assign_shards, shard_manifest
 
     return shard_manifest(assign_shards(table(spark, sf, "documents"), 8))
+
+
+@query(
+    "text_char_ngram_dup_rate",
+    oracle="""
+    WITH grams AS (
+      SELECT DISTINCT doc_id, source, gram FROM (
+        SELECT doc_id, source,
+               unnest(list_transform(
+                 generate_series(1, greatest(length(text) - 19, 1), 10),
+                 i -> substr(text, i, 20))) AS gram
+        FROM documents)),
+    dup AS (
+      SELECT gram FROM grams GROUP BY gram
+      HAVING count(DISTINCT doc_id) > 1)
+    SELECT g.source AS source,
+           count(DISTINCT g.gram) AS n_grams,
+           count(DISTINCT CASE WHEN d.gram IS NOT NULL THEN g.gram END)
+               AS n_dup_grams,
+           ROUND(count(DISTINCT CASE WHEN d.gram IS NOT NULL THEN g.gram END) * 1.0
+                 / count(DISTINCT g.gram), 6) AS dup_rate
+    FROM grams g LEFT JOIN dup d ON g.gram = d.gram
+    GROUP BY g.source ORDER BY g.source
+    """,
+)
+def q_char_ngram_dup_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact substring-level duplication: strided char-20-grams per
+    doc, a gram is 'duplicated' when it appears in >1 distinct
+    document; per-source duplicated-gram rate.  The character-grain
+    twin of the word-shingle near-dup family (the substring-dedup
+    motif for catching templated boilerplate word-level shingles
+    miss).  Scale: grams explode map-side with stride 10 bounding
+    volume at ~len/10 per doc; one exchange on gram for the
+    cross-doc count, one on (source, gram) for the rate —
+    at 100 TB the gram set is the classic candidate for a
+    frequency-threshold prefilter before the distinct."""
+    docs = table(spark, sf, "documents")
+    grams = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(length(text) - 19, 1), 10),"
+                    " i -> substr(text, i, 20))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gram")
+    )
+    marked = grams.join(
+        dup.withColumnRenamed("gram", "dgram"),
+        grams.gram == F.col("dgram"),
+        "left_outer",
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.countDistinct("gram").alias("n_grams"),
+            F.countDistinct(
+                F.when(F.col("dgram").isNotNull(), F.col("gram"))
+            ).alias("n_dup_grams"),
+            F.round(
+                F.countDistinct(F.when(F.col("dgram").isNotNull(), F.col("gram")))
+                * 1.0
+                / F.countDistinct("gram"),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
