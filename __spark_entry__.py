@@ -73,6 +73,8 @@ _PRIORITY = [
     "window_range_frame_trailing",
     "unpivot_long",
     "histogram_fixed_buckets",
+    "corpus_shard_manifest",
+    "text_char_ngram_dup_rate",
 ]
 
 
