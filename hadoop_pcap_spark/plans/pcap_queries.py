@@ -188,6 +188,40 @@ def q_pcap_flow_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("pcap_flows_enriched")  # rows-only
+def q_pcap_flows_enriched(spark: SparkSession, sf: str) -> DataFrame:
+    """Flows joined to an IP-prefix dimension (org/role per /24) —
+    the network-warehouse motif: packet-derived facts enriched with
+    business dims exactly like lineitem⋈part.  The dim here is an
+    inline demo table (at scale: a real prefix table, broadcast or
+    range-joined on CIDR); the join key is the string /24 prefix, a
+    plain broadcast equi-join.  Scale: enrich AFTER flow aggregation
+    — join cardinality is flows, not packets."""
+    from ..operators.flows import flow_stats
+
+    dim = spark.createDataFrame(
+        [
+            ("192.0.2", "corp-lan", "client"),
+            ("193.0.10", "ripe-ncc", "server"),
+            ("10.1.1", "backbone", "transit"),
+        ],
+        "prefix24 string, org string, role string",
+    )
+    flows = flow_stats(read_pcap(spark, fixture_dir()))
+    pfx = F.regexp_extract(F.col("ip_a"), r"^(\d+\.\d+\.\d+)\.", 1)
+    return (
+        flows.withColumn("prefix24", pfx)
+        .join(F.broadcast(dim), "prefix24", "left_outer")
+        .select(
+            "proto", "ip_a", "port_a", "ip_b", "port_b",
+            "n_packets", "n_bytes",
+            F.coalesce("org", F.lit("unknown")).alias("org"),
+            F.coalesce("role", F.lit("unknown")).alias("role"),
+        )
+        .orderBy("proto", "ip_a", "port_a", "ip_b", "port_b")
+    )
+
+
 def throughput_dir(n_files: int = 8, pkts_per_file: int = 12500) -> str:
     """Deterministic 100k-packet capture set (8 files → 8-way decode
     parallelism).  Placement contract: module docstring."""

@@ -25,6 +25,7 @@ def test_registry_shape():
         "pcap_multimodal_payload",
         "pcap_dns_tcp_reassembly",
         "pcap_flow_stats",
+        "pcap_flows_enriched",
         "pcap_decode_100k",
     }, f"unexpected rows-only set: {sorted(rows_only)}"
     for name, fn in qs.items():

@@ -199,3 +199,16 @@ def test_flow_stats_driver_query(spark):
     # fixture_dir: same 2-packet exchange in a.pcap and b.pcap.gz → 2 flows
     assert len(rows) == 2
     assert all(r["n_packets"] == 2 and r["a_to_b_packets"] == 1 for r in rows)
+
+
+def test_flows_enriched_with_prefix_dim(spark):
+    """Flows join the /24-prefix dim by broadcast; unmatched prefixes
+    fall back to 'unknown'."""
+    from hadoop_pcap_spark.plans import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["pcap_flows_enriched"](spark, "").collect()
+    assert len(rows) == 2  # one flow per fixture file
+    for r in rows:
+        assert (r.org, r.role) == ("ripe-ncc", "server")
+        assert r.n_packets == 2
