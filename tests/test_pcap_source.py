@@ -266,3 +266,24 @@ def test_datasource_pruning_reaches_decoder_opts():
     assert res.emit_payload is False  # payload never gathered
     assert all(v is None for v in res.objects["md5"])  # md5 never hashed
     assert all(v is None for v in res.objects["dns_qname"])  # DNS not parsed
+
+
+def test_sql_front_door(spark):
+    """The reference's Hive-QL workflow, re-homed: a packets view over
+    a capture + warehouse views, queried purely via spark.sql."""
+    from hadoop_pcap_spark.plans.pcap_queries import fixture_dir
+    from hadoop_pcap_spark.sql import register_packets_view, register_warehouse_views
+
+    register_packets_view(spark, fixture_dir(), decoder="dns")
+    got = spark.sql(
+        """SELECT dns_qname, count(*) AS n FROM packets
+           WHERE dst_port = 53 AND dns_qname IS NOT NULL
+           GROUP BY dns_qname"""
+    ).collect()
+    assert [(r.dns_qname, r.n) for r in got] == [("ripe.net.", 2)]
+
+    register_warehouse_views(spark, "/root/testdata/sf0.001")
+    n = spark.sql(
+        "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    ).collect()[0].n
+    assert n > 0
