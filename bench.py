@@ -78,6 +78,7 @@ def proc_tree_cpu() -> float:
 
 
 def main():
+    _loadavg_start = round(os.getloadavg()[0], 2)  # before Spark starts
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -137,10 +138,11 @@ def main():
                 "runs": runs,
                 "sf": sf_dir,
                 # host-contention forensics: CPU-seconds inflate with
-                # neighbor memory-bandwidth pressure (BASELINE.md);
-                # loadavg lets a reader judge whether a reading came
-                # from a quiet or a hammered host
-                "loadavg_1m": round(os.getloadavg()[0], 2),
+                # neighbor memory-bandwidth pressure (BASELINE.md).
+                # Sampled BEFORE the Spark session exists — sampling
+                # at the end would mostly measure the bench's own
+                # just-finished load
+                "loadavg_start_1m": _loadavg_start,
             }
         )
     )

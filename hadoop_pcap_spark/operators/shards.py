@@ -46,17 +46,15 @@ def shard_manifest(sharded: DataFrame, text_col: str = "text") -> DataFrame:
     fp_word = F.conv(
         F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10
     ).cast("bigint")
-    xor_agg = F.aggregate(
-        F.collect_list(fp_word),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc.bitwiseXOR(v),
-    )
     return (
         sharded.groupBy("shard")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(F.length(text_col)).cast("bigint").alias("n_chars"),
-            xor_agg.alias("content_digest"),
+            # bit_xor is map-side combinable and constant-memory — a
+            # collect_list fold would buffer every per-doc word of a
+            # shard in one aggregation buffer
+            F.bit_xor(fp_word).alias("content_digest"),
         )
         .orderBy("shard")
     )
@@ -74,12 +72,19 @@ def write_corpus_shards(
     manifest DataFrame.  Deterministic end to end: same corpus in ⇒
     byte-equal shard membership and manifest out."""
     sharded = assign_shards(df, n_shards, id_col)
-    (
-        sharded.repartition(n_shards, "shard")
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(path)
-    )
-    manifest = shard_manifest(sharded, text_col)
-    manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/_manifest")
+    # two actions (data write + manifest) — persist so an expensive
+    # upstream pipeline (this writer terminates the corpus build)
+    # executes once, not twice
+    sharded = sharded.persist()
+    try:
+        (
+            sharded.repartition(n_shards, "shard")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(path)
+        )
+        manifest = shard_manifest(sharded, text_col)
+        manifest.coalesce(1).write.mode("overwrite").parquet(f"{path}/_manifest")
+    finally:
+        sharded.unpersist()
     return manifest

@@ -30,6 +30,13 @@ from pyspark.sql import DataFrame, SparkSession
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: Dict[str, str] = {}
 
+# the driver-provided warehouse tables — the single source of truth
+# for every consumer (SQL view registration, the oracle gate, tools)
+WAREHOUSE_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
 
 def query(name: str, oracle: Optional[str] = None):
     """Register a named query; ``oracle`` is DuckDB SQL or None for

@@ -527,7 +527,12 @@ def write_packets_parquet(
     if sort_within is None:
         sort_within = ["ts"] if "ts" in df.columns else []
     if sort_within:
-        df = df.sortWithinPartitions(*sort_within)
+        # partition cols FIRST: V1Writes inserts its own sort on the
+        # partition columns above any user sort and EliminateSorts
+        # drops the user's — a bare sortWithinPartitions(ts) before a
+        # partitionBy write is a verified no-op.  Sorting
+        # (partition, ts) survives and tightens row-group stats.
+        df = df.sortWithinPartitions(*partition_by, *sort_within)
     df.write.mode(mode).partitionBy(*partition_by).parquet(out_path)
 
 

@@ -15,14 +15,11 @@ known limits.)
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-WAREHOUSE_TABLES = (
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-)
+from .plans import WAREHOUSE_TABLES
 
 
 def register_warehouse_views(

@@ -80,18 +80,20 @@ def test_oracle_bearing_queries_precede_rows_only():
 def test_run_query_cli_smoke():
     """tools/run_query.py: --list names every registered query and
     --oracle prints runnable SQL without starting Spark."""
+    import os
     import subprocess
     import sys
 
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r = subprocess.run(
         [sys.executable, "tools/run_query.py", "--list"],
-        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+        capture_output=True, text=True, cwd=root, timeout=120,
     )
     assert r.returncode == 0
     names = {line.split()[0] for line in r.stdout.strip().splitlines()}
     assert {"tpch_q1", "corpus_build_stats", "dedup_minhash_lsh"} <= names
     r2 = subprocess.run(
         [sys.executable, "tools/run_query.py", "tpch_q1", "--oracle"],
-        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+        capture_output=True, text=True, cwd=root, timeout=120,
     )
     assert r2.returncode == 0 and "l_returnflag" in r2.stdout

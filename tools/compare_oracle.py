@@ -19,10 +19,7 @@ import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
+from hadoop_pcap_spark.plans import WAREHOUSE_TABLES as TABLES  # noqa: E402
 
 
 def norm_cell(v):
