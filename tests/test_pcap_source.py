@@ -287,3 +287,27 @@ def test_sql_front_door(spark):
         "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
     ).collect()[0].n
     assert n > 0
+
+
+def test_etl_write_sorts_rows_within_files(spark, tmp_path):
+    """The decode→parquet ETL must produce ts-sorted files (tight
+    row-group min/max stats).  Regression for the V1Writes trap: a
+    bare sortWithinPartitions(ts) before partitionBy is eliminated
+    by Spark's own partition-column sort; sorting (partition, ts)
+    survives."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from hadoop_pcap_spark.sources.pcap_source import write_packets_parquet
+
+    df = spark.range(2000).selectExpr(
+        "cast(id % 7 as long) * 86400 + 1700000000 - id as ts", "id as pkt"
+    )
+    out = str(tmp_path / "pq")
+    write_packets_parquet(df.repartition(4), out)
+    files = _glob.glob(f"{out}/capture_date=*/*.parquet")
+    assert files
+    for f in files:
+        ts = pq.read_table(f, columns=["ts"]).column("ts").to_pylist()
+        assert ts == sorted(ts), f"unsorted ts in {f}"
