@@ -18,3 +18,19 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# The one-import user surface: session, ingest, SQL front door, ETL.
+from .session import get_spark  # noqa: E402,F401
+from .sources import read_pcap  # noqa: E402,F401
+from .sources.pcap_source import write_packets_parquet, write_pcap  # noqa: E402,F401
+from .sql import register_packets_view, register_warehouse_views  # noqa: E402,F401
+
+__all__ = [
+    "get_spark",
+    "read_pcap",
+    "write_packets_parquet",
+    "write_pcap",
+    "register_packets_view",
+    "register_warehouse_views",
+    "__version__",
+]
