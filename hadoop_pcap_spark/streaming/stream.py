@@ -242,3 +242,37 @@ def streaming_dns_tcp_reassembly(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def streaming_corpus_filter(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    text_col: str = "text",
+) -> DataFrame:
+    """The corpus build's streaming front half: Gopher-rule filter +
+    PII scrub (both stateless maps) + exact dedup within the
+    watermark (state bounded by watermark × arrival rate) — what you
+    run on a live crawl before the batch near-dup/packing stages.
+
+    Batch-equivalence: on any bounded input whose event times fit one
+    watermark window, the kept set equals the batch pipeline's
+    rules→scrub→exact-dedup stages (asserted in
+    tests/test_streaming.py); near-dup needs cross-corpus state and
+    stays batch (corpus_build_stats).
+
+    Scale: rules/scrub ride the stream's map stage; the dedup state
+    store holds one 128-bit fingerprint per surviving doc within the
+    watermark — eviction is exactly the watermark contract."""
+    from ..functions.text import exact_fingerprint, gopher_flags, scrub_pii
+
+    flags = gopher_flags(F.col(text_col))
+    keep = flags["wc_ok"] & flags["mwl_ok"] & flags["sw_ok"]
+    cleaned = (
+        docs.filter(keep)
+        .withColumn(text_col, scrub_pii(F.col(text_col)))
+        .withColumn("fp", exact_fingerprint(F.col(text_col)))
+    )
+    return cleaned.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["fp"]
+    )

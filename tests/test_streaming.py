@@ -451,3 +451,60 @@ def test_reassembly_hot_flow_guard_recovers(spark, tmp_path):
     finally:
         q.stop()
     assert [(r.src, r.dns_queryid) for r in rows] == [(cli, 7)]
+
+
+def test_streaming_corpus_filter_matches_batch(spark, tmp_path):
+    """rules + scrub + exact dedup: the streaming kept-set equals the
+    batch stages on a bounded input (one watermark window)."""
+    import os
+
+    from pyspark.sql import Row
+
+    from hadoop_pcap_spark.functions.text import (
+        exact_fingerprint,
+        gopher_flags,
+        scrub_pii,
+    )
+
+    base = "the cats sat on the mats and all was fine here today " * 3
+    rows = [
+        Row(doc_id=i, ts="2026-01-01 00:00:%02d" % (i % 50), text=t)
+        for i, t in enumerate(
+            [base, base, base + "extra tail words", "word " * 5, " ".join(["quartz"] * 40)]
+            * 4
+        )
+    ]
+    src = str(tmp_path / "docs_in")
+    spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, ts timestamp, text string")
+        .parquet(src)
+    )
+    out = STRM.streaming_corpus_filter(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("corpus_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT fp FROM corpus_stream").collect()
+    finally:
+        q.stop()
+
+    batch = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    flags = gopher_flags(F.col("text"))
+    keep = flags["wc_ok"] & flags["mwl_ok"] & flags["sw_ok"]
+    expect = (
+        batch.filter(keep)
+        .withColumn("text", scrub_pii(F.col("text")))
+        .select(exact_fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .collect()
+    )
+    assert sorted(r.fp for r in got) == sorted(r.fp for r in expect)
+    assert len(got) >= 1
