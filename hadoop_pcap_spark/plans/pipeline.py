@@ -1196,11 +1196,20 @@ def q_corpus_build_stats(spark: SparkSession, sf: str) -> DataFrame:
     chain (never quadratic), packing is one window; at 100 TB this
     is the job you actually run, and the per-stage counts are the
     monitoring you actually ship."""
+    from pyspark import StorageLevel
+
+    from ..operators.cache import register_persisted
+
     docs = table(spark, sf, "documents")
     flags = TXT.gopher_flags(F.col("text"))
-    rules = docs.filter(
-        flags["wc_ok"] & flags["mwl_ok"] & flags["sw_ok"]
-    ).select("doc_id", "source", TXT.scrub_pii(F.col("text")).alias("text"))
+    # rules feeds four consumers (fingerprints, shingles, the final
+    # join, the stage counts) — persist so the corpus is scanned and
+    # rule-scored once, not once per consumer
+    rules = (
+        docs.filter(flags["wc_ok"] & flags["mwl_ok"] & flags["sw_ok"])
+        .select("doc_id", "source", TXT.scrub_pii(F.col("text")).alias("text"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     decisions = DD.corpus_keep_set(rules, threshold=0.5)
     d2 = decisions.join(rules.select("doc_id", "source"), "doc_id")
     finals = (
@@ -1225,7 +1234,7 @@ def q_corpus_build_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_tok").cast("bigint").alias("tt"),
     )
     z = F.lit(0).cast("bigint")
-    return (
+    result = (
         raw_n.join(rules_n, "source", "left_outer")
         .join(surv_n, "source", "left_outer")
         .join(pack_n, "source", "left_outer")
@@ -1239,6 +1248,11 @@ def q_corpus_build_stats(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce(F.col("tt"), z).alias("total_tokens"),
         )
         .orderBy("source")
+    )
+    # propagate release handles: ours + whatever the dedup chain
+    # registered on its (discarded) decisions frame
+    return register_persisted(
+        result, rules, *getattr(decisions, "_graft_persisted", ())
     )
 
 

@@ -276,3 +276,17 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_docs")
         spark.sql("DROP TABLE IF EXISTS b_stats")
+
+
+def test_corpus_build_composition_stays_bounded(spark):
+    """The five-stage corpus build composes without degenerating:
+    no cartesian, no nested-loop join, no row-Python, and the corpus
+    is scanned a bounded number of times (the dedup chain's documented
+    ≤2 scans plus the stage-count aggregates)."""
+    plan = plan_of(QUERIES["corpus_build_stats"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    # raw counts + the cached rules build + the dedup chain's
+    # documented bounded scans; consumers of `rules` read the cache
+    assert plan.count("Scan parquet") <= 7, plan
