@@ -275,3 +275,71 @@ def test_pack_sequences_matches_reference_packer(spark):
     for src, (nseq, ndocs, tok) in expect.items():
         r = got[src]
         assert (r.n_sequences, r.n_docs, r.total_tokens) == (nseq, ndocs, tok), src
+
+
+def test_tokenizer_parity_spark_vs_duckdb_fuzz(spark):
+    """TXT.tokens (Spark split on [^a-z0-9]+) and the oracles'
+    SQL_TOKENS (DuckDB string_split_regex) must tokenize identically —
+    dozens of oracle hash checks rest on this.  Fuzz with adversarial
+    strings: unicode, regex metacharacters, digits-only, empty,
+    whitespace runs, case folds."""
+    import duckdb
+
+    from hadoop_pcap_spark.plans.pipeline import SQL_TOKENS
+
+    import random
+
+    rng = random.Random(23)
+    alphabet = list("abz019 .,!|()[]{}^$\\-_+*?\t\né中ß") + ["the ", "A0 "]
+    cases = ["", " ", "word", "UPPER lower", "a-b_c.d", "1,2;3", "été café"]
+    cases += ["".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 40)))
+              for _ in range(60)]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id INT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(cases)))
+    duck = {
+        i: toks
+        for i, toks in con.execute(
+            f"SELECT id, {SQL_TOKENS} FROM t ORDER BY id"
+        ).fetchall()
+    }
+
+    df = spark.createDataFrame(list(enumerate(cases)), "id int, text string")
+    got = {
+        r.id: r.toks
+        for r in df.select("id", TXT.tokens(F.col("text")).alias("toks")).collect()
+    }
+    for i, case in enumerate(cases):
+        assert got[i] == duck[i], (repr(case), got[i], duck[i])
+
+
+def test_fingerprint_parity_spark_vs_duckdb_fuzz(spark):
+    """exact_fingerprint (md5 of lower + \\s+ collapse + trim) must be
+    byte-identical across engines — it anchors every dedup oracle."""
+    import duckdb
+    import random
+
+    rng = random.Random(31)
+    alphabet = list("ab \t\n\r.!é中") + ["  ", "word "]
+    cases = ["", " a  b ", "A\tB\nC", "x\r\n y"] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 30)))
+        for _ in range(40)
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id INT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(cases)))
+    duck = dict(
+        con.execute(
+            "SELECT id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) FROM t"
+        ).fetchall()
+    )
+    df = spark.createDataFrame(list(enumerate(cases)), "id int, text string")
+    got = {
+        r.id: r.fp
+        for r in df.select(
+            "id", TXT.exact_fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    for i, case in enumerate(cases):
+        assert got[i] == duck[i], repr(case)
