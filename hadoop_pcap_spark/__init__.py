@@ -19,18 +19,28 @@ Layout:
 
 __version__ = "0.1.0"
 
-# The one-import user surface: session, ingest, SQL front door, ETL.
-from .session import get_spark  # noqa: E402,F401
-from .sources import read_pcap  # noqa: E402,F401
-from .sources.pcap_source import write_packets_parquet, write_pcap  # noqa: E402,F401
-from .sql import register_packets_view, register_warehouse_views  # noqa: E402,F401
+# The one-import user surface: session, ingest, SQL front door, ETL —
+# resolved LAZILY (PEP 562) so Spark-free consumers (the pcap-dump
+# debug CLI, the pure decode kernel) never pay the pyspark/pandas/
+# pyarrow import cost, and the package imports cleanly without Spark.
+_EXPORTS = {
+    "get_spark": ("hadoop_pcap_spark.session", "get_spark"),
+    "read_pcap": ("hadoop_pcap_spark.sources", "read_pcap"),
+    "write_packets_parquet": (
+        "hadoop_pcap_spark.sources.pcap_source", "write_packets_parquet"),
+    "write_pcap": ("hadoop_pcap_spark.sources.pcap_source", "write_pcap"),
+    "register_packets_view": ("hadoop_pcap_spark.sql", "register_packets_view"),
+    "register_warehouse_views": ("hadoop_pcap_spark.sql", "register_warehouse_views"),
+}
 
-__all__ = [
-    "get_spark",
-    "read_pcap",
-    "write_packets_parquet",
-    "write_pcap",
-    "register_packets_view",
-    "register_warehouse_views",
-    "__version__",
-]
+__all__ = [*_EXPORTS, "__version__"]
+
+
+def __getattr__(name):
+    try:
+        mod_name, attr = _EXPORTS[name]
+    except KeyError:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}") from None
+    import importlib
+
+    return getattr(importlib.import_module(mod_name), attr)

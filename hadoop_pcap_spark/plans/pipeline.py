@@ -1198,7 +1198,7 @@ def q_corpus_build_stats(spark: SparkSession, sf: str) -> DataFrame:
     monitoring you actually ship."""
     from pyspark import StorageLevel
 
-    from ..operators.cache import register_persisted
+    from ..operators.cache import propagate_persisted, register_persisted
 
     docs = table(spark, sf, "documents")
     flags = TXT.gopher_flags(F.col("text"))
@@ -1250,10 +1250,9 @@ def q_corpus_build_stats(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("source")
     )
     # propagate release handles: ours + whatever the dedup chain
-    # registered on its (discarded) decisions frame
-    return register_persisted(
-        result, rules, *getattr(decisions, "_graft_persisted", ())
-    )
+    # registered on its (discarded) decisions frame — BOTH kinds
+    # (persisted caches AND localCheckpoint blocks)
+    return register_persisted(propagate_persisted(result, decisions), rules)
 
 
 @query(

@@ -97,3 +97,18 @@ def test_run_query_cli_smoke():
         capture_output=True, text=True, cwd=root, timeout=120,
     )
     assert r2.returncode == 0 and "l_returnflag" in r2.stdout
+
+
+def test_flagship_release_frees_all_blocks(spark):
+    """release_persisted on the flagship must free EVERY cached block
+    — the persisted rules stage AND the dedup chain's localCheckpoint
+    RDDs (review finding: only _graft_persisted was propagated, so
+    checkpoint blocks leaked across benchmark loops)."""
+    from hadoop_pcap_spark.operators.cache import release_persisted
+    from hadoop_pcap_spark.plans import QUERIES, load_all
+
+    load_all()
+    df = QUERIES["corpus_build_stats"](spark, "/root/testdata/sf0.001")
+    df.count()
+    release_persisted(df)
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
