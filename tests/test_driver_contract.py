@@ -108,7 +108,9 @@ def test_flagship_release_frees_all_blocks(spark):
     from hadoop_pcap_spark.plans import QUERIES, load_all
 
     load_all()
+    sc = spark.sparkContext._jsc.sc()
+    before = sc.getPersistentRDDs().size()  # other tests' leftovers
     df = QUERIES["corpus_build_stats"](spark, "/root/testdata/sf0.001")
     df.count()
     release_persisted(df)
-    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+    assert sc.getPersistentRDDs().size() == before
