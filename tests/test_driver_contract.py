@@ -113,4 +113,7 @@ def test_flagship_release_frees_all_blocks(spark):
     df = QUERIES["corpus_build_stats"](spark, "/root/testdata/sf0.001")
     df.count()
     release_persisted(df)
-    assert sc.getPersistentRDDs().size() == before
+    # shared-session caveat: Spark's async ContextCleaner may free
+    # OTHER tests' orphaned blocks concurrently, so the invariant is
+    # "this query left nothing behind", not strict equality
+    assert sc.getPersistentRDDs().size() <= before
