@@ -75,6 +75,7 @@ _PRIORITY = [
     "histogram_fixed_buckets",
     "corpus_shard_manifest",
     "text_char_ngram_dup_rate",
+    "docs_leakage_safe_split",
 ]
 
 

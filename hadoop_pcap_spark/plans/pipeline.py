@@ -1358,3 +1358,96 @@ def q_char_ngram_dup_rate(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "docs_leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE
+    fpt AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    erep AS (SELECT fp, MIN(doc_id) AS rep FROM fpt GROUP BY fp),
+    eassign AS (SELECT f.doc_id, r.rep FROM fpt f JOIN erep r ON f.fp = r.fp),
+    survivors AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN eassign e ON d.doc_id = e.doc_id
+      WHERE e.doc_id = e.rep
+    ),
+    {_sql_minhash_ctes("survivors")},
+    sym AS (
+      SELECT a AS x, b AS y FROM mh_pairs
+      UNION SELECT b, a FROM mh_pairs
+    ),
+    reach(x, y) AS (
+      SELECT DISTINCT x, x FROM sym
+      UNION
+      SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x
+    ),
+    comp AS (SELECT x AS doc_id, MIN(y) AS component FROM reach GROUP BY x),
+    cluster AS (
+      -- every doc's ultimate cluster id: exact-dup rep, then that
+      -- rep's near-dup component min (exact dups of a near-dup member
+      -- follow their rep's component)
+      SELECT e.doc_id,
+             COALESCE(LEAST(c.component, e.rep), e.rep) AS cluster_id
+      FROM eassign e LEFT JOIN comp c ON e.rep = c.doc_id),
+    sided AS (
+      SELECT d.source, cl.cluster_id,
+             CASE WHEN substr(md5(CAST(cl.cluster_id AS VARCHAR)), 1, 8)
+                       < '40000000'
+                  THEN 'eval' ELSE 'train' END AS side
+      FROM documents d JOIN cluster cl ON d.doc_id = cl.doc_id)
+    SELECT source, side,
+           count(*) AS n_docs,
+           count(DISTINCT cluster_id) AS n_clusters
+    FROM sided GROUP BY source, side ORDER BY source, side
+    """,
+)
+def q_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/eval split that cannot leak near-duplicates across the
+    boundary: the split hash is taken on the doc's dup-CLUSTER id
+    (exact-dup representative, then its near-dup component), so every
+    member of a cluster lands on the same side — the contamination
+    control a naive per-doc split lacks.  ~25% of clusters go to
+    eval (deterministic md5-prefix threshold, engine-identical).
+    Scale: reuses the corpus keep-set chain (banded LSH + label
+    propagation — never quadratic); the split itself is a map over
+    the decision table."""
+    docs = table(spark, sf, "documents")
+    decisions = DD.corpus_keep_set(docs, threshold=0.5)
+    # decisions.rep is the exact-dup rep for exact dups, the near-dup
+    # component min for near-dup members, self for kept docs — but an
+    # exact dup of a near-dup member must follow its rep's component:
+    reps = decisions.select(
+        F.col("doc_id").alias("r_doc"), F.col("rep").alias("r_rep")
+    )
+    cluster = (
+        decisions.join(reps, decisions.rep == F.col("r_doc"), "left_outer")
+        .select(
+            "doc_id",
+            F.least(
+                F.coalesce(F.col("r_rep"), F.col("rep")), F.col("rep")
+            ).alias("cluster_id"),
+        )
+    )
+    from ..operators.cache import propagate_persisted
+
+    side = F.when(
+        F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 8) < "40000000",
+        "eval",
+    ).otherwise("train")
+    result = (
+        docs.select("doc_id", "source")
+        .join(cluster, "doc_id")
+        .select("source", "cluster_id", side.alias("side"))
+        .groupBy("source", "side")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+        .orderBy("source", "side")
+    )
+    return propagate_persisted(result, decisions)

@@ -723,3 +723,40 @@ def test_corpus_shards_roundtrip_and_deterministic_manifest(spark, tmp_path):
     assert {k: v.content_digest for k, v in stored.items()} == {
         k: v.content_digest for k, v in m1.items()
     }
+
+
+def test_leakage_safe_split_no_cluster_straddles(spark):
+    """The defining property: no dup-cluster may have members on both
+    sides of the split (planted exact + near dups must follow their
+    cluster)."""
+    import tempfile, os
+
+    from hadoop_pcap_spark.plans import QUERIES, load_all
+    from hadoop_pcap_spark.operators.dedup import corpus_keep_set
+
+    load_all()
+    base = "the quick brown foxes jump over the lazy dogs near the old barn today"
+    rows = [Row(doc_id=i, source="s", text=f"{base} unique{i} tail{i}") for i in range(40)]
+    rows += [Row(doc_id=100 + i, source="s", text=base) for i in range(6)]  # exact dups
+    rows += [Row(doc_id=200 + i, source="s", text=base + f" extra{i % 2}") for i in range(4)]
+    with tempfile.TemporaryDirectory() as d:
+        df = spark.createDataFrame(rows)
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        # recompute the per-doc side the query aggregates, then check
+        # cluster purity directly
+        decisions = corpus_keep_set(spark.read.parquet(os.path.join(d, "documents.parquet")))
+        reps = {r.doc_id: r.rep for r in decisions.collect()}
+        cluster = {d_: min(reps.get(reps[d_], reps[d_]), reps[d_]) for d_ in reps}
+        import hashlib
+
+        side = {
+            d_: ("eval" if hashlib.md5(str(c).encode()).hexdigest()[:8] < "40000000" else "train")
+            for d_, c in cluster.items()
+        }
+        by_cluster = {}
+        for d_, c in cluster.items():
+            by_cluster.setdefault(c, set()).add(side[d_])
+        assert all(len(sides) == 1 for sides in by_cluster.values())
+        # and the registered query agrees on totals
+        got = QUERIES["docs_leakage_safe_split"](spark, d).collect()
+        assert sum(r.n_docs for r in got) == len(rows)
