@@ -76,6 +76,7 @@ _PRIORITY = [
     "corpus_shard_manifest",
     "text_char_ngram_dup_rate",
     "docs_leakage_safe_split",
+    "text_unigram_logprob",
 ]
 
 

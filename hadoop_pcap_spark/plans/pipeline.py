@@ -1451,3 +1451,61 @@ def q_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("source", "side")
     )
     return propagate_persisted(result, decisions)
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest({SQL_TOKENS}) AS token FROM documents),
+    freq AS (
+      SELECT token, count(*) AS n FROM tok GROUP BY token),
+    tot AS (SELECT SUM(n) AS total FROM freq),
+    scored AS (
+      SELECT t.doc_id, t.source,
+             ROUND(AVG(-ln(f.n * 1.0 / tot.total)), 4) AS nll
+      FROM tok t JOIN freq f ON t.token = f.token, tot
+      GROUP BY t.doc_id, t.source)
+    SELECT source,
+           count(*) AS n_docs,
+           ROUND(AVG(nll), 4) AS avg_nll,
+           CAST(SUM(CASE WHEN nll > 4.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_surprising
+    FROM scored GROUP BY source ORDER BY source
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document mean negative log-probability under the corpus's
+    own unigram model — the cheap stand-in for CCNet/KenLM perplexity
+    filtering: documents of rare tokens score high ('surprising'),
+    boilerplate scores low.  Scale: ONE agg builds the unigram table
+    (dimension-sized — broadcasts back onto the token stream, like
+    TF-IDF's DF table); the per-doc average is the second exchange.
+    Determinism: per-doc NLL is rounded to 4 before the per-source
+    AVG (libm ln() agrees to the last ulp on identical doubles, and
+    the rounding sits far above fold-order noise)."""
+    docs = table(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(TXT.tokens(F.col("text"))).alias("token")
+    )
+    freq = tok.groupBy("token").agg(F.count("*").alias("n"))
+    tot = freq.agg(F.sum("n").alias("total"))
+    scored = (
+        tok.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round(F.avg(-F.log(F.col("n") * 1.0 / F.col("total"))), 4).alias("nll")
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("nll"), 4).alias("avg_nll"),
+            F.sum(F.when(F.col("nll") > 4.0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_surprising"),
+        )
+        .orderBy("source")
+    )
