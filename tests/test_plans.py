@@ -290,3 +290,26 @@ def test_corpus_build_composition_stays_bounded(spark):
     # raw counts + the cached rules build + the dedup chain's
     # documented bounded scans; consumers of `rules` read the cache
     assert plan.count("Scan parquet") <= 7, plan
+
+
+def test_float_sensitive_queries_are_run_deterministic(spark):
+    """Two executions (different shuffle partitioning the second time)
+    must produce identical rows for the queries whose outputs involve
+    float aggregation — partition-order nondeterminism here would make
+    the driver's value-hash gate flaky."""
+    names = [
+        "docs_mixture_weights",
+        "text_unigram_logprob",
+        "text_repetition_topgram",
+        "tpch_q8_market_share",
+        "stats_functions",
+        "docs_pack_sequences",
+    ]
+    for name in names:
+        a = sorted(map(str, QUERIES[name](spark, SF).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        try:
+            b = sorted(map(str, QUERIES[name](spark, SF).collect()))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+        assert a == b, name
