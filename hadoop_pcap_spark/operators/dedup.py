@@ -113,6 +113,20 @@ def dedup_exact(docs: DataFrame, fingerprint_col) -> DataFrame:
 # bit-for-bit including the candidate set.
 
 
+def _check_n_hashes(n_hashes: int) -> None:
+    """a + i*b stays below 2^63 only for i <= 7 (a, b are 60-bit md5
+    halves); beyond that the int64 arithmetic silently wraps (or
+    raises under ANSI mode) and diverges from the DuckDB oracle, so
+    reject instead (ADVICE r3)."""
+    if not 1 <= n_hashes <= 8:
+        raise ValueError(
+            f"n_hashes must be in [1, 8] for the a + i*b md5-halves "
+            f"family (a + 8b can exceed 2^63 and wrap int64); got "
+            f"{n_hashes}.  Use multiple signature sets for wider "
+            f"families."
+        )
+
+
 def _md5_halves(col):
     """token column → struct(ha, hb): the two 60-bit md5 halves."""
     h = F.md5(col)
@@ -127,6 +141,7 @@ def minhash_signatures(tok: DataFrame, n_hashes: int = N_MINHASHES) -> DataFrame
     pairs.  min(a + i*b) per doc is a valid MinHash under the 'random
     permutation by hash order' construction.  Pure built-ins,
     map-side aggregable; the md5 is computed once per token row."""
+    _check_n_hashes(n_hashes)
     with_h = tok.select("doc_id", _md5_halves(F.col("token")).alias("h"))
     aggs = [
         F.min(F.col("h.ha") + F.lit(i) * F.col("h.hb")).alias(f"m{i}")
@@ -143,6 +158,7 @@ def minhash_signatures_from_arrays(
     Two projection stages so the md5-halves array materializes once;
     CollapseProject keeps them separate because the transform() is
     non-cheap and referenced n_hashes times."""
+    _check_n_hashes(n_hashes)
     halved = arrays.select(
         "doc_id", F.transform(F.col("arr"), _md5_halves).alias("hs")
     )

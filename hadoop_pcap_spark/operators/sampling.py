@@ -24,6 +24,7 @@ DuckDB SQL twins registered in plans/pipeline.py.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from decimal import ROUND_HALF_EVEN, Decimal
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
@@ -75,7 +76,14 @@ def stratified_sample_exact(
     order = [_hash_key(key), F.col(key)]
     w_rank = W.partitionBy(*strata).orderBy(*order)
     w_all = W.partitionBy(*strata)
-    quota = F.ceil(F.lit(float(fraction)) * F.col(size_col)).cast("long")
+    # Exact-decimal quota: binary-float ceil(fraction * n) can inflate the
+    # quota by one (0.07 * 100 -> 7.000000000000001 -> ceil 8).  Quantize the
+    # fraction to 8 decimal places and multiply in decimal space — matches the
+    # DuckDB oracle, whose numeric literals are decimal-typed natively.
+    frac_dec = Decimal(repr(float(fraction))).quantize(
+        Decimal("1E-8"), rounding=ROUND_HALF_EVEN
+    )
+    quota = F.ceil(F.lit(frac_dec) * F.col(size_col)).cast("long")
     return (
         df.withColumn(rank_col, F.row_number().over(w_rank))
         .withColumn(size_col, F.count("*").over(w_all))

@@ -98,7 +98,16 @@ def _filesystem_for(path: str):
     import pyarrow.fs as pafs
 
     if mapped != scheme:
-        path = mapped + path[len(scheme):]
+        rest = path[len(scheme):]
+        if scheme in ("wasb", "wasbs"):
+            # wasb(s) addresses the Blob endpoint; pyarrow's Azure
+            # filesystem parses abfs[s] authorities against the Data
+            # Lake (dfs) endpoint of the same account — translate the
+            # endpoint along with the scheme (ADVICE r3)
+            rest = rest.replace(
+                ".blob.core.windows.net", ".dfs.core.windows.net", 1
+            )
+        path = mapped + rest
     return pafs.FileSystem.from_uri(path)
 
 
@@ -236,6 +245,24 @@ def local_path(spark_path: str) -> str:
     return spark_path
 
 
+def stream_error_types(stream) -> tuple:
+    """Exception types that signal a broken/corrupt compressed stream
+    for this specific reader.  gz/bz2/xz corruption surfaces as
+    zlib.error / OSError / EOFError / lzma.LZMAError; zstd raises
+    zstandard.ZstdError and python-lz4 a bare RuntimeError — both
+    scoped to streams those codecs actually opened, so PERMISSIVE mode
+    cannot swallow unrelated errors (ADVICE r3)."""
+    errs: list = [OSError, EOFError, ValueError, zlib.error, lzma.LZMAError]
+    mod = type(stream).__module__ or ""
+    if mod.startswith("zstandard"):
+        import zstandard
+
+        errs.append(zstandard.ZstdError)
+    elif mod.startswith("lz4"):
+        errs.append(RuntimeError)
+    return tuple(errs)
+
+
 def stream_file_chunks(
     paths,
     chunk_bytes: int = DEFAULT_CHUNK_BYTES,
@@ -262,7 +289,7 @@ def stream_file_chunks(
             with f:
                 for chunk in iter_capture_chunks(f, name=p, chunk_bytes=chunk_bytes):
                     yield p, chunk
-        except (OSError, EOFError, ValueError, zlib.error, lzma.LZMAError) as exc:
+        except stream_error_types(f) as exc:
             if permissive:
                 continue
             raise OSError(f"{p}: {exc}") from exc

@@ -35,20 +35,19 @@ import contextlib
 
 
 @contextlib.contextmanager
-def _skip_broken_stream(path: str):
+def _skip_broken_stream(path: str, stream=None):
     """A corrupt/truncated rotated file must not kill the stream query
     — decompression errors mid-read skip the file (its complete
-    chunks already decoded stand, like a truncated raw capture)."""
+    chunks already decoded stand, like a truncated raw capture).
+    The codec-specific error set comes from the opened stream's type
+    (zstd's ZstdError / lz4's RuntimeError included only for streams
+    those codecs opened — ADVICE r3)."""
+    from ..pcap.chunked import stream_error_types
+
     try:
         yield
-    except (OSError, EOFError, ValueError) as exc:
+    except stream_error_types(stream) as exc:
         del exc
-    except Exception as exc:  # zlib.error, lzma.LZMAError, ...
-        import lzma
-        import zlib
-
-        if not isinstance(exc, (zlib.error, lzma.LZMAError)):
-            raise
 
 
 def _expand_paths(path: str) -> List[str]:
@@ -299,7 +298,7 @@ class PcapSimpleStreamReader(SimpleDataSourceStreamReader):
                 stream = open_decompressed(path)
             except OSError:
                 continue  # rotated away between listing and read
-            with _skip_broken_stream(path), stream:
+            with _skip_broken_stream(path, stream), stream:
                 pkt_off = 0
                 for chunk in iter_capture_chunks(stream, name=path):
                     seen = 0

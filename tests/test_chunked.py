@@ -492,3 +492,108 @@ def test_misnamed_gz_containing_raw_pcap_decodes():
             assert fh.read() == data
     finally:
         os.unlink(name)
+
+
+def test_stream_error_types_scoped_to_codec():
+    """zstd/lz4 corruption errors are permissive-skippable ONLY for
+    streams those codecs opened; a bare RuntimeError from any other
+    stream type must still propagate (ADVICE r3)."""
+    import sys
+    import types
+
+    from hadoop_pcap_spark.pcap.chunked import stream_error_types
+
+    base = stream_error_types(None)
+    assert RuntimeError not in base  # never swallowed for plain streams
+
+    class _FakeLZ4Reader:
+        pass
+
+    _FakeLZ4Reader.__module__ = "lz4.frame"
+    assert RuntimeError in stream_error_types(_FakeLZ4Reader())
+
+    fake_zstd = types.ModuleType("zstandard")
+
+    class ZstdError(Exception):
+        pass
+
+    fake_zstd.ZstdError = ZstdError
+    saved = sys.modules.get("zstandard")
+    sys.modules["zstandard"] = fake_zstd
+    try:
+        class _FakeZstdReader:
+            pass
+
+        _FakeZstdReader.__module__ = "zstandard"
+        assert ZstdError in stream_error_types(_FakeZstdReader())
+    finally:
+        if saved is None:
+            del sys.modules["zstandard"]
+        else:
+            sys.modules["zstandard"] = saved
+
+
+def test_permissive_skips_corrupt_lz4_stream(tmp_path, monkeypatch):
+    """A corrupt lz4 capture raising RuntimeError mid-read is skipped in
+    PERMISSIVE mode and fails the task otherwise (ADVICE r3: the old
+    except list covered only zlib/lzma errors)."""
+    import hadoop_pcap_spark.pcap.chunked as chunked
+
+    good = tmp_path / "good.pcap"
+    good.write_bytes(_pcap_many(5))
+
+    class _FakeLZ4Reader:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def read(self, n=-1):
+            raise RuntimeError("LZ4F_decompress failed with code: ERROR_GENERIC")
+
+        def close(self):
+            pass
+
+    _FakeLZ4Reader.__module__ = "lz4.frame"
+
+    real_open = chunked.open_decompressed
+
+    def fake_open(path):
+        if path.endswith(".lz4"):
+            return _FakeLZ4Reader()
+        return real_open(path)
+
+    monkeypatch.setattr(chunked, "open_decompressed", fake_open)
+    paths = [str(tmp_path / "bad.pcap.lz4"), str(good)]
+    with pytest.raises(OSError):
+        list(chunked.stream_file_chunks(paths, 1 << 12))
+    out = list(chunked.stream_file_chunks(paths, 1 << 12, permissive=True))
+    assert {p for p, _c in out} == {str(good)}
+
+
+def test_wasb_alias_translates_blob_endpoint(monkeypatch):
+    """wasb(s):// URIs must reach pyarrow with BOTH the abfs scheme and
+    the dfs (Data Lake) endpoint — scheme-only swapping left the blob
+    authority, which pyarrow's Azure parser mis-resolves (ADVICE r3)."""
+    import pyarrow.fs as pafs
+
+    from hadoop_pcap_spark.pcap.chunked import _filesystem_for
+
+    seen = {}
+
+    class _FakeFS:
+        @staticmethod
+        def from_uri(uri):
+            seen["uri"] = uri
+            return ("fs", "inner")
+
+    monkeypatch.setattr(pafs, "FileSystem", _FakeFS)
+    assert _filesystem_for(
+        "wasbs://cont@acct.blob.core.windows.net/caps/x.pcap"
+    ) == ("fs", "inner")
+    assert seen["uri"] == "abfs://cont@acct.dfs.core.windows.net/caps/x.pcap"
+
+    # non-Azure aliases keep their authority untouched
+    _filesystem_for("s3a://bucket/key.pcap")
+    assert seen["uri"] == "s3://bucket/key.pcap"

@@ -760,3 +760,20 @@ def test_leakage_safe_split_no_cluster_straddles(spark):
         # and the registered query agrees on totals
         got = QUERIES["docs_leakage_safe_split"](spark, d).collect()
         assert sum(r.n_docs for r in got) == len(rows)
+
+
+def test_minhash_n_hashes_bounded(spark):
+    """The a + i*b md5-halves family wraps int64 for i >= 8, silently
+    diverging from the DuckDB oracle — n_hashes > 8 must raise, not
+    wrap (ADVICE r3)."""
+    tok = spark.createDataFrame([(1, "tok")], ["doc_id", "token"])
+    arrays = spark.createDataFrame([(1, ["tok"])], ["doc_id", "arr"])
+    for bad in (0, 9, 16):
+        with pytest.raises(ValueError, match="n_hashes"):
+            DD.minhash_signatures(tok, n_hashes=bad)
+        with pytest.raises(ValueError, match="n_hashes"):
+            DD.minhash_signatures_from_arrays(arrays, n_hashes=bad)
+    # the full legal range still works
+    assert DD.minhash_signatures(tok, n_hashes=8).columns == [
+        "doc_id", "m0", "m1", "m2", "m3", "m4", "m5", "m6", "m7",
+    ]

@@ -86,3 +86,18 @@ def test_hash_sample_full_fraction_is_identity(spark):
 
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     assert hash_sample(docs, "doc_id", 1.0).count() == docs.count()
+
+
+def test_stratified_quota_exact_decimal(spark):
+    """ceil(fraction * n) must use exact-decimal arithmetic: in binary
+    float 0.07 * 100 -> 7.000000000000001 -> ceil 8, violating the
+    'exactly ceil(fraction x |stratum|)' contract (ADVICE r3)."""
+    rows = [(i, "s") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = stratified_sample_exact(df, ["lang"], 0.07, "doc_id")
+    assert out.count() == 7  # float ceil would give 8
+
+    # a couple more float-hostile fractions over awkward stratum sizes
+    df3 = spark.createDataFrame([(i, "t") for i in range(300)], ["doc_id", "lang"])
+    assert stratified_sample_exact(df3, ["lang"], 0.29, "doc_id").count() == 87
+    assert stratified_sample_exact(df3, ["lang"], 0.1, "doc_id").count() == 30
