@@ -15,8 +15,10 @@ manager) to unpersist exactly those dependencies — nothing else."""
 
 from __future__ import annotations
 
+import warnings
 from contextlib import contextmanager
 
+import pyspark
 from pyspark.sql import DataFrame
 
 _ATTR = "_graft_persisted"
@@ -32,16 +34,64 @@ def register_persisted(result: DataFrame, *deps: DataFrame) -> DataFrame:
 
 _CK_ATTR = "_graft_checkpointed"
 
+# Eager checkpoint release rides on PRIVATE Spark internals
+# (``df._jdf.queryExecution().analyzed()``, the ``LogicalRDD`` class-
+# name match, ``plan.rdd()``) — verified against these pyspark
+# minor versions only.  Outside the range we degrade to a no-op with
+# a one-time warning (the ContextCleaner still frees the blocks
+# eventually, so correctness is unaffected) instead of poking at
+# internals that may have moved (VERDICT r3 watch-list item).
+_CK_SUPPORTED_MIN = (3, 4)
+_CK_SUPPORTED_MAX = (4, 1)
+_warned_versions: set = set()
+
+
+def _checkpoint_api_supported(version: str | None = None) -> bool:
+    version = version if version is not None else pyspark.__version__
+    try:
+        mm = tuple(int(x) for x in version.split(".")[:2])
+    except ValueError:
+        return False
+    return _CK_SUPPORTED_MIN <= mm <= _CK_SUPPORTED_MAX
+
 
 def _checkpoint_jrdd(df: DataFrame):
     """The JVM RDD backing a ``localCheckpoint()``-ed DataFrame (its
-    analyzed plan is a LogicalRDD wrapping the checkpointed RDD)."""
+    analyzed plan is a LogicalRDD wrapping the checkpointed RDD).
+    Returns None — deferring the release to the ContextCleaner — on an
+    unverified Spark version or if the private API surface moved."""
+    version = pyspark.__version__
+    if not _checkpoint_api_supported(version):
+        if version not in _warned_versions:
+            _warned_versions.add(version)
+            warnings.warn(
+                f"release_checkpoint: pyspark {version} is outside the "
+                f"verified range "
+                f"{'.'.join(map(str, _CK_SUPPORTED_MIN))}–"
+                f"{'.'.join(map(str, _CK_SUPPORTED_MAX))} for the private "
+                f"queryExecution/LogicalRDD API; eager block release is a "
+                f"no-op (the ContextCleaner will free blocks eventually).",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+        return None
     try:
         plan = df._jdf.queryExecution().analyzed()
         if plan.getClass().getName().endswith("LogicalRDD"):
             return plan.rdd()
-    except Exception:
-        pass
+    except Exception as exc:
+        # supported version but the internals still misbehaved: say so
+        # once rather than silently skipping the release forever
+        key = f"{version}:api-error"
+        if key not in _warned_versions:
+            _warned_versions.add(key)
+            warnings.warn(
+                f"release_checkpoint: private-API probe failed on pyspark "
+                f"{version} ({exc!r}); this eager block release was "
+                f"skipped (warning once per process).",
+                RuntimeWarning,
+                stacklevel=3,
+            )
     return None
 
 

@@ -777,3 +777,41 @@ def test_minhash_n_hashes_bounded(spark):
     assert DD.minhash_signatures(tok, n_hashes=8).columns == [
         "doc_id", "m0", "m1", "m2", "m3", "m4", "m5", "m6", "m7",
     ]
+
+
+def test_checkpoint_release_version_guard(spark):
+    """The eager checkpoint release rides on private Spark internals;
+    it must (a) work on the session's own Spark version — which must be
+    inside the verified range — and (b) degrade to a warning no-op on
+    an unverified version (VERDICT r3 watch-list)."""
+    import warnings
+
+    import pyspark
+
+    from hadoop_pcap_spark.operators import cache as C
+
+    # (a) this session's version is verified and the probe finds the RDD
+    assert C._checkpoint_api_supported(pyspark.__version__)
+    df = spark.range(10).localCheckpoint()
+    jrdd = C._checkpoint_jrdd(df)
+    assert jrdd is not None  # private API works on this Spark
+    C.release_checkpoint(df)
+
+    # (b) unverified versions: no-op + one-time RuntimeWarning
+    for v in ("5.0.0", "2.4.8", "unknown"):
+        assert not C._checkpoint_api_supported(v)
+    orig = pyspark.__version__
+    try:
+        pyspark.__version__ = "99.0.0"
+        C._warned_versions.discard("99.0.0")
+        df2 = spark.range(5).localCheckpoint()
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            assert C._checkpoint_jrdd(df2) is None
+        assert any("99.0.0" in str(w.message) for w in rec)
+        with warnings.catch_warnings(record=True) as rec2:
+            warnings.simplefilter("always")
+            assert C._checkpoint_jrdd(df2) is None  # warns only once
+        assert not rec2
+    finally:
+        pyspark.__version__ = orig
