@@ -570,30 +570,107 @@ def decode_pcap_columnar(
     # frag column is only ever set True (scalar sets it via slow path);
     # nothing to do for fast rows.
 
-    # --- DNS (decoder='dns'): per-row parse on the port-53 subset ------------
+    # --- DNS (decoder='dns'): interned parse on the port-53 subset -----------
     # wanted-gate: a pruned read without dns_* columns skips the whole
-    # per-row loop, not just the inner parse
-    from .decode import DNS_COLUMNS
+    # per-row loop, not just the inner parse.
+    #
+    # Message-body interning (the columnar kernel's answer to the
+    # "DNS falls back to per-row Python" throughput gap): DNS traffic
+    # repeats message BODIES heavily — retransmissions, the same names
+    # queried over and over, cached responses — with only the 2-byte
+    # query id varying per packet.  Every dns_* field except
+    # dns_queryid is a pure function of the body (bytes 2..end of the
+    # message), so we parse once per unique body and patch the query
+    # id per row with a 2-byte read.  On a resolver-shaped capture
+    # this turns 100k parses into ~#unique-bodies parses; on an
+    # adversarial all-unique capture it degrades to the old per-row
+    # parse plus one dict probe.
+    #
+    # Correctness edge: a compression pointer targeting offset 0 or 1
+    # (inside the query id itself) would make the rendered names
+    # depend on the id bytes.  Such a pointer wires as 0xC0 0x00 /
+    # 0xC0 0x01; any message containing either byte pair (even as a
+    # false positive inside rdata) is parsed per-row instead of
+    # interned.  Real messages never point into the id field.
+    from .decode import DNS_COLUMNS, PROTOCOL_TCP
 
     if opts.decoder == "dns" and _want(opts, *DNS_COLUMNS):
         sp_vals, sp_mask = res.numeric["src_port"]
         dp_vals, dp_mask = res.numeric["dst_port"]
         cand = ((~sp_mask) & (sp_vals == 53)) | ((~dp_mask) & (dp_vals == 53))
         proto_col = res.objects["protocol"]
-        for i in np.nonzero(cand[:m])[0].tolist():
+        objects = res.objects
+        strip_tcp = not opts.strict_reference
+        payload_at = res.payload_at
+        from_bytes = int.from_bytes
+
+        def _row_parse(i):
             p = {
                 "src_port": int(sp_vals[i]) if not sp_mask[i] else None,
                 "dst_port": int(dp_vals[i]) if not dp_mask[i] else None,
                 "protocol": proto_col[i],
-                "_payload": res.payload_at(i),
+                "_payload": payload_at(i),
             }
             _decode_dns(p, opts)
-            for col in (
-                "dns_queryid", "dns_flags", "dns_qr", "dns_opcode", "dns_rcode",
-                "dns_qname", "dns_qtype", "dns_qtype_str",
-                "dns_answer", "dns_authority", "dns_additional",
-            ):
-                if col in p:
-                    res.objects[col][i] = p[col]
+            return p
+
+        # pass 1: group candidate rows by post-strip message BODY
+        groups: dict = {}
+        for i in np.nonzero(cand[:m])[0].tolist():
+            pl = payload_at(i)
+            if not pl:
+                continue
+            if strip_tcp and proto_col[i] == PROTOCOL_TCP:
+                if len(pl) < 2:
+                    continue  # _decode_dns's short-TCP silent skip
+                msg = pl[2:]
+            else:
+                msg = pl
+            if len(msg) < 12:
+                continue  # shorter than the DNS header: parse_message
+                # always fails -> silent-skip parity without the try
+            g = groups.get(msg[2:])
+            if g is None:
+                groups[msg[2:]] = g = ([], [], i)
+            g[0].append(i)
+            g[1].append(from_bytes(msg[:2], "big"))
+
+        # pass 2: one parse per unique body; column writes batched per
+        # group (fancy indexing) instead of per row
+        for body, (idxs, qids, i0) in groups.items():
+            if b"\xc0\x00" in body or b"\xc0\x01" in body:
+                # possible compression pointer INTO the query id: the
+                # parse (even its success) can depend on the id bytes —
+                # fall back to per-row parsing for this body
+                for i in idxs:
+                    p = _row_parse(i)
+                    for col in DNS_COLUMNS:
+                        if col in p:
+                            objects[col][i] = p[col]
+                continue
+            p = _row_parse(i0)
+            if "dns_queryid" not in p:
+                continue  # parse failed -> silent skip for all rows
+            if len(idxs) == 1:
+                i = idxs[0]
+                objects["dns_queryid"][i] = qids[0]
+                for col in DNS_COLUMNS:
+                    if col in p:
+                        objects[col][i] = p[col]
+                continue
+            arr_idx = np.asarray(idxs, dtype=np.int64)
+            objects["dns_queryid"][arr_idx] = qids
+            for col in DNS_COLUMNS:
+                if col == "dns_queryid" or col not in p:
+                    continue
+                val = p[col]
+                if isinstance(val, list):
+                    # lists broadcast elementwise under fancy assign;
+                    # fill() stores the same object per slot instead
+                    tmp = np.empty(len(arr_idx), dtype=object)
+                    tmp.fill(val)
+                    objects[col][arr_idx] = tmp
+                else:
+                    objects[col][arr_idx] = val
 
     return res

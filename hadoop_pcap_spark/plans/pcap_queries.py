@@ -245,6 +245,89 @@ def throughput_dir(n_files: int = 8, pkts_per_file: int = 12500) -> str:
     return d
 
 
+def dns_throughput_dir(
+    n_files: int = 8, pkts_per_file: int = 12500, pool: int = 2048
+) -> str:
+    """Port-53-heavy capture set: 100k packets, resolver-shaped.
+
+    ``pool`` unique query/response message *bodies* (distinct qnames,
+    4-RR responses) repeated across the corpus with a FRESH query id
+    per packet — the shape of a busy resolver trace (the reference's
+    own workload, DnsPcapReader.java), where the same names recur but
+    every transaction gets its own id.  This is the fixture behind
+    ``pcap_decode_dns_100k``, which exists to keep the columnar
+    kernel's DNS path (body-interned parse, decode_np.py) measurably
+    ahead of the scalar kernel's per-row parse.
+
+    Build is template-based: one frame per unique body with qid=0,
+    then a 2-byte patch at the UDP payload start per packet — O(pool)
+    DNS synthesis, O(n) byte splices."""
+    d = _fixture_subdir("dnstput")
+    if all(
+        os.path.exists(os.path.join(d, f"dns{fi}.pcap")) for fi in range(n_files)
+    ):
+        return d
+    qid_off = 14 + 20 + 8  # eth + ipv4(no options) + udp header
+    templates = []
+    for j in range(pool):
+        qname = f"host{j}.pool.example.com"
+        q = S.dns_query(0, qname)
+        r = S.dns_response(
+            0, qname, 1,
+            answers=[
+                (qname, 300, 1, S.a_rdata(f"10.{(j >> 8) & 255}.{j & 255}.1")),
+                (qname, 300, 1, S.a_rdata(f"10.{(j >> 8) & 255}.{j & 255}.2")),
+                (qname, 300, 2, S.ns_rdata("ns1.pool.example.com")),
+                (qname, 300, 1, S.a_rdata(f"10.{(j >> 8) & 255}.{j & 255}.3")),
+            ],
+            aa=True,
+        )
+        templates.append(
+            S.ethernet(S.ipv4(S.udp(q, 40000 + (j & 0x3FFF), 53,
+                                    "192.0.2.7", "192.0.2.53"),
+                              17, "192.0.2.7", "192.0.2.53"))
+        )
+        templates.append(
+            S.ethernet(S.ipv4(S.udp(r, 53, 40000 + (j & 0x3FFF),
+                                    "192.0.2.53", "192.0.2.7"),
+                              17, "192.0.2.53", "192.0.2.7"))
+        )
+    n_templates = len(templates)
+    for fi in range(n_files):
+        parts = [S.global_header(1)]
+        base = fi * pkts_per_file
+        for i in range(pkts_per_file):
+            t = templates[(base + i) % n_templates]
+            qid = (base + i) & 0xFFFF
+            frame = t[:qid_off] + qid.to_bytes(2, "big") + t[qid_off + 2:]
+            parts.append(S.record(1700000000 + base + i, frame))
+        _atomic_write(os.path.join(d, f"dns{fi}.pcap"), b"".join(parts))
+    return d
+
+
+@query("pcap_decode_dns_100k")  # rows-only: DNS-decode throughput benchmark
+def q_pcap_decode_dns_100k(spark: SparkSession, sf: str) -> DataFrame:
+    """Full L7 DNS decode over 100k port-53 packets across 8 files —
+    the reference's own workload shape (DnsPcapReaderTest.java runs the
+    dns decoder over captures; this scales it).  Exercises the
+    columnar kernel's body-interned DNS parse: every packet hits the
+    port-53 candidate path and renders qname + 4 RR presentation
+    strings.
+    Scale: DNS analytics at 100 TB is decode-bound; the interning keeps
+    per-packet work at a dict probe for the (dominant) repeated-body
+    fraction of real resolver traffic."""
+    return (
+        read_pcap(spark, dns_throughput_dir(), decoder="dns")
+        .filter(F.col("dns_qname").isNotNull())
+        .groupBy("dns_qr", "dns_rcode")
+        .agg(
+            F.count("*").alias("n_msgs"),
+            F.countDistinct("dns_qname").alias("n_qnames"),
+            F.countDistinct("dns_queryid").alias("n_qids"),
+        )
+    )
+
+
 @query("pcap_decode_100k")  # rows-only: decode-throughput benchmark
 def q_pcap_decode_100k(spark: SparkSession, sf: str) -> DataFrame:
     """Decode 100k packets across 8 capture files (the engine's core

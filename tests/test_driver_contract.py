@@ -27,6 +27,7 @@ def test_registry_shape():
         "pcap_flow_stats",
         "pcap_flows_enriched",
         "pcap_decode_100k",
+        "pcap_decode_dns_100k",
     }, f"unexpected rows-only set: {sorted(rows_only)}"
     for name, fn in qs.items():
         assert callable(fn), name
