@@ -35,48 +35,83 @@ def entry(spark: SparkSession) -> DataFrame:
     return queries_map["corpus_build_stats"](spark, "/root/testdata/sf0.001")
 
 
-# Run first, in this order: one representative per operator family so
-# that a capped/time-boxed driver run still covers every family with a
-# hash-compared result (the remaining oracle queries follow, then
-# rows-only checks last).  Every entry here MUST carry an oracle —
-# rows-only queries never burn a slot inside the driver's row cap
-# (VERDICT r2 item 2: pcap_dns_qname_topk used to).
+# Run first, in this order: a small core of family representatives,
+# then the oracle-bearing queries the driver's capped (~50-row)
+# correctness window has NOT yet hash-verified in any round.  The
+# window ROTATES each round (VERDICT r3 item 4): r1-r3 always ran the
+# same 50, leaving 49 oracle queries locally-verified only.  Round 4
+# keeps 13 family reps for continuity and promotes all 49 previously
+# uncovered queries; at a 50-row cap that driver-verifies ~37 of them
+# — rotate the remainder (the tail of this list) to the front in r5.
+# Every entry here MUST carry an oracle — rows-only queries never burn
+# a slot inside the driver's cap (VERDICT r2 item 2).
 _PRIORITY = [
+    # core family representatives (all green in CORRECTNESS_r03)
     "tpch_q1",
     "projection_filter",
     "join_broadcast_dim",
     "window_topn_per_group",
     "dedup_exact_fingerprint",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
     "similarity_cosine_topk",
     "text_quality_scores",
-    "text_langid",
-    "text_token_stats",
     "rollup_region_nation",
     "join_asof_nearest",
     "time_bucket_tumbling",
-    # round-3 family representatives (all oracle-bearing)
+    "topk_global",
     "corpus_build_stats",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q21_suppliers_kept_waiting",
-    "events_funnel_conversion",
-    "events_retention_cohorts",
-    "docs_gopher_quality_filter",
-    "text_repetition_topgram",
-    "docs_pack_sequences",
-    "docs_mixture_weights",
-    "dedup_incremental",
-    "time_bucket_gapfill",
-    "window_range_frame_trailing",
-    "unpivot_long",
-    "histogram_fixed_buckets",
-    "corpus_shard_manifest",
-    "text_char_ngram_dup_rate",
-    "docs_leakage_safe_split",
-    "text_unigram_logprob",
+    # rotation: never driver-verified before round 4 (family-diverse
+    # ordering so a tighter cap still maximizes family coverage)
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "datetime_functions",
+    "json_map_functions",
+    "case_when_bucketing",
+    "pivot_wide",
+    "scalar_subquery",
+    "having_filter",
+    "stats_functions",
+    "percentiles_exact",
+    "sessionize_batch",
+    "argmax_per_group",
+    "explode_unnest",
+    "union_by_name",
+    "window_first_last",
+    "net_ipv4_prefix_agg",
+    "window_ranks",
+    "join_full_outer",
+    "cross_join_small",
+    "null_functions",
+    "bool_aggregates",
+    "map_functions",
+    "embedding_array_stats",
+    "text_fingerprint",
+    "text_tfidf_top_terms",
+    "dedup_cluster_components",
+    "dedup_corpus_keep_set",
+    "text_token_budget",
+    "text_pii_scrub",
+    "docs_hash_sample",
+    "docs_stratified_sample",
+    "decontaminate_ngram_overlap",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_orders",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q14_promo_revenue",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive",
+    "tpch_q22_idle_customers",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    # r5 rotation tail: move these first next round
+    "tpch_q11_important_parts",
+    "tpch_q12_late_lines_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q20_excess_shipments",
 ]
 
 
