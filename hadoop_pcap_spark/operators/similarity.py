@@ -91,14 +91,15 @@ def cosine_topk_bruteforce(
     )
 
 
-def _hyperplanes(n_planes: int, dim: int) -> List[List[float]]:
+def _hyperplanes(n_planes: int, dim: int, tag: str = "plane") -> List[List[float]]:
     """Deterministic pseudo-random hyperplanes from md5 — reproducible
-    across runs/engines with no stored model."""
+    across runs/engines with no stored model.  ``tag`` namespaces the
+    stream (seeded variants draw independent planes)."""
     planes = []
     for p in range(n_planes):
         w = []
         for i in range(dim):
-            h = hashlib.md5(f"plane:{p}:{i}".encode()).hexdigest()
+            h = hashlib.md5(f"{tag}:{p}:{i}".encode()).hexdigest()
             w.append((int(h[:8], 16) / 0xFFFFFFFF) * 2.0 - 1.0)
         planes.append(w)
     return planes
@@ -332,6 +333,109 @@ def sign_bands(
     return vecs.select(
         F.col(id_col).alias("doc_id"), F.explode(F.array(*bands)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def rp_sign_bands(
+    vecs: DataFrame,
+    n_bands: int = 12,
+    band_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """(id, band, key) rows keyed by RANDOM-PROJECTION sign patterns —
+    the production variant of :func:`sign_bands` (VERDICT r3 item 5).
+
+    Each band owns ``band_planes`` seeded pseudo-random hyperplanes
+    (md5-derived weights — deterministic across runs, engines and
+    cluster sizes with no stored model); the band key is the sign-bit
+    string of the vector's projections.  Unlike coordinate slices,
+    random projections are rotation-invariant: collision probability
+    per bit is exactly 1 - θ/π for angle θ, which is what makes the
+    ≥0.9-cosine operating point work on real embedding geometry.
+    Candidate recall at threshold t is 1-(1-p^band_planes)^n_bands
+    with p = 1 - acos(t)/π — defaults give ≈0.98 at t=0.9.
+
+    Scale: identical shuffle shape to sign_bands — O(n·n_bands) band
+    rows into the one-shuffle bucket builder; the projection work is
+    whole-stage-codegen array folds, no Python."""
+    bands = []
+    for b in range(n_bands):
+        planes = _hyperplanes(band_planes, dim, tag=f"rp:{seed}:{b}")
+        bits = []
+        for plane in planes:
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(w) for w in plane]),
+                    lambda x, w: x.cast("double") * w,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+        bands.append(F.struct(F.lit(b).alias("band"), F.concat(*bits).alias("key")))
+    return vecs.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array(*bands)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def embedding_near_dup_rp(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_bands: int = 12,
+    band_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    max_bucket: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup at the PRODUCTION operating point: random-
+    projection sign bands (seeded) for candidates, exact cosine ≥
+    threshold (default 0.9) for verification.  Approximate by
+    construction (recall ≈0.98 at 0.9, pytest-asserted on planted
+    near-dups) → rows-only registration; the oracle-checked
+    coordinate-band variant stays :func:`embedding_near_dup`.
+
+    Output: (a, b, cos) with a < b, cos rounded to 6 places."""
+    from .cache import register_persisted
+    from .dedup import candidate_pairs
+
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    vecs = emb.repartition(par).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    from pyspark import StorageLevel
+
+    vecs = vecs.persist(StorageLevel.MEMORY_AND_DISK)
+    cands = candidate_pairs(
+        rp_sign_bands(vecs, n_bands, band_planes, dim, seed), max_bucket
+    )
+    a = vecs.select(
+        F.col("doc_id").alias("a"), F.col("vec").alias("vec_a"), F.col("nrm").alias("nrm_a")
+    )
+    b = vecs.select(
+        F.col("doc_id").alias("b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b")
+    )
+    return register_persisted(
+        a.join(cands, "a")
+        .join(b, "b")
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("vec_a"), F.col("vec_b"))
+                / F.nullif(F.col("nrm_a") * F.col("nrm_b"), F.lit(0.0)),
+                6,
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos"),
+        vecs,
+    )
 
 
 def embedding_near_dup(

@@ -815,3 +815,58 @@ def test_checkpoint_release_version_guard(spark):
         assert not rec2
     finally:
         pyspark.__version__ = orig
+
+
+def test_rp_band_near_dup_recall_at_production_threshold(spark):
+    """VERDICT r3 item 5: random-projection sign bands must recover
+    >=90% of true cosine->=0.9 pairs on a corpus with planted
+    near-dups (defaults predict ~0.98 analytically)."""
+    import numpy as np
+
+    from hadoop_pcap_spark.operators import similarity as SIM
+    from hadoop_pcap_spark.operators.cache import release_persisted
+
+    rng = np.random.default_rng(7)
+    dim = 64
+    base = rng.normal(size=(250, dim))
+    rows = []
+    truth = set()
+    vid = 0
+    ids_of = {}
+    for b in range(len(base)):
+        v = base[b] / np.linalg.norm(base[b])
+        rows.append((vid, [float(x) for x in v]))
+        ids_of[b] = vid
+        vid += 1
+    # plant 1-2 perturbed twins per first-120 base vector at cos .92-.99
+    planted_vecs = {i: base[i] / np.linalg.norm(base[i]) for i in range(len(base))}
+    for b in range(120):
+        for _ in range(1 + (b % 2)):
+            eps = rng.normal(size=dim)
+            eps /= np.linalg.norm(eps)
+            t = 0.15 + 0.25 * rng.random()  # cos in ~[.92, .99]
+            v = planted_vecs[b] + t * eps
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v]))
+            planted_vecs[vid] = v  # may pair with siblings too
+            vid += 1
+    # brute-force ground truth over ALL rows
+    M = np.array([r[1] for r in rows])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    cos = M @ M.T
+    n = len(rows)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if round(cos[i, j], 6) >= 0.9:
+                truth.add((rows[i][0], rows[j][0]))
+    assert len(truth) >= 100  # the plant worked
+
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in rows], "vec_id long, embedding array<double>"
+    )
+    out = SIM.embedding_near_dup_rp(emb, threshold=0.9, dim=dim)
+    got = {(r.a, r.b) for r in out.collect()}
+    release_persisted(out)
+    assert not (got - truth)  # verification is exact: no false pairs
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, (recall, len(truth))

@@ -62,6 +62,12 @@ def main():
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # pyspark's 1g default heap is fine at sf0.01 but genuinely
+        # undersized for sf1-scale runs (broadcast build + 6M-row
+        # shuffles on 8 local threads OOM'd the JVM mid-suite)
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
