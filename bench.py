@@ -48,6 +48,41 @@ HEADLINE = [
 ]
 
 
+def calibrate() -> dict:
+    """Fixed-work host-speed probe, run single-threaded with numpy.
+
+    Two numbers, each the min-of-3 ``time.process_time`` of a fixed
+    workload, in milliseconds:
+
+    * ``cpu_ms``  — 5 float64 matmuls of 256x256 (ALU/FPU bound);
+    * ``membw_ms`` — one pass of ``arr.sum()`` over a 128 MiB array
+      (memory-bandwidth bound — the resource neighbors actually steal).
+
+    The suite's CPU-seconds inflate up to 4-5x under neighbor
+    memory-bandwidth pressure even when loadavg looks idle (observed
+    value_cpu 45.9 vs 166.1 back-to-back); these probes make that
+    inflation measurable so a reader can normalize BENCH numbers
+    across rounds instead of guessing from loadavg."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    m = rng.random((256, 256))
+    arr = np.ones(16 * 1024 * 1024, dtype=np.float64)  # 128 MiB
+    best_cpu = best_bw = None
+    for _ in range(3):
+        c0 = time.process_time()
+        for _ in range(5):
+            m = m @ m
+            m /= np.abs(m).max() + 1.0
+        dt = (time.process_time() - c0) * 1e3
+        best_cpu = dt if best_cpu is None else min(best_cpu, dt)
+        c0 = time.process_time()
+        float(arr.sum())
+        dt = (time.process_time() - c0) * 1e3
+        best_bw = dt if best_bw is None else min(best_bw, dt)
+    return {"cpu_ms": round(best_cpu, 1), "membw_ms": round(best_bw, 1)}
+
+
 def proc_tree_cpu() -> float:
     """Total utime+stime (seconds) of this process and all live
     descendants via /proc — covers the Python driver, the Spark JVM
@@ -86,6 +121,7 @@ def main():
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
     extras = {}
+    extras["calib_start"] = calibrate()
 
     # DNS kernel speedup: columnar (body-interned) vs scalar kernel on
     # one DNS-heavy capture file, min-of-3 process CPU each.  This is
@@ -206,6 +242,7 @@ def main():
         )
     extras["streaming_corpus_filter"] = round(best_stream, 3)
     extras["streaming_corpus_filter_cpu"] = round(best_stream_cpu, 3)
+    extras["calib_end"] = calibrate()
     print(f"# extras: {extras}", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)

@@ -1,0 +1,162 @@
+"""Scale a driver testdata SF directory K-fold for scale-proofing.
+
+The shipped testdata tops out at sf0.1 (600k lineitem).  The 100 TB
+claims in SCALE.md rest on plan reasoning unless correctness and
+bench are also exercised *above* the scale every plan was tuned at —
+in particular past the point where AQE starts flipping broadcast
+joins to shuffle joins.  This tool builds an sf1-equivalent (default
+K=10) dataset from sf0.1 by replicating every scalable table K times
+with key offsets, preserving referential integrity so every join,
+agg and dedup query remains semantically meaningful:
+
+* ``region`` / ``nation`` — fixed dimensions, copied verbatim
+  (TPC-H keeps them constant across SFs too);
+* ``customer supplier part orders lineitem events`` — copy ``i``
+  adds ``i * <base row count>`` to the table's own dense 0-based key
+  AND to every foreign key that references a scaled table, so each
+  copy is a self-contained star and per-key join fanout / group
+  cardinality match the base SF exactly (cardinality scales K-fold,
+  per-key density stays constant — the TPC-H scaling model);
+* ``documents`` — ``doc_id`` offset; for copies > 0 the text gets a
+  deterministic ``' c<i>'`` suffix (and ``n_chars`` grows by its
+  length, preserving the n_chars == length(text) invariant) so exact
+  dedup still sees K distinct fingerprints per source doc while the
+  near-dup operators see K-clusters of planted near-duplicates — a
+  deliberately adversarial load for the LSH candidate generators;
+* ``embeddings`` — ``vec_id`` offset; copies > 0 get a constant
+  ``0.001 * i`` added to every coordinate: breaks exact ties (a
+  replicated corpus would make top-k order engine-dependent) while
+  keeping copies inside the same cosine neighborhood.
+
+Everything is derived in DuckDB (vectorized, single pass per table)
+and written as one parquet file per table, the same layout the driver
+uses, so both ``spark.read.parquet`` and the DuckDB oracle read the
+output unchanged.  The correctness gate stays valid because the
+oracle runs over the *same* scaled parquet — no golden numbers are
+assumed.
+
+Usage:
+    python tools/make_scaled_sf.py [--src /root/testdata/sf0.1] \
+        [--out /tmp/spark_graft_sf1] [--k 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import duckdb
+
+# (table, key column) for scaled tables; FK rewrites are explicit in
+# the per-table SELECTs below.
+BASE_COUNTS_SQL = {
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": None,
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/spark_graft_sf1")
+    ap.add_argument("--k", type=int, default=10)
+    args = ap.parse_args()
+
+    out = os.path.abspath(args.out)
+    for forbidden in ("/root/testdata", "/root/reference"):
+        if out.startswith(forbidden):
+            sys.exit(f"refusing to write under {forbidden}")
+    os.makedirs(out, exist_ok=True)
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+    src = args.src
+
+    def base(t: str) -> int:
+        return con.execute(
+            f"SELECT count(*) FROM '{src}/{t}.parquet'"
+        ).fetchone()[0]
+
+    n_cust = base("customer")
+    n_supp = base("supplier")
+    n_part = base("part")
+    n_ord = base("orders")
+    n_evt = base("events")
+    n_doc = base("documents")
+    n_vec = base("embeddings")
+    n_user = con.execute(
+        f"SELECT max(user_id) + 1 FROM '{src}/events.parquet'"
+    ).fetchone()[0]
+    k = args.k
+
+    copies = f"(SELECT unnest(range({k})) AS i) c"
+
+    jobs = {
+        "region": f"SELECT * FROM '{src}/region.parquet'",
+        "nation": f"SELECT * FROM '{src}/nation.parquet'",
+        "customer": f"""
+            SELECT c_custkey + c.i * {n_cust} AS c_custkey, c_name,
+                   c_nationkey, c_acctbal, c_mktsegment
+            FROM '{src}/customer.parquet', {copies}""",
+        "supplier": f"""
+            SELECT s_suppkey + c.i * {n_supp} AS s_suppkey, s_name,
+                   s_nationkey, s_acctbal
+            FROM '{src}/supplier.parquet', {copies}""",
+        "part": f"""
+            SELECT p_partkey + c.i * {n_part} AS p_partkey, p_name,
+                   p_brand, p_type, p_size, p_retailprice
+            FROM '{src}/part.parquet', {copies}""",
+        "orders": f"""
+            SELECT o_orderkey + c.i * {n_ord} AS o_orderkey,
+                   o_custkey + c.i * {n_cust} AS o_custkey,
+                   o_orderstatus, o_totalprice, o_orderdate,
+                   o_orderpriority
+            FROM '{src}/orders.parquet', {copies}""",
+        "lineitem": f"""
+            SELECT l_orderkey + c.i * {n_ord} AS l_orderkey,
+                   l_partkey + c.i * {n_part} AS l_partkey,
+                   l_suppkey + c.i * {n_supp} AS l_suppkey,
+                   l_linenumber, l_quantity, l_extendedprice,
+                   l_discount, l_tax, l_returnflag, l_linestatus,
+                   l_shipdate
+            FROM '{src}/lineitem.parquet', {copies}""",
+        "events": f"""
+            SELECT event_id + c.i * {n_evt} AS event_id, ts,
+                   user_id + c.i * {n_user} AS user_id,
+                   event_type, value, props
+            FROM '{src}/events.parquet', {copies}""",
+        "documents": f"""
+            SELECT doc_id + c.i * {n_doc} AS doc_id,
+                   CASE WHEN c.i = 0 THEN text
+                        ELSE text || ' c' || c.i END AS text,
+                   lang, source,
+                   CASE WHEN c.i = 0 THEN n_chars
+                        ELSE n_chars + length(' c' || c.i) END
+                       AS n_chars
+            FROM '{src}/documents.parquet', {copies}""",
+        "embeddings": f"""
+            SELECT vec_id + c.i * {n_vec} AS vec_id,
+                   CASE WHEN c.i = 0 THEN embedding
+                        ELSE CAST(list_transform(embedding,
+                                 x -> x + CAST(0.001 * c.i AS FLOAT))
+                             AS FLOAT[]) END AS embedding,
+                   label
+            FROM '{src}/embeddings.parquet', {copies}""",
+    }
+
+    for t, q in jobs.items():
+        dst = os.path.join(out, f"{t}.parquet")
+        con.execute(f"COPY ({q}) TO '{dst}' (FORMAT PARQUET)")
+        n = con.execute(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
+        print(f"{t}: {n} rows -> {dst}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
