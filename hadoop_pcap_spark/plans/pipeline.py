@@ -102,15 +102,22 @@ def _sql_minhash_ctes(src: str = "documents") -> str:
     ),
     sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
     inter AS (
-      SELECT ta.doc_id AS a, tb.doc_id AS b, count(*) AS inter
-      FROM tok ta JOIN tok tb ON ta.token = tb.token AND ta.doc_id < tb.doc_id
+      -- intersections ONLY for LSH candidate pairs.  An unrestricted
+      -- tok-self-join here is what the Spark side deliberately never
+      -- does (it would be O(sum df^2)); at 50k docs the all-pairs form
+      -- ran 60+ CPU-minutes in DuckDB while this one finishes in
+      -- seconds, with an identical result because mh_pairs only ever
+      -- consumed candidate rows anyway.
+      SELECT c.a, c.b, count(*) AS inter
+      FROM cands c
+      JOIN tok ta ON ta.doc_id = c.a
+      JOIN tok tb ON tb.doc_id = c.b AND tb.token = ta.token
       GROUP BY 1, 2
     ),
     mh_pairs AS (
       SELECT i.a, i.b, i.inter,
              ROUND(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) AS jaccard
       FROM inter i
-      JOIN cands c ON i.a = c.a AND i.b = c.b
       JOIN sizes sa ON sa.doc_id = i.a
       JOIN sizes sb ON sb.doc_id = i.b
       WHERE ROUND(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) >= 0.5
