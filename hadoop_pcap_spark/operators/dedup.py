@@ -212,27 +212,45 @@ def candidate_pairs(bands: DataFrame, max_bucket: int = 64) -> DataFrame:
     Mechanically the buckets are built with ONE shuffle
     (groupBy(band, key) → member list) and pairs explode row-locally
     from each member array — no window, no bucket self-join, and the
-    upstream signature lineage is consumed exactly once (the previous
-    window + self-join formulation re-evaluated it up to 4×: measured
-    2.2× CPU on the end-to-end pipeline).  A pathological bucket's
-    member array is O(m) on its reducer (8 MB per million members) —
-    linear, vs the m² pair blowup the guard exists to prevent."""
+    upstream signature lineage is consumed exactly once.  The previous
+    window + self-join formulation re-evaluated it up to 4× (measured
+    2.2× CPU on the end-to-end pipeline), and the union-of-two-filters
+    formulation that replaced it still evaluated the whole signature
+    subtree twice — once per branch — because Spark has no common-
+    subplan elimination across a Union (confirmed in the executed
+    plan: two full ObjectHashAggregate+banding trees; single-branch
+    rewrite cut the query's CPU roughly in half).  Now the hot/cold
+    decision is a row-local CASE over the member array: cold buckets
+    build their a<b clique with nested transform/filter (bounded by
+    max_bucket² combinations scanned per row), hot buckets their m−1
+    anchor star — one consumer, one evaluation.  A pathological
+    bucket's member array is O(m) on its reducer (8 MB per million
+    members) — linear, vs the m² pair blowup the guard exists to
+    prevent."""
     buckets = bands.groupBy("band", "key").agg(
         F.collect_list("doc_id").alias("members")
     )
-    sz = F.size("members")
-    cold_pairs = (
-        buckets.filter(sz <= max_bucket)
-        .select(F.explode("members").alias("a"), "members")
-        .select("a", F.explode("members").alias("b"))
-        .filter(F.col("a") < F.col("b"))
+    m = F.col("members")
+    amin = F.array_min("members")
+    clique = F.flatten(
+        F.transform(
+            m,
+            lambda x: F.transform(
+                F.filter(m, lambda y: y > x),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
-    hot_pairs = (
-        buckets.filter(sz > max_bucket)
-        .select(F.array_min("members").alias("a"), F.explode("members").alias("b"))
-        .filter(F.col("a") != F.col("b"))
+    star = F.transform(
+        F.filter(m, lambda y: y != amin),
+        lambda y: F.struct(amin.alias("a"), y.alias("b")),
     )
-    return cold_pairs.select("a", "b").unionByName(hot_pairs.select("a", "b")).distinct()
+    pair_arr = F.when(F.size(m) <= max_bucket, clique).otherwise(star)
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .distinct()
+    )
 
 
 def jaccard_verify(pairs: DataFrame, arrays: DataFrame, threshold: float) -> DataFrame:
@@ -242,11 +260,22 @@ def jaccard_verify(pairs: DataFrame, arrays: DataFrame, threshold: float) -> Dat
     array_intersect: cost is O(pairs · tokens-per-doc), independent of
     how many docs share a hot token — a token self-join degrades
     quadratically inside near-dup clusters (measured 48 s → ~2 s at
-    sf0.1 for 826 candidate pairs).  The candidate-pair side is left
-    unhinted: AQE broadcasts it when its runtime size is under the
-    broadcast threshold and falls back to a shuffle join when a
-    duplicate-heavy corpus makes it large — an unconditional
-    F.broadcast would OOM the driver at 100 TB."""
+    sf0.1 for 826 candidate pairs).
+
+    Join strategy: both joins are pinned to sort-merge.  Left to
+    itself the static planner picks the ARRAY side as the broadcast
+    build side whenever upstream filters make its size estimate
+    optimistic (observed at sf1: a windowed-survivor filter shrank
+    the estimate under the threshold, Spark tried to broadcast the
+    ~600 MB shingle-array relation and OOM'd a 1 GiB driver; at
+    100 TB the array side is corpus-sized by construction, so
+    broadcasting it is never the right plan).  SMJ costs nearly
+    nothing here: ``arrays`` is already hash-partitioned on doc_id
+    from the signature stage, so it sorts in place with no extra
+    exchange, and only the (small) pair list shuffles — while a
+    broadcast of the PAIR side would also be wrong in the other
+    direction (dup-heavy corpora make pairs corpus-sized; an
+    unconditional F.broadcast would OOM the driver at 100 TB)."""
     a_arr = arrays.select(
         F.col("doc_id").alias("a"), F.col("arr").alias("arr_a"), F.col("sz").alias("sza")
     )
@@ -254,8 +283,8 @@ def jaccard_verify(pairs: DataFrame, arrays: DataFrame, threshold: float) -> Dat
         F.col("doc_id").alias("b"), F.col("arr").alias("arr_b"), F.col("sz").alias("szb")
     )
     return (
-        a_arr.join(pairs, "a")
-        .join(b_arr, "b")
+        a_arr.join(pairs.hint("merge"), "a")
+        .join(b_arr.hint("merge"), "b")
         .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")))
         .withColumn(
             "jaccard",

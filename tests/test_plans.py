@@ -3,7 +3,16 @@ mechanical assertions, so a plan regression (lost pushdown, a surprise
 shuffle, a broadcast that became a sort-merge) fails CI instead of
 only showing up at 100 TB.
 
-These assert plan *shape*, not timings — stable across hosts."""
+These assert plan *shape*, not timings — stable across hosts.
+
+``SPARK_GRAFT_PLAN_SF`` points the whole suite at a different dataset
+(e.g. the tools/make_scaled_sf.py output) to prove the invariants
+hold where AQE re-plans joins: every assertion here is written to be
+size-robust (degenerate operators stay banned at any SF; exact
+broadcast-vs-SMJ choices are asserted only where one side is a true
+fixed-size dimension)."""
+
+import os
 
 import pytest
 
@@ -11,7 +20,7 @@ from pyspark.sql import functions as F
 
 from hadoop_pcap_spark.plans import QUERIES, load_all
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("SPARK_GRAFT_PLAN_SF", "/root/testdata/sf0.01")
 
 load_all()
 
@@ -111,6 +120,34 @@ def test_corpus_keep_set_no_cartesian_no_extra_scans(spark):
     plan = plan_of(corpus_keep_set(docs, 0.5))
     assert "CartesianProduct" not in plan
     assert plan.count("Scan parquet") <= 2  # window rewrite keeps it at 2
+
+
+def test_minhash_signature_subtree_evaluated_once(spark):
+    """The LSH bucket builder must consume the signature lineage
+    exactly once.  The previous union-of-two-filters hot/cold split
+    duplicated the entire minhash subtree (Spark has no common-
+    subplan elimination across a Union): the executed plan carried
+    TWO banding explodes and roughly 2x the query's CPU.  The
+    md5-halves projection is the signature stage's fingerprint in
+    the plan text — it appears twice per evaluation (the ha and hb
+    60-bit halves), so exactly 2 occurrences means one evaluation
+    (the duplicated plan carried 4)."""
+    plan = plan_of(QUERIES["dedup_minhash_lsh"](spark, SF))
+    assert plan.count("conv(substring(md5(") == 2
+
+
+def test_jaccard_verify_never_broadcasts_array_side(spark):
+    """Both verify joins must be sort-merge: the shingle-array
+    relation is corpus-sized by construction, and the static planner
+    has been observed choosing it as a broadcast build side when
+    upstream filters shrink its size estimate (OOM at sf1 on a 1 GiB
+    driver; unrunnable at 100 TB).  The arrays side is already
+    hash-partitioned on doc_id, so SMJ sorts it in place — asserting
+    zero BroadcastExchange below the verify joins pins the safe
+    shape at every SF."""
+    plan = plan_of(QUERIES["dedup_minhash_lsh"](spark, SF))
+    assert plan.count("SortMergeJoin") == 2
+    assert "BroadcastHashJoin" not in plan
 
 
 def test_q4_exists_decorrelates_to_semi_join(spark):
