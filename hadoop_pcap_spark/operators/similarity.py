@@ -422,8 +422,12 @@ def embedding_near_dup_rp(
         F.col("doc_id").alias("b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b")
     )
     return register_persisted(
-        a.join(cands, "a")
-        .join(b, "b")
+        a.join(cands.hint("merge"), "a")
+        # merge-pinned for the same reason as jaccard_verify: the
+        # vector sides are corpus-sized; a static broadcast of them
+        # (observed when filters shrink estimates) cannot survive
+        # scale, while SMJ sorts the pre-partitioned cache in place
+        .join(b.hint("merge"), "b")
         .withColumn(
             "cos",
             F.round(
@@ -483,8 +487,12 @@ def embedding_near_dup(
     from .cache import register_persisted
 
     return register_persisted(
-        a.join(cands, "a")
-        .join(b, "b")
+        a.join(cands.hint("merge"), "a")
+        # merge-pinned for the same reason as jaccard_verify: the
+        # vector sides are corpus-sized; a static broadcast of them
+        # (observed when filters shrink estimates) cannot survive
+        # scale, while SMJ sorts the pre-partitioned cache in place
+        .join(b.hint("merge"), "b")
         .withColumn(
             "cos",
             F.round(

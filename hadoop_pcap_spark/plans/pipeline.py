@@ -834,17 +834,25 @@ def _sql_shingles_k(k: int) -> str:
 @query(
     "decontaminate_ngram_overlap",
     oracle=f"""
-    WITH btok AS (
-      SELECT DISTINCT unnest({_sql_shingles_k(5)}) AS shingle, doc_id AS bench_id
-      FROM documents WHERE source = 'src0'
+    WITH sh AS MATERIALIZED (
+      -- tokenize/shingle each doc exactly ONCE; without MATERIALIZED
+      -- DuckDB inlines this CTE into its three consumers and the
+      -- 5-shingle construction (a ~15x-repeated regex split) ran
+      -- 768 s at the 10x SF -- vs seconds shared
+      SELECT doc_id, source, {_sql_shingles_k(5)} AS shingles
+      FROM documents
+    ),
+    btok AS (
+      SELECT DISTINCT unnest(shingles) AS shingle, doc_id AS bench_id
+      FROM sh WHERE source = 'src0'
     ),
     ctok AS (
-      SELECT doc_id, unnest({_sql_shingles_k(5)}) AS shingle
-      FROM documents WHERE source <> 'src0'
+      SELECT doc_id, unnest(shingles) AS shingle
+      FROM sh WHERE source <> 'src0'
     ),
     sizes AS (
-      SELECT doc_id, len({_sql_shingles_k(5)}) AS sz
-      FROM documents WHERE source <> 'src0'
+      SELECT doc_id, len(shingles) AS sz
+      FROM sh WHERE source <> 'src0'
     ),
     hits AS (
       SELECT c.doc_id,
