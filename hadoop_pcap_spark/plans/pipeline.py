@@ -75,8 +75,14 @@ SQL_SHINGLES3 = f"""list_distinct(
 # is `mh_pairs`).  ``src`` is the doc source relation — it must expose
 # (doc_id, text).
 def _sql_minhash_ctes(src: str = "documents") -> str:
-    return f"""tok AS (
-      SELECT doc_id, unnest({SQL_SHINGLES3}) AS token FROM {src}
+    return f"""docarr AS MATERIALIZED (
+      -- one shingle pass per doc, shared by the signature, size and
+      -- intersection stages (MATERIALIZED: DuckDB would otherwise
+      -- inline the shingle construction into each consumer)
+      SELECT doc_id, {SQL_SHINGLES3} AS arr FROM {src}
+    ),
+    tok AS (
+      SELECT doc_id, unnest(arr) AS token FROM docarr
     ),
     tokh AS (
       SELECT doc_id,
@@ -100,19 +106,22 @@ def _sql_minhash_ctes(src: str = "documents") -> str:
       FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
       WHERE l.doc_id < r.doc_id
     ),
-    sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+    sizes AS (SELECT doc_id, len(arr) AS sz FROM docarr),
     inter AS (
-      -- intersections ONLY for LSH candidate pairs.  An unrestricted
-      -- tok-self-join here is what the Spark side deliberately never
-      -- does (it would be O(sum df^2)); at 50k docs the all-pairs form
-      -- ran 60+ CPU-minutes in DuckDB while this one finishes in
-      -- seconds, with an identical result because mh_pairs only ever
-      -- consumed candidate rows anyway.
-      SELECT c.a, c.b, count(*) AS inter
+      -- intersections ONLY for LSH candidate pairs, computed as a
+      -- per-pair list_intersect exactly like the Spark side's
+      -- array_intersect verify.  An unrestricted tok-self-join here
+      -- is what the Spark side deliberately never does (O(sum df^2):
+      -- 60+ CPU-minutes at 50k docs), and even the candidate-
+      -- restricted token JOIN materialized candidates x tokens rows
+      -- (25 GB resident at the 10x SF); the array form is
+      -- O(candidates x tokens-per-doc) with nothing exploded.
+      -- arr is list_distinct upstream, so the intersect length is
+      -- the set-intersection count.
+      SELECT c.a, c.b, len(list_intersect(da.arr, db.arr)) AS inter
       FROM cands c
-      JOIN tok ta ON ta.doc_id = c.a
-      JOIN tok tb ON tb.doc_id = c.b AND tb.token = ta.token
-      GROUP BY 1, 2
+      JOIN docarr da ON da.doc_id = c.a
+      JOIN docarr db ON db.doc_id = c.b
     ),
     mh_pairs AS (
       SELECT i.a, i.b, i.inter,

@@ -98,10 +98,12 @@ def main():
             n_fail += 1
             failures.append(name)
             continue
+        t_spark = time.time() - t0
         if name not in omap:
-            print(f"rows-only  {name}: {len(s_rows)} rows  ({time.time()-t0:.1f}s)")
+            print(f"rows-only  {name}: {len(s_rows)} rows  ({t_spark:.1f}s)")
             n_rowsonly += 1
             continue
+        t1 = time.time()
         try:
             cur = con.execute(omap[name])
             d_cols = [d[0] for d in cur.description]
@@ -130,7 +132,10 @@ def main():
                 ][:3]
                 msgs.append(f"values differ; first diffs: {diffs}")
         if ok:
-            print(f"MATCH {name}: {len(s_rows)} rows  ({time.time()-t0:.1f}s)")
+            print(
+                f"MATCH {name}: {len(s_rows)} rows  "
+                f"(spark {t_spark:.1f}s / duckdb {time.time()-t1:.1f}s)"
+            )
             n_pass += 1
         else:
             print(f"FAIL  {name}: " + "; ".join(msgs))
