@@ -570,12 +570,19 @@ def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 def q_text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     """TF-IDF with per-doc top-3 terms — the classic corpus-weighting
     op.  Scale: document frequency is one groupBy over the token
-    explode; the idf table is dimension-sized and broadcast back; the
-    top-k is a WindowGroupLimit, not a global sort."""
+    explode; tf⋈df rides the token shuffle UNHINTED — the df table is
+    the corpus *vocabulary*, which at 100 TB is billions of terms, so
+    an unconditional broadcast (the previous shape) would OOM; AQE
+    still broadcasts it at validation SFs where it is genuinely
+    small.  The corpus doc count is a 1-row broadcast scalar joined
+    into the dataflow, not a driver-side .count() action at
+    plan-build time (which forced an extra eager corpus scan per
+    query construction).  The top-k is a WindowGroupLimit, not a
+    global sort."""
     from pyspark.sql import Window as W
 
     docs = table(spark, sf, "documents")
-    n_docs = docs.count()
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
     all_tok = docs.select(
         "doc_id", F.explode(TXT.tokens(F.col("text"))).alias("token")
     )
@@ -585,10 +592,16 @@ def q_text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("df"))
     )
-    scored = tf.join(F.broadcast(df), "token").select(
-        "doc_id",
-        "token",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
     return (
@@ -1536,9 +1549,14 @@ def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document mean negative log-probability under the corpus's
     own unigram model — the cheap stand-in for CCNet/KenLM perplexity
     filtering: documents of rare tokens score high ('surprising'),
-    boilerplate scores low.  Scale: ONE agg builds the unigram table
-    (dimension-sized — broadcasts back onto the token stream, like
-    TF-IDF's DF table); the per-doc average is the second exchange.
+    boilerplate scores low.  Scale: ONE agg builds the unigram table;
+    the tok⋈freq join is left unhinted because the unigram table is
+    the corpus VOCABULARY — at 100 TB that is billions of rows and a
+    forced broadcast would OOM (AQE still broadcasts it at SFs where
+    it is genuinely small); the token shuffle it rides is the same
+    exchange the freq aggregation already required.  Only the 1-row
+    total stays a broadcast.  The per-doc average is the last
+    exchange.
     Determinism: per-doc NLL is rounded to 4 before the per-source
     AVG (libm ln() agrees to the last ulp on identical doubles, and
     the rounding sits far above fold-order noise)."""
@@ -1549,7 +1567,7 @@ def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     freq = tok.groupBy("token").agg(F.count("*").alias("n"))
     tot = freq.agg(F.sum("n").alias("total"))
     scored = (
-        tok.join(F.broadcast(freq), "token")
+        tok.join(freq, "token")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id", "source")
         .agg(

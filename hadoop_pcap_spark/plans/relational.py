@@ -300,7 +300,7 @@ def q_join_broadcast(spark: SparkSession, sf: str) -> DataFrame:
     li = table(spark, sf, "lineitem")
     p = table(spark, sf, "part").filter(F.col("p_size") <= 20)
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.sum(F.expr(DISC_PRICE_SQL)).cast("double").alias("revenue"),
@@ -327,7 +327,9 @@ def q_join_broadcast(spark: SparkSession, sf: str) -> DataFrame:
 def q_join_multiway(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join.
     Scale: orders⋈lineitem is the one big shuffle (both sides huge,
-    sort-merge on orderkey); customer/supplier/nation/region broadcast.
+    sort-merge on orderkey); nation/region broadcast (fixed dims);
+    customer/supplier are SF-scaling, so those joins are left to
+    AQE — broadcast at validation SFs, shuffle at 100 TB.
     AQE re-plans skew at runtime."""
     c = table(spark, sf, "customer")
     o = table(spark, sf, "orders").filter(F.col("o_orderdate") >= "1996-01-01")
@@ -337,9 +339,9 @@ def q_join_multiway(spark: SparkSession, sf: str) -> DataFrame:
     r = table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -1259,14 +1261,15 @@ def q_map_functions(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join + agg + global top-10.
-    Scale: customer filter broadcast; orders⋈lineitem is the shuffle;
+    Scale: the customer join is AQE-decided (customer scales with
+    SF); orders⋈lineitem is the shuffle;
     top-10 via TakeOrderedAndProject."""
     c = table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-03-15")
     li = table(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(F.expr(DISC_PRICE_SQL)).cast("double").alias("revenue"))
         .select(
@@ -1298,7 +1301,8 @@ def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
 def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join with the local-supplier equality
     (c_nationkey = s_nationkey) and a region filter.
-    Scale: region/nation/supplier broadcast (dimension-sized); the
+    Scale: region/nation broadcast (fixed dims); supplier/part joins
+    AQE-decided (SF-scaling); the
     orders⋈lineitem shuffle is the only big-big exchange; the
     nation-match predicate rides the supplier join, never a
     post-cartesian filter."""
@@ -1318,7 +1322,7 @@ def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(su),
+            su,
             (li.l_suppkey == su.s_suppkey) & (c.c_nationkey == su.s_nationkey),
         )
         .groupBy("n_name")
@@ -1428,7 +1432,7 @@ def q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
     return (
         li.join(big_orders, "l_orderkey", "left_semi")
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_totalprice")
         .agg(_dec_sum(F.col("l_quantity"), "sum_qty"))
         .select(
@@ -1504,7 +1508,7 @@ def q_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q7 shape: trade volume between a nation pair by year —
     a disjunctive join predicate over two roles of the same dim.
     Scale: both nation lookups broadcast (two aliases of a 25-row
-    dim); supplier broadcasts onto lineitem so the nation-pair
+    dim); the supplier join is AQE-decided (SF-scaling) and the nation-pair
     filter prunes lineitem rows *before* the only big-big shuffle
     (lineitem⋈orders); the pair disjunction is a residual on the
     already-joined dims, never a cartesian."""
@@ -1526,7 +1530,7 @@ def q_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
     ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
     return (
-        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        li.join(su, li.l_suppkey == su.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .filter(pair_ok)
@@ -1553,7 +1557,8 @@ def q_tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
     aggregation over a fact⋈dim join.  (The ratio is left to the
     caller: two exact-decimal sums are order-independent, a
     division of them is one deterministic double op client-side.)
-    Scale: part broadcasts; the month filter pushes into the
+    Scale: the part join is AQE-decided (part scales with SF); the
+    month filter pushes into the
     lineitem scan; single partial-agg, no wide shuffle."""
     li = table(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
@@ -1563,7 +1568,7 @@ def q_tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
         F.col("p_type") == "PROMO", F.expr(DISC_PRICE_SQL)
     ).otherwise(F.lit(0).cast("decimal(18,4)"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.sum(promo).cast("double").alias("promo_revenue"),
             F.sum(F.expr(DISC_PRICE_SQL)).cast("double").alias("total_revenue"),
@@ -1585,8 +1590,9 @@ def q_tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
 def q_tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q16 shape: distinct-supplier counts per part attribute
     with a NOT IN exclusion list (static → plain scan filter, no
-    anti join needed).  Scale: part filters push to its scan, part
-    broadcasts onto lineitem, count(distinct) expands to Spark's
+    anti join needed).  Scale: part filters push to its scan, the
+    part⋈lineitem join is AQE-decided (part scales with SF),
+    count(distinct) expands to Spark's
     two-phase exact distinct aggregation."""
     p = table(spark, sf, "part").filter(
         ~F.col("p_brand").isin("Brand#2", "Brand#4")
@@ -1594,7 +1600,7 @@ def q_tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
     )
     li = table(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1616,24 +1622,24 @@ def q_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
     quantity — a correlated scalar subquery per part.
     Scale: decorrelated by hand the way Catalyst would: one
     per-part aggregate over lineitem (single shuffle on l_partkey,
-    exact because integer quantities sum exactly in double), then a
-    broadcast join of the filtered-brand thresholds back onto the
-    fact; the brand filter broadcasts so the threshold table is
-    tiny.  Never a per-row subquery."""
+    exact because integer quantities sum exactly in double), then an
+    AQE-decided join of the filtered-brand thresholds back onto the
+    fact (per-part thresholds scale with SF even after the brand
+    filter).  Never a per-row subquery."""
     p = table(spark, sf, "part").filter(F.col("p_brand") == "Brand#13").select(
         "p_partkey"
     )
     li = table(spark, sf, "lineitem")
     # thresholds only for the brand's parts: semi-filter before the agg
     thresholds = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        li.join(p, li.l_partkey == p.p_partkey, "left_semi")
         .groupBy("l_partkey")
         .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_cap"))
         .withColumnRenamed("l_partkey", "t_partkey")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
-        .join(F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey"))
+        li.join(p, li.l_partkey == p.p_partkey, "left_semi")
+        .join(thresholds, F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_cap"))
         .agg(
             F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
@@ -1660,7 +1666,7 @@ def q_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
 def q_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q19 shape: disjunction of brand/size/quantity conjuncts
     across the join.  Scale: the part-only disjuncts (brand+size)
-    collapse to one scan filter on part (broadcast side), so only
+    collapse to one scan filter on part, so only
     candidate parts join; the mixed part×lineitem disjunction stays
     a residual filter on the joined row — Catalyst's constraint
     propagation also derives a lineitem-only quantity range
@@ -1685,7 +1691,7 @@ def q_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             F.sum(F.expr(DISC_PRICE_SQL)).cast("double").alias("revenue"),
@@ -1793,11 +1799,12 @@ def q_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
     relation is derived from lineitem and supply cost is the minimum
     extended price a EUROPE supplier ever charged for the part — a
     correlated MIN subquery per part, exactly Q2's structure).
-    Scale: the EUROPE supplier dim broadcasts onto lineitem; the
+    Scale: the EUROPE supplier side is region-filtered but still
+    SF-scaling, so its semi-join is AQE-decided; the
     per-(part, supplier) MIN is one shuffle on the compound key; the
     correlated min decorrelates to a window MIN over l_partkey
     (second, narrower shuffle) instead of a per-row subquery; part is
-    filter-pushed and broadcast; final top-20 is
+    filter-pushed, its join AQE-decided; final top-20 is
     TakeOrderedAndProject.  Exact DECIMAL(18,2) comparisons — no
     float-equality hazard in the min-match."""
     n = table(spark, sf, "nation")
@@ -1812,7 +1819,7 @@ def q_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
         "l_partkey", "l_suppkey", "l_extendedprice"
     )
     cost = (
-        li.join(F.broadcast(eu_supp), li.l_suppkey == eu_supp.s_suppkey, "left_semi")
+        li.join(eu_supp, li.l_suppkey == eu_supp.s_suppkey, "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(
             F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("supply_cost")
@@ -1826,8 +1833,8 @@ def q_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
     )
     return (
-        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
-        .join(F.broadcast(eu_supp), best.l_suppkey == eu_supp.s_suppkey)
+        best.join(p, best.l_partkey == p.p_partkey)
+        .join(eu_supp, best.l_suppkey == eu_supp.s_suppkey)
         .select(
             "s_acctbal",
             "s_name",
@@ -1870,7 +1877,9 @@ def q_tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q8 (national market share) — runs structurally verbatim:
     8-table join, per-year division of one nation's volume by total
     volume.  Scale: every dimension chain (part, customer→nation→
-    region, supplier→nation) broadcasts; the only big-big exchange is
+    region, supplier→nation) broadcasts the fixed dims, with the
+    SF-scaling customer/supplier/part joins AQE-decided; the
+    biggest exchange is
     orders⋈lineitem; the division happens on two exact decimal sums
     cast to double (one IEEE op, identical in both engines)."""
     p = table(spark, sf, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
@@ -1897,10 +1906,10 @@ def q_tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
     )
     li = table(spark, sf, "lineitem")
     vol = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .select(
             F.year("o_orderdate").alias("o_year"),
             F.expr(DISC_PRICE_SQL).alias("volume"),
@@ -1949,8 +1958,9 @@ def q_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q9 shape (product-type profit; adapted: no partsupp, so
     supply cost is modeled as 20% of the part's retail price — the
     profit expression keeps Q9's revenue-minus-cost-times-quantity
-    structure).  Scale: part (name-filtered) and supplier→nation
-    broadcast onto lineitem; orders⋈lineitem is the one shuffle; the
+    structure).  Scale: nation broadcasts; the part and supplier
+    joins are AQE-decided (both scale with SF); orders⋈lineitem is
+    the big shuffle; the
     profit expression is exact decimal arithmetic summed exactly."""
     p = table(spark, sf, "part").filter(F.col("p_name").like("%red%")).select(
         "p_partkey", "p_retailprice"
@@ -1970,8 +1980,8 @@ def q_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
         * F.col("l_quantity").cast("decimal(9,0)")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -2004,8 +2014,9 @@ def q_tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
     part's "value" for one nation's suppliers is the total extended
     price its lineitems shipped — keeping Q11's structure: per-key
     aggregate filtered by an uncorrelated fraction-of-global-total
-    scalar subquery).  Scale: the nation-filtered supplier dim
-    broadcasts; one shuffle for the per-part agg; the global total is
+    scalar subquery).  Scale: the nation-filtered supplier
+    semi-join is AQE-decided (one nation's suppliers still scale
+    with SF); one shuffle for the per-part agg; the global total is
     a 1-row broadcast; threshold comparison is exact decimal."""
     n = table(spark, sf, "nation").filter(F.col("n_name") == "NATION_7")
     supp = (
@@ -2015,7 +2026,7 @@ def q_tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
     )
     li = table(spark, sf, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
     val = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "left_semi")
+        li.join(supp, li.l_suppkey == supp.s_suppkey, "left_semi")
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("value"))
     )
@@ -2125,7 +2136,8 @@ def q_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
     is a quarter's per-supplier aggregate, and the MAX scalar
     subquery picks the top supplier(s).  Scale: one shuffle for the
     per-supplier agg; the MAX is a 1-row broadcast back onto it (no
-    second full pass); supplier joins by broadcast.  The revenue
+    second full pass); the supplier join is AQE-decided (supplier
+    scales with SF).  The revenue
     equality is exact-decimal, so ties are exact, as the spec
     requires."""
     li = table(spark, sf, "lineitem").filter(
@@ -2139,7 +2151,7 @@ def q_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(best))
         .filter(F.col("total_revenue") == F.col("max_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue")
         )
@@ -2174,10 +2186,12 @@ def q_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q20 shape (excess inventory; adapted: no partsupp
     availqty, so the test is "shipped more of a blue part after 1997
     than half of what everyone shipped before" — keeping Q20's
-    nested-IN + correlated-threshold structure).  Scale: the part
-    name filter broadcasts into both lineitem passes; each per-key
-    agg is one shuffle; the early-quantity thresholds join by
-    broadcast (small: one row per blue part); the final IN
+    nested-IN + correlated-threshold structure).  Scale: the blue-part
+    semi-joins into both lineitem passes are AQE-decided (part
+    scales with SF); each per-key
+    agg is one shuffle; the early-quantity thresholds join
+    AQE-decided (one row per blue part — still SF-scaling); the
+    final IN
     decorrelates to a LeftSemi on s_suppkey."""
     bp = table(spark, sf, "part").filter(F.col("p_name").like("blue%")).select(
         "p_partkey"
@@ -2185,7 +2199,7 @@ def q_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
     li = table(spark, sf, "lineitem").select(
         "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
     )
-    blue_li = li.join(F.broadcast(bp), li.l_partkey == bp.p_partkey, "left_semi")
+    blue_li = li.join(bp, li.l_partkey == bp.p_partkey, "left_semi")
     early = (
         blue_li.filter(F.col("l_shipdate") < "1997-01-01")
         .groupBy("l_partkey")
@@ -2198,7 +2212,7 @@ def q_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sum("l_quantity").alias("late_qty"))
     )
     excess = (
-        late.join(F.broadcast(early), F.col("l_partkey") == F.col("e_partkey"))
+        late.join(early, F.col("l_partkey") == F.col("e_partkey"))
         .filter(F.col("late_qty") > 0.5 * F.col("early_qty"))
         .select("l_suppkey")
     )
@@ -2242,8 +2256,9 @@ def q_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
     the late lines: "multi-supplier order whose only late supplier is
     this one" ⇔ n_supp > 1 AND n_late_supp = 1.  Scale: this turns
     two correlated subqueries into ONE extra shuffle (the per-order
-    agg) instead of two self-joins of the fact; the supplier+nation
-    dim broadcasts; numwait counts late lines exactly like the
+    agg) instead of two self-joins of the fact; nation broadcasts and
+    the supplier join is AQE-decided; numwait counts late lines
+    exactly like the
     nested-EXISTS form."""
     o = table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
@@ -2269,7 +2284,7 @@ def q_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
     )
     waiting = (
         lo.filter(F.col("is_late"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             per_order.withColumnRenamed("l_orderkey", "po_orderkey"),
             F.col("l_orderkey") == F.col("po_orderkey"),
@@ -2319,8 +2334,10 @@ def q_events_funnel(spark: SparkSession, sf: str) -> DataFrame:
     per step, the earliest qualifying event strictly after the user's
     previous-step time.  Scale: each step is one shuffle on user_id
     over a type-filtered scan (the filter pushes down); the per-step
-    user tables shrink monotonically, so steps 2+ broadcast their
-    predecessor.  Day-one product analytics, same plan at 100 TB with
+    user tables shrink monotonically but still scale with the user
+    dimension, so the predecessor joins are AQE-decided (broadcast
+    only when runtime-small).  Day-one product analytics, the same
+    plan at 100 TB with
     user-bucketed storage making every step co-partitioned."""
     ev = table(spark, sf, "events")
     v = (
@@ -2330,14 +2347,14 @@ def q_events_funnel(spark: SparkSession, sf: str) -> DataFrame:
     )
     c = (
         ev.filter(F.col("event_type") == "click")
-        .join(F.broadcast(v), "user_id")
+        .join(v, "user_id")
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(c), "user_id")
+        .join(c, "user_id")
         .filter(F.col("ts") > F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
@@ -2376,13 +2393,14 @@ def q_events_retention(spark: SparkSession, sf: str) -> DataFrame:
     """Retention cohort matrix: users grouped by first-activity week,
     counted distinct in each subsequent week offset.  Exact integer
     day/week arithmetic end-to-end.  Scale: one shuffle on user_id
-    for the cohort assignment (broadcast back), one for the distinct
+    for the cohort assignment (joined back AQE-decided — the cohort
+    table is per-user and scales), one for the distinct
     count on (cohort_week, offset) — the matrix itself is tiny."""
     ev = table(spark, sf, "events")
     days = ev.select("user_id", F.expr("ts div 86400000000").alias("day"))
     cohorts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     return (
-        days.join(F.broadcast(cohorts), "user_id")
+        days.join(cohorts, "user_id")
         .groupBy(
             F.expr("cohort_day div 7").cast("bigint").alias("cohort_week"),
             F.expr("(day - cohort_day) div 7").cast("bigint").alias("week_offset"),
