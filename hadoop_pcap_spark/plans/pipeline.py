@@ -101,10 +101,29 @@ def _sql_minhash_ctes(src: str = "documents") -> str:
       UNION ALL SELECT doc_id, 2, md5(CAST(m4 AS VARCHAR) || '|' || CAST(m5 AS VARCHAR)) FROM sigs
       UNION ALL SELECT doc_id, 3, md5(CAST(m6 AS VARCHAR) || '|' || CAST(m7 AS VARCHAR)) FROM sigs
     ),
+    buckets AS (
+      SELECT band, key, list(doc_id) AS members
+      FROM bands GROUP BY band, key
+    ),
     cands AS (
-      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-      FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
-      WHERE l.doc_id < r.doc_id
+      -- bit-exact twin of operators/dedup.py:candidate_pairs
+      -- INCLUDING the hot-bucket star guard: buckets over 64 members
+      -- emit the m-1 star around their min doc_id instead of the m²
+      -- clique.  The unguarded bands-self-join version silently
+      -- diverged the moment real data pushed a bucket past the cap
+      -- (first seen at the 10x SF, where planted duplicate clusters
+      -- multiply bucket sizes) -- the guard is documented operator
+      -- semantics, so the oracle must model it.
+      SELECT DISTINCT p.a, p.b FROM (
+        SELECT unnest(CASE WHEN len(members) <= 64
+               THEN flatten(list_transform(members,
+                    x -> list_transform(list_filter(members, y -> y > x),
+                         y -> struct_pack(a := x, b := y))))
+               ELSE list_transform(
+                    list_filter(members, y -> y != list_min(members)),
+                    y -> struct_pack(a := list_min(members), b := y))
+               END) AS p
+        FROM buckets)
     ),
     sizes AS (SELECT doc_id, len(arr) AS sz FROM docarr),
     inter AS (
