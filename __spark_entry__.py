@@ -107,6 +107,7 @@ _PRIORITY = [
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
     # r5 rotation tail: move these first next round
+    "dedup_simhash_wide",
     "tpch_q11_important_parts",
     "tpch_q12_late_lines_priority",
     "tpch_q13_customer_distribution",

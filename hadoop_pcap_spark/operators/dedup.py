@@ -339,24 +339,48 @@ HEX_DIGITS = "0123456789abcdef"
 SIMHASH_BITS = 16
 
 
-def simhash_bits(tok: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
-    """doc_id → ``bits``-wide SimHash over the distinct token set
-    (bits ≤ 32: one md5 hex digit per bit).
+def simhash_bits(
+    tok: DataFrame, bits: int = SIMHASH_BITS, scheme: str = "parity"
+) -> DataFrame:
+    """doc_id → ``bits``-wide SimHash over the distinct token set.
 
-    Bit i comes from hex digit i of md5(token): odd digit → +1 vote,
-    even → −1; simhash bit = (vote sum > 0).  Deterministic and
-    oracle-reproducible (instr on a hex alphabet instead of bit ops).
+    ``scheme='parity'`` (default, bits ≤ 32): bit i comes from hex
+    digit i of md5(token) — odd digit → +1 vote, even → −1.  The
+    original construction; kept byte-stable because goldens and the
+    ``dedup_simhash`` oracle pin it.
+
+    ``scheme='nibble'`` (bits ≤ 62): bit i uses bit (i mod 4) of hex
+    digit (i div 4) — 4 vote streams per digest digit, so one md5
+    yields up to 128 independent bits.  This is the wide-fingerprint
+    path the 100 TB pigeonhole guidance needs: Hamming ≤ 3 banding
+    over a 60-bit simhash gives 15-bit band keys (32k values) instead
+    of 8-bit ones (256), keeping band buckets ~128× smaller at the
+    same corpus size.  Capped at 62 so every ``1 << i`` term stays a
+    positive int64 in both engines (no sign-bit special case).
+
+    Both schemes are deterministic and oracle-reproducible (strpos on
+    a hex alphabet + integer arithmetic, no engine-specific hashing).
     """
+    if scheme == "parity":
+        if not 1 <= bits <= 32:
+            raise ValueError(f"parity scheme supports 1..32 bits, got {bits}")
+    elif scheme == "nibble":
+        if not 1 <= bits <= 62:
+            raise ValueError(f"nibble scheme supports 1..62 bits, got {bits}")
+    else:
+        raise ValueError(f"unknown simhash scheme {scheme!r}")
     h = F.md5(F.col("token"))
-    votes = [
-        F.sum(
-            F.when(
-                (F.instr(F.lit(HEX_DIGITS), F.substring(h, i + 1, 1)) - 1) % 2 == 1, 1
-            ).otherwise(-1)
-        ).alias(f"v{i}")
-        for i in range(bits)
-    ]
-    agg = tok.groupBy("doc_id").agg(*votes)
+
+    def vote(i: int):
+        digit = F.instr(F.lit(HEX_DIGITS), F.substring(h, i + 1, 1)) - 1
+        if scheme == "parity":
+            cond = digit % 2 == 1
+        else:
+            digit = F.instr(F.lit(HEX_DIGITS), F.substring(h, i // 4 + 1, 1)) - 1
+            cond = digit.bitwiseAND(F.lit(1 << (i % 4))) != 0
+        return F.sum(F.when(cond, 1).otherwise(-1)).alias(f"v{i}")
+
+    agg = tok.groupBy("doc_id").agg(*[vote(i) for i in range(bits)])
     terms = [
         F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         for i in range(bits)
@@ -370,7 +394,7 @@ def simhash16(tok: DataFrame) -> DataFrame:
 
 
 def simhash_banded_pairs(
-    docs: DataFrame, max_hamming: int = 3, bits: int = 32
+    docs: DataFrame, max_hamming: int = 3, bits: int = 32, scheme: str = "parity"
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``,
     with **no recall loss and no quadratic join**.
@@ -381,15 +405,21 @@ def simhash_banded_pairs(
     least one band.  Candidates come from band-value equi-joins
     (O(n·bands) shuffle keys — same shape as MinHash LSH), then exact
     ``bit_count(xor)`` verification.  With 32 bits / 4 bands each band
-    key has 256 values; at 100 TB use a 64-bit simhash with 16-bit
-    bands for 65k-value keys plus the LSH hot-bucket star guard.
+    key has 256 values — fine at validation SFs; the 100 TB call is
+    ``bits=60, scheme='nibble'`` (registered as ``dedup_simhash_wide``):
+    15-bit band keys give 32k values per band, shrinking expected band
+    buckets 128× at the same corpus size, with the same zero-recall-
+    loss guarantee.  Beyond that, bucket the band join through
+    ``candidate_pairs`` WITHOUT the star guard only if buckets stay
+    bounded — a guard here would break the pigeonhole guarantee, so
+    the correct lever for bucket size is band width, not capping.
     """
     n_bands = max_hamming + 1
     width = bits // n_bands
     mask = (1 << width) - 1
     par = docs.sparkSession.sparkContext.defaultParallelism
     docs = docs.repartition(par, "doc_id")
-    sh = simhash_bits(doc_tokens(docs), bits)
+    sh = simhash_bits(doc_tokens(docs), bits, scheme)
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),

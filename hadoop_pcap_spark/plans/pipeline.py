@@ -264,6 +264,64 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     ).withColumn("hamming", F.col("hamming").cast("long"))
 
 
+def _sql_simhash_wide(bits: int, width: int) -> str:
+    """DuckDB twin of simhash_bits(scheme='nibble') + 15-bit banding."""
+    votes = ", ".join(
+        f"SUM(CASE WHEN ((strpos('0123456789abcdef', substring(md5(token), {i // 4 + 1}, 1)) - 1) & {1 << (i % 4)}) != 0 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    sh = " + ".join(f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    mask = (1 << width) - 1
+    bands = "\n      UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * width}) & {mask} AS key FROM sh"
+        for b in range(bits // width)
+    )
+    return f"""tok AS (
+      SELECT doc_id, unnest({SQL_DTOKENS}) AS token FROM documents
+    ),
+    votes AS (
+      SELECT doc_id, {votes}
+      FROM tok GROUP BY doc_id
+    ),
+    sh AS (
+      SELECT doc_id, {sh} AS simhash FROM votes
+    ),
+    bands AS (
+      {bands}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+             a.simhash AS simhash_a, b.simhash AS simhash_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )"""
+
+
+@query(
+    "dedup_simhash_wide",
+    oracle=f"""
+    WITH {_sql_simhash_wide(60, 15)}
+    SELECT a, b, simhash_a, simhash_b,
+           bit_count(xor(simhash_a, simhash_b)) AS hamming
+    FROM cands
+    WHERE bit_count(xor(simhash_a, simhash_b)) <= 3
+    """,
+)
+def q_dedup_simhash_wide(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB SimHash operating point: 60-bit nibble-scheme
+    fingerprint (4 independent bits per md5 hex digit), 4 bands of
+    15 bits.  Same pigeonhole guarantee as ``dedup_simhash`` (Hamming
+    ≤ 3 ⇒ exact agreement on ≥1 band ⇒ zero recall loss) but band
+    keys take 32k values instead of 256, so expected band-bucket size
+    — and with it the in-bucket pair blowup the band join pays — drops
+    128× at the same corpus size.  Wider fingerprints also separate
+    unrelated docs better, so the verified pair set is cleaner.
+    Oracle reproduces the construction digit-for-digit."""
+    return DD.simhash_banded_pairs(
+        table(spark, sf, "documents"), max_hamming=3, bits=60, scheme="nibble"
+    ).withColumn("hamming", F.col("hamming").cast("long"))
+
+
 # --- similarity search -------------------------------------------------------------
 
 

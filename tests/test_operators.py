@@ -93,6 +93,46 @@ def test_simhash_banded_matches_bruteforce(spark, docs):
     assert banded == brute
 
 
+def test_simhash_wide_banded_matches_bruteforce(spark, docs):
+    """The 60-bit nibble-scheme variant keeps the pigeonhole
+    guarantee: banded candidates + verify == all-pairs Hamming filter
+    on the same wide simhash (zero recall loss at the 100 TB band
+    width)."""
+    sample = docs.limit(120)
+    banded = {
+        (r.a, r.b, r.hamming)
+        for r in DD.simhash_banded_pairs(
+            sample, max_hamming=3, bits=60, scheme="nibble"
+        ).collect()
+    }
+    sh = DD.simhash_bits(DD.doc_tokens(sample), 60, scheme="nibble")
+    a, b = sh.alias("a"), sh.alias("b")
+    brute = {
+        (r.a, r.b, r.hamming)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a"),
+            F.col("b.doc_id").alias("b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute
+
+
+def test_simhash_bits_scheme_validation(spark, docs):
+    """parity caps at 32 bits, nibble at 62 (sign-bit safety);
+    unknown schemes rejected."""
+    tok = DD.doc_tokens(docs.limit(5))
+    with pytest.raises(ValueError):
+        DD.simhash_bits(tok, 33)
+    with pytest.raises(ValueError):
+        DD.simhash_bits(tok, 63, scheme="nibble")
+    with pytest.raises(ValueError):
+        DD.simhash_bits(tok, 16, scheme="xor")
+
+
 def test_lsh_hot_bucket_guard_bounds_pairs(spark):
     """A 10k-copy cluster must not produce the m² clique: the guard
     short-circuits hot buckets to m−1 star pairs around the min doc_id,
