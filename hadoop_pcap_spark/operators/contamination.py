@@ -38,30 +38,30 @@ def ngram_contamination(
       ``contamination`` — n_hit_shingles / its distinct-shingle count
 
     Plan: benchmark shingles broadcast; corpus shingles are a map-only
-    explode; the join is a BroadcastHashJoin (no corpus shuffle before
-    the filter); one exchange for the per-doc aggregate; the shingle-
-    count side table is narrow (doc_id, sz) and joins post-aggregate.
+    explode carrying the per-doc shingle count ``sz`` alongside (sz is
+    functionally dependent on doc_id, so grouping by both keeps ONE
+    corpus tokenize/shingle pass and removes the post-aggregate sizes
+    join — the previous two-pass shape ran the shingle construction,
+    the single most expensive expression in the query, twice over the
+    corpus).
     """
     bench = (
         doc_shingles(benchmark, k=k, id_col=id_col, text_col=text_col)
         .select(F.col("token").alias("shingle"), F.col("doc_id").alias("bench_id"))
         .distinct()
     )
-    corp = doc_shingles(corpus, k=k, id_col=id_col, text_col=text_col).select(
-        "doc_id", F.col("token").alias("shingle")
-    )
-    sizes = doc_shingle_arrays(corpus, k=k, id_col=id_col, text_col=text_col).select(
-        "doc_id", "sz"
-    )
+    corp = doc_shingle_arrays(
+        corpus, k=k, id_col=id_col, text_col=text_col
+    ).select("doc_id", "sz", F.explode("arr").alias("shingle"))
     hits = (
         corp.join(F.broadcast(bench), "shingle")
-        .groupBy("doc_id")
+        .groupBy("doc_id", "sz")
         .agg(
             F.countDistinct("shingle").alias("n_hit_shingles"),
             F.countDistinct("bench_id").alias("n_bench_docs"),
         )
     )
-    return hits.join(sizes, "doc_id").select(
+    return hits.select(
         "doc_id",
         "n_hit_shingles",
         "n_bench_docs",
