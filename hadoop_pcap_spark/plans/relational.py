@@ -29,6 +29,14 @@ def _dec_sum(col, alias, scale=4):
 # Exact-decimal money expressions, shared verbatim with the oracles.
 # Factors (2-decimal data) cast exactly; products stay exact decimals,
 # so no engine-specific double→decimal tie-rounding can creep in.
+# Oracle-side decimal→double casts go through VARCHAR
+# (CAST(CAST(sum AS VARCHAR) AS DOUBLE)): DuckDB converts a decimal to
+# double as scaled-int→double ÷ 10^scale — two roundings, which lands
+# 1 ulp off the correctly-rounded value once the scaled integer
+# exceeds 2^53 (first seen at the sf1 gate: tpch_q1's scale-6
+# sum_charge ≈ 4.36e10 → 4.36e16 scaled).  The decimal's exact digit
+# string through strtod is correctly rounded, matching Spark's
+# BigDecimal.doubleValue() bit-for-bit at any magnitude.
 DISC_PRICE_SQL = (
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
 )
@@ -105,10 +113,10 @@ def q_agg_count_by_key(spark: SparkSession, sf: str) -> DataFrame:
     "tpch_q1",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -137,7 +145,7 @@ def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
            count(*) AS n,
            CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
            CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal,
-           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_bal
+           ROUND(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*), 4) AS avg_bal
     FROM customer GROUP BY c_mktsegment
     """,
 )
@@ -200,7 +208,7 @@ def q_approx_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT COALESCE(r_name,'ALL') AS region, COALESCE(n_name,'ALL') AS nation,
            count(*) AS n_cust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_bal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -237,7 +245,7 @@ def q_rollup(spark: SparkSession, sf: str) -> DataFrame:
     SELECT COALESCE(l_returnflag,'ALL') AS returnflag,
            COALESCE(l_linestatus,'ALL') AS linestatus,
            count(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS qty
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
 )
@@ -286,7 +294,7 @@ def q_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
     "join_broadcast_dim",
     oracle="""
     SELECT p_brand,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE p_size <= 20
@@ -313,7 +321,7 @@ def q_join_broadcast(spark: SparkSession, sf: str) -> DataFrame:
     "join_multiway",
     oracle="""
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -665,7 +673,7 @@ def q_string_functions(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
            count(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
     FROM orders
     WHERE year(o_orderdate) BETWEEN 1996 AND 1998
     GROUP BY 1
@@ -812,10 +820,10 @@ def q_scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
     "having_filter",
     oracle="""
     SELECT l_suppkey, count(*) AS n_items,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_qty
     FROM lineitem
     GROUP BY l_suppkey
-    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 100
+    HAVING CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) > 100
     """,
 )
 def q_having(spark: SparkSession, sf: str) -> DataFrame:
@@ -1248,7 +1256,7 @@ def q_map_functions(spark: SparkSession, sf: str) -> DataFrame:
     "tpch_q3_shipping_priority",
     oracle=f"""
     SELECT l_orderkey,
-           CAST(SUM({DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM({DISC_PRICE_SQL}) AS VARCHAR) AS DOUBLE) AS revenue,
            CAST(o_orderdate AS DATE) AS orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -1284,7 +1292,7 @@ def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
     "tpch_q5_local_supplier_volume",
     oracle=f"""
     SELECT n_name,
-           CAST(SUM({DISC_PRICE_SQL}) AS DOUBLE) AS revenue
+           CAST(CAST(SUM({DISC_PRICE_SQL}) AS VARCHAR) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -1335,7 +1343,7 @@ def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
     "tpch_q10_returned_items",
     oracle=f"""
     SELECT c_custkey, c_name,
-           CAST(SUM({DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
+           CAST(CAST(SUM({DISC_PRICE_SQL}) AS VARCHAR) AS DOUBLE) AS revenue,
            CAST(c_acctbal AS DOUBLE) AS acctbal, n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -1377,7 +1385,7 @@ def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "tpch_q6_forecast_revenue",
     oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS VARCHAR) AS DOUBLE) AS revenue,
            count(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -1407,7 +1415,7 @@ def q_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     SELECT c_name, c_custkey, o_orderkey,
            CAST(o_totalprice AS DOUBLE) AS totalprice,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
     FROM customer JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
     WHERE o_orderkey IN (
@@ -1489,7 +1497,7 @@ def q_tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
     "tpch_q7_volume_shipping",
     oracle=f"""
     SELECT supp_nation, cust_nation, l_year,
-           CAST(SUM(vol) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(vol) AS VARCHAR) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              year(l_shipdate) AS l_year, {DISC_PRICE_SQL} AS vol
@@ -1543,9 +1551,9 @@ def q_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "tpch_q14_promo_revenue",
     oracle=f"""
-    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {DISC_PRICE_SQL}
-                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
-           CAST(SUM({DISC_PRICE_SQL}) AS DOUBLE) AS total_revenue,
+    SELECT CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {DISC_PRICE_SQL}
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE) AS promo_revenue,
+           CAST(CAST(SUM({DISC_PRICE_SQL}) AS VARCHAR) AS DOUBLE) AS total_revenue,
            count(*) AS n
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE l_shipdate >= TIMESTAMP '1996-03-01'
@@ -1609,7 +1617,7 @@ def q_tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "tpch_q17_small_qty_revenue",
     oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_price,
            count(*) AS n
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#13'
@@ -1653,7 +1661,7 @@ def q_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "tpch_q19_disjunctive",
     oracle=f"""
-    SELECT CAST(SUM({DISC_PRICE_SQL}) AS DOUBLE) AS revenue, count(*) AS n
+    SELECT CAST(CAST(SUM({DISC_PRICE_SQL}) AS VARCHAR) AS DOUBLE) AS revenue, count(*) AS n
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
            AND l_quantity >= 1 AND l_quantity <= 30)
@@ -1704,10 +1712,10 @@ def q_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
     "tpch_q22_idle_customers",
     oracle="""
     SELECT c_mktsegment AS segment, count(*) AS numcust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS totacctbal
     FROM customer
     WHERE c_acctbal > (
-        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                / count(*)
         FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders
@@ -1940,10 +1948,10 @@ def q_tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
     oracle=f"""
     SELECT n_name AS nation,
            CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
-           CAST(SUM({DISC_PRICE_SQL}
+           CAST(CAST(SUM({DISC_PRICE_SQL}
                     - CAST(p_retailprice AS DECIMAL(18,2))
                       * CAST(0.2 AS DECIMAL(3,2))
-                      * CAST(l_quantity AS DECIMAL(9,0))) AS DOUBLE) AS sum_profit
+                      * CAST(l_quantity AS DECIMAL(9,0))) AS VARCHAR) AS DOUBLE) AS sum_profit
     FROM lineitem
     JOIN part     ON p_partkey = l_partkey
     JOIN supplier ON l_suppkey = s_suppkey
@@ -2414,7 +2422,7 @@ def q_events_retention(spark: SparkSession, sf: str) -> DataFrame:
     "unpivot_long",
     oracle="""
     SELECT measure,
-           CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(CAST(SUM(CAST(val AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total,
            count(*) AS n
     FROM (
       SELECT 'quantity' AS measure, l_quantity AS val FROM lineitem
@@ -2455,7 +2463,7 @@ def q_unpivot(spark: SparkSession, sf: str) -> DataFrame:
                 WHEN o_totalprice >= 600000 THEN 13
                 ELSE CAST(FLOOR(o_totalprice / 50000) AS BIGINT) + 1 END AS bucket,
            count(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total
     FROM orders GROUP BY bucket ORDER BY bucket
     """,
 )
@@ -2484,7 +2492,7 @@ def q_histogram(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT user_id, epoch_us(ts) // 86400000000 AS day,
-             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS day_value
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS day_value
       FROM events GROUP BY 1, 2)
     SELECT user_id, CAST(day AS BIGINT) AS day,
            CAST(SUM(CAST(day_value AS DECIMAL(18,4))) OVER (

@@ -43,11 +43,63 @@ def normalize(rows, cols):
     return out, [cols[i] for i in order]
 
 
+# --- engine-side unordered hash (for results too big to collect) -------------
+#
+# A 100 TB-honest correctness gate cannot ship every row to the driver:
+# at the sf1 gate dedup_simhash's true near-dup pair set is 75M rows
+# (pair enumeration is quadratic in dup-family size on the planted
+# near-dup corpus) and executeCollect OOMs any reasonable heap.  For
+# results past --agg-threshold rows whose columns are all EXACT types
+# (integers / strings / booleans / dates — rendered identically by
+# both engines), the comparison instead pushes a per-row 56-bit
+# md5-derived value down into each engine and compares
+# (count, SUM(value)) — an order-insensitive fingerprint computed
+# where the data lives, which is exactly how the gate would run on a
+# cluster.  Float-bearing results never take this path (their
+# normalization needs the tolerant renderer above).
+
+_HEX = "0123456789abcdef"
+
+
+def _row_hash_sql(cols, instr_fn: str, str_type: str) -> str:
+    """Portable SQL for SUM(first-14-hex-digits-of-md5(row)) over
+    canonically rendered rows.  ``instr_fn`` is the engine's
+    find-substring-position function (Spark: instr, DuckDB: strpos);
+    ``str_type`` its string cast target (STRING / VARCHAR).
+    Digit arithmetic with literal 16^k coefficients stays exact in
+    int64 (max < 2^56); each term is cast to DECIMAL(38,0) before the
+    big SUM so 10^8+ rows cannot overflow."""
+    rendered = ", ".join(
+        f"coalesce(CAST({c} AS {str_type}), '<null>')" for c in sorted(cols)
+    )
+    s = f"md5(concat_ws('|', {rendered}))"
+    terms = " + ".join(
+        f"CAST({instr_fn}('{_HEX}', substring({s}, {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (13 - i)}"
+        for i in range(14)
+    )
+    return f"SUM(CAST({terms} AS DECIMAL(38,0)))"
+
+
+_EXACT_SPARK_TYPES = {"byte", "short", "int", "integer", "bigint", "long",
+                      "string", "boolean", "date"}
+
+
+def _spark_exact_types(sdf) -> bool:
+    return all(t in _EXACT_SPARK_TYPES for _, t in sdf.dtypes)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--only", default=None)
     ap.add_argument("--cpus", default="8")
+    ap.add_argument(
+        "--agg-threshold", type=int,
+        default=int(os.environ.get("SPARK_GRAFT_AGG_THRESHOLD", "2000000")),
+        help="above this many result rows (exact-typed results only), "
+        "compare by engine-side unordered hash instead of collecting",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -91,7 +143,17 @@ def main():
         try:
             sdf = fn(spark, args.sf)
             s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            # exact-typed results are collected through a limit probe:
+            # if more than agg-threshold rows come back, switch to the
+            # engine-side unordered-hash comparison instead of pulling
+            # the full result to the driver
+            lim = args.agg_threshold
+            if _spark_exact_types(sdf) and name in omap:
+                s_rows = [tuple(r) for r in sdf.limit(lim + 1).collect()]
+                huge = len(s_rows) > lim
+            else:
+                s_rows = [tuple(r) for r in sdf.collect()]
+                huge = False
         except Exception:
             print(f"FAIL  {name}: spark raised")
             traceback.print_exc(limit=3)
@@ -99,6 +161,53 @@ def main():
             failures.append(name)
             continue
         t_spark = time.time() - t0
+
+        if huge:
+            try:
+                agg = sdf.selectExpr(
+                    "count(*) AS n",
+                    _row_hash_sql(s_cols, "instr", "STRING") + " AS hs",
+                ).collect()[0]
+                s_n, s_hs = agg["n"], agg["hs"]
+            except Exception:
+                print(f"FAIL  {name}: spark hash-agg raised")
+                traceback.print_exc(limit=3)
+                n_fail += 1
+                failures.append(name)
+                continue
+            t_spark = time.time() - t0
+            t1 = time.time()
+            try:
+                d_desc = con.execute(f"DESCRIBE {omap[name]}").fetchall()
+                d_cols = [d[0] for d in d_desc]
+                d_n, d_hs = con.execute(
+                    f"SELECT count(*) AS n,"
+                    f" {_row_hash_sql(d_cols, 'strpos', 'VARCHAR')} AS hs"
+                    f" FROM ({omap[name]})"
+                ).fetchone()
+            except Exception as e:
+                print(f"FAIL  {name}: duckdb hash-agg raised: {e}")
+                n_fail += 1
+                failures.append(name)
+                continue
+            msgs = []
+            if sorted(s_cols) != sorted(d_cols):
+                msgs.append(f"columns spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+            if int(s_n) != int(d_n):
+                msgs.append(f"rowcount spark={s_n} duckdb={d_n}")
+            elif not msgs and int(s_hs) != int(d_hs):
+                msgs.append(f"unordered row-hash differs ({s_n} rows)")
+            if msgs:
+                print(f"FAIL  {name}: " + "; ".join(msgs))
+                n_fail += 1
+                failures.append(name)
+            else:
+                print(
+                    f"MATCH {name}: {s_n} rows [engine-side hash]  "
+                    f"(spark {t_spark:.1f}s / duckdb {time.time()-t1:.1f}s)"
+                )
+                n_pass += 1
+            continue
         if name not in omap:
             print(f"rows-only  {name}: {len(s_rows)} rows  ({t_spark:.1f}s)")
             n_rowsonly += 1
