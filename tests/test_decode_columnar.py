@@ -11,6 +11,12 @@ import os
 import random
 
 import pytest
+import os as _os
+
+# soak-run multiplier: SPARK_GRAFT_FUZZ_X=50 turns the fast CI budgets
+# into a deep fuzz without editing each @settings
+_FX = int(_os.environ.get("SPARK_GRAFT_FUZZ_X", "1"))
+
 from hypothesis import given, settings, strategies as st
 
 from hadoop_pcap_spark.pcap import synth as S
@@ -119,7 +125,7 @@ ipv4s = st.integers(0, 2**32 - 1).map(
     lambda v: "%d.%d.%d.%d" % (v >> 24 & 255, v >> 16 & 255, v >> 8 & 255, v & 255))
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40 * _FX, deadline=None)
 @given(src=ipv4s, dst=ipv4s, sport=st.integers(0, 65535),
        dport=st.integers(0, 65535), payload=st.binary(max_size=120),
        proto=st.sampled_from([6, 17, 47, 200]))
@@ -132,7 +138,7 @@ def test_property_frames_equiv(src, dst, sport, dport, payload, proto):
     assert_equiv(S.global_header() + S.record(1, frame))
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=25 * _FX, deadline=None)
 @given(blob=st.binary(max_size=300))
 def test_garbage_bytes_equiv(blob):
     # arbitrary bytes appended after a valid header: both kernels must

@@ -4,6 +4,12 @@ test suite lacks, SURVEY.md §5)."""
 
 import ipaddress
 
+import os as _os
+
+# soak-run multiplier: SPARK_GRAFT_FUZZ_X=50 turns the fast CI budgets
+# into a deep fuzz without editing each @settings
+_FX = int(_os.environ.get("SPARK_GRAFT_FUZZ_X", "1"))
+
 from hypothesis import given, settings, strategies as st
 
 from hadoop_pcap_spark.pcap import synth as S
@@ -20,7 +26,7 @@ payloads = st.binary(min_size=0, max_size=200)
 ts_vals = st.integers(0, 2**31 - 1)
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60 * _FX, deadline=None)
 @given(src=ipv4s, dst=ipv4s, sport=ports, dport=ports, payload=payloads, ts=ts_vals)
 def test_udp_roundtrip(src, dst, sport, dport, payload, ts):
     frame = S.ethernet(
@@ -36,7 +42,7 @@ def test_udp_roundtrip(src, dst, sport, dport, payload, ts):
     assert p["udpsum"] == 0  # synthesizer writes a valid checksum
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40 * _FX, deadline=None)
 @given(
     src=ipv4s, dst=ipv4s, sport=ports, dport=ports,
     payload=payloads, data_offset=st.integers(5, 15),
@@ -51,7 +57,7 @@ def test_tcp_roundtrip(src, dst, sport, dport, payload, data_offset):
     assert p["payload"] == payload
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40 * _FX, deadline=None)
 @given(ttl=st.integers(0, 255), proto=st.integers(0, 255))
 def test_ipv4_proto_ttl_roundtrip(ttl, proto):
     frame = S.ethernet(S.ipv4(b"\x00" * 8, proto, "10.0.0.1", "10.0.0.2", ttl=ttl))
@@ -66,7 +72,7 @@ def test_ipv4_proto_ttl_roundtrip(ttl, proto):
         assert p["protocol"] == str(proto)
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=30 * _FX, deadline=None)
 @given(qname=st.from_regex(r"[a-z]{1,12}(\.[a-z]{1,12}){0,3}", fullmatch=True),
        qid=st.integers(0, 65535), qtype=st.sampled_from([1, 2, 15, 16, 28]))
 def test_dns_query_roundtrip(qname, qid, qtype):
@@ -80,7 +86,7 @@ def test_dns_query_roundtrip(qname, qid, qtype):
     assert p["dns_qr"] is False
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=30 * _FX, deadline=None)
 @given(chunks=st.lists(st.binary(min_size=24, max_size=80), min_size=0, max_size=6))
 def test_arbitrary_packet_stream_never_crashes(chunks):
     """Whatever bytes land in records, decode never raises in
@@ -124,7 +130,7 @@ def test_truncation_sweep_never_crashes():
             pass
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40 * _FX, deadline=None)
 @given(
     recs=st.lists(
         st.tuples(

@@ -29,6 +29,12 @@ import random
 import struct
 
 import pytest
+import os as _os
+
+# soak-run multiplier: SPARK_GRAFT_FUZZ_X=50 turns the fast CI budgets
+# into a deep fuzz without editing each @settings
+_FX = int(_os.environ.get("SPARK_GRAFT_FUZZ_X", "1"))
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -133,7 +139,7 @@ labels_strategy = st.lists(label_bytes, min_size=1, max_size=4)
 # ---------------------------------------------------------------------------
 
 
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=150 * _FX, deadline=None)
 @given(labels_strategy)
 def test_name_escaping_roundtrip(labels):
     """render(wire labels) → unescape → original label bytes, case-
@@ -147,7 +153,7 @@ def test_name_escaping_roundtrip(labels):
     assert unescape_name(text) == lowered
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=100 * _FX, deadline=None)
 @given(st.lists(st.binary(min_size=0, max_size=20), min_size=1, max_size=4))
 def test_char_string_quoting_roundtrip(chunks):
     """TXT/SPF <character-string> quoting is invertible."""
@@ -156,7 +162,7 @@ def test_char_string_quoting_roundtrip(chunks):
     assert unquote_char_strings(rendered) == list(chunks)
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=100 * _FX, deadline=None)
 @given(st.binary(min_size=4, max_size=4), st.binary(min_size=16, max_size=16))
 def test_address_rendering_roundtrip(v4, v6):
     import ipaddress
@@ -167,7 +173,7 @@ def test_address_rendering_roundtrip(v4, v6):
     assert ipaddress.IPv6Address(aaaa.split()[-1]).packed == v6
 
 
-@settings(max_examples=80, deadline=None)
+@settings(max_examples=80 * _FX, deadline=None)
 @given(st.binary(min_size=1, max_size=40))
 def test_hex_field_roundtrip(digest):
     """DS / SSHFP / TLSA trailing hex decodes back to the wire bytes."""
@@ -179,7 +185,7 @@ def test_hex_field_roundtrip(digest):
     assert bytes.fromhex(tlsa.split()[-1]) == digest
 
 
-@settings(max_examples=80, deadline=None)
+@settings(max_examples=80 * _FX, deadline=None)
 @given(st.binary(min_size=1, max_size=64))
 def test_base64_field_roundtrip(key):
     """DNSKEY / CERT / DHCID base64 decodes back to the wire bytes."""
@@ -191,7 +197,7 @@ def test_base64_field_roundtrip(key):
     assert base64.b64decode(dhcid.split()[-1]) == key
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60 * _FX, deadline=None)
 @given(st.sets(st.sampled_from(sorted(D.TYPE_NAMES)), min_size=1, max_size=10))
 def test_nsec_type_bitmap_roundtrip(types):
     """NSEC window-block bitmap renders exactly the encoded type set."""
@@ -211,13 +217,13 @@ def test_nsec_type_bitmap_roundtrip(types):
     assert shown == {D.type_name(t) for t in types}
 
 
-@settings(max_examples=80, deadline=None)
+@settings(max_examples=80 * _FX, deadline=None)
 @given(st.binary(min_size=1, max_size=30))
 def test_b32hex_roundtrip(b):
     assert b32hex_decode(D._b32hex(b)) == b
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60 * _FX, deadline=None)
 @given(st.integers(min_value=0, max_value=2**32 - 1))
 def test_rrsig_timestamp_roundtrip(epoch):
     import datetime
@@ -229,7 +235,7 @@ def test_rrsig_timestamp_roundtrip(epoch):
     assert int(parsed.timestamp()) == epoch
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60 * _FX, deadline=None)
 @given(
     st.integers(min_value=-(2**31) + 1, max_value=2**31 - 1),
     st.integers(min_value=-(2**31) + 1, max_value=2**31 - 1),
