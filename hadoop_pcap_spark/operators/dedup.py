@@ -303,10 +303,22 @@ def minhash_lsh_pairs(
     n_hashes: int = N_MINHASHES,
     n_bands: int = N_BANDS,
     shingle_k: int = 3,
+    storage_level=None,
 ) -> DataFrame:
     """End-to-end near-dup pipeline: k-word shingles → MinHash → LSH
     bands → candidate pairs → exact shingle-Jaccard ≥ threshold.
-    ``shingle_k=1`` degrades to unigram token sets."""
+    ``shingle_k=1`` degrades to unigram token sets.
+
+    ``storage_level`` controls the shingle-array persist (default
+    MEMORY_AND_DISK; ``DISK_ONLY`` frees the unified pool for corpora
+    whose array cache is a meaningful fraction of executor memory —
+    the arrays are re-read sequentially exactly twice, once per verify
+    join side).  Measured memory floor (1 GiB local[8] JVM): 50k docs
+    run clean; 150k OOM the verify join's spill-merge regardless of
+    storage level, because the interim rows carry a ~1 KB shingle
+    array through two sort-merge joins — the per-core floor is the
+    sort of array-bearing rows, ~256 MB/core at 150k docs (2 GiB
+    local[8] runs clean; see SCALE.md's memory-safety notes)."""
     # Small-file inputs arrive as one partition; shingling + 8×md5 is
     # the dominant cost and embarrassingly parallel — spread it first
     # (at real scale the input is many files and this is already true).
@@ -324,7 +336,7 @@ def minhash_lsh_pairs(
     # Size is ~1 KB/doc — safe to keep, spills to disk if not.
     from pyspark import StorageLevel
 
-    arrays = arrays.persist(StorageLevel.MEMORY_AND_DISK)
+    arrays = arrays.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures_from_arrays(arrays, n_hashes)
     cands = candidate_pairs(lsh_bands(sigs, n_bands, n_hashes))
     from .cache import register_persisted

@@ -67,6 +67,14 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/spark_graft_sf1")
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument(
+        "--row-group-size", type=int, default=0,
+        help="parquet row-group rows (0 = DuckDB default ~123k).  A row "
+        "group is the smallest unit maxPartitionBytes can assign to a "
+        "task, so its decoded size bounds MINIMUM per-task memory; on "
+        "tight heaps (the 1 GiB local[8] memory-safety runs) bound it "
+        "to ~16k rows for the text-heavy tables",
+    )
     args = ap.parse_args()
 
     out = os.path.abspath(args.out)
@@ -151,9 +159,10 @@ def main() -> None:
             FROM '{src}/embeddings.parquet', {copies}""",
     }
 
+    rg = f", ROW_GROUP_SIZE {args.row_group_size}" if args.row_group_size else ""
     for t, q in jobs.items():
         dst = os.path.join(out, f"{t}.parquet")
-        con.execute(f"COPY ({q}) TO '{dst}' (FORMAT PARQUET)")
+        con.execute(f"COPY ({q}) TO '{dst}' (FORMAT PARQUET{rg})")
         n = con.execute(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
         print(f"{t}: {n} rows -> {dst}", flush=True)
 
