@@ -197,8 +197,20 @@ def main():
     # operator path end-to-end so regressions there are catchable.
     from hadoop_pcap_spark.streaming.stream import streaming_corpus_filter
 
+    # key the staged copy by the source file's identity (path + mtime
+    # + size), not just the basename: a regenerated documents.parquet
+    # or two dataset roots sharing a basename must re-stage, or the
+    # streaming timing silently measures stale/other data
+    src_parquet = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src_parquet)
+    import hashlib
+
+    src_key = hashlib.md5(
+        f"{os.path.abspath(src_parquet)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
     stage_dir = os.path.join(
-        tempfile.gettempdir(), f"bench_stream_docs_{os.path.basename(sf_dir)}"
+        tempfile.gettempdir(),
+        f"bench_stream_docs_{os.path.basename(sf_dir)}_{src_key}",
     )
     if not os.path.isdir(stage_dir):
         (
@@ -214,28 +226,29 @@ def main():
             .write.mode("overwrite")
             .parquet(stage_dir)
         )
+    import shutil
+
     best_stream = best_stream_cpu = None
     for _ in range(runs):
         src = (
             spark.readStream.schema("doc_id long, ts timestamp, text string")
             .parquet(stage_dir)
         )
+        ckpt = tempfile.mkdtemp(prefix="bench_stream_ckpt_")
         c0 = proc_tree_cpu()
         t0 = time.time()
         q = (
             streaming_corpus_filter(src)
             .writeStream.outputMode("append")
             .format("noop")
-            .option(
-                "checkpointLocation",
-                tempfile.mkdtemp(prefix="bench_stream_ckpt_"),
-            )
+            .option("checkpointLocation", ckpt)
             .start()
         )
         q.processAllAvailable()
         q.stop()
         dt = time.time() - t0
         dc = proc_tree_cpu() - c0
+        shutil.rmtree(ckpt, ignore_errors=True)
         best_stream = dt if best_stream is None else min(best_stream, dt)
         best_stream_cpu = (
             dc if best_stream_cpu is None else min(best_stream_cpu, dc)

@@ -230,8 +230,16 @@ def candidate_pairs(bands: DataFrame, max_bucket: int = 64) -> DataFrame:
     buckets = bands.groupBy("band", "key").agg(
         F.collect_list("doc_id").alias("members")
     )
+    # amin must be a projected attribute, NOT an inline array_min:
+    # Spark does no common-subexpression elimination inside higher-
+    # order-function lambdas (same trap as the md5 interning note at
+    # the top of this file), so referencing array_min(members) from
+    # the star lambdas would re-scan the whole member array once per
+    # element — O(m²) on exactly the pathological buckets the guard
+    # exists to keep linear.
+    buckets = buckets.withColumn("amin", F.array_min("members"))
     m = F.col("members")
-    amin = F.array_min("members")
+    amin = F.col("amin")
     clique = F.flatten(
         F.transform(
             m,
@@ -384,8 +392,8 @@ def simhash_bits(
     h = F.md5(F.col("token"))
 
     def vote(i: int):
-        digit = F.instr(F.lit(HEX_DIGITS), F.substring(h, i + 1, 1)) - 1
         if scheme == "parity":
+            digit = F.instr(F.lit(HEX_DIGITS), F.substring(h, i + 1, 1)) - 1
             cond = digit % 2 == 1
         else:
             digit = F.instr(F.lit(HEX_DIGITS), F.substring(h, i // 4 + 1, 1)) - 1

@@ -293,13 +293,41 @@ def dns_throughput_dir(
                               17, "192.0.2.53", "192.0.2.7"))
         )
     n_templates = len(templates)
+    # The per-packet query-id splice changes one 16-bit word of the
+    # UDP payload, so the template's checksum (computed over qid=0)
+    # must be updated too or every emitted packet carries an invalid
+    # checksum and the fixture stops being the realistic resolver
+    # trace it claims to be.  One's-complement sums are word-local:
+    # precompute each template's folded sum with qid=0 and the
+    # per-packet checksum is fold(base + qid), still O(1) a packet.
+    csum_off = 14 + 20 + 6  # eth + ipv4(no options) + UDP checksum field
+
+    def _fold(x: int) -> int:
+        while x >> 16:
+            x = (x & 0xFFFF) + (x >> 16)
+        return x
+
+    base_sums = []
+    for t in templates:
+        ck = int.from_bytes(t[csum_off:csum_off + 2], "big")
+        # sum over pseudo+segment with the checksum field zeroed is
+        # the complement of the stored checksum (qid is already 0)
+        base_sums.append((~ck) & 0xFFFF)
     for fi in range(n_files):
         parts = [S.global_header(1)]
         base = fi * pkts_per_file
         for i in range(pkts_per_file):
-            t = templates[(base + i) % n_templates]
+            k = (base + i) % n_templates
+            t = templates[k]
             qid = (base + i) & 0xFFFF
-            frame = t[:qid_off] + qid.to_bytes(2, "big") + t[qid_off + 2:]
+            ck = (~_fold(base_sums[k] + qid)) & 0xFFFF
+            if ck == 0:
+                ck = 0xFFFF
+            frame = (
+                t[:csum_off] + ck.to_bytes(2, "big")
+                + t[csum_off + 2:qid_off] + qid.to_bytes(2, "big")
+                + t[qid_off + 2:]
+            )
             parts.append(S.record(1700000000 + base + i, frame))
         _atomic_write(os.path.join(d, f"dns{fi}.pcap"), b"".join(parts))
     return d

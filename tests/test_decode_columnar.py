@@ -241,3 +241,24 @@ def test_dns_columnar_beats_scalar_on_dns_heavy():
         t_col = min(t_col, time.process_time() - t0)
     assert res.n == n_scalar == 12500
     assert t_scalar / t_col > 1.5, (t_scalar, t_col)
+
+
+def test_dns_throughput_fixture_checksums_valid():
+    """The per-packet query-id splice must keep UDP checksums valid
+    (one's-complement incremental update) — otherwise the fixture is
+    not the realistic resolver trace pcap_decode_dns_100k claims and
+    any future udpsum-based query over it reads 100% corrupt."""
+    import os
+
+    from hadoop_pcap_spark.plans.pcap_queries import dns_throughput_dir
+
+    d = dns_throughput_dir()
+    data = open(os.path.join(d, "dns0.pcap"), "rb").read()
+    rows = list(decode_pcap(data, opts=DecodeOptions(decoder="dns")))
+    assert rows, "fixture decoded to zero packets"
+    # non-strict udpsum == 0 means the segment checksums as valid;
+    # the builder always writes a checksum, so the key must exist
+    bad = [p["pkt_no"] for p in rows if p.get("udpsum") != 0]
+    assert not bad, f"invalid UDP checksums on packets {bad[:5]}"
+    # qids must still be the per-packet ordinal sequence
+    assert [p["dns_queryid"] for p in rows[:4]] == [0, 1, 2, 3]

@@ -48,19 +48,6 @@ import sys
 
 import duckdb
 
-# (table, key column) for scaled tables; FK rewrites are explicit in
-# the per-table SELECTs below.
-BASE_COUNTS_SQL = {
-    "customer": "c_custkey",
-    "supplier": "s_suppkey",
-    "part": "p_partkey",
-    "orders": "o_orderkey",
-    "lineitem": None,
-    "events": "event_id",
-    "documents": "doc_id",
-    "embeddings": "vec_id",
-}
-
 
 def main() -> None:
     ap = argparse.ArgumentParser()

@@ -70,6 +70,9 @@ def main():
     args = ap.parse_args()
 
     sf_dirs = [d for d in args.sfs.split(",") if d]
+    if len(sf_dirs) < 2:
+        print("need at least two SF dirs to fit an exponent", file=sys.stderr)
+        return 2
     for d in sf_dirs:
         if not os.path.exists(os.path.join(d, "lineitem.parquet")):
             print(f"missing SF dir {d} — build it with tools/make_scaled_sf.py",
@@ -77,7 +80,12 @@ def main():
             return 2
     names = list(DRIVER_TABLE)
     if args.only:
-        names = [n for n in args.only.split(",") if n in DRIVER_TABLE]
+        names = args.only.split(",")
+        unknown = [n for n in names if n not in DRIVER_TABLE]
+        if unknown:
+            print(f"unknown --only queries {unknown}; probe-able: "
+                  f"{sorted(DRIVER_TABLE)}", file=sys.stderr)
+            return 2
 
     import duckdb
 
