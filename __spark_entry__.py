@@ -35,18 +35,33 @@ def entry(spark: SparkSession) -> DataFrame:
     return queries_map["corpus_build_stats"](spark, "/root/testdata/sf0.001")
 
 
-# Run first, in this order: a small core of family representatives,
-# then the oracle-bearing queries the driver's capped (~50-row)
-# correctness window has NOT yet hash-verified in any round.  The
-# window ROTATES each round (VERDICT r3 item 4): r1-r3 always ran the
-# same 50, leaving 49 oracle queries locally-verified only.  Round 4
-# keeps 13 family reps for continuity and promotes all 49 previously
-# uncovered queries; at a 50-row cap that driver-verifies ~37 of them
-# — rotate the remainder (the tail of this list) to the front in r5.
+# Run first, in this order: the oracle-bearing queries the driver's
+# capped (~50-row) correctness window has NOT yet hash-verified in any
+# round, then a core of family representatives for continuity.  The
+# window ROTATES each round (VERDICT r3 item 4): r4 promoted 37 of the
+# 49 previously uncovered queries; round 5 front-loads the remaining
+# 13 (CORRECTNESS_r04 ended at tpch_q7_volume_shipping) so that, once
+# green, all 100 oracle queries have a driver-verified row lifetime.
 # Every entry here MUST carry an oracle — rows-only queries never burn
 # a slot inside the driver's cap (VERDICT r2 item 2).
 _PRIORITY = [
-    # core family representatives (all green in CORRECTNESS_r03)
+    # r5 rotation head: the 13 oracle queries never driver-verified in
+    # r1-r4 (VERDICT r4 item 1) — family-diverse ordering not needed;
+    # all 13 fit comfortably inside the cap.
+    "dedup_simhash_wide",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_lines_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive",
+    "tpch_q20_excess_shipments",
+    "tpch_q22_idle_customers",
+    # core family representatives (driver-green in r3/r4)
     "tpch_q1",
     "projection_filter",
     "join_broadcast_dim",
@@ -60,8 +75,8 @@ _PRIORITY = [
     "time_bucket_tumbling",
     "topk_global",
     "corpus_build_stats",
-    # rotation: never driver-verified before round 4 (family-diverse
-    # ordering so a tighter cap still maximizes family coverage)
+    # remainder of the r4 window (all driver-green in r4), kept in the
+    # same family-diverse order so a wider cap re-verifies breadth
     "tpch_q3_shipping_priority",
     "tpch_q6_forecast_revenue",
     "datetime_functions",
@@ -99,20 +114,6 @@ _PRIORITY = [
     "tpch_q18_large_orders",
     "tpch_q4_order_priority",
     "tpch_q7_volume_shipping",
-    "tpch_q14_promo_revenue",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive",
-    "tpch_q22_idle_customers",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    # r5 rotation tail: move these first next round
-    "dedup_simhash_wide",
-    "tpch_q11_important_parts",
-    "tpch_q12_late_lines_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q20_excess_shipments",
 ]
 
 

@@ -208,11 +208,19 @@ def main():
     src_key = hashlib.md5(
         f"{os.path.abspath(src_parquet)}|{st.st_mtime_ns}|{st.st_size}".encode()
     ).hexdigest()[:12]
-    stage_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"bench_stream_docs_{os.path.basename(sf_dir)}_{src_key}",
-    )
-    if not os.path.isdir(stage_dir):
+    stage_prefix = f"bench_stream_docs_{os.path.basename(sf_dir)}_"
+    stage_dir = os.path.join(tempfile.gettempdir(), stage_prefix + src_key)
+    # Reuse only a COMPLETE staged copy: a run that crashed mid-write
+    # leaves a partial dir that passes isdir (ADVICE r4) — Spark's
+    # _SUCCESS marker is the completion witness.  Also drop superseded
+    # stage dirs for this dataset (old mtime keys) so tmp is bounded.
+    import shutil
+
+    for old in os.listdir(tempfile.gettempdir()):
+        if old.startswith(stage_prefix) and old != stage_prefix + src_key:
+            shutil.rmtree(os.path.join(tempfile.gettempdir(), old),
+                          ignore_errors=True)
+    if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
         (
             spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
             .withColumn(
@@ -226,7 +234,6 @@ def main():
             .write.mode("overwrite")
             .parquet(stage_dir)
         )
-    import shutil
 
     best_stream = best_stream_cpu = None
     for _ in range(runs):

@@ -262,7 +262,12 @@ def dns_throughput_dir(
     Build is template-based: one frame per unique body with qid=0,
     then a 2-byte patch at the UDP payload start per packet — O(pool)
     DNS synthesis, O(n) byte splices."""
-    d = _fixture_subdir("dnstput")
+    # v2: checksum-valid packets (r4 fix).  The subdir is VERSIONED
+    # because the existence check below early-returns on a populated
+    # dir — with SPARK_GRAFT_FIXTURE_DIR on a shared fs, an unversioned
+    # key would silently reuse stale pre-fix fixtures (ADVICE r4).
+    # Bump the suffix whenever the emitted bytes change.
+    d = _fixture_subdir("dnstput_v2")
     if all(
         os.path.exists(os.path.join(d, f"dns{fi}.pcap")) for fi in range(n_files)
     ):

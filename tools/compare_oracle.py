@@ -69,9 +69,17 @@ def _row_hash_sql(cols, instr_fn: str, str_type: str) -> str:
     Digit arithmetic with literal 16^k coefficients stays exact in
     int64 (max < 2^56); each term is cast to DECIMAL(38,0) before the
     big SUM so 10^8+ rows cannot overflow."""
-    rendered = ", ".join(
-        f"coalesce(CAST({c} AS {str_type}), '<null>')" for c in sorted(cols)
-    )
+    # Each cell is length-prefixed ("7:example") before the join so a
+    # '|' INSIDE a string cell cannot shift bytes across column
+    # boundaries and alias two distinct rows (ADVICE r4).  Length
+    # prefixes are injective without escape characters — important
+    # because Spark and DuckDB disagree on backslash semantics in
+    # string literals, so an escape-based fix would not be portable.
+    def _cell(c: str) -> str:
+        v = f"coalesce(CAST({c} AS {str_type}), '<null>')"
+        return f"concat(CAST(length({v}) AS {str_type}), ':', {v})"
+
+    rendered = ", ".join(_cell(c) for c in sorted(cols))
     s = f"md5(concat_ws('|', {rendered}))"
     terms = " + ".join(
         f"CAST({instr_fn}('{_HEX}', substring({s}, {i + 1}, 1)) - 1 AS BIGINT)"
