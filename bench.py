@@ -45,6 +45,7 @@ HEADLINE = [
     "pcap_port_count",
     "pcap_decode_100k",
     "pcap_decode_dns_100k",
+    "pcap_decode_v6ext_100k",
 ]
 
 

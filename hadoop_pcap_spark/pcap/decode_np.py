@@ -47,6 +47,7 @@ from .decode import (
     SUPPORTED_LINK_TYPES,
     ETHERTYPE_NAMES,
     IPV6_EXT_NAMES,
+    IPV6_FRAGMENT,
     IPV6_NO_NEXT_HEADER,
     PROTOCOL_NAMES,
     DecodeOptions,
@@ -266,6 +267,129 @@ def _segment_sums(u: np.ndarray, starts: np.ndarray, ends: np.ndarray, chunk: in
     return H, L
 
 
+def _walk_v6_chains(
+    u: np.ndarray,
+    end: np.ndarray,
+    ip: np.ndarray,
+    first_next: np.ndarray,
+    walk_mask: np.ndarray,
+    strict: bool,
+    max_rounds: int = 40,
+) -> dict:
+    """Vectorized IPv6 extension-header chain walk.
+
+    The scalar twin is decode._walk_ipv6_ext (reference semantics at
+    PcapReader.java:368-417, including strict mode's buggy
+    ``1 + hdr_ext_len`` BYTE advance).  A chain walk is sequential per
+    packet but independent ACROSS packets, so this iterates over chain
+    DEPTH (real chains are 1-3 headers) with one vectorized round per
+    hop: all still-active rows gather their (next_header, len) bytes,
+    classify, and advance together.  Rows still active after
+    ``max_rounds`` hops (adversarial/garbage chains — strict mode can
+    advance 1 byte per hop) are returned unresolved and fall back to
+    the scalar kernel, bounding worst-case work without changing
+    observable behavior.
+
+    Returns a dict over the walked subset ``idx``: ``resolved`` (walk
+    finished in-budget), ``ext_count``, ``frag``, ``term_proto`` /
+    ``term_pos`` (-1 = no terminal L4: truncated / no-next-header /
+    ran off the capture), ``names`` (the "[A][B]" rendered header
+    list) and ``appended`` (names non-empty — strict mode omits the
+    ext_headers key entirely when no addExtHeader call ran,
+    PcapReader.java:357-366)."""
+    idx = np.nonzero(walk_mask)[0]
+    k = len(idx)
+    pos = ip[idx] + 40
+    nend = end[idx]
+    nh = first_next[idx].astype(np.int64)
+    ext_count = np.zeros(k, dtype=np.int64)
+    frag = np.zeros(k, dtype=bool)
+    term_proto = np.full(k, -1, dtype=np.int64)
+    term_pos = np.full(k, -1, dtype=np.int64)
+    active = np.ones(k, dtype=bool)
+    ext_codes = np.array(sorted(IPV6_EXT_NAMES), dtype=np.int64)
+
+    # per-round appended name codes (-1 = none); rendered to strings once
+    name_rounds: list[np.ndarray] = []
+    for _ in range(max_rounds):
+        if not active.any():
+            break
+        codes = np.full(k, -1, dtype=np.int64)
+        if strict:
+            # loop guard: only rows whose cursor is inside the capture
+            # take this hop; the rest terminate silently (header-only
+            # packets get no names and no protocol)
+            a = active & (pos < nend)
+            active = a
+            if not a.any():
+                break
+            codes[a] = nh[a]  # strict appends BEFORE any classification
+            is_ext = a & np.isin(nh, ext_codes)
+            terminal = a & ~is_ext & (nh != IPV6_NO_NEXT_HEADER)
+            term_proto[terminal] = nh[terminal]
+            term_pos[terminal] = pos[terminal]
+            cont = is_ext
+            ext_count[cont] += 1  # counted before the truncation check
+            ok = cont & (pos + 2 <= nend)
+            b0 = _byte(u, pos, ok)
+            b1 = _byte(u, pos + 1, ok)
+            isfrag = ok & (nh == IPV6_FRAGMENT)
+            frag |= isfrag
+            adv = np.where(isfrag, 8, 1 + b1)  # buggy byte advance, kept
+            nh = np.where(ok, b0, nh)
+            pos = np.where(ok, pos + adv, pos)
+            active = ok
+        else:
+            a = active
+            is_ext = a & np.isin(nh, ext_codes)
+            terminal = a & ~is_ext & (nh != IPV6_NO_NEXT_HEADER)
+            codes[terminal] = nh[terminal]  # terminal proto name appended
+            term_proto[terminal] = nh[terminal]
+            term_pos[terminal] = pos[terminal]
+            # truncation checked BEFORE the ext name is appended (scalar
+            # parity: the RFC walk returns without recording the header)
+            ok = is_ext & (pos + 2 <= nend)
+            codes[ok] = nh[ok]
+            b0 = _byte(u, pos, ok)
+            b1 = _byte(u, pos + 1, ok)
+            isfrag = ok & (nh == IPV6_FRAGMENT)
+            frag |= isfrag
+            adv = np.where(isfrag, 8, (1 + b1) * 8)  # RFC 8200 advance
+            nh = np.where(ok, b0, nh)
+            pos = np.where(ok, pos + adv, pos)
+            ext_count[ok] += 1
+            active = ok
+        name_rounds.append(codes)
+
+    # render names: one dict probe per unique code, elementwise object
+    # concat per round (chains are 1-3 hops, so this is O(hops · k))
+    names = np.full(k, "", dtype=object)
+    appended = np.zeros(k, dtype=bool)
+    lookup = np.empty(256, dtype=object)
+    for arr in name_rounds:
+        has = arr >= 0
+        if not has.any():
+            continue
+        for c in np.unique(arr[has]).tolist():
+            if lookup[c] is None:
+                lookup[c] = "[%s]" % (
+                    IPV6_EXT_NAMES.get(c) or PROTOCOL_NAMES.get(c, str(c))
+                )
+        names[has] = names[has] + lookup[arr[has]]
+        appended |= has
+
+    return {
+        "idx": idx,
+        "resolved": ~active,
+        "ext_count": ext_count,
+        "frag": frag,
+        "term_proto": term_proto,
+        "term_pos": term_pos,
+        "names": names,
+        "appended": appended,
+    }
+
+
 def _fold16(total: np.ndarray) -> np.ndarray:
     total = total.copy()
     while (total > 0xFFFF).any():
@@ -458,7 +582,6 @@ def decode_pcap_columnar(
         needs_walk = v6 & (
             np.isin(first_next, list(IPV6_EXT_NAMES)) | (first_next == IPV6_NO_NEXT_HEADER)
         )
-        slow = slow | needs_walk
         fast6 = v6 & ~needs_walk
         res.set_num("ext_count", fast6, 0)
         if strict:
@@ -480,6 +603,36 @@ def decode_pcap_columnar(
             proto_id = np.where(terminal, first_next, proto_id)
             l4_rel = np.where(terminal, ip_rel + 40, l4_rel)
             has_l4 = has_l4 | terminal
+        if needs_walk.any():
+            # vectorized chain walk (was: scalar per-row fallback);
+            # rows the round-capped walk can't finish go to `slow`
+            w = _walk_v6_chains(u, end, ip, first_next, needs_walk, strict)
+            resolved = w["resolved"]
+            if not resolved.all():
+                slow[w["idx"][~resolved]] = True
+            ridx = w["idx"][resolved]
+            if len(ridx):
+                res.set_num("ext_count", ridx, w["ext_count"][resolved])
+                fr_idx = w["idx"][resolved & w["frag"]]
+                if len(fr_idx):
+                    res.objects["frag"][fr_idx] = True
+                # strict parity: ext_headers key exists only if a name
+                # was appended; non-strict always sets it (possibly "")
+                eh_rows = resolved & w["appended"] if strict else resolved
+                res.objects["ext_headers"][w["idx"][eh_rows]] = w["names"][eh_rows]
+                term_w = resolved & (w["term_proto"] >= 0)
+                tidx = w["idx"][term_w]
+                if len(tidx):
+                    tcodes = w["term_proto"][term_w]
+                    uniq, inv = np.unique(tcodes, return_inverse=True)
+                    table = np.array(
+                        [PROTOCOL_NAMES.get(int(c), str(int(c))) for c in uniq],
+                        dtype=object,
+                    )
+                    res.objects["protocol"][tidx] = table[inv]
+                    proto_id[tidx] = tcodes
+                    l4_rel[tidx] = w["term_pos"][term_w] - pkt[tidx]
+                    has_l4[tidx] = True
         ipv6_mask = ipv6_mask | v6
 
     # --- L4: ports / udpsum / len / payload ----------------------------------

@@ -361,6 +361,68 @@ def q_pcap_decode_dns_100k(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def v6ext_throughput_dir(n_files: int = 8, pkts_per_file: int = 12500) -> str:
+    """IPv6 extension-chain-heavy capture set: 100k packets where every
+    row routes through the chain walk (decode_np._walk_v6_chains).
+
+    Template mix covers the walk's branch space: single HopByHop,
+    HopByHop→Destination double chain, Fragment (8-byte advance +
+    frag flag), Routing→UDP, and a no-next-header(59) terminal.
+    Deterministic bytes; versioned subdir per the dnstput convention."""
+    d = _fixture_subdir("v6ext_v1")
+    if all(
+        os.path.exists(os.path.join(d, f"v6e{fi}.pcap")) for fi in range(n_files)
+    ):
+        return d
+    q = S.dns_query(7, "v6.example.com")
+
+    def hbh(nlen: int = 0) -> bytes:
+        return bytes([0, nlen]) + b"\x00" * (6 + nlen * 8)
+
+    def mk(seg, term, exts, src, dst):
+        return S.ethernet(S.ipv6(seg, term, src, dst, ext_headers=exts))
+
+    frames = [
+        mk(S.udp(q, 40001, 53, "2001:db8::1", "2001:db8::53"), 17,
+           [(0, hbh())], "2001:db8::1", "2001:db8::53"),
+        mk(S.tcp(b"x" * 180, 44000, 443), 6,
+           [(0, hbh()), (60, hbh(1))], "2001:db8::2", "2001:db8::443"),
+        mk(S.udp(b"y" * 64, 5000, 6000, "2001:db8::3", "2001:db8::4"), 17,
+           [(44, S.fragment_ext())], "2001:db8::3", "2001:db8::4"),
+        mk(S.udp(b"z" * 32, 7000, 8000, "2001:db8::5", "2001:db8::6"), 17,
+           [(43, hbh(2))], "2001:db8::5", "2001:db8::6"),
+        mk(b"", 59, [(0, hbh())], "2001:db8::7", "2001:db8::8"),
+    ]
+    nf = len(frames)
+    for fi in range(n_files):
+        data = S.global_header(1) + b"".join(
+            S.record(1700000000 + fi * pkts_per_file + i, frames[(fi + i) % nf])
+            for i in range(pkts_per_file)
+        )
+        _atomic_write(os.path.join(d, f"v6e{fi}.pcap"), data)
+    return d
+
+
+@query("pcap_decode_v6ext_100k")  # rows-only: v6 ext-chain throughput bench
+def q_pcap_decode_v6ext_100k(spark: SparkSession, sf: str) -> DataFrame:
+    """Decode 100k IPv6 packets that ALL carry extension-header chains
+    — the workload that used to fall back to the scalar per-row kernel
+    (decode_np.py slow path) and now runs the vectorized multi-round
+    walk (reference semantics: PcapReader.java:368-417).
+    Scale: v6-ext-heavy captures are the columnar kernel's former
+    worst case; this query gates the walk staying vectorized."""
+    return (
+        read_pcap(spark, v6ext_throughput_dir(), strict_reference=False)
+        .groupBy("ext_count", "protocol", "ext_headers")
+        .agg(
+            F.count("*").alias("n_packets"),
+            F.countDistinct("src").alias("n_src"),
+            F.sum("len").alias("total_payload_bytes"),
+            F.count("frag").alias("n_frag"),
+        )
+    )
+
+
 @query("pcap_decode_100k")  # rows-only: decode-throughput benchmark
 def q_pcap_decode_100k(spark: SparkSession, sf: str) -> DataFrame:
     """Decode 100k packets across 8 capture files (the engine's core

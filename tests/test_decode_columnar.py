@@ -138,6 +138,46 @@ def test_property_frames_equiv(src, dst, sport, dport, payload, proto):
     assert_equiv(S.global_header() + S.record(1, frame))
 
 
+@settings(max_examples=60 * _FX, deadline=None)
+@given(
+    chain=st.lists(
+        st.tuples(st.sampled_from([0, 43, 44, 50, 51, 60, 135]),
+                  st.integers(0, 3)),
+        max_size=4,
+    ),
+    term=st.sampled_from([6, 17, 58, 59, 200]),
+    payload=st.binary(max_size=60),
+    truncate=st.integers(0, 24),
+    strict=st.booleans(),
+)
+def test_property_v6_ext_chains_equiv(chain, term, payload, truncate, strict):
+    """The vectorized chain walk (decode_np._walk_v6_chains) must match
+    the scalar walk hop-for-hop: random ext chains (incl. Fragment's
+    8-byte advance and strict mode's buggy byte advance), random
+    terminal protocols incl. no-next-header(59), and mid-chain
+    truncation."""
+    exts = []
+    for t, nlen in chain:
+        if t == 44:
+            exts.append((44, S.fragment_ext()))
+        else:
+            # generic ext: placeholder next byte, hdr_ext_len, padding
+            exts.append((t, bytes([0, nlen]) + b"\x00" * (6 + nlen * 8)))
+    if term == 17:
+        seg = S.udp(payload, 1111, 2222, "2001:db8::a", "2001:db8::b")
+    elif term == 6:
+        seg = S.tcp(payload, 1111, 2222)
+    else:
+        seg = payload
+    frame = S.ethernet(S.ipv6(seg, term, "2001:db8::a", "2001:db8::b",
+                              ext_headers=exts))
+    if truncate:
+        frame = frame[:max(14 + 40, len(frame) - truncate)]
+    data = S.global_header() + S.record(1, frame)
+    assert_equiv(data, DecodeOptions(strict_reference=strict))
+    assert_equiv(data, DecodeOptions(strict_reference=strict, decoder="dns"))
+
+
 @settings(max_examples=25 * _FX, deadline=None)
 @given(blob=st.binary(max_size=300))
 def test_garbage_bytes_equiv(blob):

@@ -28,6 +28,7 @@ def test_registry_shape():
         "pcap_flows_enriched",
         "pcap_decode_100k",
         "pcap_decode_dns_100k",
+        "pcap_decode_v6ext_100k",
         "dedup_embedding_cosine_rp",
     }, f"unexpected rows-only set: {sorted(rows_only)}"
     for name, fn in qs.items():
