@@ -333,27 +333,50 @@ def q_join_broadcast(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q_join_multiway(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way join.
+    """TPC-H Q5 shape: 6-way join, selective dims pushed FIRST.
+
+    Join order (r5 rework after the SCALING.md α_big=1.21 diagnosis):
+    region(ASIA)⋈nation is 5 rows, broadcast into customer AND
+    (semi) into supplier before any fact join — so the fact stream is
+    cut 5× at its first dimension contact instead of after three
+    joins.  At sf1/sf3 this measured 3.2×/1.6× less CPU than the
+    join-order-as-written plan with identical results.
+
     Scale: orders⋈lineitem is the one big shuffle (both sides huge,
-    sort-merge on orderkey); nation/region broadcast (fixed dims);
-    customer/supplier are SF-scaling, so those joins are left to
-    AQE — broadcast at validation SFs, shuffle at 100 TB.
-    AQE re-plans skew at runtime."""
+    sort-merge on orderkey at 100 TB); customer/supplier joins are
+    left to AQE — broadcast at validation SFs, shuffle at 100 TB.
+    The α_big=1.21 fit across sf1→sf3 was a one-time AQE strategy
+    transition (filtered orders fit the broadcast threshold at sf1,
+    flipped to SMJ at sf3 — two new fact shuffles appear at the flip
+    point); pinning SMJ at both SFs fits α=0.45–0.91, sublinear.
+    Diagnosis + within-strategy fits recorded in SCALING.md."""
     c = table(spark, sf, "customer")
     o = table(spark, sf, "orders").filter(F.col("o_orderdate") >= "1996-01-01")
     li = table(spark, sf, "lineitem")
     s = table(spark, sf, "supplier")
     n = table(spark, sf, "nation")
     r = table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n_asia = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    c_asia = (
+        c.join(F.broadcast(n_asia), c.c_nationkey == n_asia.n_nationkey)
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    s_asia = s.join(
+        F.broadcast(n_asia.select("n_nationkey")),
+        s.s_nationkey == n_asia.n_nationkey,
+        "left_semi",
+    )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        .join(c_asia, o.o_custkey == c_asia.c_custkey)
         .join(
-            s,
-            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+            s_asia,
+            (li.l_suppkey == s_asia.s_suppkey)
+            & (F.col("c_nationkey") == s_asia.s_nationkey),
         )
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(F.sum(F.expr(DISC_PRICE_SQL)).cast("double").alias("revenue"))
     )
