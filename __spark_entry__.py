@@ -61,6 +61,13 @@ _PRIORITY = [
     "tpch_q19_disjunctive",
     "tpch_q20_excess_shipments",
     "tpch_q22_idle_customers",
+    # new in r5: the five fixture pcap queries gained synthesizer
+    # ground-truth oracles — first driver hash verification
+    "pcap_port_count",
+    "pcap_dns_qname_topk",
+    "pcap_dedup_md5",
+    "pcap_flow_stats",
+    "pcap_multimodal_payload",
     # core family representatives (driver-green in r3/r4)
     "tpch_q1",
     "projection_filter",

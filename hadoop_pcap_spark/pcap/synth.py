@@ -194,11 +194,15 @@ def a_rdata(ip: str) -> bytes:
     return bytes(int(x) for x in ip.split("."))
 
 
-def dns_exchange_pcap(ts: int = 1317993942) -> bytes:
-    """A 2-packet UDP DNS exchange mirroring the *shape* of the
-    reference's test fixture (FIXTURES.md §3): query `ripe.net A` from
-    193.0.10.82:52938 → 193.0.14.129:53 and a 13-NS-record response.
-    Bytes are synthesized here, not copied."""
+def dns_exchange_frames(ts: int = 1317993942) -> list:
+    """(frame_bytes, intent) pairs behind :func:`dns_exchange_pcap`.
+
+    ``intent`` records the SYNTHESIS parameters — addresses, ports,
+    protocol, DNS question/direction — as the expected decode of each
+    frame.  This is the independent ground truth the pcap fixture
+    oracles compare the Spark decoder against (the values come from
+    what the synthesizer was ASKED to build, never from running the
+    decoder)."""
     q = dns_query(0x1234, "ripe.net", 1)
     r = dns_response(
         0x1234, "ripe.net", 1,
@@ -209,7 +213,27 @@ def dns_exchange_pcap(ts: int = 1317993942) -> bytes:
                          17, "193.0.10.82", "193.0.14.129"))
     rpkt = ethernet(ipv4(udp(r, 53, 52938, "193.0.14.129", "193.0.10.82"),
                          17, "193.0.14.129", "193.0.10.82"))
-    return global_header(1) + record(ts, qpkt) + record(ts, rpkt)
+    return [
+        (qpkt, {"ts": ts, "ts_usec": 0, "src": "193.0.10.82",
+                "dst": "193.0.14.129", "src_port": 52938, "dst_port": 53,
+                "protocol": "UDP", "dns_qname": "ripe.net.",
+                "dns_qr": False, "payload": q}),
+        (rpkt, {"ts": ts, "ts_usec": 0, "src": "193.0.14.129",
+                "dst": "193.0.10.82", "src_port": 53, "dst_port": 52938,
+                "protocol": "UDP", "dns_qname": "ripe.net.",
+                "dns_qr": True, "payload": r}),
+    ]
+
+
+def dns_exchange_pcap(ts: int = 1317993942) -> bytes:
+    """A 2-packet UDP DNS exchange mirroring the *shape* of the
+    reference's test fixture (FIXTURES.md §3): query `ripe.net A` from
+    193.0.10.82:52938 → 193.0.14.129:53 and a 13-NS-record response.
+    Bytes are synthesized here, not copied."""
+    frames = dns_exchange_frames(ts)
+    return global_header(1) + b"".join(
+        record(m["ts"], f, ts_usec=m["ts_usec"]) for f, m in frames
+    )
 
 
 # --- alternative capture containers (pcapng / ns / BE) -----------------------

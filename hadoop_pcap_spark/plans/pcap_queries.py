@@ -1,9 +1,14 @@
 """PCAP-source queries registered with the driver harness.
 
 The driver's parquet tables don't include a packets table, so these
-run on a deterministic synthesized capture directory — rows-only
-checks from the driver's side; the full golden assertions live in
-tests/test_pcap_source.py.
+run on a deterministic synthesized capture directory.  The five
+fixture queries carry a REAL DuckDB oracle since round 5: the
+synthesizer emits a ground-truth parquet of its own parameters
+(fixture_truth_path) and the oracle SQL runs over that — the driver's
+hash compare then asserts decoder output == synthesis intent.  The
+throughput benches and TCP-reassembly stay rows-only (their fixtures
+are per-process tempdirs built for timing, and reassembly semantics
+are golden-tested in tests/test_flows.py).
 
 Fixture placement contract: the pcap source reads raw files BY PATH
 from executor tasks, so the fixture directory must be visible to both
@@ -77,11 +82,105 @@ def fixture_dir() -> str:
     return d
 
 
-@query("pcap_port_count")  # rows-only: no packets table in the oracle DB
+def fixture_truth_path() -> str:
+    """Ground-truth packet table for :func:`fixture_dir`, as parquet.
+
+    One row per (file, pkt_no), with every column computed from the
+    SYNTHESIZER's parameters (synth.dns_exchange_frames intent dicts;
+    md5/size from the synthesized frame bytes) — never from running
+    the decoder.  This gives the four pcap fixture queries a real
+    DuckDB oracle (VERDICT r4 item 6): the driver's hash compare now
+    asserts decoder output == synthesis intent, where previously they
+    were rows-only.  Lives in its own subdir — the pcap reader globs
+    fixture_dir() and must not see a parquet file.  Subdir is
+    VERSIONED (dnstput convention): bump when the schema changes so a
+    shared SPARK_GRAFT_FIXTURE_DIR can't serve a stale layout."""
+    d = _fixture_subdir("fixture_truth_v2")
+    path = os.path.join(d, "expected_packets.parquet")
+    if os.path.exists(path):
+        return path
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    frames = S.dns_exchange_frames()
+    rows = []
+    for fname in ("a.pcap", "b.pcap.gz"):
+        for i, (frame, meta) in enumerate(frames):
+            rows.append(
+                {
+                    "file": fname,
+                    "pkt_no": i + 1,
+                    "ts": meta["ts"],
+                    "ts_usec": meta["ts_usec"],
+                    "size": len(frame),
+                    "src": meta["src"],
+                    "dst": meta["dst"],
+                    "src_port": meta["src_port"],
+                    "dst_port": meta["dst_port"],
+                    "protocol": meta["protocol"],
+                    "md5": hashlib.md5(frame).hexdigest().upper(),
+                    "dns_qname": meta["dns_qname"],
+                    "dns_qr": meta["dns_qr"],
+                    "payload_len": len(meta["payload"]),
+                    "payload_magic_hex": meta["payload"][:4].hex(),
+                    "payload_md5": hashlib.md5(meta["payload"]).hexdigest(),
+                }
+            )
+    schema = pa.schema(
+        [
+            ("file", pa.string()),
+            ("pkt_no", pa.int64()),
+            ("ts", pa.int64()),
+            ("ts_usec", pa.int64()),
+            ("size", pa.int64()),
+            ("src", pa.string()),
+            ("dst", pa.string()),
+            ("src_port", pa.int64()),
+            ("dst_port", pa.int64()),
+            ("protocol", pa.string()),
+            ("md5", pa.string()),
+            ("dns_qname", pa.string()),
+            ("dns_qr", pa.bool_()),
+            ("payload_len", pa.int64()),
+            ("payload_magic_hex", pa.string()),
+            ("payload_md5", pa.string()),
+        ]
+    )
+    table = pa.Table.from_pylist(rows, schema=schema)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".parquet")
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp)
+        os.rename(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+    return path
+
+
+# Built at import so the oracle SQL below can embed the path; the
+# build is a ~4-row parquet next to the (equally import-cheap) 4-packet
+# fixture, idempotent and atomic under SPARK_GRAFT_FIXTURE_DIR sharing.
+_TRUTH = fixture_truth_path()
+
+
+@query(
+    "pcap_port_count",
+    oracle=f"""
+    SELECT src_port, count(*) AS n
+    FROM '{_TRUTH}'
+    WHERE src_port IS NOT NULL
+    GROUP BY src_port
+    """,
+)
 def q_pcap_port_count(spark: SparkSession, sf: str) -> DataFrame:
     """The reference README's canonical MapReduce job
     (hadoop-pcap-lib/README.md:20-81): count packets per src_port,
-    nulls dropped."""
+    nulls dropped.  Oracle: synthesizer ground truth
+    (fixture_truth_path), hash-compared."""
     return (
         read_pcap(spark, fixture_dir())
         .filter(F.col("src_port").isNotNull())
@@ -90,10 +189,21 @@ def q_pcap_port_count(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("pcap_dns_qname_topk")  # rows-only
+@query(
+    "pcap_dns_qname_topk",
+    oracle=f"""
+    SELECT dns_qname, count(*) AS n_queries
+    FROM '{_TRUTH}'
+    WHERE dns_qname IS NOT NULL AND NOT dns_qr
+    GROUP BY dns_qname
+    ORDER BY n_queries DESC, dns_qname ASC
+    LIMIT 10
+    """,
+)
 def q_pcap_dns_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Top queried DNS names — the serde README's query motif over
-    dns_* columns (hadoop-pcap-serde/README.md:49-60)."""
+    dns_* columns (hadoop-pcap-serde/README.md:49-60).  Oracle:
+    synthesizer ground truth, hash-compared."""
     return (
         read_pcap(spark, fixture_dir(), decoder="dns")
         .filter(F.col("dns_qname").isNotNull() & (F.col("dns_qr") == False))  # noqa: E712
@@ -104,10 +214,20 @@ def q_pcap_dns_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("pcap_dedup_md5")  # rows-only
+@query(
+    "pcap_dedup_md5",
+    oracle=f"""
+    SELECT md5, count(*) AS n_copies, min(pkt_no) AS first_pkt
+    FROM '{_TRUTH}'
+    GROUP BY md5
+    HAVING count(*) > 1
+    """,
+)
 def q_pcap_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Packet dedup on the md5 column — the reference's stated MD5
-    purpose (PcapReader.java:183: 'finding duplicate packets')."""
+    purpose (PcapReader.java:183: 'finding duplicate packets').
+    Oracle: md5 of the synthesized frame bytes (computed at synthesis,
+    not decode), hash-compared."""
     df = read_pcap(spark, fixture_dir(), calculate_md5=True)
     return (
         df.groupBy("md5")
@@ -116,17 +236,28 @@ def q_pcap_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("pcap_multimodal_payload")  # rows-only
+@query(
+    "pcap_multimodal_payload",
+    oracle=f"""
+    SELECT file AS fname, pkt_no,
+           payload_len AS payload_bytes,
+           payload_magic_hex AS magic_hex,
+           payload_md5
+    FROM '{_TRUTH}'
+    WHERE payload_len IS NOT NULL
+    """,
+)
 def q_pcap_multimodal(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal/binary-column plumbing: the payload BinaryType column
     with typed metadata extracted JVM-side (length, hex prefix, md5).
     Decode-to-features for real image/audio payloads is the same shape —
-    see operators/multimodal.py for the stubbed decode UDF."""
+    see operators/multimodal.py for the stubbed decode UDF.  Oracle:
+    payload length/magic/md5 from the synthesis-intent bytes."""
     return (
         read_pcap(spark, fixture_dir())
         .filter(F.col("payload").isNotNull())
         .select(
-            "file",
+            F.regexp_extract("file", r"([^/]+)$", 1).alias("fname"),
             "pkt_no",
             F.length("payload").alias("payload_bytes"),
             F.lower(F.hex(F.substring("payload", 1, 4))).alias("magic_hex"),
@@ -171,12 +302,47 @@ def q_pcap_dns_tcp_reassembly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("pcap_flow_stats")  # rows-only
+@query(
+    "pcap_flow_stats",
+    oracle=f"""
+    WITH pk AS (
+        SELECT *,
+               (src < dst OR (src = dst AND
+                coalesce(src_port, -1) <= coalesce(dst_port, -1))) AS fwd,
+               ts * 1000000 + ts_usec AS us
+        FROM '{_TRUTH}'
+        WHERE src IS NOT NULL AND dst IS NOT NULL
+    ),
+    fl AS (
+        SELECT file, protocol AS proto,
+               CASE WHEN fwd THEN src ELSE dst END AS ip_a,
+               CASE WHEN fwd THEN src_port ELSE dst_port END AS port_a,
+               CASE WHEN fwd THEN dst ELSE src END AS ip_b,
+               CASE WHEN fwd THEN dst_port ELSE src_port END AS port_b,
+               count(*) AS n_packets,
+               CAST(sum(size) AS BIGINT) AS n_bytes,
+               count(*) FILTER (WHERE fwd) AS a_to_b_packets,
+               count(*) FILTER (WHERE NOT fwd) AS b_to_a_packets,
+               round((max(us) - min(us)) / 1000000.0, 6) AS duration_s
+        FROM pk
+        GROUP BY file, proto,
+                 CASE WHEN fwd THEN src ELSE dst END,
+                 CASE WHEN fwd THEN src_port ELSE dst_port END,
+                 CASE WHEN fwd THEN dst ELSE src END,
+                 CASE WHEN fwd THEN dst_port ELSE src_port END
+    )
+    SELECT proto, ip_a, port_a, ip_b, port_b, n_packets, n_bytes,
+           a_to_b_packets, b_to_a_packets, duration_s
+    FROM fl
+    ORDER BY proto, ip_a, port_a, ip_b, port_b
+    """,
+)
 def q_pcap_flow_stats(spark: SparkSession, sf: str) -> DataFrame:
     """NetFlow-style flow export over the capture: canonical
     bidirectional 5-tuple → packets/bytes/time-bounds/per-direction
     counts, one groupBy shuffle, all JVM-side.  Golden assertions in
-    tests/test_flows.py."""
+    tests/test_flows.py; oracle replays the same canonicalization
+    over the synthesizer ground-truth table, hash-compared."""
     from ..operators.flows import flow_stats
 
     return (

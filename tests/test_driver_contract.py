@@ -11,20 +11,16 @@ def test_registry_shape():
     assert len(qs) >= 60
     assert set(os_) <= set(qs), "oracle without a query"
     rows_only = set(qs) - set(os_)
-    # rows-only set is exactly the approx/pcap/ANN queries (iterative
-    # connected components gained a recursive-CTE oracle in round 2)
+    # rows-only set is exactly the approx/ANN/throughput-bench queries
+    # (the five fixture pcap queries gained synthesizer-ground-truth
+    # oracles in round 5; connected components a recursive CTE in r2)
     assert rows_only == {
         "approx_count_distinct",
         "approx_percentiles_sketch",
         "frequent_items_sketch",
         "similarity_ann_lsh",
         "similarity_ann_ivf",
-        "pcap_port_count",
-        "pcap_dns_qname_topk",
-        "pcap_dedup_md5",
-        "pcap_multimodal_payload",
         "pcap_dns_tcp_reassembly",
-        "pcap_flow_stats",
         "pcap_flows_enriched",
         "pcap_decode_100k",
         "pcap_decode_dns_100k",
