@@ -264,11 +264,13 @@ def candidate_pairs(bands: DataFrame, max_bucket: int = 64) -> DataFrame:
 def jaccard_verify(pairs: DataFrame, arrays: DataFrame, threshold: float) -> DataFrame:
     """Exact token-set Jaccard for candidate pairs.
 
-    ``arrays`` is (doc_id, arr, sz).  Per-pair set intersection via
-    array_intersect: cost is O(pairs · tokens-per-doc), independent of
-    how many docs share a hot token — a token self-join degrades
-    quadratically inside near-dup clusters (measured 48 s → ~2 s at
-    sf0.1 for 826 candidate pairs).
+    ``arrays`` is (doc_id, arr, sz); ``arr`` may be the string shingle
+    set or (since r5) its 60-bit md5-hash image — any atomic element
+    type keeps array_intersect on the fast path.  Per-pair set
+    intersection via array_intersect: cost is O(pairs ·
+    tokens-per-doc), independent of how many docs share a hot token —
+    a token self-join degrades quadratically inside near-dup clusters
+    (measured 48 s → ~2 s at sf0.1 for 826 candidate pairs).
 
     Join strategy: both joins are pinned to sort-merge.  Left to
     itself the static planner picks the ARRAY side as the broadcast
@@ -317,16 +319,23 @@ def minhash_lsh_pairs(
     bands → candidate pairs → exact shingle-Jaccard ≥ threshold.
     ``shingle_k=1`` degrades to unigram token sets.
 
-    ``storage_level`` controls the shingle-array persist (default
+    ``storage_level`` controls the persisted relation (default
     MEMORY_AND_DISK; ``DISK_ONLY`` frees the unified pool for corpora
-    whose array cache is a meaningful fraction of executor memory —
-    the arrays are re-read sequentially exactly twice, once per verify
-    join side).  Measured memory floor (1 GiB local[8] JVM): 50k docs
-    run clean; 150k OOM the verify join's spill-merge regardless of
-    storage level, because the interim rows carry a ~1 KB shingle
-    array through two sort-merge joins — the per-core floor is the
-    sort of array-bearing rows, ~256 MB/core at 150k docs (2 GiB
-    local[8] runs clean; see SCALE.md's memory-safety notes)."""
+    whose cache is a meaningful fraction of executor memory).
+
+    Memory floor (r5 rework): what persists — and what the verify
+    join's sort-merge rows carry — is no longer the ~1 KB string
+    shingle array but its 60-bit md5-hash image as ``array<bigint>``
+    (8 B/shingle; the SAME ha = conv(md5[:15]) value the signature
+    family already computes, so the oracle reproduces it exactly and
+    Jaccard is unchanged up to 2^-60 collisions, which the oracle
+    mirrors bit-for-bit anyway).  Signatures and the hash array come
+    out of ONE md5-halves pass per doc — the string arrays are never
+    persisted and never shuffled.  The old floor was the sort of
+    string-array-bearing rows (~256 MB/core at 150k docs: 1 GiB
+    local[8] OOM'd); the int64 rows are ~3× smaller and 150k docs now
+    run clean in the same 1 GiB harness (tests/test_operators.py::
+    test_minhash_150k_low_memory)."""
     # Small-file inputs arrive as one partition; shingling + 8×md5 is
     # the dominant cost and embarrassingly parallel — spread it first
     # (at real scale the input is many files and this is already true).
@@ -338,21 +347,44 @@ def minhash_lsh_pairs(
         arrays = doc_tokens(docs).groupBy("doc_id").agg(
             F.collect_list("token").alias("arr"), F.count("*").alias("sz")
         )
-    # The shingle arrays feed three consumers (signatures and both
-    # sides of the verification join); without persistence the whole
-    # shingling recomputes per consumer (measured 3-4× end-to-end).
-    # Size is ~1 KB/doc — safe to keep, spills to disk if not.
+    _check_n_hashes(n_hashes)
+    # One md5 pass feeds BOTH the K-M signature family and the verify
+    # hash array.  Two projection stages so the halves array
+    # materializes once (no CSE inside lambdas; CollapseProject keeps
+    # non-cheap transforms separate — same structure as
+    # minhash_signatures_from_arrays).
+    halved = arrays.select(
+        "doc_id", "sz", F.transform(F.col("arr"), _md5_halves).alias("hs")
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("hs"), lambda x: x["ha"] + F.lit(i) * x["hb"])
+        ).alias(f"m{i}")
+        for i in range(n_hashes)
+    ]
+    hashed = halved.select(
+        "doc_id",
+        "sz",
+        F.transform(F.col("hs"), lambda x: x["ha"]).alias("arr"),
+        *sig_cols,
+    )
+    # The hashed relation feeds three consumers (bands and both sides
+    # of the verification join); without persistence the whole
+    # shingling+md5 recomputes per consumer (measured 3-4× end-to-end).
     from pyspark import StorageLevel
 
-    arrays = arrays.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
-    sigs = minhash_signatures_from_arrays(arrays, n_hashes)
+    hashed = hashed.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
+    sigs = hashed.select("doc_id", *[f"m{i}" for i in range(n_hashes)])
     cands = candidate_pairs(lsh_bands(sigs, n_bands, n_hashes))
     from .cache import register_persisted
 
     # caller releases via operators.release_persisted(result) after
     # materializing (ADVICE r2: no unpersist path leaked cache blocks
     # across benchmark loops / multi-corpus jobs)
-    return register_persisted(jaccard_verify(cands, arrays, threshold), arrays)
+    verify_side = hashed.select("doc_id", "arr", "sz")
+    return register_persisted(
+        jaccard_verify(cands, verify_side, threshold), hashed
+    )
 
 
 HEX_DIGITS = "0123456789abcdef"

@@ -126,6 +126,18 @@ def _sql_minhash_ctes(src: str = "documents") -> str:
         FROM buckets)
     ),
     sizes AS (SELECT doc_id, len(arr) AS sz FROM docarr),
+    harr AS (
+      -- 60-bit md5-hash image of the shingle set: the SAME ha value
+      -- the signature family derives, and exactly what the Spark side
+      -- verifies on since r5 (array<bigint> keeps array_intersect on
+      -- the atomic-type fast path and shrinks the persisted/shuffled
+      -- rows ~3x vs string arrays)
+      SELECT doc_id,
+             list_transform(arr,
+               t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+             ) AS arrh
+      FROM docarr
+    ),
     inter AS (
       -- intersections ONLY for LSH candidate pairs, computed as a
       -- per-pair list_intersect exactly like the Spark side's
@@ -135,12 +147,14 @@ def _sql_minhash_ctes(src: str = "documents") -> str:
       -- restricted token JOIN materialized candidates x tokens rows
       -- (25 GB resident at the 10x SF); the array form is
       -- O(candidates x tokens-per-doc) with nothing exploded.
-      -- arr is list_distinct upstream, so the intersect length is
-      -- the set-intersection count.
-      SELECT c.a, c.b, len(list_intersect(da.arr, db.arr)) AS inter
+      -- arr is list_distinct upstream and list_intersect
+      -- de-duplicates, so the length is the set-intersection count
+      -- (on hashes: identical to strings up to 2^-60 collisions,
+      -- which both engines then share).
+      SELECT c.a, c.b, len(list_intersect(da.arrh, db.arrh)) AS inter
       FROM cands c
-      JOIN docarr da ON da.doc_id = c.a
-      JOIN docarr db ON db.doc_id = c.b
+      JOIN harr da ON da.doc_id = c.a
+      JOIN harr db ON db.doc_id = c.b
     ),
     mh_pairs AS (
       SELECT i.a, i.b, i.inter,

@@ -123,17 +123,22 @@ def test_corpus_keep_set_no_cartesian_no_extra_scans(spark):
 
 
 def test_minhash_signature_subtree_evaluated_once(spark):
-    """The LSH bucket builder must consume the signature lineage
-    exactly once.  The previous union-of-two-filters hot/cold split
-    duplicated the entire minhash subtree (Spark has no common-
-    subplan elimination across a Union): the executed plan carried
-    TWO banding explodes and roughly 2x the query's CPU.  The
-    md5-halves projection is the signature stage's fingerprint in
-    the plan text — it appears twice per evaluation (the ha and hb
-    60-bit halves), so exactly 2 occurrences means one evaluation
-    (the duplicated plan carried 4)."""
+    """The md5-halves pass must EVALUATE exactly once.  The previous
+    union-of-two-filters hot/cold split duplicated the entire minhash
+    subtree (no common-subplan elimination across a Union — 2x CPU);
+    the r5 rework moved the halves pass INSIDE the persisted relation
+    (signatures + int64 verify arrays come from one projection), so
+    the invariant is now structural: the conv(md5) fingerprint (2 per
+    evaluation: ha + hb) appears ONLY inside the cached relation's
+    subtree — which the plan text re-prints once per InMemoryTableScan
+    — and the persisted relation has exactly its three consumers
+    (bands + both verify sides).  Dropping the persist (scans -> 0,
+    conv sites become real evaluations) or adding an evaluation
+    outside the cache breaks the equality."""
     plan = plan_of(QUERIES["dedup_minhash_lsh"](spark, SF))
-    assert plan.count("conv(substring(md5(") == 2
+    scans = plan.count("InMemoryTableScan")
+    assert scans == 3
+    assert plan.count("conv(substring(md5(") == 2 * scans
 
 
 def test_jaccard_verify_never_broadcasts_array_side(spark):
