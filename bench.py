@@ -236,33 +236,80 @@ def main():
             .parquet(stage_dir)
         )
 
-    best_stream = best_stream_cpu = None
-    for _ in range(runs):
-        src = (
+    def time_stream(name: str, build, output_mode: str) -> None:
+        """Min-of-N a streaming query end-to-end (source → noop sink,
+        processAllAvailable) and record it as a FIRST-CLASS headline
+        row (VERDICT r4 item 8: streaming regressions must gate like
+        batch ones, not live in extras)."""
+        best = best_cpu = None
+        for _ in range(runs):
+            ckpt = tempfile.mkdtemp(prefix="bench_stream_ckpt_")
+            c0 = proc_tree_cpu()
+            t0 = time.time()
+            q = (
+                build()
+                .writeStream.outputMode(output_mode)
+                .format("noop")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            dt = time.time() - t0
+            dc = proc_tree_cpu() - c0
+            shutil.rmtree(ckpt, ignore_errors=True)
+            best = dt if best is None else min(best, dt)
+            best_cpu = dc if best_cpu is None else min(best_cpu, dc)
+        timings[name] = round(best, 3)
+        cpu_timings[name] = round(best_cpu, 3)
+        print(
+            f"# {name}: {timings[name]}s wall / {cpu_timings[name]}s cpu",
+            file=sys.stderr,
+            flush=True,
+        )
+
+    time_stream(
+        "streaming_corpus_filter",
+        lambda: streaming_corpus_filter(
             spark.readStream.schema("doc_id long, ts timestamp, text string")
             .parquet(stage_dir)
+        ),
+        "append",
+    )
+
+    # Stateful-operator timing: per-key running counters via
+    # applyInPandasWithState over the events table (state-store path,
+    # Arrow both ways) — the other streaming regression axis.
+    from hadoop_pcap_spark.streaming.stream import stateful_flow_counts
+
+    ev_parquet = os.path.join(sf_dir, "events.parquet")
+    est = os.stat(ev_parquet)
+    ev_key = hashlib.md5(
+        f"{os.path.abspath(ev_parquet)}|{est.st_mtime_ns}|{est.st_size}".encode()
+    ).hexdigest()[:12]
+    ev_prefix = f"bench_stream_events_{os.path.basename(sf_dir)}_"
+    ev_stage = os.path.join(tempfile.gettempdir(), ev_prefix + ev_key)
+    for old in os.listdir(tempfile.gettempdir()):
+        if old.startswith(ev_prefix) and old != ev_prefix + ev_key:
+            shutil.rmtree(os.path.join(tempfile.gettempdir(), old),
+                          ignore_errors=True)
+    if not os.path.exists(os.path.join(ev_stage, "_SUCCESS")):
+        (
+            plans.table(spark, sf_dir, "events")
+            .select("user_id", "value")
+            .repartition(int(cpus))
+            .write.mode("overwrite")
+            .parquet(ev_stage)
         )
-        ckpt = tempfile.mkdtemp(prefix="bench_stream_ckpt_")
-        c0 = proc_tree_cpu()
-        t0 = time.time()
-        q = (
-            streaming_corpus_filter(src)
-            .writeStream.outputMode("append")
-            .format("noop")
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        q.processAllAvailable()
-        q.stop()
-        dt = time.time() - t0
-        dc = proc_tree_cpu() - c0
-        shutil.rmtree(ckpt, ignore_errors=True)
-        best_stream = dt if best_stream is None else min(best_stream, dt)
-        best_stream_cpu = (
-            dc if best_stream_cpu is None else min(best_stream_cpu, dc)
-        )
-    extras["streaming_corpus_filter"] = round(best_stream, 3)
-    extras["streaming_corpus_filter_cpu"] = round(best_stream_cpu, 3)
+    time_stream(
+        "streaming_flow_counts",
+        lambda: stateful_flow_counts(
+            spark.readStream.schema("user_id long, value double")
+            .parquet(ev_stage)
+        ),
+        "update",
+    )
+
     extras["calib_end"] = calibrate()
     print(f"# extras: {extras}", file=sys.stderr, flush=True)
 
