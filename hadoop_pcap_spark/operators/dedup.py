@@ -32,9 +32,14 @@ N_BANDS = 4  # 2 hashes per band
 
 
 def doc_tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, token) pairs, distinct per doc — the set representation."""
-    return (
-        docs.select(id_col, F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"))
+    """(id, token) pairs, distinct per doc — the set representation.
+    explode_tokens, not explode: inner explode's inferred size-filter
+    would re-run the tokenizer per row in the scan (functions
+    package docstring; measured 29× on the shingle twin)."""
+    from ..functions import explode_tokens
+
+    return explode_tokens(
+        docs, F.array_distinct(tokens(F.col(text_col))), "token", id_col
     )
 
 
@@ -53,8 +58,13 @@ def doc_shingles(
     referencing the tokenizer expression inside the shingle lambda
     would re-run split+filter per element_at (no CSE inside lambdas —
     measured 130 s vs 4 s at sf0.1)."""
+    from ..functions import explode_computed
+
+    # shingle arrays are never empty (short docs contribute the whole
+    # text as one shingle) → outer explode is a drop-in that avoids
+    # the inferred-filter re-evaluation of the shingle construction
     return doc_shingle_arrays(docs, k, id_col, text_col).select(
-        "doc_id", F.explode("arr").alias("token")
+        "doc_id", explode_computed("arr", never_empty=True).alias("token")
     )
 
 
@@ -254,8 +264,16 @@ def candidate_pairs(bands: DataFrame, max_bucket: int = 64) -> DataFrame:
         lambda y: F.struct(amin.alias("a"), y.alias("b")),
     )
     pair_arr = F.when(F.size(m) <= max_bucket, clique).otherwise(star)
+    # explode_outer + output-null filter, NOT inner explode: the
+    # inferred size(pair_arr)>0 filter would substitute and re-run
+    # the whole clique/star CASE per bucket row — doubling exactly
+    # the O(m²)-bounded work the guard exists to bound.  pair_arr CAN
+    # be empty (single-member buckets), so the all-NULL outer rows
+    # are dropped on the generated output, which no rule pushes back
+    # below the Generate.
     return (
-        buckets.select(F.explode(pair_arr).alias("p"))
+        buckets.select(F.explode_outer(pair_arr).alias("p"))
+        .filter(F.col("p").isNotNull())
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .distinct()
     )

@@ -283,11 +283,15 @@ def cosine_topk_ivf(
         _norm(F.col(vec_col)).alias("n_norm"),
         F.element_at(nearest_cells(F.col(vec_col), 1), 1).alias("cell"),
     )
+    # outer explode: the probe list is a computed array (full centroid
+    # distance scan) — inner explode's inferred size-filter would
+    # re-evaluate it per row (functions.explode_computed); the slice
+    # is never empty, so this is a drop-in
     q_probes = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         _norm(F.col(vec_col)).alias("q_norm"),
-        F.explode(nearest_cells(F.col(vec_col), n_probe)).alias("cell"),
+        F.explode_outer(nearest_cells(F.col(vec_col), n_probe)).alias("cell"),
     )
     scored = (
         c_assigned.join(F.broadcast(q_probes), "cell")

@@ -674,12 +674,14 @@ def q_text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = table(spark, sf, "documents")
     n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
-    all_tok = docs.select(
-        "doc_id", F.explode(TXT.tokens(F.col("text"))).alias("token")
-    )
+    from ..functions import explode_tokens
+
+    all_tok = explode_tokens(docs, TXT.tokens(F.col("text")), "token", "doc_id")
     tf = all_tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df = (
-        docs.select("doc_id", F.explode(F.array_distinct(TXT.tokens(F.col("text")))).alias("token"))
+        explode_tokens(
+            docs, F.array_distinct(TXT.tokens(F.col("text"))), "token", "doc_id"
+        )
         .groupBy("token")
         .agg(F.count("*").alias("df"))
     )
@@ -1090,10 +1092,10 @@ def q_repetition_topgram(spark: SparkSession, sf: str) -> DataFrame:
     aggregated.  The per-doc fraction is rounded before the per-source
     AVG so the only order-dependent float sum works on values exact at
     6 decimals."""
+    from ..functions import explode_tokens
+
     docs = table(spark, sf, "documents")
-    bg = docs.select(
-        "doc_id", "source", F.explode(TXT.bigrams(F.col("text"))).alias("bg")
-    )
+    bg = explode_tokens(docs, TXT.bigrams(F.col("text")), "bg", "doc_id", "source")
     per_doc = (
         bg.groupBy("doc_id", "source", "bg")
         .agg(F.count("*").alias("n"))
@@ -1480,19 +1482,18 @@ def q_char_ngram_dup_rate(spark: SparkSession, sf: str) -> DataFrame:
     at 100 TB the gram set is the classic candidate for a
     frequency-threshold prefilter before the distinct."""
     docs = table(spark, sf, "documents")
-    grams = (
-        docs.select(
-            "doc_id",
-            "source",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, greatest(length(text) - 19, 1), 10),"
-                    " i -> substr(text, i, 20))"
-                )
-            ).alias("gram"),
-        )
-        .distinct()
-    )
+    from ..functions import explode_tokens
+
+    grams = explode_tokens(
+        docs,
+        F.expr(
+            "transform(sequence(1, greatest(length(text) - 19, 1), 10),"
+            " i -> substr(text, i, 20))"
+        ),
+        "gram",
+        "doc_id",
+        "source",
+    ).distinct()
     dup = (
         grams.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -1651,10 +1652,10 @@ def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     Determinism: per-doc NLL is rounded to 4 before the per-source
     AVG (libm ln() agrees to the last ulp on identical doubles, and
     the rounding sits far above fold-order noise)."""
+    from ..functions import explode_tokens
+
     docs = table(spark, sf, "documents")
-    tok = docs.select(
-        "doc_id", "source", F.explode(TXT.tokens(F.col("text"))).alias("token")
-    )
+    tok = explode_tokens(docs, TXT.tokens(F.col("text")), "token", "doc_id", "source")
     freq = tok.groupBy("token").agg(F.count("*").alias("n"))
     tot = freq.agg(F.sum("n").alias("total"))
     scored = (
