@@ -300,6 +300,45 @@ def test_no_python_row_udfs_anywhere(spark):
     assert not offenders, offenders
 
 
+def test_no_expensive_expressions_in_scan_filters(spark):
+    """No registered query may carry a tokenizer / shingle / HOF
+    construction inside a parquet scan's pushed data filters.
+
+    Catalyst's InferFiltersFromGenerate + predicate pushdown
+    substitutes a computed array's FULL defining expression into the
+    inferred size(arr)>0 filter, re-evaluating the construction per
+    row (partly outside codegen) — measured 29-150× slowdowns on the
+    shingle pipelines before round 5's explode_outer rework
+    (functions.explode_computed).  The detected signature is exactly
+    the inferred filter over a NON-attribute array: ``size(<computed
+    expr>) > 0``.  A user predicate like ``size(tokens(text)) >= 5``
+    (corpus rules) is intentional single-evaluation work and compares
+    against other constants, so it doesn't match."""
+    # the computed-array heads the inferred size()-filter wraps; a
+    # user predicate over these compares against other constants
+    # (e.g. >= 5), never the inferred "> 0"
+    heads = (
+        "size(array_distinct(",
+        "size(transform(",
+        "size(slice(",
+        "size(flatten(",
+        "size(CASE WHEN",
+    )
+    offenders = []
+    for name, fn in QUERIES.items():
+        try:
+            plan = plan_of(fn(spark, "/root/testdata/sf0.001"))
+        except Exception:
+            continue  # pcap fixtures etc. handled in their own tests
+        for line in plan.splitlines():
+            if "Filter" not in line and "DataFilters" not in line:
+                continue
+            if "> 0" in line and any(h in line for h in heads):
+                offenders.append((name, line.strip()[:160]))
+                break
+    assert not offenders, offenders
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     """The 100 TB join strategy, CI-asserted: two tables bucketed on
     the join key with equal bucket counts join as SortMergeJoin with
