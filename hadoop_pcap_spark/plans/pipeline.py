@@ -368,7 +368,7 @@ def q_similarity_topk(spark: SparkSession, sf: str) -> DataFrame:
     truth. All math in sequential DOUBLE folds in both engines."""
     emb = table(spark, sf, "embeddings")
     return SIM.cosine_topk_bruteforce(
-        emb, emb.filter(F.col("vec_id") < 8), k=5
+        emb, emb.filter(F.col("vec_id") < 8), k=5, dim=64
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -425,8 +425,10 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     ≥0.9 with random-projection bands.  Scale: O(n·bands) shuffle +
     per-bucket row-local pairs with the hot-bucket guard — never
     O(n²)."""
+    # dim=64 is the driver-contract embedding dimensionality: the
+    # per-pair dot unrolls into codegen (similarity._dot)
     return SIM.embedding_near_dup(
-        table(spark, sf, "embeddings"), threshold=0.35
+        table(spark, sf, "embeddings"), threshold=0.35, dim=64
     )
 
 
