@@ -336,18 +336,21 @@ def q_join_multiway(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join, selective dims pushed FIRST.
 
     Join order (r5 rework after the SCALING.md α_big=1.21 diagnosis):
-    region(ASIA)⋈nation is 5 rows, broadcast into customer AND
-    (semi) into supplier before any fact join — so the fact stream is
-    cut 5× at its first dimension contact instead of after three
-    joins.  At sf1/sf3 this measured 3.2×/1.6× less CPU than the
-    join-order-as-written plan with identical results.
+    region(ASIA)⋈nation is 5 rows; a broadcast LEFT SEMI of its keys
+    into customer cuts the fact stream 5× at its first dimension
+    contact — one cheap pre-filter stage, with the n_name broadcast
+    join deferred to the end where it runs on 1/5 the rows.  A/B at
+    sf0.1/sf1/sf3 (noop-materialized, min-of-3 cpu-s): 1.53/5.48/34.5
+    vs 3.89/6.59/52.4 for the eager customer⋈nation + supplier-semi
+    variant and 2.98/20.4/73.0 for the join-order-as-written plan —
+    identical results everywhere.
 
     Scale: orders⋈lineitem is the one big shuffle (both sides huge,
     sort-merge on orderkey at 100 TB); customer/supplier joins are
     left to AQE — broadcast at validation SFs, shuffle at 100 TB.
-    The α_big=1.21 fit across sf1→sf3 was a one-time AQE strategy
-    transition (filtered orders fit the broadcast threshold at sf1,
-    flipped to SMJ at sf3 — two new fact shuffles appear at the flip
+    The α_big>1 fit across sf1→sf3 is a one-time AQE strategy
+    transition (filtered orders fit the broadcast threshold below the
+    flip, SMJ above — two new fact shuffles appear at the flip
     point); pinning SMJ at both SFs fits α=0.45–0.91, sublinear.
     Diagnosis + within-strategy fits recorded in SCALING.md."""
     c = table(spark, sf, "customer")
@@ -360,23 +363,19 @@ def q_join_multiway(spark: SparkSession, sf: str) -> DataFrame:
         n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("n_nationkey", "n_name")
     )
-    c_asia = (
-        c.join(F.broadcast(n_asia), c.c_nationkey == n_asia.n_nationkey)
-        .select("c_custkey", "c_nationkey", "n_name")
-    )
-    s_asia = s.join(
+    c_f = c.join(
         F.broadcast(n_asia.select("n_nationkey")),
-        s.s_nationkey == n_asia.n_nationkey,
+        c.c_nationkey == n_asia.n_nationkey,
         "left_semi",
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c_asia, o.o_custkey == c_asia.c_custkey)
+        .join(c_f, o.o_custkey == c_f.c_custkey)
         .join(
-            s_asia,
-            (li.l_suppkey == s_asia.s_suppkey)
-            & (F.col("c_nationkey") == s_asia.s_nationkey),
+            s,
+            (li.l_suppkey == s.s_suppkey) & (c_f.c_nationkey == s.s_nationkey),
         )
+        .join(F.broadcast(n_asia), c_f.c_nationkey == n_asia.n_nationkey)
         .groupBy("n_name")
         .agg(F.sum(F.expr(DISC_PRICE_SQL)).cast("double").alias("revenue"))
     )
