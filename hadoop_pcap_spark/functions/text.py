@@ -65,14 +65,36 @@ def stopword_ratio(col, stopwords=None) -> Column:
 def quality_score(col) -> Column:
     """Composite quality heuristic in [0,1]: long enough, readable
     token lengths, some stopword mass, not punctuation soup.
-    (Shape follows public C4/Gopher-style filters.)"""
-    n = token_count(col)
-    length_term = F.least(n.cast("double") / 50.0, F.lit(1.0))
-    atl = avg_token_len(col)
-    token_term = F.when((atl >= 3) & (atl <= 10), 1.0).otherwise(0.5)
-    sw_term = F.when(stopword_ratio(col) >= 0.05, 1.0).otherwise(0.6)
-    punct_term = F.when(punct_ratio(col) <= 0.1, 1.0).otherwise(0.5)
-    return F.round(0.4 * length_term + 0.2 * token_term + 0.2 * sw_term + 0.2 * punct_term, 6)
+    (Shape follows public C4/Gopher-style filters.)
+
+    The token array is BOUND ONCE via a 1-element-array transform
+    (``element_at(transform(array(tokens), score), 1)``): composing
+    token_count/avg_token_len/stopword_ratio directly would inline
+    the tokenizer regex into each term — HOF-bearing subexpressions
+    sit outside codegen subexpression elimination, so the split ran
+    4× per row (the honest noop-materialized scaling probe surfaced
+    the cost).  Terms and their roundings are byte-identical to the
+    composed form."""
+
+    def _score(toks):
+        n = F.size(toks)
+        length_term = F.least(n.cast("double") / 50.0, F.lit(1.0))
+        total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+        atl = F.round(total_len.cast("double") / F.nullif(n, F.lit(0)), 4)
+        token_term = F.when((atl >= 3) & (atl <= 10), 1.0).otherwise(0.5)
+        sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+        swr = F.round(
+            F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("double")
+            / F.nullif(n, F.lit(0)),
+            6,
+        )
+        sw_term = F.when(swr >= 0.05, 1.0).otherwise(0.6)
+        punct_term = F.when(punct_ratio(col) <= 0.1, 1.0).otherwise(0.5)
+        return F.round(
+            0.4 * length_term + 0.2 * token_term + 0.2 * sw_term + 0.2 * punct_term, 6
+        )
+
+    return F.element_at(F.transform(F.array(tokens(col)), _score), 1)
 
 
 def lang_scores(col) -> dict:
@@ -179,14 +201,61 @@ GOPHER_MWL_MIN, GOPHER_MWL_MAX = 3.0, 10.0
 GOPHER_STOPWORD_MIN = 0.03
 
 
+def _gopher_terms(toks):
+    """(wc_ok, mwl_ok, sw_ok) from a BOUND token-array column —
+    roundings identical to avg_token_len / stopword_ratio."""
+    n = F.size(toks)
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    atl = F.round(total_len.cast("double") / F.nullif(n, F.lit(0)), 4)
+    swarr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    swr = F.round(
+        F.size(F.filter(toks, lambda t: F.array_contains(swarr, t))).cast("double")
+        / F.nullif(n, F.lit(0)),
+        6,
+    )
+    return (
+        n.between(GOPHER_WC_MIN, GOPHER_WC_MAX),
+        (atl >= GOPHER_MWL_MIN) & (atl <= GOPHER_MWL_MAX),
+        swr >= GOPHER_STOPWORD_MIN,
+    )
+
+
+def gopher_flags_struct(col) -> Column:
+    """All three Gopher rule verdicts as ONE struct column with the
+    token array bound once (same 1-element-array transform idiom as
+    quality_score — the composed per-flag form re-ran the tokenizer
+    regex up to 5× per row).  Project this to a column FIRST, then
+    select its fields: CollapseProject keeps the non-cheap,
+    multiply-referenced struct in its own projection."""
+
+    def _flags(toks):
+        wc_ok, mwl_ok, sw_ok = _gopher_terms(toks)
+        return F.struct(
+            wc_ok.alias("wc_ok"), mwl_ok.alias("mwl_ok"), sw_ok.alias("sw_ok")
+        )
+
+    return F.element_at(F.transform(F.array(tokens(col)), _flags), 1)
+
+
+def gopher_keep(col) -> Column:
+    """The conjunction of all Gopher rules as a SINGLE boolean column
+    — the form to use in a ``filter()``: predicate pushdown
+    substitutes projected aliases into filter conditions, so a
+    three-field struct access would re-expand the struct 3×; one
+    boolean evaluates the rules once wherever the filter lands."""
+
+    def _keep(toks):
+        wc_ok, mwl_ok, sw_ok = _gopher_terms(toks)
+        return wc_ok & mwl_ok & sw_ok
+
+    return F.element_at(F.transform(F.array(tokens(col)), _keep), 1)
+
+
 def gopher_flags(col):
     """The per-document Gopher rule verdicts as named boolean columns:
-    word-count band, mean-word-length band, minimum stopword mass."""
-    wc = token_count(col)
-    atl = avg_token_len(col)
-    sw = stopword_ratio(col)
-    return {
-        "wc_ok": wc.between(GOPHER_WC_MIN, GOPHER_WC_MAX),
-        "mwl_ok": (atl >= GOPHER_MWL_MIN) & (atl <= GOPHER_MWL_MAX),
-        "sw_ok": sw >= GOPHER_STOPWORD_MIN,
-    }
+    word-count band, mean-word-length band, minimum stopword mass.
+    Each entry re-derives from its own bound-token lambda — fine for
+    single-flag use; project :func:`gopher_flags_struct` once instead
+    when selecting several flags in one projection."""
+    s = gopher_flags_struct(col)
+    return {k: s[k] for k in ("wc_ok", "mwl_ok", "sw_ok")}

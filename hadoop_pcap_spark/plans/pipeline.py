@@ -1045,11 +1045,17 @@ def q_gopher_filter(spark: SparkSession, sf: str) -> DataFrame:
     embarrassingly parallel and the real output is the filtered
     corpus write (`.filter(keep)`), which shares the same plan."""
     docs = table(spark, sf, "documents")
-    flags = TXT.gopher_flags(F.col("text"))
-    keep = flags["wc_ok"] & flags["mwl_ok"] & flags["sw_ok"]
     one_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    # struct projected once (tokens bound once), fields selected above
+    g = docs.select("source", TXT.gopher_flags_struct(F.col("text")).alias("gf"))
     return (
-        docs.select("source", keep.alias("keep"), *[v.alias(k) for k, v in flags.items()])
+        g.select(
+            "source",
+            (F.col("gf.wc_ok") & F.col("gf.mwl_ok") & F.col("gf.sw_ok")).alias("keep"),
+            F.col("gf.wc_ok").alias("wc_ok"),
+            F.col("gf.mwl_ok").alias("mwl_ok"),
+            F.col("gf.sw_ok").alias("sw_ok"),
+        )
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
@@ -1367,12 +1373,13 @@ def q_corpus_build_stats(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.cache import propagate_persisted, register_persisted
 
     docs = table(spark, sf, "documents")
-    flags = TXT.gopher_flags(F.col("text"))
     # rules feeds four consumers (fingerprints, shingles, the final
     # join, the stage counts) — persist so the corpus is scanned and
-    # rule-scored once, not once per consumer
+    # rule-scored once, not once per consumer.  gopher_keep = ONE
+    # boolean (tokens bound once inside), so pushdown can't re-expand
+    # the rule terms.
     rules = (
-        docs.filter(flags["wc_ok"] & flags["mwl_ok"] & flags["sw_ok"])
+        docs.filter(TXT.gopher_keep(F.col("text")))
         .select("doc_id", "source", TXT.scrub_pii(F.col("text")).alias("text"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

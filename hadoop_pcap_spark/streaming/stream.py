@@ -264,12 +264,10 @@ def streaming_corpus_filter(
     Scale: rules/scrub ride the stream's map stage; the dedup state
     store holds one 128-bit fingerprint per surviving doc within the
     watermark — eviction is exactly the watermark contract."""
-    from ..functions.text import exact_fingerprint, gopher_flags, scrub_pii
+    from ..functions.text import exact_fingerprint, gopher_keep, scrub_pii
 
-    flags = gopher_flags(F.col(text_col))
-    keep = flags["wc_ok"] & flags["mwl_ok"] & flags["sw_ok"]
     cleaned = (
-        docs.filter(keep)
+        docs.filter(gopher_keep(F.col(text_col)))
         .withColumn(text_col, scrub_pii(F.col(text_col)))
         .withColumn("fp", exact_fingerprint(F.col(text_col)))
     )
