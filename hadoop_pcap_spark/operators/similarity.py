@@ -126,19 +126,25 @@ def _hyperplanes(n_planes: int, dim: int, tag: str = "plane") -> List[List[float
     return planes
 
 
+def _proj(vec_col, plane: List[float]):
+    """Σ vec[i]·w_i with the plane weights inlined as double literals
+    — stays in whole-stage codegen.  The aggregate/zip_with fold it
+    replaces is a CodegenFallback expression (interpreted per row +
+    a zipped-array allocation per plane).  Sum order matches the
+    fold's exactly: the fold starts from 0.0 and 0.0 + x == x in
+    IEEE, so signs (all any consumer uses) and values are
+    bit-identical."""
+    t = F.element_at(vec_col, 1).cast("double") * F.lit(plane[0])
+    for i in range(1, len(plane)):
+        t = t + F.element_at(vec_col, i + 1).cast("double") * F.lit(plane[i])
+    return t
+
+
 def lsh_bucket(vec_col, planes: List[List[float]]):
     """Sign-pattern bucket id for a vector column under the planes."""
     bucket = F.lit(0)
     for p_idx, plane in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.array(*[F.lit(w) for w in plane]),
-                lambda x, w: x.cast("double") * w,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        proj = _proj(vec_col, plane)
         bucket = bucket + F.when(proj > 0, F.lit(1 << p_idx)).otherwise(F.lit(0))
     return bucket
 
@@ -383,22 +389,15 @@ def rp_sign_bands(
     with p = 1 - acos(t)/π — defaults give ≈0.98 at t=0.9.
 
     Scale: identical shuffle shape to sign_bands — O(n·n_bands) band
-    rows into the one-shuffle bucket builder; the projection work is
-    whole-stage-codegen array folds, no Python."""
+    rows into the one-shuffle bucket builder; projections are
+    unrolled literal-weight sums inside whole-stage codegen
+    (:func:`_proj`), no Python."""
     bands = []
     for b in range(n_bands):
         planes = _hyperplanes(band_planes, dim, tag=f"rp:{seed}:{b}")
         bits = []
         for plane in planes:
-            proj = F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(w) for w in plane]),
-                    lambda x, w: x.cast("double") * w,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
+            proj = _proj(F.col(vec_col), plane)
             bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
         bands.append(F.struct(F.lit(b).alias("band"), F.concat(*bits).alias("key")))
     return vecs.select(
