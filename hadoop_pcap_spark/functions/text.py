@@ -110,14 +110,26 @@ def lang_scores(col) -> dict:
 
 def lang_guess(col) -> Column:
     """argmax of lang_scores with deterministic tie-break (priority
-    order en>de>fr>es>zh); 'und' when no marker hits."""
-    scores = lang_scores(col)
-    langs = list(LANG_MARKERS)
-    best = F.greatest(*[scores[l] for l in langs])
-    expr = F.when(best == 0, "und")
-    for l in langs:
-        expr = expr.when(scores[l] == best, l)
-    return expr
+    order en>de>fr>es>zh); 'und' when no marker hits.
+
+    Computed inside ONE bound-token lambda (quality_score's idiom):
+    composing lang_scores directly referenced each per-language score
+    expression 2-3× (greatest + the when-chain), re-running the
+    tokenizer ~15× per row outside codegen CSE."""
+
+    def _guess(toks):
+        scores = {}
+        for lang, markers in LANG_MARKERS.items():
+            arr = F.array(*[F.lit(m) for m in markers])
+            scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        langs = list(LANG_MARKERS)
+        best = F.greatest(*[scores[l] for l in langs])
+        expr = F.when(best == 0, "und")
+        for l in langs:
+            expr = expr.when(scores[l] == best, l)
+        return expr
+
+    return F.element_at(F.transform(F.array(tokens(col)), _guess), 1)
 
 
 def fingerprint(col) -> Column:
