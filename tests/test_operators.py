@@ -82,7 +82,12 @@ def test_minhash_150k_low_memory():
         "from hadoop_pcap_spark.operators import dedup as DD, release_persisted\n"
         "spark = (SparkSession.builder.master('local[8]')\n"
         "    .config('spark.driver.memory', '1g')\n"
-        "    .config('spark.sql.shuffle.partitions', '8')\n"
+        # 16 partitions on 8 threads: each concurrent sort buffer
+        # holds half the rows, halving the peak under the 1 GiB
+        # ceiling — the all-8-maximal-sorts schedule was flaky under
+        # CPU contention (passed alone, OOM'd ~50% inside full-suite
+        # runs); the corpus size and heap stay the claim
+        "    .config('spark.sql.shuffle.partitions', '16')\n"
         "    .config('spark.ui.enabled', 'false').getOrCreate())\n"
         "spark.sparkContext.setLogLevel('ERROR')\n"
         "docs = spark.read.parquet('/tmp/spark_graft_sf3/documents.parquet')\n"
