@@ -351,9 +351,11 @@ def minhash_lsh_pairs(
     out of ONE md5-halves pass per doc — the string arrays are never
     persisted and never shuffled.  The old floor was the sort of
     string-array-bearing rows (~256 MB/core at 150k docs: 1 GiB
-    local[8] OOM'd); the int64 rows are ~3× smaller and 150k docs now
-    run clean in the same 1 GiB harness (tests/test_operators.py::
-    test_minhash_150k_low_memory)."""
+    local[8] OOM'd at any storage level); the int64 rows are ~3×
+    smaller and 150k docs run clean in the same 1 GiB harness with
+    ``storage_level=DISK_ONLY`` — the knob to use when the cache is
+    a meaningful fraction of executor memory (gate:
+    tests/test_operators.py::test_minhash_150k_low_memory)."""
     # Small-file inputs arrive as one partition; shingling + 8×md5 is
     # the dominant cost and embarrassingly parallel — spread it first
     # (at real scale the input is many files and this is already true).

@@ -91,7 +91,13 @@ def test_minhash_150k_low_memory():
         "    .config('spark.ui.enabled', 'false').getOrCreate())\n"
         "spark.sparkContext.setLogLevel('ERROR')\n"
         "docs = spark.read.parquet('/tmp/spark_graft_sf3/documents.parquet')\n"
-        "pairs = DD.minhash_lsh_pairs(docs, threshold=0.5)\n"
+        # DISK_ONLY is the documented knob for heaps where the cache
+        # is a meaningful fraction of executor memory — on a 1 GiB
+        # heap the MEMORY_AND_DISK int64 cache still occasionally
+        # tipped a near-floor run over during spill re-reads
+        "from pyspark import StorageLevel\n"
+        "pairs = DD.minhash_lsh_pairs(docs, threshold=0.5,\n"
+        "    storage_level=StorageLevel.DISK_ONLY)\n"
         "print('N_PAIRS=' + str(pairs.count()))\n"
         "release_persisted(pairs)\n"
     )
