@@ -504,25 +504,43 @@ def simhash_banded_pairs(
     ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a = bands.alias("a")
     b = bands.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.band").alias("band"),
+        F.col("a.doc_id").alias("a"),
+        F.col("b.doc_id").alias("b"),
+        F.col("a.simhash").alias("simhash_a"),
+        F.col("b.simhash").alias("simhash_b"),
+    )
+    # Exactly-once emission WITHOUT a global distinct: a pair agreeing
+    # on several bands joins once per agreeing band, and the agreeing
+    # band set is computable row-locally from xor(simhash) — keep only
+    # the row whose band is the FIRST agreeing one (every lower band
+    # differs).  The r4 shape shuffled every duplicate pair row into a
+    # DISTINCT — 660M rows at the 30× SF; this filter is map-side and
+    # emission is unique by construction.
+    xor = F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))
+    band_differs = [
+        (F.shiftright(xor, j * width).bitwiseAND(F.lit(mask)) != 0)
+        for j in range(n_bands)
+    ]
+    first_band = F.lit(True)
+    for k in range(n_bands - 1, 0, -1):
+        lower_all_differ = band_differs[0]
+        for j in range(1, k):
+            lower_all_differ = lower_all_differ & band_differs[j]
+        first_band = F.when(F.col("band") == k, lower_all_differ).otherwise(
+            first_band
+        )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("a"),
-            F.col("b.doc_id").alias("b"),
-            F.col("a.simhash").alias("simhash_a"),
-            F.col("b.simhash").alias("simhash_b"),
-        )
-        .distinct()
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))),
-        )
+        joined.filter(first_band)
+        .withColumn("hamming", F.bit_count(xor))
         .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "simhash_a", "simhash_b", "hamming")
     )
 
 
