@@ -22,7 +22,7 @@ def _registry():
     from hadoop_pcap_spark import plans
 
     plans.load_all()
-    return plans.QUERIES, plans.ORACLES
+    return plans.QUERIES, plans.resolved_oracles()
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -35,104 +35,61 @@ def entry(spark: SparkSession) -> DataFrame:
     return queries_map["corpus_build_stats"](spark, "/root/testdata/sf0.001")
 
 
-# Run first, in this order: the oracle-bearing queries the driver's
-# capped (~50-row) correctness window has NOT yet hash-verified in any
-# round, then a core of family representatives for continuity.  The
-# window ROTATES each round (VERDICT r3 item 4): r4 promoted 37 of the
-# 49 previously uncovered queries; round 5 front-loads the remaining
-# 13 (CORRECTNESS_r04 ended at tpch_q7_volume_shipping) so that, once
-# green, all 100 oracle queries have a driver-verified row lifetime.
-# Every entry here MUST carry an oracle — rows-only queries never burn
-# a slot inside the driver's cap (VERDICT r2 item 2).
-_PRIORITY = [
-    # r5 rotation head: the 13 oracle queries never driver-verified in
-    # r1-r4 (VERDICT r4 item 1) — family-diverse ordering not needed;
-    # all 13 fit comfortably inside the cap.
-    "dedup_simhash_wide",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_parts",
-    "tpch_q12_late_lines_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive",
-    "tpch_q20_excess_shipments",
-    "tpch_q22_idle_customers",
-    # new in r5: the five fixture pcap queries gained synthesizer
-    # ground-truth oracles — first driver hash verification
-    "pcap_port_count",
-    "pcap_dns_qname_topk",
-    "pcap_dedup_md5",
-    "pcap_flow_stats",
-    "pcap_multimodal_payload",
-    # core family representatives (driver-green in r3/r4)
-    "tpch_q1",
-    "projection_filter",
-    "join_broadcast_dim",
-    "window_topn_per_group",
-    "dedup_exact_fingerprint",
-    "dedup_minhash_lsh",
-    "similarity_cosine_topk",
-    "text_quality_scores",
-    "rollup_region_nation",
-    "join_asof_nearest",
-    "time_bucket_tumbling",
-    "topk_global",
-    "corpus_build_stats",
-    # remainder of the r4 window (all driver-green in r4), kept in the
-    # same family-diverse order so a wider cap re-verifies breadth
-    "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue",
-    "datetime_functions",
-    "json_map_functions",
-    "case_when_bucketing",
-    "pivot_wide",
-    "scalar_subquery",
-    "having_filter",
-    "stats_functions",
-    "percentiles_exact",
-    "sessionize_batch",
-    "argmax_per_group",
-    "explode_unnest",
-    "union_by_name",
-    "window_first_last",
-    "net_ipv4_prefix_agg",
-    "window_ranks",
-    "join_full_outer",
-    "cross_join_small",
-    "null_functions",
-    "bool_aggregates",
-    "map_functions",
-    "embedding_array_stats",
-    "text_fingerprint",
-    "text_tfidf_top_terms",
-    "dedup_cluster_components",
-    "dedup_corpus_keep_set",
-    "text_token_budget",
-    "text_pii_scrub",
-    "docs_hash_sample",
-    "docs_stratified_sample",
-    "decontaminate_ngram_overlap",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q10_returned_items",
-    "tpch_q18_large_orders",
-    "tpch_q4_order_priority",
-    "tpch_q7_volume_shipping",
-]
+def _staleness_order(queries_map, oracles_map) -> list[str]:
+    """Oracle-bearing queries ordered least-recently-driver-verified
+    first (VERDICT r5 item 5) — computed from the committed
+    ``CORRECTNESS_r*.json`` artifacts, so the rotation maintains
+    itself every round instead of needing a hand-reordered list:
+
+    * queries with no green driver row in ANY round head the list
+      (new oracles enter the window immediately);
+    * then ascending by the round of their most recent green row, so
+      the driver's capped (~50-row) window always re-verifies the
+      stalest entries and lifetime staleness stays bounded;
+    * name as the tie-break keeps the order deterministic.
+
+    Every name this returns carries an oracle — rows-only queries
+    never burn a slot inside the driver's cap (VERDICT r2 item 2)."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last_green: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("hash_match")
+                and not row.get("err")
+            ):
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    return sorted(
+        (k for k in queries_map if k in oracles_map),
+        key=lambda k: (last_green.get(k, 0), k),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Family representatives first, then the remaining oracle-bearing
-    queries (relational → pipeline → pcap, in registration order),
-    rows-only checks last — if the driver caps or time-boxes its run,
-    the hard hash-compared queries are never the ones dropped, and
-    every operator family keeps at least one hash-compared row."""
+    """Oracle-bearing queries in staleness order (least recently
+    driver-verified first), rows-only checks last — if the driver caps
+    or time-boxes its run, the slots go to the hash-compared queries
+    that need re-verification most, and rows-only probes are never the
+    reason a hash row is dropped."""
     queries_map, oracles_map = _registry()
-    ordered = {k: queries_map[k] for k in _PRIORITY if k in queries_map}
-    ordered.update({k: v for k, v in queries_map.items() if k in oracles_map})
+    ordered = {
+        k: queries_map[k] for k in _staleness_order(queries_map, oracles_map)
+    }
     ordered.update({k: v for k, v in queries_map.items() if k not in oracles_map})
     return ordered
 

@@ -217,10 +217,25 @@ def main():
     # stage dirs for this dataset (old mtime keys) so tmp is bounded.
     import shutil
 
-    for old in os.listdir(tempfile.gettempdir()):
-        if old.startswith(stage_prefix) and old != stage_prefix + src_key:
-            shutil.rmtree(os.path.join(tempfile.gettempdir(), old),
-                          ignore_errors=True)
+    def _drop_stale_stage_dirs(prefix: str, keep: str) -> None:
+        """Remove superseded stage dirs for this dataset, but only
+        ones idle >1h: a CONCURRENT bench against the same dataset
+        basename (different mtime key) must not have its in-use
+        staging deleted mid-run (ADVICE r5) — an active writer keeps
+        its dir's mtime fresh."""
+        now = time.time()
+        for old in os.listdir(tempfile.gettempdir()):
+            if not old.startswith(prefix) or old == keep:
+                continue
+            p = os.path.join(tempfile.gettempdir(), old)
+            try:
+                idle = now - os.stat(p).st_mtime
+            except OSError:
+                continue
+            if idle > 3600:
+                shutil.rmtree(p, ignore_errors=True)
+
+    _drop_stale_stage_dirs(stage_prefix, stage_prefix + src_key)
     if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
         (
             spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -236,30 +251,48 @@ def main():
             .parquet(stage_dir)
         )
 
+    # State-partition sizing for the streaming rows: the measured cost
+    # of a stateful streaming micro-batch is DOMINATED by a ~0.45
+    # cpu-s per-state-partition fixed term (state-store commit + one
+    # Python worker fork per partition — tools/profile_streaming.py;
+    # per-row work is noise at this rate), so state partitions are a
+    # capacity knob sized to key cardinality × arrival rate, NOT to
+    # core count.  The corpora here carry ≤1.5k keys per batch → 8
+    # partitions (19.6 → ~6.7 cpu-s on the flow counters, identical
+    # output); at 100× the rate the same sizing logic yields a bigger
+    # number.  spark.sql.shuffle.partitions is read at FIRST query
+    # start and freezes into the checkpoint, so it is set around each
+    # streaming query and restored for the batch queries.
+    stream_parts = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+
     def time_stream(name: str, build, output_mode: str) -> None:
         """Min-of-N a streaming query end-to-end (source → noop sink,
         processAllAvailable) and record it as a FIRST-CLASS headline
         row (VERDICT r4 item 8: streaming regressions must gate like
         batch ones, not live in extras)."""
         best = best_cpu = None
-        for _ in range(runs):
-            ckpt = tempfile.mkdtemp(prefix="bench_stream_ckpt_")
-            c0 = proc_tree_cpu()
-            t0 = time.time()
-            q = (
-                build()
-                .writeStream.outputMode(output_mode)
-                .format("noop")
-                .option("checkpointLocation", ckpt)
-                .start()
-            )
-            q.processAllAvailable()
-            q.stop()
-            dt = time.time() - t0
-            dc = proc_tree_cpu() - c0
-            shutil.rmtree(ckpt, ignore_errors=True)
-            best = dt if best is None else min(best, dt)
-            best_cpu = dc if best_cpu is None else min(best_cpu, dc)
+        spark.conf.set("spark.sql.shuffle.partitions", stream_parts)
+        try:
+            for _ in range(runs):
+                ckpt = tempfile.mkdtemp(prefix="bench_stream_ckpt_")
+                c0 = proc_tree_cpu()
+                t0 = time.time()
+                q = (
+                    build()
+                    .writeStream.outputMode(output_mode)
+                    .format("noop")
+                    .option("checkpointLocation", ckpt)
+                    .start()
+                )
+                q.processAllAvailable()
+                q.stop()
+                dt = time.time() - t0
+                dc = proc_tree_cpu() - c0
+                shutil.rmtree(ckpt, ignore_errors=True)
+                best = dt if best is None else min(best, dt)
+                best_cpu = dc if best_cpu is None else min(best_cpu, dc)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", cpus)
         timings[name] = round(best, 3)
         cpu_timings[name] = round(best_cpu, 3)
         print(
@@ -289,10 +322,7 @@ def main():
     ).hexdigest()[:12]
     ev_prefix = f"bench_stream_events_{os.path.basename(sf_dir)}_"
     ev_stage = os.path.join(tempfile.gettempdir(), ev_prefix + ev_key)
-    for old in os.listdir(tempfile.gettempdir()):
-        if old.startswith(ev_prefix) and old != ev_prefix + ev_key:
-            shutil.rmtree(os.path.join(tempfile.gettempdir(), old),
-                          ignore_errors=True)
+    _drop_stale_stage_dirs(ev_prefix, ev_prefix + ev_key)
     if not os.path.exists(os.path.join(ev_stage, "_SUCCESS")):
         (
             plans.table(spark, sf_dir, "events")

@@ -7,7 +7,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def explode_computed(arr: Column | str, never_empty: bool = False):
+def explode_computed(arr: Column | str, never_empty: bool = True):
     """``explode`` for a COMPUTED array expression without the
     inferred-filter double evaluation.
 
@@ -27,15 +27,24 @@ def explode_computed(arr: Column | str, never_empty: bool = False):
     ``explode_outer`` infers nothing.  Its only semantic difference:
     a NULL/empty array emits one all-NULL row instead of no row, so:
 
-    * ``never_empty=True`` — caller guarantees the array is non-empty
-      (e.g. shingle arrays always hold at least the whole-text
-      shingle): pure drop-in, zero extra operators.
-    * ``never_empty=False`` (default) — the returned column must be
-      re-filtered by the caller with ``isNotNull()`` ON THE EXPLODED
-      OUTPUT; a filter referencing the generator output cannot be
-      pushed below the Generate, so the construction still evaluates
-      once.  :func:`explode_tokens` packages that pattern.
+    * ``never_empty=True`` (the only accepted value) — caller
+      guarantees the array is non-empty (e.g. shingle arrays always
+      hold at least the whole-text shingle): pure drop-in, zero extra
+      operators.
+    * possibly-empty arrays — use :func:`explode_tokens`, which owns
+      the required ``isNotNull()`` re-filter ON THE EXPLODED OUTPUT (a
+      filter referencing the generator output cannot be pushed below
+      the Generate, so the construction still evaluates once).  This
+      function REFUSES ``never_empty=False`` rather than silently
+      returning the unfiltered explode_outer (one all-NULL row per
+      empty/NULL array) — ADVICE r5.
     """
+    if not never_empty:
+        raise ValueError(
+            "explode_computed requires never_empty=True; for "
+            "possibly-empty arrays use explode_tokens, which applies "
+            "the isNotNull() re-filter on the exploded output"
+        )
     return F.explode_outer(arr)
 
 

@@ -53,11 +53,21 @@ def bucketed_join(
     right_table: str,
     on: str | Sequence[str],
     how: str = "inner",
+    merge: bool = False,
 ) -> DataFrame:
     """Join two same-bucket-count tables on their bucket key.  With
     bucketing in place Catalyst plans this as SortMergeJoin over the
     pre-partitioned scans — zero Exchange; without it the same code
     would shuffle both sides.  (AQE is the fallback, not the plan:
-    bucketing removes the work, AQE only splits it better.)"""
+    bucketing removes the work, AQE only splits it better.)
+
+    ``merge=True`` adds the SMJ hint — for demo/small tables where one
+    side would otherwise fit autoBroadcastJoinThreshold and Catalyst
+    would pick a broadcast join, hiding the exchange-free property the
+    bucketing exists to provide (at production scale neither side
+    broadcasts and the hint is a no-op)."""
     on_cols = [on] if isinstance(on, str) else list(on)
-    return spark.table(left_table).join(spark.table(right_table), on_cols, how)
+    left = spark.table(left_table)
+    if merge:
+        left = left.hint("merge")
+    return left.join(spark.table(right_table), on_cols, how)

@@ -35,8 +35,16 @@ def _dot(a, b, dim: Optional[int] = None):
     allocation — measured 135 s → ~30 s on the sf3 embedding verify
     join (1.3M candidate pairs).  Both forms sum left-to-right in
     index order, so the doubles are bit-identical and the DuckDB
-    oracles keep matching.  Under ANSI mode a wrong ``dim`` fails
-    loudly (element_at out of bounds) instead of silently truncating.
+    oracles keep matching.
+
+    A wrong ``dim`` fails LOUDLY in both SQL modes: under ANSI,
+    element_at raises out-of-bounds; under default mode element_at
+    would return NULL — every cosine silently NULL, threshold filters
+    dropping all rows (ADVICE r5) — so an assert_true size guard is
+    folded into the sum (NULL when it passes, coalesced to +0.0; a
+    per-row length read, negligible next to the multiply-adds).  NULL
+    arrays keep their pre-guard semantics: dot is NULL, row drops at
+    the threshold filter.
     """
     if dim is not None:
         t = F.element_at(a, 1).cast("double") * F.element_at(b, 1).cast("double")
@@ -45,7 +53,12 @@ def _dot(a, b, dim: Optional[int] = None):
                 F.element_at(a, i).cast("double")
                 * F.element_at(b, i).cast("double")
             )
-        return t
+        guard = F.assert_true(
+            a.isNull() | b.isNull()
+            | ((F.size(a) == dim) & (F.size(b) == dim)),
+            f"_dot: embedding array is not the contracted dim={dim}",
+        )
+        return t + F.coalesce(guard.cast("double"), F.lit(0.0))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

@@ -157,11 +157,17 @@ def dns_tcp_segments(messages: Iterable[bytes],
     return segs
 
 
-def dns_tcp_exchange_pcap(ts: int = 1317993942) -> bytes:
-    """A DNS-over-TCP capture for flow reassembly: client query in one
-    segment; a large response split mid-message across two segments,
-    with a second (small) response sharing the tail segment — so both
-    "message spans segments" and "segment carries >1 message" occur."""
+def _dns_tcp_exchange_parts():
+    """Messages, per-message intent, and the segment split plan shared
+    by :func:`dns_tcp_exchange_pcap` (capture bytes) and
+    :func:`dns_tcp_exchange_truth` (expected reassembly rows) — both
+    derive from these SAME synthesis parameters, so the truth never
+    comes from running the decoder.
+
+    Intent tuples are (queryid, qname-as-parsed, qr, n_answers); the
+    qname is the synthesis qname lowercased + trailing dot, which is
+    the RFC 1035 presentation form the parser is contracted to emit.
+    """
     q = dns_query(0x4242, "bigzone.example", 252)  # AXFR-ish motif
     r1 = dns_response(
         0x4242, "bigzone.example", 252,
@@ -172,9 +178,28 @@ def dns_tcp_exchange_pcap(ts: int = 1317993942) -> bytes:
                       answers=[("bigzone.example", 600, 2,
                                 ns_rdata("ns1.bigzone.example"))])
     cli, srv = "192.0.2.10", "192.0.2.53"
-    q_segs = dns_tcp_segments([q], [2 + len(q)])
-    # response stream split so segment 1 ends mid-r1
-    r_segs = dns_tcp_segments([r1, r2], [120])
+    q_msgs = [q]
+    q_intent = [(0x4242, "bigzone.example.", False, 0)]
+    q_splits = [2 + len(q)]  # query in exactly one segment
+    r_msgs = [r1, r2]
+    r_intent = [(0x4242, "bigzone.example.", True, 20),
+                (0x4243, "bigzone.example.", True, 1)]
+    # response stream split so segment 1 ends mid-r1 AND segment 2
+    # carries both the rest of r1 and all of r2: "message spans
+    # segments" and "segment carries >1 message" both occur
+    r_splits = [120]
+    return cli, srv, q_msgs, q_intent, q_splits, r_msgs, r_intent, r_splits
+
+
+def dns_tcp_exchange_pcap(ts: int = 1317993942) -> bytes:
+    """A DNS-over-TCP capture for flow reassembly: client query in one
+    segment; a large response split mid-message across two segments,
+    with a second (small) response sharing the tail segment — so both
+    "message spans segments" and "segment carries >1 message" occur."""
+    (cli, srv, q_msgs, _qi, q_splits,
+     r_msgs, _ri, r_splits) = _dns_tcp_exchange_parts()
+    q_segs = dns_tcp_segments(q_msgs, q_splits)
+    r_segs = dns_tcp_segments(r_msgs, r_splits)
     out = global_header(1)
     t = ts
     for seg in q_segs:
@@ -184,6 +209,38 @@ def dns_tcp_exchange_pcap(ts: int = 1317993942) -> bytes:
         out += record(t, ethernet(ipv4(tcp(seg, 53, 40000), 6, srv, cli)))
         t += 1
     return out
+
+
+def dns_tcp_exchange_truth() -> list:
+    """Expected reassembled-message rows for
+    :func:`dns_tcp_exchange_pcap`, computed from the synthesis
+    parameters only (message intents + segment split plan — never from
+    running the decoder): one dict per DNS message, in per-flow
+    capture/msg_no order.  ``n_segments`` is the per-flow segment
+    count, which falls out of the same ``dns_tcp_segments`` framing
+    arithmetic that sized the capture's packets."""
+    (cli, srv, q_msgs, q_intent, q_splits,
+     r_msgs, r_intent, r_splits) = _dns_tcp_exchange_parts()
+    rows = []
+    for src, dst, sp, dp, msgs, intents, splits in (
+        (cli, srv, 40000, 53, q_msgs, q_intent, q_splits),
+        (srv, cli, 53, 40000, r_msgs, r_intent, r_splits),
+    ):
+        n_segs = len(dns_tcp_segments(msgs, splits))
+        for msg_no, (qid, qname, qr, n_ans) in enumerate(intents, start=1):
+            rows.append(
+                {
+                    "src": src, "dst": dst,
+                    "src_port": sp, "dst_port": dp,
+                    "msg_no": msg_no,
+                    "dns_queryid": qid,
+                    "dns_qname": qname,
+                    "dns_qr": qr,
+                    "n_segments": n_segs,
+                    "n_answers": n_ans,
+                }
+            )
+    return rows
 
 
 def ns_rdata(target: str) -> bytes:

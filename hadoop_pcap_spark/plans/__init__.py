@@ -23,12 +23,16 @@ Conventions that keep the value-hash comparison stable:
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict, Optional, Union
 
 from pyspark.sql import DataFrame, SparkSession
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: Dict[str, str] = {}
+# value: DuckDB SQL string, or a zero-arg callable returning one — the
+# callable form defers fixture-building side effects (tempdir writes,
+# pyarrow imports) out of module import and into oracle access
+# (ADVICE r5: import must stay side-effect-free)
+ORACLES: Dict[str, Union[str, Callable[[], str]]] = {}
 
 # the driver-provided warehouse tables — the single source of truth
 # for every consumer (SQL view registration, the oracle gate, tools)
@@ -38,9 +42,11 @@ WAREHOUSE_TABLES = (
 )
 
 
-def query(name: str, oracle: Optional[str] = None):
-    """Register a named query; ``oracle`` is DuckDB SQL or None for
-    non-SQL-expressible ops (driver then does a rows-only check)."""
+def query(name: str, oracle: Union[str, Callable[[], str], None] = None):
+    """Register a named query; ``oracle`` is DuckDB SQL (a string, or a
+    zero-arg callable returning one for oracles whose SQL embeds a
+    lazily-built fixture path) or None for non-SQL-expressible ops
+    (driver then does a rows-only check)."""
 
     def deco(fn):
         QUERIES[name] = fn
@@ -49,6 +55,13 @@ def query(name: str, oracle: Optional[str] = None):
         return fn
 
     return deco
+
+
+def resolved_oracles() -> Dict[str, str]:
+    """ORACLES with every callable entry resolved to its SQL string —
+    the form the driver contract (``oracle_sql()``) and the compare
+    tools consume.  Resolution is where fixture side effects happen."""
+    return {k: (v() if callable(v) else v) for k, v in ORACLES.items()}
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -82,3 +95,4 @@ def load_all() -> None:
     from . import relational  # noqa: F401
     from . import pipeline  # noqa: F401
     from . import pcap_queries  # noqa: F401
+    from . import scale_ops  # noqa: F401

@@ -82,27 +82,52 @@ def fixture_dir() -> str:
     return d
 
 
+def _write_truth_parquet(subdir: str, rows: list, schema_fields: list) -> str:
+    """Write a synthesis-intent ground-truth table as parquet (tmp +
+    rename, idempotent) and return its path.  ``schema_fields`` is a
+    list of (name, pyarrow-type-name) pairs — pyarrow is imported here,
+    at build time, so merely importing this module needs neither
+    pyarrow nor a writable tempdir (ADVICE r5: import side effects).
+    Subdirs are VERSIONED (dnstput convention): bump when the schema
+    changes so a shared SPARK_GRAFT_FIXTURE_DIR can't serve a stale
+    layout."""
+    d = _fixture_subdir(subdir)
+    path = os.path.join(d, "expected.parquet")
+    if os.path.exists(path):
+        return path
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [(n, getattr(pa, t)()) for n, t in schema_fields]
+    )
+    table = pa.Table.from_pylist(rows, schema=schema)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".parquet")
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp)
+        os.rename(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+    return path
+
+
 def fixture_truth_path() -> str:
     """Ground-truth packet table for :func:`fixture_dir`, as parquet.
 
     One row per (file, pkt_no), with every column computed from the
     SYNTHESIZER's parameters (synth.dns_exchange_frames intent dicts;
     md5/size from the synthesized frame bytes) — never from running
-    the decoder.  This gives the four pcap fixture queries a real
-    DuckDB oracle (VERDICT r4 item 6): the driver's hash compare now
-    asserts decoder output == synthesis intent, where previously they
-    were rows-only.  Lives in its own subdir — the pcap reader globs
-    fixture_dir() and must not see a parquet file.  Subdir is
-    VERSIONED (dnstput convention): bump when the schema changes so a
-    shared SPARK_GRAFT_FIXTURE_DIR can't serve a stale layout."""
-    d = _fixture_subdir("fixture_truth_v2")
-    path = os.path.join(d, "expected_packets.parquet")
-    if os.path.exists(path):
-        return path
-    import hashlib
+    the decoder.  This gives the pcap fixture queries a real DuckDB
+    oracle (VERDICT r4 item 6): the driver's hash compare asserts
+    decoder output == synthesis intent.  Lives in its own subdir — the
+    pcap reader globs fixture_dir() and must not see a parquet file.
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    Built lazily at oracle-resolution time (the @query oracles below
+    are callables), never at import."""
+    import hashlib
 
     frames = S.dns_exchange_frames()
     rows = []
@@ -128,50 +153,58 @@ def fixture_truth_path() -> str:
                     "payload_md5": hashlib.md5(meta["payload"]).hexdigest(),
                 }
             )
-    schema = pa.schema(
+    return _write_truth_parquet(
+        "fixture_truth_v3",
+        rows,
         [
-            ("file", pa.string()),
-            ("pkt_no", pa.int64()),
-            ("ts", pa.int64()),
-            ("ts_usec", pa.int64()),
-            ("size", pa.int64()),
-            ("src", pa.string()),
-            ("dst", pa.string()),
-            ("src_port", pa.int64()),
-            ("dst_port", pa.int64()),
-            ("protocol", pa.string()),
-            ("md5", pa.string()),
-            ("dns_qname", pa.string()),
-            ("dns_qr", pa.bool_()),
-            ("payload_len", pa.int64()),
-            ("payload_magic_hex", pa.string()),
-            ("payload_md5", pa.string()),
-        ]
+            ("file", "string"),
+            ("pkt_no", "int64"),
+            ("ts", "int64"),
+            ("ts_usec", "int64"),
+            ("size", "int64"),
+            ("src", "string"),
+            ("dst", "string"),
+            ("src_port", "int64"),
+            ("dst_port", "int64"),
+            ("protocol", "string"),
+            ("md5", "string"),
+            ("dns_qname", "string"),
+            ("dns_qr", "bool_"),
+            ("payload_len", "int64"),
+            ("payload_magic_hex", "string"),
+            ("payload_md5", "string"),
+        ],
     )
-    table = pa.Table.from_pylist(rows, schema=schema)
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".parquet")
-    os.close(fd)
-    try:
-        pq.write_table(table, tmp)
-        os.rename(tmp, path)
-    except BaseException:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
-        raise
-    return path
 
 
-# Built at import so the oracle SQL below can embed the path; the
-# build is a ~4-row parquet next to the (equally import-cheap) 4-packet
-# fixture, idempotent and atomic under SPARK_GRAFT_FIXTURE_DIR sharing.
-_TRUTH = fixture_truth_path()
+def tcp_truth_path() -> str:
+    """Ground-truth reassembled-message table for
+    :func:`tcp_fixture_dir` — one row per expected DNS message, from
+    synth.dns_tcp_exchange_truth (synthesis parameters + framing
+    arithmetic, decoder never consulted)."""
+    return _write_truth_parquet(
+        "tcp_truth_v1",
+        S.dns_tcp_exchange_truth(),
+        [
+            ("src", "string"),
+            ("dst", "string"),
+            ("src_port", "int64"),
+            ("dst_port", "int64"),
+            ("msg_no", "int64"),
+            ("dns_queryid", "int64"),
+            ("dns_qname", "string"),
+            ("dns_qr", "bool_"),
+            ("n_segments", "int64"),
+            ("n_answers", "int64"),
+        ],
+    )
 
 
 @query(
     "pcap_port_count",
-    oracle=f"""
+    oracle=lambda: f"""
     SELECT src_port, count(*) AS n
-    FROM '{_TRUTH}'
+    FROM '{fixture_truth_path()}'
     WHERE src_port IS NOT NULL
     GROUP BY src_port
     """,
@@ -191,9 +224,9 @@ def q_pcap_port_count(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "pcap_dns_qname_topk",
-    oracle=f"""
+    oracle=lambda: f"""
     SELECT dns_qname, count(*) AS n_queries
-    FROM '{_TRUTH}'
+    FROM '{fixture_truth_path()}'
     WHERE dns_qname IS NOT NULL AND NOT dns_qr
     GROUP BY dns_qname
     ORDER BY n_queries DESC, dns_qname ASC
@@ -216,9 +249,9 @@ def q_pcap_dns_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "pcap_dedup_md5",
-    oracle=f"""
+    oracle=lambda: f"""
     SELECT md5, count(*) AS n_copies, min(pkt_no) AS first_pkt
-    FROM '{_TRUTH}'
+    FROM '{fixture_truth_path()}'
     GROUP BY md5
     HAVING count(*) > 1
     """,
@@ -238,12 +271,12 @@ def q_pcap_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "pcap_multimodal_payload",
-    oracle=f"""
+    oracle=lambda: f"""
     SELECT file AS fname, pkt_no,
            payload_len AS payload_bytes,
            payload_magic_hex AS magic_hex,
            payload_md5
-    FROM '{_TRUTH}'
+    FROM '{fixture_truth_path()}'
     WHERE payload_len IS NOT NULL
     """,
 )
@@ -277,13 +310,24 @@ def tcp_fixture_dir() -> str:
     return d
 
 
-@query("pcap_dns_tcp_reassembly")  # rows-only
+@query(
+    "pcap_dns_tcp_reassembly",
+    oracle=lambda: f"""
+    SELECT src, dst, msg_no, dns_queryid, dns_qname, dns_qr,
+           n_segments, n_answers
+    FROM '{tcp_truth_path()}'
+    ORDER BY src, msg_no
+    """,
+)
 def q_pcap_dns_tcp_reassembly(spark: SparkSession, sf: str) -> DataFrame:
     """DNS-over-TCP flow reassembly — the flow-grain operator the
     reference lacks (it silently drops TCP DNS, DnsPcapReader.java:
     53-55): port-53 TCP segments shuffle once on the flow 5-tuple,
     per-flow ordered concat + RFC 1035 §4.2.2 length-prefix framing
-    walk + re-parse.  Golden assertions in tests/test_flows.py."""
+    walk + re-parse.  Golden assertions in tests/test_flows.py;
+    oracle: synthesizer ground truth (dns_tcp_exchange_truth — message
+    intents + the same framing arithmetic that sized the capture's
+    segments), hash-compared since r6."""
     from ..operators.flows import reassemble_dns_tcp
 
     pkts = read_pcap(
@@ -302,15 +346,18 @@ def q_pcap_dns_tcp_reassembly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
-    "pcap_flow_stats",
-    oracle=f"""
+def _flow_cte_sql() -> str:
+    """The DuckDB replay of flow_stats' bidirectional 5-tuple
+    canonicalization over the ground-truth packet table, as a WITH
+    clause (``fl`` is the per-flow relation) — shared by the
+    pcap_flow_stats and pcap_flows_enriched oracles."""
+    return f"""
     WITH pk AS (
         SELECT *,
                (src < dst OR (src = dst AND
                 coalesce(src_port, -1) <= coalesce(dst_port, -1))) AS fwd,
                ts * 1000000 + ts_usec AS us
-        FROM '{_TRUTH}'
+        FROM '{fixture_truth_path()}'
         WHERE src IS NOT NULL AND dst IS NOT NULL
     ),
     fl AS (
@@ -331,6 +378,12 @@ def q_pcap_dns_tcp_reassembly(spark: SparkSession, sf: str) -> DataFrame:
                  CASE WHEN fwd THEN dst ELSE src END,
                  CASE WHEN fwd THEN dst_port ELSE src_port END
     )
+    """
+
+
+@query(
+    "pcap_flow_stats",
+    oracle=lambda: _flow_cte_sql() + """
     SELECT proto, ip_a, port_a, ip_b, port_b, n_packets, n_bytes,
            a_to_b_packets, b_to_a_packets, duration_s
     FROM fl
@@ -354,7 +407,29 @@ def q_pcap_flow_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("pcap_flows_enriched")  # rows-only
+# the /24-prefix enrichment dimension, shared verbatim by the Spark
+# query and its DuckDB oracle's VALUES clause
+_ENRICH_DIM = [
+    ("192.0.2", "corp-lan", "client"),
+    ("193.0.10", "ripe-ncc", "server"),
+    ("10.1.1", "backbone", "transit"),
+]
+
+
+def _flows_enriched_oracle() -> str:
+    dim_values = ", ".join(f"('{p}', '{o}', '{r}')" for p, o, r in _ENRICH_DIM)
+    return _flow_cte_sql() + f"""
+    , dim(prefix24, org, role) AS (VALUES {dim_values})
+    SELECT proto, ip_a, port_a, ip_b, port_b, n_packets, n_bytes,
+           coalesce(org, 'unknown') AS org,
+           coalesce(role, 'unknown') AS role
+    FROM fl LEFT JOIN dim
+      ON regexp_extract(ip_a, '^(\\d+\\.\\d+\\.\\d+)\\.', 1) = dim.prefix24
+    ORDER BY proto, ip_a, port_a, ip_b, port_b
+    """
+
+
+@query("pcap_flows_enriched", oracle=_flows_enriched_oracle)
 def q_pcap_flows_enriched(spark: SparkSession, sf: str) -> DataFrame:
     """Flows joined to an IP-prefix dimension (org/role per /24) —
     the network-warehouse motif: packet-derived facts enriched with
@@ -362,15 +437,13 @@ def q_pcap_flows_enriched(spark: SparkSession, sf: str) -> DataFrame:
     inline demo table (at scale: a real prefix table, broadcast or
     range-joined on CIDR); the join key is the string /24 prefix, a
     plain broadcast equi-join.  Scale: enrich AFTER flow aggregation
-    — join cardinality is flows, not packets."""
+    — join cardinality is flows, not packets.  Oracle: the same
+    canonicalization + VALUES dim over the synthesizer ground-truth
+    table, hash-compared since r6."""
     from ..operators.flows import flow_stats
 
     dim = spark.createDataFrame(
-        [
-            ("192.0.2", "corp-lan", "client"),
-            ("193.0.10", "ripe-ncc", "server"),
-            ("10.1.1", "backbone", "transit"),
-        ],
+        _ENRICH_DIM,
         "prefix24 string, org string, role string",
     )
     flows = flow_stats(read_pcap(spark, fixture_dir()))

@@ -1,0 +1,148 @@
+"""Scale-strategy operators as driver-verifiable queries (VERDICT r5
+item 4): the skew-mitigation and bucketed-join plan builders were
+CI-asserted (tests/test_plans.py, tests/test_operators.py) but
+invisible to the oracle harness — these registrations give each a
+hash-compared correctness row.
+
+The oracles are deliberately the PLAIN formulation of the same
+computation: salting and bucketing are physical-plan strategies that
+must be row-identical to the naive plan — that identity IS the
+correctness contract, and the plan-shape property (hot keys spread /
+zero Exchange) is asserted separately in tests and visible in
+PLANS.md.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import query, table
+from .relational import _dec_sum
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT s_nationkey,
+           count(*) AS n_lines,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def q_join_skew_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """lineitem ⋈ supplier through :func:`..operators.skew.salted_join`
+    — the explicit hot-key defense: the fact side's join key is salted
+    ``n_salts`` ways and the dim side replicated, so a top-talker key
+    (one supplier receiving 30% of all lines) spreads over ``n_salts``
+    reducers instead of melting one.  Row-identical to the plain join
+    by construction; the oracle is that plain join.
+    Scale: shuffle keys become (key, salt); dim replication is
+    n_salts × |supplier| — dimension-sized, broadcast-friendly."""
+    from ..operators.skew import salted_join
+
+    li = table(spark, sf, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_quantity"
+    )
+    supp = table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        salted_join(li, supp, "s_suppkey", n_salts=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            _dec_sum(F.col("l_quantity"), "sum_qty"),
+        )
+    )
+
+
+@query(
+    "agg_skew_two_phase",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, sum(l_linenumber) AS total
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_skew_two_phase(spark: SparkSession, sf: str) -> DataFrame:
+    """Hot-key aggregation through
+    :func:`..operators.skew.two_phase_agg`: ``l_returnflag`` has 3
+    values, each ~a third of the table — the textbook skewed groupBy
+    where every row of a key lands on one reducer.  The two-phase form
+    pre-aggregates on (key, salt) so each hot key's partials spread
+    over 8 reducers, then combines — algebraic, so row-identical to
+    the plain groupBy (the oracle).  Sum over an integer column keeps
+    the result order-independent exactly."""
+    from ..operators.skew import two_phase_agg
+
+    li = table(spark, sf, "lineitem").select("l_returnflag", "l_linenumber")
+    return two_phase_agg(li, "l_returnflag", "l_linenumber").select(
+        "l_returnflag", "n", F.col("total").cast("bigint").alias("total")
+    )
+
+
+def _bucket_key(sf: str) -> str:
+    """Identity key for the bucketed-twin warehouse tables: path +
+    mtime + size of the source parquet, so a regenerated documents
+    table re-buckets instead of silently serving stale rows (same
+    convention as bench.py's stage dirs)."""
+    p = os.path.join(sf, "documents.parquet")
+    st = os.stat(p)
+    return hashlib.md5(
+        f"{os.path.abspath(p)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:10]
+
+
+@query(
+    "join_bucketed_docs",
+    oracle="""
+    SELECT doc_id, n_chars, n_chars * 2 AS twice
+    FROM documents
+    """,
+)
+def q_join_bucketed_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB big-big join strategy, driver-verified: two tables
+    stored bucketed on doc_id (equal bucket counts, per-bucket sorted)
+    join as SortMergeJoin with ZERO Exchange on either side —
+    PLANS.md shows the exchange-free plan, and
+    tests/test_plans.py::test_bucketed_join_has_no_exchange CI-asserts
+    it.  The join is 1:1 against a projection of the same table, so
+    the oracle is a plain scan — bucketing must not change a row.
+
+    Warehouse tables are keyed by the source parquet's identity
+    (path+mtime+size) and built once per identity; stale keys for the
+    same dataset are dropped so the warehouse stays bounded."""
+    from ..operators.bucketing import bucketed_join, write_bucketed
+
+    docs = table(spark, sf, "documents").select("doc_id", "n_chars")
+    stats = docs.selectExpr("doc_id", "n_chars * 2 AS twice")
+    key = _bucket_key(sf)
+    t_docs, t_stats = f"b_docs_{key}", f"b_stats_{key}"
+    # The default in-memory catalog is SESSION-local while the managed
+    # locations persist on disk, so housekeeping must be disk-level: a
+    # leftover location from a previous session isn't a reusable table
+    # (its bucketing metadata died with that catalog) — remove it and
+    # rebuild.  Within one session tableExists short-circuits the
+    # rebuild, so repeated calls reuse the bucketed store.
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for prefix, t, df in (("b_docs_", t_docs, docs), ("b_stats_", t_stats, stats)):
+        if os.path.isdir(wh):
+            for old in os.listdir(wh):
+                if old.startswith(prefix) and old != t:
+                    spark.sql(f"DROP TABLE IF EXISTS {old}")
+                    shutil.rmtree(os.path.join(wh, old), ignore_errors=True)
+        if not spark.catalog.tableExists(t):
+            shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+            write_bucketed(df, t, "doc_id", n_buckets=8)
+    # merge hint pins SortMergeJoin without mutating the session's
+    # autoBroadcastJoinThreshold: at demo SF the dim fits a broadcast,
+    # which would hide the exchange-free SMJ property being exhibited
+    return bucketed_join(spark, t_docs, t_stats, "doc_id", merge=True).select(
+        "doc_id", "n_chars", "twice"
+    )

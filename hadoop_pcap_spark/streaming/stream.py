@@ -105,7 +105,23 @@ def stateful_flow_counts(events: DataFrame, key_col: str = "user_id") -> DataFra
     emit per-batch deltas).
 
     Scale: state lives in the state store partitioned by key; each
-    micro-batch touches only keys present in the batch."""
+    micro-batch touches only keys present in the batch.
+
+    Cost model (measured, tools/profile_streaming.py, 100k rows /
+    1500 keys / 1 micro-batch): the dominant term is a PER-STATE-
+    PARTITION fixed cost of ~0.45 cpu-s per micro-batch — state-store
+    commit plus a Python worker fork per partition — shared roughly
+    half/half between the JVM floor (a no-Python built-in streaming
+    agg pays it too) and the Python boundary; per-ROW and per-KEY
+    work, state tuple serde, and the 1-row output frames are all in
+    the noise.  So the operative knob is ``spark.sql.shuffle.
+    partitions`` AT FIRST QUERY START (it freezes into the
+    checkpoint): size it to key cardinality × arrival rate, not to
+    the box's core count — 1500 keys want ~8 partitions (4.4 cpu-s
+    end-to-end), not 32 (18.4 cpu-s for identical output).  At 100×
+    the event rate the per-partition cost amortizes over 100× the
+    rows and the same sizing logic simply yields a bigger number."""
+    import numpy as np
     import pandas as pd
 
     def update(key, pdfs, state):
@@ -113,8 +129,8 @@ def stateful_flow_counts(events: DataFrame, key_col: str = "user_id") -> DataFra
         batch_n = 0
         for pdf in pdfs:
             batch_n += len(pdf)
-            vals = pdf["value"].dropna()
-            total += float(vals.sum())
+            # nansum on the raw ndarray: no dropna copy per chunk
+            total += float(np.nansum(pdf["value"].to_numpy()))
         n += batch_n
         state.update((n, float(total)))
         yield pd.DataFrame(

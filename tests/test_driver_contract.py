@@ -12,16 +12,16 @@ def test_registry_shape():
     assert set(os_) <= set(qs), "oracle without a query"
     rows_only = set(qs) - set(os_)
     # rows-only set is exactly the approx/ANN/throughput-bench queries
-    # (the five fixture pcap queries gained synthesizer-ground-truth
-    # oracles in round 5; connected components a recursive CTE in r2)
+    # — the inherently non-SQL-expressible residue.  (Five fixture
+    # pcap queries gained synthesizer-ground-truth oracles in round 5;
+    # the TCP-reassembly and enriched-flows queries followed in round
+    # 6, so every oracle-ABLE query now carries one.)
     assert rows_only == {
         "approx_count_distinct",
         "approx_percentiles_sketch",
         "frequent_items_sketch",
         "similarity_ann_lsh",
         "similarity_ann_ivf",
-        "pcap_dns_tcp_reassembly",
-        "pcap_flows_enriched",
         "pcap_decode_100k",
         "pcap_decode_dns_100k",
         "pcap_decode_v6ext_100k",

@@ -42,6 +42,8 @@ def main() -> int:
         return 2
     if args.oracle:
         sql = ORACLES.get(args.name)
+        if callable(sql):
+            sql = sql()
         print(sql.strip() if sql else f"-- {args.name} has no oracle (rows-only)")
         return 0
 
