@@ -55,6 +55,18 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/spark_graft_sf1")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument(
+        "--dup-family", type=int, default=0,
+        help="if >0, hold near-dup FAMILY SIZE constant at this value "
+        "while doc count scales: copy i joins group g=i//f, and a "
+        "group marker token is interleaved between every word, so "
+        "copies in different groups share (almost) no k-word shingles "
+        "— across-group Jaccard ~0, within-group near-dup as before. "
+        "This isolates the minhash operator's own scaling from the "
+        "default corpus's families-grow-with-K construction (whose "
+        "verified-pair count grows quadratically in K; VERDICT r5 "
+        "item 2).  Affects only the documents table.",
+    )
+    ap.add_argument(
         "--row-group-size", type=int, default=0,
         help="parquet row-group rows (0 = DuckDB default ~123k).  A row "
         "group is the smallest unit maxPartitionBytes can assign to a "
@@ -136,6 +148,34 @@ def main() -> None:
                         ELSE n_chars + length(' c' || c.i) END
                        AS n_chars
             FROM '{src}/documents.parquet', {copies}""",
+        # constant-family variant: per-GROUP token renaming — every
+        # word gets a 'g<g>' suffix glued on (no separator: the
+        # tokenizer is [a-z0-9]+, so the suffix must stay inside the
+        # token), a bijective rename of the token vocabulary per
+        # group.  Within a group every pairwise shingle relationship
+        # (planted family AND natural cross-doc near-dups) is
+        # isomorphic to the source corpus; across groups no k-word
+        # shingle survives the rename, so groups are Jaccard-disjoint.
+        # (An earlier interleaved-marker transform was rejected: the
+        # marker token itself appeared in every shingle, homogenizing
+        # docs within a group and melting the LSH buckets.)  The tiny
+        # ' c<j>' suffix keeps within-group copies near-duplicates
+        # with distinct fingerprints.  n_chars == length(text)
+        # invariant preserved by recomputing.
+        "documents_const_family": f"""
+            SELECT doc_id, text, lang, source, length(text) AS n_chars
+            FROM (
+                SELECT doc_id + c.i * {n_doc} AS doc_id,
+                       CASE WHEN c.i % {args.dup_family or 1} = 0
+                            THEN replace(text, ' ',
+                                 'g' || (c.i // {args.dup_family or 1}) || ' ')
+                            ELSE replace(text, ' ',
+                                 'g' || (c.i // {args.dup_family or 1}) || ' ')
+                                 || ' c' || (c.i % {args.dup_family or 1})
+                       END AS text,
+                       lang, source
+                FROM '{src}/documents.parquet', {copies}
+            )""",
         "embeddings": f"""
             SELECT vec_id + c.i * {n_vec} AS vec_id,
                    CASE WHEN c.i = 0 THEN embedding
@@ -145,6 +185,11 @@ def main() -> None:
                    label
             FROM '{src}/embeddings.parquet', {copies}""",
     }
+
+    if args.dup_family:
+        jobs["documents"] = jobs.pop("documents_const_family")
+    else:
+        del jobs["documents_const_family"]
 
     rg = f", ROW_GROUP_SIZE {args.row_group_size}" if args.row_group_size else ""
     for t, q in jobs.items():
