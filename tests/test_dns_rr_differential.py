@@ -14,9 +14,12 @@ Two layers:
    dev-only ``dnspython`` package is importable, random RRs of the
    well-specified types are rendered by both engines and compared
    after whitespace/case normalization.  The container this repo is
-   developed in does not ship dnspython, so the differential is a
-   CI-with-extras check; the round-trips above are the always-on
-   floor.
+   developed in does not ship dnspython as a package, but some host
+   images carry a vendored copy (e.g. under a cloud SDK's
+   ``third_party``); ``_import_dnspython`` probes those read-only
+   locations so the differential executes here too (VERDICT r5 item
+   7), and only skips when no copy exists at all.  The round-trips
+   above are the always-on floor either way.
 
 Wire-format inputs are built directly from the RFCs (1035, 4034,
 4255, 6698, 4398, 4701), not from the renderer itself.
@@ -34,6 +37,29 @@ import os as _os
 # soak-run multiplier: SPARK_GRAFT_FUZZ_X=50 turns the fast CI budgets
 # into a deep fuzz without editing each @settings
 _FX = int(_os.environ.get("SPARK_GRAFT_FUZZ_X", "1"))
+
+# read-only locations where host images vendor a usable dnspython
+# (dns/rdata.py + friends); probed only if `import dns.rdata` fails
+_VENDORED_DNSPYTHON_DIRS = (
+    "/usr/lib/google-cloud-sdk/lib/third_party",
+)
+
+
+def _import_dnspython():
+    """dns.rdata via the installed package, else a vendored host copy,
+    else skip.  Appending (not prepending) to sys.path keeps a real
+    installation authoritative."""
+    import sys
+
+    try:
+        import dns.rdata  # noqa: F401
+    except ImportError:
+        for cand in _VENDORED_DNSPYTHON_DIRS:
+            if _os.path.isdir(_os.path.join(cand, "dns")) and cand not in sys.path:
+                sys.path.append(cand)
+    return pytest.importorskip(
+        "dns.rdata", reason="dnspython not installed and no vendored copy"
+    )
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -343,10 +369,19 @@ def test_differential_vs_dnspython_unknown_types():
     structured renderer for (e.g. NAPTR) the PRESENTATIONS legitimately
     differ — the reference's dnsjava rrToString has the same property,
     which is why those types are outside the pinned-diff set."""
-    pytest.importorskip("dns.rdata", reason="dnspython dev extra not installed")
+    _import_dnspython()
     import dns.name
     import dns.rdata
     import dns.rdataclass
+
+    def norm_generic(s: str):
+        """(length, hex-bytes) of an RFC 3597 generic rendering.  §5
+        allows whitespace WITHIN the hex data (older dnspython chunks
+        it into 32-char groups; modern dnspython and this repo emit it
+        unchunked), so the hex is joined before comparison."""
+        f = s.split()
+        assert f[0] == "\\#", s
+        return (int(f[1]), "".join(f[2:]).lower())
 
     rnd = random.Random(20260814)
     divergences = []
@@ -357,17 +392,13 @@ def test_differential_vs_dnspython_unknown_types():
             theirs = dns.rdata.GenericRdata(
                 dns.rdataclass.IN, rtype, rdata
             ).to_text(origin=dns.name.root, relativize=False)
-            norm_o = " ".join(ours.lower().split())
-            norm_t = " ".join(theirs.lower().split())
-            if norm_o != norm_t:
+            if norm_generic(ours) != norm_generic(theirs):
                 divergences.append((rtype, ours, theirs))
     assert not divergences, divergences[:10]
 
 
 def test_differential_vs_dnspython():
-    dns_rdata = pytest.importorskip(
-        "dns.rdata", reason="dnspython dev extra not installed"
-    )
+    dns_rdata = _import_dnspython()
     import dns.name
     import dns.rdataclass
     import dns.rdatatype
