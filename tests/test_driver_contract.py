@@ -63,9 +63,14 @@ def test_entry_flagship(spark):
 
 def test_oracle_bearing_queries_precede_rows_only():
     """The driver caps its correctness run at N rows; every query
-    inside the cap must be hash-comparable (VERDICT r2 item 2).  All
-    62 oracle-bearing entries come before any rows-only entry, and the
-    priority block itself is all-oracle."""
+    inside the cap must be hash-comparable (VERDICT r2 item 2), and
+    since round 6 the oracle block self-orders by staleness: any query
+    with no green CORRECTNESS row yet must precede every query that
+    has one, so new oracles enter the capped window immediately."""
+    import glob
+    import json
+    import os
+
     names = list(e.queries())
     oracles = e.oracle_sql()
     first_rows_only = next(
@@ -73,7 +78,23 @@ def test_oracle_bearing_queries_precede_rows_only():
     )
     assert all(n in oracles for n in names[:first_rows_only])
     assert all(n not in oracles for n in names[first_rows_only:])
-    assert all(n in oracles for n in e._PRIORITY)
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    verified = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            for name, row in json.load(f).items():
+                if isinstance(row, dict) and row.get("hash_match"):
+                    verified.add(name)
+    oracle_block = names[:first_rows_only]
+    seen_verified = False
+    for n in oracle_block:
+        if n in verified:
+            seen_verified = True
+        else:
+            assert not seen_verified, (
+                f"never-verified query {n!r} ordered after a verified one"
+            )
 
 
 def test_run_query_cli_smoke():
