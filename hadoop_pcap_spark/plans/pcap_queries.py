@@ -1,14 +1,16 @@
 """PCAP-source queries registered with the driver harness.
 
 The driver's parquet tables don't include a packets table, so these
-run on a deterministic synthesized capture directory.  The five
-fixture queries carry a REAL DuckDB oracle since round 5: the
-synthesizer emits a ground-truth parquet of its own parameters
-(fixture_truth_path) and the oracle SQL runs over that — the driver's
-hash compare then asserts decoder output == synthesis intent.  The
-throughput benches and TCP-reassembly stay rows-only (their fixtures
-are per-process tempdirs built for timing, and reassembly semantics
-are golden-tested in tests/test_flows.py).
+run on a deterministic synthesized capture directory.  Every query
+here carries a REAL DuckDB oracle: the synthesizer emits a
+ground-truth parquet of its own parameters (fixture_truth_path and
+friends; the throughput corpora are template-cyclic, so their
+expected aggregates are closed-form index arithmetic) and the oracle
+SQL runs over that — the driver's hash compare then asserts decoder
+output == synthesis intent.  Five fixture queries gained oracles in
+round 5, TCP-reassembly + enriched-flows and then the three
+throughput benches in round 6; reassembly semantics are additionally
+golden-tested in tests/test_flows.py.
 
 Fixture placement contract: the pcap source reads raw files BY PATH
 from executor tasks, so the fixture directory must be visible to both
@@ -577,7 +579,55 @@ def dns_throughput_dir(
     return d
 
 
-@query("pcap_decode_dns_100k")  # rows-only: DNS-decode throughput benchmark
+def dns_throughput_truth_path(
+    n_files: int = 8, pkts_per_file: int = 12500, pool: int = 2048
+) -> str:
+    """Expected (dns_qr, dns_rcode) aggregate for
+    ``pcap_decode_dns_100k``, replayed from
+    :func:`dns_throughput_dir`'s OWN cycle arithmetic — template index
+    ``g % (2*pool)`` (even = query, odd = response), query id
+    ``g & 0xFFFF``, qname ``host{k//2}.pool.example.com`` — never from
+    the decoder.  Every template is a well-formed NOERROR message, so
+    the whole expected aggregate is index arithmetic over the 100k
+    packet ordinals (same move as the r5/r6 fixture oracles)."""
+    stats = {False: [0, set(), set()], True: [0, set(), set()]}
+    n_templates = 2 * pool
+    for g in range(n_files * pkts_per_file):
+        k = g % n_templates
+        s = stats[bool(k % 2)]
+        s[0] += 1
+        s[1].add(k // 2)
+        s[2].add(g & 0xFFFF)
+    rows = [
+        {
+            "dns_qr": qr,
+            "dns_rcode": "NOERROR",
+            "n_msgs": s[0],
+            "n_qnames": len(s[1]),
+            "n_qids": len(s[2]),
+        }
+        for qr, s in stats.items()
+    ]
+    return _write_truth_parquet(
+        "dnstput_truth_v1",
+        rows,
+        [
+            ("dns_qr", "bool_"),
+            ("dns_rcode", "string"),
+            ("n_msgs", "int64"),
+            ("n_qnames", "int64"),
+            ("n_qids", "int64"),
+        ],
+    )
+
+
+@query(
+    "pcap_decode_dns_100k",
+    oracle=lambda: f"""
+    SELECT dns_qr, dns_rcode, n_msgs, n_qnames, n_qids
+    FROM '{dns_throughput_truth_path()}'
+    """,
+)
 def q_pcap_decode_dns_100k(spark: SparkSession, sf: str) -> DataFrame:
     """Full L7 DNS decode over 100k port-53 packets across 8 files —
     the reference's own workload shape (DnsPcapReaderTest.java runs the
@@ -642,7 +692,67 @@ def v6ext_throughput_dir(n_files: int = 8, pkts_per_file: int = 12500) -> str:
     return d
 
 
-@query("pcap_decode_v6ext_100k")  # rows-only: v6 ext-chain throughput bench
+def v6ext_truth_path(n_files: int = 8, pkts_per_file: int = 12500) -> str:
+    """Expected aggregate for ``pcap_decode_v6ext_100k``: per-template
+    intent rows (ext chain names/count from the RFC 8200 semantics of
+    the chains the synthesizer assembled, payload lengths from the
+    bytes handed to synth, terminal protocol from the next-header
+    chain) × the ``(fi+i) % 5`` cycle counts.  The no-next-header(59)
+    template ends L4-less: NULL protocol, NULL payload sum.  Decoder
+    never consulted."""
+    q = S.dns_query(7, "v6.example.com")
+    intents = [
+        {"ext_count": 1, "protocol": "UDP",
+         "ext_headers": "[HopByHop][UDP]", "len": len(q), "frag": False},
+        {"ext_count": 2, "protocol": "TCP",
+         "ext_headers": "[HopByHop][Destination][TCP]", "len": 180,
+         "frag": False},
+        {"ext_count": 1, "protocol": "UDP",
+         "ext_headers": "[Fragment][UDP]", "len": 64, "frag": True},
+        {"ext_count": 1, "protocol": "UDP",
+         "ext_headers": "[Routing][UDP]", "len": 32, "frag": False},
+        {"ext_count": 1, "protocol": None,
+         "ext_headers": "[HopByHop]", "len": None, "frag": False},
+    ]
+    counts = [0] * len(intents)
+    for fi in range(n_files):
+        for i in range(pkts_per_file):
+            counts[(fi + i) % len(intents)] += 1
+    rows = [
+        {
+            "ext_count": t["ext_count"],
+            "protocol": t["protocol"],
+            "ext_headers": t["ext_headers"],
+            "n_packets": c,
+            "n_src": 1,  # one distinct src address per template
+            "total_payload_bytes": None if t["len"] is None else t["len"] * c,
+            "n_frag": c if t["frag"] else 0,
+        }
+        for t, c in zip(intents, counts)
+    ]
+    return _write_truth_parquet(
+        "v6ext_truth_v1",
+        rows,
+        [
+            ("ext_count", "int64"),
+            ("protocol", "string"),
+            ("ext_headers", "string"),
+            ("n_packets", "int64"),
+            ("n_src", "int64"),
+            ("total_payload_bytes", "int64"),
+            ("n_frag", "int64"),
+        ],
+    )
+
+
+@query(
+    "pcap_decode_v6ext_100k",
+    oracle=lambda: f"""
+    SELECT ext_count, protocol, ext_headers,
+           n_packets, n_src, total_payload_bytes, n_frag
+    FROM '{v6ext_truth_path()}'
+    """,
+)
 def q_pcap_decode_v6ext_100k(spark: SparkSession, sf: str) -> DataFrame:
     """Decode 100k IPv6 packets that ALL carry extension-header chains
     — the workload that used to fall back to the scalar per-row kernel
@@ -662,7 +772,52 @@ def q_pcap_decode_v6ext_100k(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("pcap_decode_100k")  # rows-only: decode-throughput benchmark
+def throughput_truth_path(n_files: int = 8, pkts_per_file: int = 12500) -> str:
+    """Expected per-protocol aggregate for ``pcap_decode_100k``:
+    :func:`throughput_dir`'s three template intents (protocol id /
+    source address / L4 payload length handed to synth) × the
+    ``(fi+i) % 3`` cycle counts.  The ICMP template never reaches the
+    L4 slice, so its ``len`` is NULL (matching the reference's
+    TCP/UDP-only payload contract, PcapReader.java) and the group sum
+    is NULL.  Decoder never consulted."""
+    q = S.dns_query(7, "example.com")
+    intents = [
+        {"protocol": "UDP", "len": len(q)},
+        {"protocol": "TCP", "len": 200},
+        {"protocol": "ICMP", "len": None},
+    ]
+    counts = [0] * len(intents)
+    for fi in range(n_files):
+        for i in range(pkts_per_file):
+            counts[(fi + i) % len(intents)] += 1
+    rows = [
+        {
+            "protocol": t["protocol"],
+            "n_packets": c,
+            "n_src": 1,  # one distinct src address per template
+            "total_payload_bytes": None if t["len"] is None else t["len"] * c,
+        }
+        for t, c in zip(intents, counts)
+    ]
+    return _write_truth_parquet(
+        "tput_truth_v1",
+        rows,
+        [
+            ("protocol", "string"),
+            ("n_packets", "int64"),
+            ("n_src", "int64"),
+            ("total_payload_bytes", "int64"),
+        ],
+    )
+
+
+@query(
+    "pcap_decode_100k",
+    oracle=lambda: f"""
+    SELECT protocol, n_packets, n_src, total_payload_bytes
+    FROM '{throughput_truth_path()}'
+    """,
+)
 def q_pcap_decode_100k(spark: SparkSession, sf: str) -> DataFrame:
     """Decode 100k packets across 8 capture files (the engine's core
     job: bytes → typed rows → aggregate).  Single-thread kernel runs
