@@ -290,3 +290,171 @@ def streaming_corpus_filter(
     return cleaned.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["fp"]
     )
+
+
+# --- cross-run incremental dedup (snapshot-backed foreachBatch) ---------------
+#
+# dropDuplicatesWithinWatermark bounds its state by the watermark
+# horizon — right for late/duplicate arrivals, wrong for the "daily
+# crawl append" motif where today's batch must dedup against EVERY
+# document ever kept.  That needs durable state outside the state
+# store: a fingerprint snapshot on the data lake, anti-joined per
+# micro-batch and appended to per epoch (the streaming twin of the
+# batch `dedup_incremental` query, plans/pipeline.py).
+#
+# Exactly-once across crash/replay without a transactional store:
+#   * each epoch's new fingerprints land in their own `epoch=<id>`
+#     directory, written with mode=overwrite → replaying an epoch
+#     rewrites the same directory instead of double-appending;
+#   * the anti-join reads only STRICTLY EARLIER epochs, so a replay
+#     sees exactly the pre-batch snapshot even if the crashed attempt
+#     had already written its fingerprint directory;
+#   * the within-batch representative is keep-min(id), not
+#     dropDuplicates, so a replayed batch emits row-identical output.
+#
+# Scale: the snapshot is ONLY distinct 128-bit fingerprints — at
+# 100 TB it lives as a bucketed table so the per-batch probe is a
+# co-located join; epoch dirs are compacted offline
+# (compact_fingerprint_snapshot) so file count stays bounded.
+
+import re as _re
+
+_EPOCH_RE = _re.compile(r"^epoch=(\d+)(?:c(\d+))?$")
+
+
+def _snapshot_epoch_dirs(spark, fps_root: str) -> list:
+    """List (epoch, compaction_generation, path) fingerprint
+    partitions via the Hadoop FileSystem API — works on any
+    filesystem Spark can reach (local, HDFS, object stores), where
+    os.listdir only works on local paths."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(fps_root)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    out = []
+    for status in fs.listStatus(path):
+        m = _EPOCH_RE.match(status.getPath().getName())
+        if m and status.isDirectory():
+            out.append(
+                (int(m.group(1)), int(m.group(2) or 0),
+                 status.getPath().toString())
+            )
+    return out
+
+
+def incremental_dedup_step(
+    batch_df: DataFrame,
+    epoch_id: int,
+    snapshot_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """One micro-batch of cross-run exact dedup: fingerprint, keep the
+    min-``id_col`` representative per within-batch duplicate group,
+    anti-join against every strictly-earlier epoch's fingerprints,
+    and commit this epoch's survivors to ``<snapshot_dir>/fps/
+    epoch=<id>`` (overwrite → replay-idempotent).  Returns the kept
+    rows PERSISTED — the caller emits them downstream and unpersists.
+
+    Exposed separately from the stream wiring so the replay/restart
+    semantics are testable without a streaming query."""
+    from pyspark.sql.window import Window
+
+    from ..functions.text import exact_fingerprint
+
+    spark = batch_df.sparkSession
+    fps_root = snapshot_dir.rstrip("/") + "/fps"
+    w = Window.partitionBy(fp_col).orderBy(id_col)
+    batch = (
+        batch_df.withColumn(fp_col, exact_fingerprint(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    prior = [
+        p for e, _g, p in _snapshot_epoch_dirs(spark, fps_root) if e < epoch_id
+    ]
+    if prior:
+        # explicit schema: immune to empty/partial dirs a crashed
+        # compaction may leave (they contribute extra-or-missing rows,
+        # both harmless: the originals survive until the compacted
+        # write has committed, so the union is always a superset)
+        seen = spark.read.schema(f"{fp_col} string").parquet(*prior)
+        batch = batch.join(seen, [fp_col], "left_anti")
+    kept = batch.persist()
+    kept.select(fp_col).write.mode("overwrite").parquet(
+        f"{fps_root}/epoch={epoch_id}"
+    )
+    return kept
+
+
+def streaming_incremental_dedup(
+    docs: DataFrame,
+    snapshot_dir: str,
+    emit=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Wire :func:`incremental_dedup_step` into a foreachBatch sink.
+    Returns a ``DataStreamWriter`` — the caller sets
+    ``checkpointLocation`` and calls ``start()``.  ``emit(kept_df,
+    epoch_id)`` receives each batch's survivors after the snapshot
+    commit; per the standard foreachBatch contract it must itself be
+    idempotent per epoch for end-to-end exactly-once."""
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        kept = incremental_dedup_step(
+            batch_df, epoch_id, snapshot_dir, text_col=text_col, id_col=id_col
+        )
+        try:
+            if emit is not None:
+                emit(kept, epoch_id)
+        finally:
+            kept.unpersist()
+
+    return docs.writeStream.foreachBatch(_process)
+
+
+def compact_fingerprint_snapshot(spark, snapshot_dir: str, fp_col: str = "fp") -> int:
+    """Offline snapshot housekeeping: fold every fingerprint epoch
+    directory EXCEPT the newest into one ``epoch=<max-1>c<gen>``
+    directory so the per-batch anti-join's file count stays bounded
+    as epochs accumulate.  Run while the stream is stopped.
+
+    The newest epoch is deliberately left unfolded: if the last batch
+    crashed before its sink commit, restart REPLAYS that epoch, and
+    the replay's anti-join reads only strictly-earlier epochs — a
+    folded dir tagged with the replayed epoch's own id would vanish
+    from its view.  Folding only ``< max`` keeps every possible
+    replay's visible set byte-identical.
+
+    Crash-safe by superset semantics: originals are deleted ONLY
+    after the compacted write commits, and the anti-join is a set
+    probe, so any crash leaves a state whose union equals the true
+    fingerprint set (possibly with duplicates, which probe
+    identically).  Returns the number of directories folded."""
+    fps_root = snapshot_dir.rstrip("/") + "/fps"
+    dirs = _snapshot_epoch_dirs(spark, fps_root)
+    if not dirs:
+        return 0
+    top_epoch = max(e for e, _g, _p in dirs)
+    fold = [(e, g, p) for e, g, p in dirs if e < top_epoch]
+    if len(fold) <= 1:
+        return 0
+    next_gen = 1 + max(g for _e, g, _p in dirs)
+    union = (
+        spark.read.schema(f"{fp_col} string")
+        .parquet(*[p for _e, _g, p in fold])
+        .distinct()
+    )
+    union.write.mode("overwrite").parquet(
+        f"{fps_root}/epoch={top_epoch - 1}c{next_gen}"
+    )
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    for _e, _g, p in fold:
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).delete(hp, True)
+    return len(fold)
