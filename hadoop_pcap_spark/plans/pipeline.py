@@ -1274,6 +1274,63 @@ def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_incremental_epochs",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, doc_id % 3 AS epoch,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents),
+    first_epoch AS (
+      SELECT fp, MIN(epoch) AS epoch FROM fp GROUP BY fp),
+    rep AS (
+      SELECT f.fp, f.epoch, MIN(p.doc_id) AS rep_id
+      FROM first_epoch f JOIN fp p ON p.fp = f.fp AND p.epoch = f.epoch
+      GROUP BY f.fp, f.epoch)
+    SELECT epoch, COUNT(*) AS n_kept,
+           CAST(SUM(rep_id) AS BIGINT) AS kept_id_sum
+    FROM rep GROUP BY epoch ORDER BY epoch
+    """,
+)
+def q_dedup_incremental_epochs(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-run incremental dedup driven over three corpus waves —
+    the SAME ``incremental_dedup_step`` the streaming foreachBatch
+    sink runs (streaming/stream.py), exercised batch-side so the
+    driver can hash-check its epoch semantics: each wave anti-joins a
+    durable fingerprint snapshot of strictly-earlier waves and
+    commits its survivors.  The oracle restates the contract
+    declaratively: a doc survives iff its fingerprint first appears
+    in its wave and it is the min doc_id within that (fp, wave).
+    Scale: the snapshot is only distinct 128-bit fingerprints; the
+    per-wave probe is one anti-join (bucketed store at 100 TB)."""
+    import tempfile
+
+    from ..streaming.stream import incremental_dedup_step
+
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    snap = tempfile.mkdtemp(prefix="incdedup_q_")
+    waves = []
+    for epoch in range(3):
+        kept = incremental_dedup_step(
+            docs.filter(F.col("doc_id") % 3 == epoch), epoch, snap
+        )
+        kept.unpersist()  # materialized by the snapshot write; keep lineage
+        waves.append(
+            kept.select(F.lit(epoch).cast("bigint").alias("epoch"), "doc_id")
+        )
+    return (
+        waves[0]
+        .unionByName(waves[1])
+        .unionByName(waves[2])
+        .groupBy("epoch")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+        )
+        .orderBy("epoch")
+    )
+
+
 # --- the end-to-end corpus build ----------------------------------------------
 # Every pipeline stage above, composed in execution order over one
 # corpus pass-through: Gopher rules → PII scrub → exact dedup →
