@@ -340,6 +340,65 @@ def main():
         "update",
     )
 
+    # Cross-run incremental dedup (foreachBatch + durable fingerprint
+    # snapshot, streaming/stream.py): staged as EIGHT files with
+    # maxFilesPerTrigger=2 so the timing covers four epochs of the
+    # real loop — snapshot probe (anti-join over earlier epochs) +
+    # per-epoch fingerprint commit — not one degenerate mega-batch.
+    from hadoop_pcap_spark.streaming.stream import streaming_incremental_dedup
+
+    inc_prefix = f"bench_incdedup_docs_{os.path.basename(sf_dir)}_"
+    inc_stage = os.path.join(tempfile.gettempdir(), inc_prefix + src_key)
+    _drop_stale_stage_dirs(inc_prefix, inc_prefix + src_key)
+    if not os.path.exists(os.path.join(inc_stage, "_SUCCESS")):
+        (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select("doc_id", "text")
+            .repartition(8)
+            .write.mode("overwrite")
+            .parquet(inc_stage)
+        )
+
+    def time_inc_dedup() -> None:
+        name = "streaming_incremental_dedup"
+        best = best_cpu = None
+        spark.conf.set("spark.sql.shuffle.partitions", stream_parts)
+        try:
+            for _ in range(runs):
+                snap = tempfile.mkdtemp(prefix="bench_incdedup_snap_")
+                ckpt = tempfile.mkdtemp(prefix="bench_incdedup_ckpt_")
+                c0 = proc_tree_cpu()
+                t0 = time.time()
+                q = (
+                    streaming_incremental_dedup(
+                        spark.readStream.schema("doc_id long, text string")
+                        .option("maxFilesPerTrigger", 2)
+                        .parquet(inc_stage),
+                        snap,
+                    )
+                    .option("checkpointLocation", ckpt)
+                    .start()
+                )
+                q.processAllAvailable()
+                q.stop()
+                dt = time.time() - t0
+                dc = proc_tree_cpu() - c0
+                shutil.rmtree(ckpt, ignore_errors=True)
+                shutil.rmtree(snap, ignore_errors=True)
+                best = dt if best is None else min(best, dt)
+                best_cpu = dc if best_cpu is None else min(best_cpu, dc)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", cpus)
+        timings[name] = round(best, 3)
+        cpu_timings[name] = round(best_cpu, 3)
+        print(
+            f"# {name}: {timings[name]}s wall / {cpu_timings[name]}s cpu",
+            file=sys.stderr,
+            flush=True,
+        )
+
+    time_inc_dedup()
+
     extras["calib_end"] = calibrate()
     print(f"# extras: {extras}", file=sys.stderr, flush=True)
 

@@ -51,6 +51,7 @@ DRIVER_TABLE = {
     "time_bucket_tumbling": "events",
     "topk_global": "orders",
     "dedup_exact_fingerprint": "documents",
+    "dedup_incremental_epochs": "documents",
     "dedup_minhash_lsh": "documents",
     "similarity_cosine_topk": "embeddings",
     "text_quality_scores": "documents",
