@@ -402,7 +402,13 @@ def streaming_incremental_dedup(
     ``checkpointLocation`` and calls ``start()``.  ``emit(kept_df,
     epoch_id)`` receives each batch's survivors after the snapshot
     commit; per the standard foreachBatch contract it must itself be
-    idempotent per epoch for end-to-end exactly-once."""
+    idempotent per epoch for end-to-end exactly-once.
+
+    Single-writer contract: one stream owns a snapshot directory
+    (epoch ids come from its checkpoint, and the strictly-earlier
+    visibility rule assumes they are the only writers).  Concurrent
+    crawls should dedup into per-stream snapshots and reconcile in a
+    batch step, or share one stream via source union."""
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         kept = incremental_dedup_step(
