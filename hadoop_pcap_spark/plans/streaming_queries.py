@@ -1,0 +1,195 @@
+"""Driver-verifiable Structured Streaming queries.
+
+The streaming analogs (streaming/stream.py) were pytest-verified via
+batch-equivalence but invisible to the oracle harness — the driver
+only hash-checks batch DataFrames.  These registrations close that
+gap with the same move that made the incremental-dedup epochs
+driver-checkable (pipeline.py q_dedup_incremental_epochs): each query
+*runs a real streaming query to completion* (file source →
+``Trigger.AvailableNow`` → memory sink) inside the callable, then
+returns a deterministic batch aggregate of the sink for hashing.
+
+Determinism contract: with no ``maxFilesPerTrigger`` the file source
+takes every staged file in ONE micro-batch, so the watermark is still
+at -inf while all rows are processed — nothing can be classified late,
+and the streaming result equals the batch result exactly.  (Multi-batch
+watermark semantics — late-row drops, state eviction, crash recovery —
+are pytest territory: tests/test_streaming.py drives the same builders
+with ``maxFilesPerTrigger=1`` over time-ordered files.)
+
+Scale: these queries exist to pin SEMANTICS; rate/throughput behavior
+is benched separately (bench.py streaming rows, tools/
+profile_streaming.py).  The state-partition sizing lesson applies:
+state-store fixed cost is per partition per micro-batch, so
+``spark.sql.shuffle.partitions`` at query *start* should track key
+cardinality — frozen into the checkpoint thereafter.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import events_table, query
+from .relational import _dec_sum
+from ..streaming.stream import (
+    stream_stream_interval_join,
+    tumbling_counts,
+)
+
+_EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double"
+)
+
+
+def _stage_events(spark: SparkSession, sf: str) -> str:
+    """Stage the events table as TimestampType parquet for the file
+    streaming source (the table convention is epoch-µs longs).  The
+    stage dir is keyed by the source file's identity (path + mtime +
+    size) with a ``_SUCCESS`` completion witness, so concurrent or
+    crashed runs can never observe a half-written stage (same
+    protocol as bench.py's staging; no sibling cleanup here — these
+    queries run under the driver/audit, not a long-lived service)."""
+    src = os.path.join(sf, "events.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:16]
+    d = os.path.join(tempfile.gettempdir(), f"squery_events_{key}")
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        (
+            events_table(spark, sf)
+            .withColumn("ts", F.expr("timestamp_micros(ts)"))
+            .select("event_id", "ts", "user_id", "event_type", "value")
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+    return d
+
+
+def _run_to_memory(joined_or_agg: DataFrame, mode: str) -> str:
+    """Run a streaming DataFrame to completion (AvailableNow) into a
+    uniquely-named memory sink; returns the sink table name."""
+    name = "squery_" + uuid.uuid4().hex[:12]
+    q = (
+        joined_or_agg.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
+
+
+@query(
+    "streaming_join_interval",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, epoch_us(ts) AS v_ts, event_id AS view_id
+      FROM events WHERE event_type = 'view'),
+    p AS (
+      SELECT user_id, epoch_us(ts) AS p_ts, event_id AS purchase_id, value
+      FROM events WHERE event_type = 'purchase')
+    SELECT v.user_id,
+           COUNT(*) AS n_pairs,
+           COUNT(DISTINCT purchase_id) AS n_purchases,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+             AS sum_value
+    FROM v JOIN p
+      ON p.user_id = v.user_id
+     AND p.p_ts >= v.v_ts
+     AND p.p_ts <= v.v_ts + 3600000000
+    GROUP BY v.user_id
+    ORDER BY v.user_id
+    """,
+)
+def q_streaming_join_interval(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream watermarked interval join, end-to-end: a stream
+    of views joined to a stream of purchases by user within 1 hour
+    (streaming/stream.py stream_stream_interval_join), run to
+    completion and aggregated per user for hashing.  The oracle is
+    the equivalent batch interval join in exact integer µs.
+    Scale: one shuffle per side on user_id; join state bounded by
+    watermark + gap (2 h + 1 h of stream, not history)."""
+    d = _stage_events(spark, sf)
+
+    def src() -> DataFrame:
+        return spark.readStream.schema(_EV_SCHEMA).parquet(d)
+
+    views = src().filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    purchases = src().filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    )
+    joined = stream_stream_interval_join(
+        views,
+        purchases,
+        key="user_id",
+        left_ts="v_ts",
+        right_ts="p_ts",
+        max_gap="1 hour",
+        watermark="2 hours",
+    )
+    name = _run_to_memory(joined, "append")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("purchase_id").alias("n_purchases"),
+            _dec_sum(F.col("value"), "sum_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "streaming_window_counts",
+    oracle="""
+    SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS win_start_us,
+           event_type,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_streaming_window_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked tumbling-window counts (streaming/stream.py
+    tumbling_counts) run as a real streaming query, complete mode —
+    the sink's final table is the full aggregate, which must equal
+    the batch 6-hour bucketing the oracle computes in integer µs
+    (Spark's tumbling windows are epoch-aligned, i.e. floor
+    division).  Scale: state is one row per (window, key); the
+    watermark bounds it in a live run."""
+    d = _stage_events(spark, sf)
+    stream = spark.readStream.schema(_EV_SCHEMA).parquet(d)
+    out = tumbling_counts(
+        stream,
+        ts_col="ts",
+        key_col="event_type",
+        window="6 hours",
+        watermark="30 minutes",
+    )
+    name = _run_to_memory(out, "complete")
+    return (
+        spark.table(name)
+        .select(
+            F.unix_micros(F.col("win_start")).alias("win_start_us"),
+            "event_type",
+            "n",
+        )
+        .orderBy("win_start_us", "event_type")
+    )

@@ -93,6 +93,47 @@ def dedup_within_watermark(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair each left row
+    with the right rows sharing ``key`` whose event time falls in
+    ``[left_ts, left_ts + max_gap]`` — the impression→conversion /
+    request→response correlation motif (for packets: SYN→response,
+    query→answer across two capture feeds).
+
+    Contract: ``left_ts`` and ``right_ts`` must be *different* column
+    names and all non-``key`` columns disjoint (rename before
+    calling), so the joined schema is unambiguous.  Both sides carry
+    the same ``watermark`` delay; the time-range predicate on the two
+    event-time columns is what lets Spark derive a state eviction
+    bound from it.
+
+    Scale: both sides shuffle once on ``key``; per-key join state
+    retains only rows within ``watermark + max_gap`` of the global
+    watermark, so state is bounded by the stream rate × horizon, not
+    by history.  ``how='left_outer'`` is supported but emits
+    NULL-extended rows only once the watermark passes a left row —
+    under ``availableNow`` the tail's unmatched rows stay in state
+    for the next run rather than being emitted at stream end (use
+    inner for run-bounded batch equivalence)."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {max_gap}"))
+    )
+    return l.join(r, cond, how).drop(r[key])
+
+
 FLOW_STATE_OUTPUT = "user_id LONG, n_events LONG, total_value DOUBLE, batch_events LONG"
 FLOW_STATE_SCHEMA = "n LONG, total DOUBLE"
 

@@ -697,3 +697,162 @@ def test_streaming_corpus_filter_matches_batch(spark, tmp_path):
     )
     assert sorted(r.fp for r in got) == sorted(r.fp for r in expect)
     assert len(got) >= 1
+
+
+# --- stream-stream watermarked interval join ---------------------------------
+
+_T0_US = 1704067200000000  # 2024-01-01 00:00:00 UTC in epoch µs
+
+
+def _mk_events(spark, rows):
+    """rows: (event_id, minutes_after_t0, user_id, event_type, value) →
+    DataFrame in the staged-events shape (TimestampType ts), built via
+    integer-µs arithmetic so no local-timezone conversion can leak in."""
+    df = spark.createDataFrame(
+        rows, "event_id long, mins long, user_id long, event_type string, value double"
+    )
+    return df.select(
+        "event_id",
+        F.expr(f"timestamp_micros({_T0_US} + mins * 60000000)").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+def _join_streams(spark, src_dir, watermark="2 hours"):
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def src():
+        return spark.readStream.schema(schema).parquet(src_dir)
+
+    views = src().filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts"), F.col("event_id").alias("view_id")
+    )
+    purchases = src().filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    return STRM.stream_stream_interval_join(
+        views, purchases, key="user_id", left_ts="v_ts", right_ts="p_ts",
+        max_gap="1 hour", watermark=watermark,
+    )
+
+
+def test_stream_stream_join_matches_across_batches(spark, tmp_path):
+    """A view arriving in batch 1 must still pair with a purchase
+    arriving in batch 2 (left state persisted across micro-batches),
+    and the multi-batch streaming result must equal the batch interval
+    join over the union — the batch-equivalence oracle."""
+    import glob
+    import os
+    import shutil
+
+    src_dir = str(tmp_path / "ssj_src")
+    stage = str(tmp_path / "ssj_stage")
+    chunk1 = _mk_events(spark, [
+        (101, 0, 1, "view", 0.0),
+        (102, 5, 2, "view", 0.0),
+        (201, 30, 1, "purchase", 10.0),
+    ])
+    chunk2 = _mk_events(spark, [
+        (202, 50, 2, "purchase", 7.5),      # pairs with view 102 from batch 1
+        (103, 180, 1, "view", 0.0),
+        (203, 210, 1, "purchase", 3.0),     # pairs with view 103 in-batch
+        (204, 240, 3, "purchase", 9.0),     # no view for user 3 → no pair
+        (104, 400, 1, "view", 0.0),         # purchase 201 is 370 min earlier → no pair
+    ])
+    chunk1.write.mode("overwrite").parquet(src_dir)
+    chunk2.write.mode("overwrite").parquet(stage)
+
+    q = (
+        _join_streams(spark, src_dir)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_first = spark.sql("SELECT count(*) AS n FROM ssj_out").collect()[0].n
+        for i, f in enumerate(glob.glob(stage + "/part-*.parquet")):
+            shutil.copy(f, os.path.join(src_dir, f"late-{i}.parquet"))
+        q.processAllAvailable()
+        got = {
+            (r.view_id, r.purchase_id)
+            for r in spark.sql("SELECT view_id, purchase_id FROM ssj_out").collect()
+        }
+    finally:
+        q.stop()
+
+    assert n_first == 1          # only (101, 201) is joinable inside batch 1
+    assert got == {(101, 201), (102, 202), (103, 203)}
+
+    # batch-equivalence: the same interval join over the full union
+    allev = chunk1.unionByName(chunk2)
+    v = allev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts"), F.col("event_id").alias("view_id")
+    )
+    p = allev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    batch = {
+        (r.view_id, r.purchase_id)
+        for r in v.join(
+            p,
+            (v.user_id == p.p_user)
+            & (p.p_ts >= v.v_ts)
+            & (p.p_ts <= v.v_ts + F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert got == batch
+
+
+def test_stream_stream_join_drops_late_rows_beyond_watermark(spark, tmp_path):
+    """Watermark semantics: once batch 1 advances the watermark far
+    past an old view's join horizon, a purchase arriving in batch 2
+    with an event time below the watermark is dropped — the streaming
+    result legitimately diverges from the batch join there (bounded
+    state is the point of the watermark)."""
+    import glob
+    import os
+    import shutil
+
+    src_dir = str(tmp_path / "ssj_late_src")
+    stage = str(tmp_path / "ssj_late_stage")
+    chunk1 = _mk_events(spark, [
+        (101, 0, 1, "view", 0.0),
+        (201, 10, 1, "purchase", 1.0),     # in-batch pair
+        # both sides must advance: the global watermark is the MIN over
+        # every watermarked stream (multipleWatermarkPolicy=min), so a
+        # high-ts row on only one side leaves the other holding it back
+        (109, 300, 9, "view", 0.0),        # views side → t0+290min
+        (209, 290, 9, "purchase", 0.0),    # purchases side → t0+280min (before
+                                           # the view → no (109, 209) pair)
+    ])
+    chunk2 = _mk_events(spark, [
+        (202, 20, 1, "purchase", 2.0),     # batch-joinable, but < watermark → dropped
+    ])
+    chunk1.write.mode("overwrite").parquet(src_dir)
+    chunk2.write.mode("overwrite").parquet(stage)
+
+    q = (
+        _join_streams(spark, src_dir, watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_late")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i, f in enumerate(glob.glob(stage + "/part-*.parquet")):
+            shutil.copy(f, os.path.join(src_dir, f"late-{i}.parquet"))
+        q.processAllAvailable()
+        got = {
+            (r.view_id, r.purchase_id)
+            for r in spark.sql("SELECT view_id, purchase_id FROM ssj_late").collect()
+        }
+    finally:
+        q.stop()
+
+    assert got == {(101, 201)}
