@@ -399,6 +399,50 @@ def main():
 
     time_inc_dedup()
 
+    # Stream-stream watermarked interval join (views ⋈ purchases by
+    # user within 1 h): the two-sided join-state path — four state
+    # stores per partition, eviction driven by watermark + gap — which
+    # none of the rows above exercises.  All-JVM (no Python boundary),
+    # so the cost model is the per-state-partition fixed term plus the
+    # keyed shuffle of both sides.
+    from hadoop_pcap_spark.streaming.stream import stream_stream_interval_join
+
+    ssj_prefix = f"bench_ssj_events_{os.path.basename(sf_dir)}_"
+    ssj_stage = os.path.join(tempfile.gettempdir(), ssj_prefix + ev_key)
+    _drop_stale_stage_dirs(ssj_prefix, ssj_prefix + ev_key)
+    if not os.path.exists(os.path.join(ssj_stage, "_SUCCESS")):
+        (
+            plans.table(spark, sf_dir, "events")
+            .select(
+                "event_id",
+                F.expr("timestamp_micros(ts)").alias("ts"),
+                "user_id",
+                "event_type",
+            )
+            .repartition(int(cpus))
+            .write.mode("overwrite")
+            .parquet(ssj_stage)
+        )
+
+    def _ssj_build():
+        schema = "event_id long, ts timestamp, user_id long, event_type string"
+
+        def src():
+            return spark.readStream.schema(schema).parquet(ssj_stage)
+
+        views = src().filter(F.col("event_type") == "view").select(
+            "user_id", F.col("ts").alias("v_ts"), F.col("event_id").alias("view_id")
+        )
+        purchases = src().filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+        )
+        return stream_stream_interval_join(
+            views, purchases, key="user_id", left_ts="v_ts", right_ts="p_ts",
+            max_gap="1 hour", watermark="2 hours",
+        )
+
+    time_stream("streaming_join_interval", _ssj_build, "append")
+
     extras["calib_end"] = calibrate()
     print(f"# extras: {extras}", file=sys.stderr, flush=True)
 

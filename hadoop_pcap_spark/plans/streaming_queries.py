@@ -193,3 +193,54 @@ def q_streaming_window_counts(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("win_start_us", "event_type")
     )
+
+
+@query(
+    "streaming_session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+                  OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts_us,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged)
+    SELECT user_id, MIN(ts_us) AS sess_start_us,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sess_id
+    ORDER BY user_id, sess_start_us
+    """,
+)
+def q_streaming_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based session windows (streaming/stream.py session_windows)
+    as a real streaming query, complete mode.  The oracle is the
+    gaps-and-islands formulation (same shape as sessionize_batch's):
+    Spark's session window is half-open ``[first, last + gap)``, so a
+    gap of EXACTLY 30 min starts a new session — hence ``>=`` in the
+    island rule (µs-resolution event times make boundary collisions a
+    measure-zero concern either way, but the inequalities agree by
+    construction).  Scale: streaming session merge is one shuffle on
+    the key; state is one row per open session."""
+    from ..streaming.stream import session_windows
+
+    d = _stage_events(spark, sf)
+    stream = spark.readStream.schema(_EV_SCHEMA).parquet(d)
+    out = session_windows(
+        stream, ts_col="ts", key_col="user_id", gap="30 minutes",
+        watermark="1 hour",
+    )
+    name = _run_to_memory(out, "complete")
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sess_start")).alias("sess_start_us"),
+            F.col("n_events"),
+        )
+        .orderBy("user_id", "sess_start_us")
+    )

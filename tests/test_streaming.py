@@ -856,3 +856,65 @@ def test_stream_stream_join_drops_late_rows_beyond_watermark(spark, tmp_path):
         q.stop()
 
     assert got == {(101, 201)}
+
+
+def test_stream_stream_join_left_outer_emits_after_watermark(spark, tmp_path):
+    """left_outer: an unmatched left row is held in state and emitted
+    NULL-extended only once the watermark passes its join horizon
+    (Spark then runs a no-data finalization batch).  Pin both halves:
+    the matched pairs emit normally; the unmatched view emits with a
+    NULL purchase_id after later data advances both watermarks."""
+    import glob
+    import os
+    import shutil
+
+    src_dir = str(tmp_path / "ssj_lo_src")
+    stage = str(tmp_path / "ssj_lo_stage")
+    chunk1 = _mk_events(spark, [
+        (101, 0, 1, "view", 0.0),
+        (201, 5, 1, "purchase", 1.0),      # pair (101, 201)
+        (102, 10, 2, "view", 0.0),         # no purchase for user 2 → outer row
+    ])
+    chunk2 = _mk_events(spark, [
+        # advance BOTH sides' watermarks far past 102's horizon
+        # (10 min + 1 h gap + 10 min delay): min(300,300) − 10 = 290 min
+        (110, 300, 9, "view", 0.0),
+        (210, 300, 9, "purchase", 2.0),    # pair (110, 210), gap 0
+    ])
+    chunk1.write.mode("overwrite").parquet(src_dir)
+    chunk2.write.mode("overwrite").parquet(stage)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def src():
+        return spark.readStream.schema(schema).parquet(src_dir)
+
+    views = src().filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts"), F.col("event_id").alias("view_id")
+    )
+    purchases = src().filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    joined = STRM.stream_stream_interval_join(
+        views, purchases, key="user_id", left_ts="v_ts", right_ts="p_ts",
+        max_gap="1 hour", watermark="10 minutes", how="left_outer",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_outer")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i, f in enumerate(glob.glob(stage + "/part-*.parquet")):
+            shutil.copy(f, os.path.join(src_dir, f"late-{i}.parquet"))
+        q.processAllAvailable()
+        got = {
+            (r.view_id, r.purchase_id)
+            for r in spark.sql("SELECT view_id, purchase_id FROM ssj_outer").collect()
+        }
+    finally:
+        q.stop()
+
+    assert got == {(101, 201), (110, 210), (102, None)}
