@@ -79,3 +79,63 @@ def ngram_contamination(
         "n_bench_docs",
         F.round(F.col("n_hit_shingles") / F.col("sz"), 6).alias("contamination"),
     )
+
+
+def corpus_boilerplate(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-internal boilerplate detection at sub-document
+    granularity (the CCNet/RefinedWeb line-dedup motif, generalized
+    to k-word shingles since this corpus has no line structure):
+    a distinct k-shingle appearing in ``>= min_docs`` documents is
+    boilerplate (headers, footers, license blocks, navigation);
+    each doc gets its boilerplate-shingle count and fraction —
+    the removal decision is then a cheap filter on ``boiler_frac``.
+
+    Returns (doc_id, n_shingles, n_boiler, boiler_frac).
+
+    Scale at 100 TB: the document-frequency aggregate shuffles
+    md5(shingle) (16-byte keys, not raw phrase strings) with map-side
+    partial aggregation; the hit-count join is shingle-hash →
+    boilerplate-set semi-equality on the same key, so both stages
+    reuse one hash partitioning.  No all-pairs anywhere; the
+    boilerplate set itself is df-bounded (a shingle needs min_docs
+    distinct docs), typically dimension-sized → AQE broadcasts it.
+    The shingle sets are distinct-per-doc (doc_shingle_arrays), so
+    count(*) over pairs IS document frequency."""
+    arrs = doc_shingle_arrays(docs, k, id_col, text_col)
+    from ..functions import explode_computed
+
+    pairs = arrs.select(
+        "doc_id", explode_computed("arr", never_empty=True).alias("g")
+    ).select("doc_id", F.md5("g").alias("h"))
+    boiler = (
+        pairs.groupBy("h")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h", F.lit(1).alias("is_b"))
+    )
+    # n_shingles comes from the SAME left join + aggregate as
+    # n_boiler (every pair survives a left join; arr is never empty,
+    # so no doc drops out) — the tokenize/shingle projection runs
+    # exactly twice (document-frequency branch + probe branch), not
+    # three times; the third 'sizes' branch would re-shingle the
+    # whole corpus just to count.  At 100 TB the remaining 2× is
+    # folded away by persisting `pairs` or fusing this flag pass into
+    # the corpus build's shared tokenize stage.
+    return (
+        pairs.join(boiler, "h", "left_outer")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.coalesce(F.sum("is_b"), F.lit(0)).cast("bigint").alias("n_boiler"),
+        )
+        .withColumn(
+            "boiler_frac",
+            F.round(F.col("n_boiler") / F.col("n_shingles"), 6),
+        )
+    )

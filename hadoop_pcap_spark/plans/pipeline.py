@@ -1743,3 +1743,40 @@ def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "docs_boilerplate_shingles",
+    oracle=f"""
+    WITH sh AS MATERIALIZED (
+      SELECT doc_id, {_sql_shingles_k(8)} AS shingles FROM documents),
+    pairs AS (
+      SELECT doc_id, md5(g) AS h
+      FROM (SELECT doc_id, unnest(shingles) AS g FROM sh)),
+    boiler AS (
+      SELECT h FROM pairs GROUP BY h HAVING count(*) >= 3),
+    sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM sh),
+    hits AS (
+      SELECT p.doc_id, count(*) AS n_boiler
+      FROM pairs p JOIN boiler b USING (h) GROUP BY p.doc_id)
+    SELECT s.doc_id, s.n_shingles,
+           COALESCE(h.n_boiler, 0) AS n_boiler,
+           ROUND(COALESCE(h.n_boiler, 0) * 1.0 / s.n_shingles, 6) AS boiler_frac
+    FROM sizes s LEFT JOIN hits h USING (doc_id)
+    ORDER BY s.doc_id
+    """,
+)
+def q_docs_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-internal boilerplate detection
+    (operators.contamination.corpus_boilerplate): distinct 8-word
+    shingles appearing in >= 3 documents are boilerplate; per doc,
+    the count and fraction of boilerplate shingles — sub-document
+    dedup's flag pass (the shingle generalization of CCNet/RefinedWeb
+    line-dedup; removal is then a filter on boiler_frac).
+    Scale: document-frequency agg + hit join both keyed on
+    md5(shingle) — one reusable hash partitioning, no raw phrase
+    strings on the wire, df-bounded boilerplate set."""
+    from ..operators.contamination import corpus_boilerplate
+
+    docs = table(spark, sf, "documents")
+    return corpus_boilerplate(docs, k=8, min_docs=3).orderBy("doc_id")

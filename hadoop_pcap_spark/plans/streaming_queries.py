@@ -35,7 +35,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import events_table, query
+from . import events_table, query, table
 from .relational import _dec_sum
 from ..streaming.stream import (
     stream_stream_interval_join,
@@ -243,4 +243,52 @@ def q_streaming_session_windows(spark: SparkSession, sf: str) -> DataFrame:
             F.col("n_events"),
         )
         .orderBy("user_id", "sess_start_us")
+    )
+
+
+@query(
+    "streaming_enrich_static",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def q_streaming_enrich_static(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined to the
+    static customer→nation dimension (the GeoIP/asset-inventory
+    enrichment motif for a live packet feed).  Stream-static joins
+    are STATELESS — each micro-batch probes the current dim, so no
+    watermark is involved and any batching gives the batch result;
+    the dim re-resolves per batch (slowly-changing dims pick up
+    updates for free).  Scale: the dim broadcasts (dimension-sized);
+    the stream side is map-only — no shuffle before the aggregate."""
+    d = _stage_events(spark, sf)
+    stream = spark.readStream.schema(_EV_SCHEMA).parquet(d)
+    dim = (
+        table(spark, sf, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+        .join(
+            table(spark, sf, "nation").select("n_nationkey", "n_name"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("user_id", "n_name")
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id")
+    name = _run_to_memory(
+        enriched.select("n_name", "user_id", "event_id"), "append"
+    )
+    return (
+        spark.table(name)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("n_name")
     )

@@ -971,3 +971,35 @@ def test_rp_band_near_dup_recall_at_production_threshold(spark):
     assert not (got - truth)  # verification is exact: no false pairs
     recall = len(got & truth) / len(truth)
     assert recall >= 0.9, (recall, len(truth))
+
+
+def test_corpus_boilerplate_flags_planted_phrase(spark):
+    """corpus_boilerplate: a fixed 8-word phrase planted in 4 of 8
+    docs is flagged (df >= min_docs); unique docs get n_boiler = 0;
+    the short-doc whole-text fallback shingle counts too."""
+    from hadoop_pcap_spark.operators.contamination import corpus_boilerplate
+
+    phrase = "all rights reserved contact the site admin team"
+    rows = [
+        (i, f"{phrase} {i} unique tail words alpha beta gamma delta")
+        for i in range(4)
+    ] + [
+        (10 + i, " ".join(f"w{i}x{j}" for j in range(12)))
+        for i in range(3)
+    ] + [(99, "tiny doc")]  # < 8 tokens → whole text is the one shingle
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_shingles, r.n_boiler)
+        for r in corpus_boilerplate(docs, k=8, min_docs=3).collect()
+    }
+    # every planted doc: the phrase contributes exactly one shared
+    # 8-shingle (the tails diverge at word 9 via the doc number)
+    for i in range(4):
+        assert out[i][1] == 1, out[i]
+    for i in range(3):
+        assert out[10 + i][1] == 0, out[10 + i]
+    assert out[99] == (1, 0)
+    # fractions are consistent
+    full = corpus_boilerplate(docs, k=8, min_docs=3).collect()
+    for r in full:
+        assert abs(r.boiler_frac - round(r.n_boiler / r.n_shingles, 6)) < 1e-9

@@ -55,6 +55,8 @@ DRIVER_TABLE = {
     "dedup_minhash_lsh": "documents",
     "similarity_cosine_topk": "embeddings",
     "text_quality_scores": "documents",
+    "docs_boilerplate_shingles": "documents",
+    "streaming_join_interval": "events",
 }
 
 
