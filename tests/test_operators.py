@@ -1003,3 +1003,45 @@ def test_corpus_boilerplate_flags_planted_phrase(spark):
     full = corpus_boilerplate(docs, k=8, min_docs=3).collect()
     for r in full:
         assert abs(r.boiler_frac - round(r.n_boiler / r.n_shingles, 6)) < 1e-9
+
+
+def test_corpus_boilerplate_matches_bruteforce_reference(spark):
+    """Property check on a randomized-but-seeded corpus: per-doc
+    (n_shingles, n_boiler) must equal a brute-force Python reference
+    of the same contract (distinct k-shingles, df >= min_docs)."""
+    import random
+    import re
+
+    rng = random.Random(20260815)
+    vocab = [f"t{i}" for i in range(12)]  # tiny vocab → real collisions
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 20))))
+        for i in range(40)
+    ]
+    k, min_docs = 3, 3
+
+    def shingles(text):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        if len(toks) < k:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    sets = {i: shingles(t) for i, t in rows}
+    df_count = {}
+    for s in sets.values():
+        for g in s:
+            df_count[g] = df_count.get(g, 0) + 1
+    boiler = {g for g, n in df_count.items() if n >= min_docs}
+    expect = {
+        i: (len(s), sum(1 for g in s if g in boiler)) for i, s in sets.items()
+    }
+
+    from hadoop_pcap_spark.operators.contamination import corpus_boilerplate
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_shingles, r.n_boiler)
+        for r in corpus_boilerplate(docs, k=k, min_docs=min_docs).collect()
+    }
+    assert got == expect
+    assert any(v[1] > 0 for v in expect.values())  # the check has teeth
