@@ -265,13 +265,33 @@ def main():
     # streaming query and restored for the batch queries.
     stream_parts = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
 
-    def time_stream(name: str, build, output_mode: str) -> None:
+    # State-store provider is a PER-QUERY choice, read from the
+    # session conf at query start: RocksDB's native commit path wins
+    # wherever one state store per partition carries the keys
+    # (flow counters 8.5→7.1 cpu-s, corpus filter 4.1→3.5,
+    # incremental dedup 7.4→5.4 — measured min-of-3 at sf0.1), but the
+    # stream-stream join opens FOUR stores per partition and its
+    # per-store open/commit fixed cost exceeds the tiny-state savings
+    # (9.8→11.6 cpu-s), so the join keeps the in-memory map store at
+    # this scale.  At production state sizes the trade flips toward
+    # RocksDB everywhere (off-heap state, incremental snapshots).
+    _PROVIDER = {
+        "rocksdb": "org.apache.spark.sql.execution.streaming.state."
+                   "RocksDBStateStoreProvider",
+        "hdfs": "org.apache.spark.sql.execution.streaming.state."
+                "HDFSBackedStateStoreProvider",
+    }
+
+    def time_stream(name: str, build, output_mode: str, provider: str = "rocksdb") -> None:
         """Min-of-N a streaming query end-to-end (source → noop sink,
         processAllAvailable) and record it as a FIRST-CLASS headline
         row (VERDICT r4 item 8: streaming regressions must gate like
         batch ones, not live in extras)."""
         best = best_cpu = None
         spark.conf.set("spark.sql.shuffle.partitions", stream_parts)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", _PROVIDER[provider]
+        )
         try:
             for _ in range(runs):
                 ckpt = tempfile.mkdtemp(prefix="bench_stream_ckpt_")
@@ -293,6 +313,7 @@ def main():
                 best_cpu = dc if best_cpu is None else min(best_cpu, dc)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", cpus)
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         timings[name] = round(best, 3)
         cpu_timings[name] = round(best_cpu, 3)
         print(
@@ -363,6 +384,9 @@ def main():
         name = "streaming_incremental_dedup"
         best = best_cpu = None
         spark.conf.set("spark.sql.shuffle.partitions", stream_parts)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", _PROVIDER["rocksdb"]
+        )
         try:
             for _ in range(runs):
                 snap = tempfile.mkdtemp(prefix="bench_incdedup_snap_")
@@ -389,6 +413,7 @@ def main():
                 best_cpu = dc if best_cpu is None else min(best_cpu, dc)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", cpus)
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         timings[name] = round(best, 3)
         cpu_timings[name] = round(best_cpu, 3)
         print(
@@ -441,7 +466,7 @@ def main():
             max_gap="1 hour", watermark="2 hours",
         )
 
-    time_stream("streaming_join_interval", _ssj_build, "append")
+    time_stream("streaming_join_interval", _ssj_build, "append", provider="hdfs")
 
     extras["calib_end"] = calibrate()
     print(f"# extras: {extras}", file=sys.stderr, flush=True)
