@@ -19,10 +19,15 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 
 def _registry():
+    """(QUERIES, UNRESOLVED oracles): ordering and membership only
+    need oracle NAMES — resolving a callable oracle builds pcap truth
+    fixtures (tempdir parquet writes, pyarrow), a side effect that
+    belongs in oracle_sql() alone (ADVICE r5: listing queries must
+    stay cheap and side-effect-free)."""
     from hadoop_pcap_spark import plans
 
     plans.load_all()
-    return plans.QUERIES, plans.resolved_oracles()
+    return plans.QUERIES, plans.ORACLES
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -95,5 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    _, oracles_map = _registry()
-    return dict(oracles_map)
+    from hadoop_pcap_spark import plans
+
+    plans.load_all()
+    return plans.resolved_oracles()

@@ -222,8 +222,17 @@ def main():
         ones idle >1h: a CONCURRENT bench against the same dataset
         basename (different mtime key) must not have its in-use
         staging deleted mid-run (ADVICE r5) — an active writer keeps
-        its dir's mtime fresh."""
+        its dir's mtime fresh, and the touch below keeps a READER's
+        dir fresh too (reusing a staged copy never rewrites it, so
+        without the touch a >1h benchmark run could lose its stage to
+        a concurrent run's cleanup mid-read)."""
         now = time.time()
+        keep_path = os.path.join(tempfile.gettempdir(), keep)
+        if os.path.isdir(keep_path):
+            try:
+                os.utime(keep_path, None)
+            except OSError:
+                pass
         for old in os.listdir(tempfile.gettempdir()):
             if not old.startswith(prefix) or old == keep:
                 continue

@@ -1303,12 +1303,24 @@ def q_dedup_incremental_epochs(spark: SparkSession, sf: str) -> DataFrame:
     in its wave and it is the min doc_id within that (fp, wave).
     Scale: the snapshot is only distinct 128-bit fingerprints; the
     per-wave probe is one anti-join (bucketed store at 100 TB)."""
+    import hashlib
+    import os
+    import shutil
     import tempfile
 
     from ..streaming.stream import incremental_dedup_step
 
     docs = table(spark, sf, "documents").select("doc_id", "text")
-    snap = tempfile.mkdtemp(prefix="incdedup_q_")
+    # deterministic snapshot dir keyed by the source dataset, wiped at
+    # the start of each invocation: the returned DataFrame's lineage
+    # reads the snapshot parquet, so it cannot be deleted on exit —
+    # but an unkeyed mkdtemp per run leaked one full fingerprint
+    # snapshot per gate/audit/probe invocation; keyed-and-overwritten,
+    # tmp holds at most one snapshot per dataset
+    key = hashlib.md5(os.path.abspath(sf).encode()).hexdigest()[:12]
+    snap = os.path.join(tempfile.gettempdir(), f"incdedup_q_{key}")
+    shutil.rmtree(snap, ignore_errors=True)
+    os.makedirs(snap, exist_ok=True)
     waves = []
     for epoch in range(3):
         kept = incremental_dedup_step(

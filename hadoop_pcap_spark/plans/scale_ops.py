@@ -62,7 +62,8 @@ def q_join_skew_salted(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "agg_skew_two_phase",
     oracle="""
-    SELECT l_returnflag, count(*) AS n, sum(l_linenumber) AS total
+    SELECT l_returnflag, count(*) AS n,
+           CAST(sum(l_linenumber) AS BIGINT) AS total
     FROM lineitem
     GROUP BY l_returnflag
     """,

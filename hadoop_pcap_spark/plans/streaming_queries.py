@@ -72,9 +72,19 @@ def _stage_events(spark: SparkSession, sf: str) -> str:
     return d
 
 
-def _run_to_memory(joined_or_agg: DataFrame, mode: str) -> str:
+def _run_to_memory(joined_or_agg: DataFrame, mode: str, key: str) -> DataFrame:
     """Run a streaming DataFrame to completion (AvailableNow) into a
-    uniquely-named memory sink; returns the sink table name."""
+    memory sink, spill the sink to a tmp parquet, DROP the sink view,
+    and return the parquet-backed DataFrame.  The drop matters: memory
+    sink rows live on the driver for the session's lifetime, so a
+    long-lived session running these queries repeatedly (plan audits,
+    scaling probes) would otherwise accumulate orphaned sink tables it
+    can never reclaim.  The spill dir is keyed by (query, dataset) and
+    overwritten each invocation — same bounded-tmp contract as
+    pipeline.py's incremental-dedup snapshot: the returned DataFrame's
+    lineage reads the spill, so it can't be deleted on exit, but keyed
+    overwrite caps tmp at one small aggregate per query per dataset."""
+    spark = joined_or_agg.sparkSession
     name = "squery_" + uuid.uuid4().hex[:12]
     q = (
         joined_or_agg.writeStream.outputMode(mode)
@@ -84,7 +94,13 @@ def _run_to_memory(joined_or_agg: DataFrame, mode: str) -> str:
         .start()
     )
     q.awaitTermination()
-    return name
+    spill = os.path.join(
+        tempfile.gettempdir(),
+        "squery_sink_" + hashlib.md5(key.encode()).hexdigest()[:12],
+    )
+    spark.table(name).write.mode("overwrite").parquet(spill)
+    spark.catalog.dropTempView(name)
+    return spark.read.parquet(spill)
 
 
 @query(
@@ -142,9 +158,9 @@ def q_streaming_join_interval(spark: SparkSession, sf: str) -> DataFrame:
         max_gap="1 hour",
         watermark="2 hours",
     )
-    name = _run_to_memory(joined, "append")
+    sink = _run_to_memory(joined, "append", f"join_interval|{os.path.abspath(sf)}")
     return (
-        spark.table(name)
+        sink
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_pairs"),
@@ -183,9 +199,9 @@ def q_streaming_window_counts(spark: SparkSession, sf: str) -> DataFrame:
         window="6 hours",
         watermark="30 minutes",
     )
-    name = _run_to_memory(out, "complete")
+    sink = _run_to_memory(out, "complete", f"window_counts|{os.path.abspath(sf)}")
     return (
-        spark.table(name)
+        sink
         .select(
             F.unix_micros(F.col("win_start")).alias("win_start_us"),
             "event_type",
@@ -199,15 +215,19 @@ def q_streaming_window_counts(spark: SparkSession, sf: str) -> DataFrame:
     "streaming_session_windows",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, epoch_us(ts) AS ts_us,
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
                        OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
                   OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_sess
       FROM events),
     sessions AS (
+      -- the running sum MUST use the same (ts, event_id) total order
+      -- as the lag above: with ts_us alone, two events of one user in
+      -- the same microsecond tie and the 0-flag row can sort before
+      -- its 1-flag twin, shifting it into the previous session
       SELECT user_id, ts_us,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                                  ROWS UNBOUNDED PRECEDING) AS sess_id
       FROM flagged)
     SELECT user_id, MIN(ts_us) AS sess_start_us,
@@ -234,9 +254,9 @@ def q_streaming_session_windows(spark: SparkSession, sf: str) -> DataFrame:
         stream, ts_col="ts", key_col="user_id", gap="30 minutes",
         watermark="1 hour",
     )
-    name = _run_to_memory(out, "complete")
+    sink = _run_to_memory(out, "complete", f"session_windows|{os.path.abspath(sf)}")
     return (
-        spark.table(name)
+        sink
         .select(
             "user_id",
             F.unix_micros(F.col("sess_start")).alias("sess_start_us"),
@@ -289,9 +309,9 @@ def q_streaming_enrich_static(spark: SparkSession, sf: str) -> DataFrame:
     per_user = enriched.groupBy("n_name", "user_id").agg(
         F.count("*").alias("n")
     )
-    name = _run_to_memory(per_user, "complete")
+    sink = _run_to_memory(per_user, "complete", f"enrich_static|{os.path.abspath(sf)}")
     return (
-        spark.table(name)
+        sink
         .groupBy("n_name")
         .agg(
             F.sum("n").alias("n_events"),

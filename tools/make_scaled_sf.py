@@ -165,12 +165,21 @@ def main() -> None:
         "documents_const_family": f"""
             SELECT doc_id, text, lang, source, length(text) AS n_chars
             FROM (
+                -- text || ' ' before the replace: the suffix rename
+                -- must also tag the LAST word (a trailing space gives
+                -- it a separator to rewrite; rtrim removes the
+                -- leftover), else every group's copy-0 of a one-word
+                -- doc would be byte-identical across groups and break
+                -- the cross-group-Jaccard-0 property this corpus
+                -- exists to provide (min doc length in the shipped
+                -- testdata is 10 words, so the recorded fits were
+                -- unaffected — this hardens the tool, not the data)
                 SELECT doc_id + c.i * {n_doc} AS doc_id,
                        CASE WHEN c.i % {args.dup_family or 1} = 0
-                            THEN replace(text, ' ',
-                                 'g' || (c.i // {args.dup_family or 1}) || ' ')
-                            ELSE replace(text, ' ',
-                                 'g' || (c.i // {args.dup_family or 1}) || ' ')
+                            THEN rtrim(replace(text || ' ', ' ',
+                                 'g' || (c.i // {args.dup_family or 1}) || ' '))
+                            ELSE rtrim(replace(text || ' ', ' ',
+                                 'g' || (c.i // {args.dup_family or 1}) || ' '))
                                  || ' c' || (c.i % {args.dup_family or 1})
                        END AS text,
                        lang, source

@@ -13,7 +13,6 @@ events (one micro-batch, 100k rows / 1500 keys at sf0.1):
   state_no_out   update() reads+writes state but emits nothing —
                  adds state (de)serialization
   full           the real operator — adds per-key output DataFrames
-  full_opt       candidate optimized operator (if one is registered)
 
 Each variant: min-of-N wall + process-tree cpu (bench.py's counters).
 Run:  python tools/profile_streaming.py [--sf /root/testdata/sf0.1]
@@ -61,7 +60,6 @@ def main():
                    "RocksDBStateStoreProvider",
     }
 
-    import pandas as pd
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
