@@ -147,3 +147,83 @@ def q_join_bucketed_docs(spark: SparkSession, sf: str) -> DataFrame:
     return bucketed_join(spark, t_docs, t_stats, "doc_id", merge=True).select(
         "doc_id", "n_chars", "twice"
     )
+
+
+def _zorder_stage(spark: SparkSession, sf: str) -> str:
+    """Z-ordered copy of lineitem on (l_partkey, l_suppkey), keyed by
+    the source parquet's identity with a ``_SUCCESS`` completion
+    witness (bench.py's staging protocol); superseded keys for the
+    same dataset are dropped so tmp stays bounded."""
+    import shutil
+    import tempfile
+
+    from ..operators.layout import write_zordered
+
+    src = os.path.join(sf, "lineitem.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:10]
+    prefix = "zorder_li_"
+    d = os.path.join(tempfile.gettempdir(), prefix + key)
+    for old in os.listdir(tempfile.gettempdir()):
+        if old.startswith(prefix) and old != prefix + key:
+            shutil.rmtree(os.path.join(tempfile.gettempdir(), old),
+                          ignore_errors=True)
+    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+        write_zordered(
+            spark.read.parquet(src).select(
+                "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+            ),
+            d,
+            ["l_partkey", "l_suppkey"],
+            bits=8,
+            n_files=16,
+        )
+    return d
+
+
+@query(
+    "layout_zorder_prune",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+             AS sum_qty,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    WHERE l_partkey <= (SELECT max(l_partkey) FROM lineitem) * 0.25
+      AND l_suppkey <= (SELECT max(l_suppkey) FROM lineitem) * 0.25
+    """,
+)
+def q_layout_zorder_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Box-predicate scan over a Z-ORDERED rewrite of lineitem
+    (operators/layout.py write_zordered): the layout lever for
+    scan-heavy pipelines — Morton-interleaving (l_partkey, l_suppkey)
+    clusters rows so parquet row-group min/max stats prune a 2-D box
+    on EITHER column (a 1-D sort only prunes its own column;
+    tests/test_operators.py asserts the skip-count advantage via
+    footer stats).  The rewrite must be row-lossless, so the oracle is
+    the identical filter+aggregate over the PLAIN table.
+    Scale: the rewrite is one range-shuffle (same cost class as any
+    repartition); the z-key is pure codegen arithmetic with bounds
+    from a broadcast 1-row min/max — no collect, no UDF.  The payoff
+    at 100 TB is every subsequent scan reading the ~1/16 of row
+    groups its predicate touches."""
+    d = _zorder_stage(spark, sf)
+    z = spark.read.parquet(d)
+    bounds = spark.read.parquet(os.path.join(sf, "lineitem.parquet")).agg(
+        (F.max("l_partkey") * 0.25).alias("_pk_hi"),
+        (F.max("l_suppkey") * 0.25).alias("_sk_hi"),
+    )
+    return (
+        z.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("l_partkey") <= F.col("_pk_hi"))
+            & (F.col("l_suppkey") <= F.col("_sk_hi"))
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            _dec_sum(F.col("l_quantity"), "sum_qty"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )

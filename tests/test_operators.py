@@ -1045,3 +1045,72 @@ def test_corpus_boilerplate_matches_bruteforce_reference(spark):
     }
     assert got == expect
     assert any(v[1] > 0 for v in expect.values())  # the check has teeth
+
+
+def test_zorder_write_lossless_and_prunes(spark, tmp_path):
+    """write_zordered preserves the row multiset, and the z-layout's
+    row-group stats prune a box predicate on BOTH dimensions — in
+    particular on the SECOND dimension alone, where a 1-D sort prunes
+    nothing (the property z-ordering exists to buy)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_pcap_spark.operators.layout import (
+        rowgroup_prune_stats,
+        write_zordered,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "lin")
+    write_zordered(li, zdir, ["l_partkey", "l_suppkey"], bits=8, n_files=8)
+    (
+        li.repartitionByRange(8, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(ldir)
+    )
+    z = spark.read.parquet(zdir)
+    # lossless: same row multiset (count + exact sum + an
+    # order-insensitive whole-row hash sum)
+    agg = lambda d: d.agg(  # noqa: E731
+        F.count("*"),
+        F.sum("l_quantity"),
+        F.sum(F.hash("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")),
+    ).first()
+    assert agg(z) == agg(li)
+
+    sk_hi = li.agg(F.max("l_suppkey")).first()[0] * 0.25
+    second_dim = {"l_suppkey": (0.0, sk_hi)}
+    z_stats = rowgroup_prune_stats(zdir, second_dim)
+    l_stats = rowgroup_prune_stats(ldir, second_dim)
+    # 1-D partkey sort leaves suppkey full-range per file: 0 skipped
+    assert l_stats["skippable"] == 0
+    # the z-layout must actually skip on the second dimension
+    assert z_stats["skippable"] >= z_stats["row_groups"] // 2
+
+    pk_hi = li.agg(F.max("l_partkey")).first()[0] * 0.25
+    box = {"l_partkey": (0.0, pk_hi), "l_suppkey": (0.0, sk_hi)}
+    assert (
+        rowgroup_prune_stats(zdir, box)["skippable"]
+        >= rowgroup_prune_stats(ldir, box)["skippable"]
+    )
+
+
+def test_zorder_key_constant_and_null_columns(spark):
+    """Degenerate inputs must not break the key: a constant column
+    collapses to bucket 0 (valid bounds via the widened max), and a
+    NULL value yields a NULL key — rows cluster together rather than
+    erroring."""
+    from pyspark.sql import Row
+
+    from hadoop_pcap_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [Row(a=1, b=7), Row(a=2, b=7), Row(a=None, b=7)]
+    )
+    out = zorder_key(df, ["a", "b"], bits=4).collect()
+    by_a = {r["a"]: r["_zkey"] for r in out}
+    assert by_a[None] is None
+    assert by_a[1] is not None and by_a[2] is not None
+    assert by_a[1] != by_a[2]  # distinct a-values get distinct keys
