@@ -45,7 +45,12 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_key", "write_zordered", "rowgroup_prune_stats"]
+__all__ = [
+    "zorder_key",
+    "write_zordered",
+    "rowgroup_prune_stats",
+    "compact_files",
+]
 
 
 def zorder_key(
@@ -165,3 +170,44 @@ def rowgroup_prune_stats(
                     break
             overlap += int(hit)
     return {"row_groups": total, "overlapping": overlap, "skippable": total - overlap}
+
+
+def compact_files(
+    spark,
+    src: str,
+    dst: str,
+    target_bytes: int = 128 << 20,
+    order_by: Optional[Sequence[str]] = None,
+) -> dict[str, int]:
+    """Rewrite a fragmented parquet dataset into ~``target_bytes``
+    files.  Small files are the silent scan killer at 100 TB: every
+    file costs a task launch, a footer read, and a catalog entry, so
+    a million 1 MB files can cost more scheduler time than the scan
+    itself (streaming sinks and per-partition writers produce exactly
+    this shape).  Sizing comes from the file listing — metadata only,
+    the catalog's job at scale, never a data pass.
+
+    Without ``order_by`` the rewrite is round-robin ``repartition``
+    (balanced output regardless of input skew); with it the rewrite
+    range-partitions + sorts so compaction ALSO (re)establishes
+    clustering — compose with :func:`write_zordered` by passing the
+    z-key.  Either way: one shuffle, the floor for any rewrite.
+    Returns {files_in, files_out, bytes} for callers that log
+    compaction ratios."""
+    import glob
+    import math
+    import os
+
+    files = glob.glob(os.path.join(src, "*.parquet"))
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(src)
+    if order_by:
+        out = df.repartitionByRange(n_out, *order_by).sortWithinPartitions(
+            *order_by
+        )
+    else:
+        out = df.repartition(n_out)
+    out.write.mode("overwrite").parquet(dst)
+    n_written = len(glob.glob(os.path.join(dst, "*.parquet")))
+    return {"files_in": len(files), "files_out": n_written, "bytes": total}

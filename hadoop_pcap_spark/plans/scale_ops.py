@@ -227,3 +227,52 @@ def q_layout_zorder_prune(spark: SparkSession, sf: str) -> DataFrame:
             F.countDistinct("l_orderkey").alias("n_orders"),
         )
     )
+
+
+@query(
+    "layout_compact_files",
+    oracle="""
+    SELECT count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           count(DISTINCT source) AS n_sources
+    FROM documents
+    """,
+)
+def q_layout_compact_files(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction, driver-verified (operators/layout.py
+    compact_files): documents is deliberately fragmented into 64
+    shards (a streaming sink's natural output shape), then rewritten
+    into ~target-size files — one round-robin shuffle, metadata-only
+    sizing.  The rewrite must be row-lossless, so the oracle is the
+    plain-table aggregate; the file-count reduction itself is
+    asserted in tests/test_operators.py.  Both stages are keyed by
+    the source parquet's identity with _SUCCESS witnesses, stale
+    keys dropped (the staging protocol shared with bench.py)."""
+    import shutil
+    import tempfile
+
+    from ..operators.layout import compact_files
+
+    src = os.path.join(sf, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:10]
+    frag = os.path.join(tempfile.gettempdir(), f"compact_frag_{key}")
+    dst = os.path.join(tempfile.gettempdir(), f"compact_out_{key}")
+    for prefix, keep in (("compact_frag_", frag), ("compact_out_", dst)):
+        for old in os.listdir(tempfile.gettempdir()):
+            p = os.path.join(tempfile.gettempdir(), old)
+            if old.startswith(prefix) and p != keep:
+                shutil.rmtree(p, ignore_errors=True)
+    if not os.path.exists(os.path.join(frag, "_SUCCESS")):
+        spark.read.parquet(src).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(frag)
+    if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+        compact_files(spark, frag, dst, target_bytes=64 << 20)
+    return spark.read.parquet(dst).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )

@@ -1114,3 +1114,37 @@ def test_zorder_key_constant_and_null_columns(spark):
     assert by_a[None] is None
     assert by_a[1] is not None and by_a[2] is not None
     assert by_a[1] != by_a[2]  # distinct a-values get distinct keys
+
+
+def test_compact_files_reduces_count_losslessly(spark, tmp_path):
+    """compact_files merges a fragmented dataset into ~target-size
+    files without changing the row multiset; with order_by it also
+    re-establishes clustering (tight per-file ranges)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_pcap_spark.operators.layout import (
+        compact_files,
+        rowgroup_prune_stats,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    frag, out, ordered = (
+        str(tmp_path / "frag"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ordered"),
+    )
+    docs.repartition(32).write.parquet(frag)
+    stats = compact_files(spark, frag, out, target_bytes=1 << 30)
+    assert stats["files_in"] == 32 and stats["files_out"] == 1
+    agg = lambda d: d.agg(  # noqa: E731
+        F.count("*"), F.sum("n_chars"), F.sum(F.hash("doc_id", "text"))
+    ).first()
+    assert agg(spark.read.parquet(out)) == agg(docs)
+
+    # ordered compaction: target sized for >1 file, doc_id clustered
+    sz = stats["bytes"]
+    compact_files(spark, frag, ordered, target_bytes=sz // 4, order_by=["doc_id"])
+    assert agg(spark.read.parquet(ordered)) == agg(docs)
+    hi = docs.agg(F.max("doc_id")).first()[0]
+    pr = rowgroup_prune_stats(ordered, {"doc_id": (0.0, hi * 0.2)})
+    assert pr["skippable"] > 0  # clustering restored → stats prune
