@@ -211,21 +211,32 @@ def q_layout_zorder_prune(spark: SparkSession, sf: str) -> DataFrame:
     groups its predicate touches."""
     d = _zorder_stage(spark, sf)
     z = spark.read.parquet(d)
-    bounds = spark.read.parquet(os.path.join(sf, "lineitem.parquet")).agg(
-        (F.max("l_partkey") * 0.25).alias("_pk_hi"),
-        (F.max("l_suppkey") * 0.25).alias("_sk_hi"),
-    )
-    return (
-        z.crossJoin(F.broadcast(bounds))
-        .filter(
-            (F.col("l_partkey") <= F.col("_pk_hi"))
-            & (F.col("l_suppkey") <= F.col("_sk_hi"))
-        )
+    # the box bounds are COLLECTED (one row, two doubles) rather than
+    # cross-joined: a dynamic-bound filter cannot push into the
+    # parquet scan, and scan-level pushdown is the entire point of
+    # the z-layout — row groups skip on footer min/max only for
+    # literal predicates.  This is the planner's catalog-stats lookup,
+    # the same bounded O(1) collect class as the IVF k-means sample
+    # (similarity.py), not a data pass.
+    pk_hi, sk_hi = (
+        spark.read.parquet(os.path.join(sf, "lineitem.parquet"))
         .agg(
-            F.count("*").alias("n_rows"),
-            _dec_sum(F.col("l_quantity"), "sum_qty"),
-            F.countDistinct("l_orderkey").alias("n_orders"),
+            # floor to the column's integer domain: a fractional bound
+            # forces cast(col as double) around the scan column, which
+            # disqualifies the predicate from parquet PushedFilters —
+            # integral keys compare identically either way
+            F.floor(F.max("l_partkey") * 0.25).alias("_pk_hi"),
+            F.floor(F.max("l_suppkey") * 0.25).alias("_sk_hi"),
         )
+        .first()
+    )
+    return z.filter(
+        (F.col("l_partkey") <= F.lit(pk_hi))
+        & (F.col("l_suppkey") <= F.lit(sk_hi))
+    ).agg(
+        F.count("*").alias("n_rows"),
+        _dec_sum(F.col("l_quantity"), "sum_qty"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
     )
 
 
