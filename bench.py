@@ -192,6 +192,46 @@ def main():
             flush=True,
         )
 
+    # Layout-rewrite row: write_zordered is a WRITE operator, so the
+    # registry query can't gate it (its staging reuses a _SUCCESS'd
+    # copy); time the rewrite itself here — one range-shuffle +
+    # per-file sort over lineitem, the cost a 100 TB deployment
+    # schedules per OPTIMIZE pass (SCALING.md: α(cpu)=0.79 over 10×).
+    def time_zorder() -> None:
+        import shutil
+        import tempfile
+
+        from hadoop_pcap_spark.operators.layout import write_zordered
+
+        name = "layout_zorder_rewrite"
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+        )
+        zdir = tempfile.mkdtemp(prefix="bench_zorder_")
+        best = best_cpu = None
+        try:
+            for _ in range(runs):
+                c0 = proc_tree_cpu()
+                t0 = time.time()
+                write_zordered(
+                    li, zdir, ["l_partkey", "l_suppkey"], bits=8, n_files=16
+                )
+                dt = time.time() - t0
+                dc = proc_tree_cpu() - c0
+                best = dt if best is None else min(best, dt)
+                best_cpu = dc if best_cpu is None else min(best_cpu, dc)
+        finally:
+            shutil.rmtree(zdir, ignore_errors=True)
+        timings[name] = round(best, 3)
+        cpu_timings[name] = round(best_cpu, 3)
+        print(
+            f"# {name}: {timings[name]}s wall / {cpu_timings[name]}s cpu",
+            file=sys.stderr,
+            flush=True,
+        )
+
+    time_zorder()
+
     # Streaming micro-bench: streaming_corpus_filter (gopher rules +
     # PII scrub + dedup-within-watermark) over the staged documents
     # table, processAllAvailable to a noop sink — times the stateful

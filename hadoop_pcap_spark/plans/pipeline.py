@@ -1792,3 +1792,114 @@ def q_docs_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = table(spark, sf, "documents")
     return corpus_boilerplate(docs, k=8, min_docs=3).orderBy("doc_id")
+
+
+@query(
+    "corpus_vocab_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT t.tok FROM documents, unnest({SQL_TOKENS}) AS t(tok)),
+    counts AS (SELECT tok, count(*) AS n FROM tok GROUP BY 1),
+    tot AS (SELECT count(*) AS c FROM tok),
+    top AS (SELECT tok, n FROM counts ORDER BY n DESC, tok LIMIT 200)
+    SELECT tok, n,
+           CAST(rank() OVER (ORDER BY n DESC, tok) AS BIGINT) AS rnk,
+           CAST(SUM(n) OVER (ORDER BY n DESC, tok
+                             ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / (SELECT c FROM tot) AS cum_coverage
+    FROM top ORDER BY rnk
+    """,
+)
+def q_corpus_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary builder: global token frequencies, top-200 by count
+    (ties broken lexically), with each prefix's cumulative share of
+    ALL token occurrences — the coverage curve a tokenizer-training or
+    stopword-selection pass reads.
+    Scale: the frequency agg is one shuffle on token (partial
+    map-side combine); the top-K is TakeOrderedAndProject —
+    per-partition heaps, never a global sort; ONLY the K survivors
+    (bounded, 200 rows) pass through the single-partition rank/cumsum
+    window, and the corpus-wide denominator arrives via a broadcast
+    1-row count.  No step is O(vocabulary) on one node."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokens
+
+    docs = table(spark, sf, "documents")
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("_total"))
+    top = counts.orderBy(F.desc("n"), "tok").limit(200)
+    w = Window.orderBy(F.desc("n"), "tok")
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            "n",
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            (
+                F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("double")
+                / F.col("_total")
+            ).alias("cum_coverage"),
+        )
+        .orderBy("rnk")
+    )
+
+
+@query(
+    "docs_mixture_weights",
+    oracle=f"""
+    WITH per AS (
+      SELECT lang, count(*) AS n_docs,
+             CAST(SUM(len({SQL_TOKENS})) AS BIGINT) AS lang_tokens
+      FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS t,
+                   count(*) AS k FROM per)
+    SELECT lang, n_docs, lang_tokens,
+           CAST(lang_tokens AS DOUBLE) / t AS actual_share,
+           CAST(t AS DOUBLE) / (k * lang_tokens) AS weight
+    FROM per, tot ORDER BY lang
+    """,
+)
+def q_docs_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus mixture reweighting: per-language token mass, its share
+    of the corpus, and the sampling weight that rebalances to a
+    uniform target mixture (weight = target_share / actual_share with
+    target 1/n_langs — the multiplier a data-loader applies per
+    document, the standard domain/language-mixing move in training
+    pipelines; any other target vector is the same dataflow with a
+    different broadcast literal).
+    Scale: one groupBy on a low-cardinality key (map-side combine
+    does nearly all the work), then a broadcast 1-row totals join —
+    no second corpus pass, no skew exposure."""
+    from ..functions.text import token_count
+
+    docs = table(spark, sf, "documents")
+    per = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("bigint").alias("lang_tokens"),
+    )
+    tot = per.agg(
+        F.sum("lang_tokens").cast("bigint").alias("_t"),
+        F.count("*").alias("_k"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "lang_tokens",
+            (F.col("lang_tokens").cast("double") / F.col("_t")).alias(
+                "actual_share"
+            ),
+            (
+                F.col("_t").cast("double")
+                / (F.col("_k") * F.col("lang_tokens"))
+            ).alias("weight"),
+        )
+        .orderBy("lang")
+    )
