@@ -74,6 +74,17 @@ def zorder_key(
     """
     if len(cols) < 2:
         raise ValueError("zorder_key needs ≥2 columns — use a plain sort for 1")
+    from pyspark.sql import types as T
+
+    numeric = (T.NumericType, T.TimestampType)
+    for c in cols:
+        dt = df.schema[c].dataType
+        # a non-numeric column would cast to all-NULL doubles and
+        # silently produce a constant key — fail loudly instead
+        # (hash or dictionary-encode strings upstream if needed;
+        # timestamps cast cleanly to epoch-second doubles)
+        if not isinstance(dt, numeric):
+            raise TypeError(f"zorder_key column {c!r} is {dt}; need numeric")
     n = 1 << bits
     stats = df.agg(
         *[F.min(c).cast("double").alias(f"_mn_{c}") for c in cols],

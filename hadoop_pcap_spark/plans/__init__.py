@@ -49,6 +49,11 @@ def query(name: str, oracle: Union[str, Callable[[], str], None] = None):
     (driver then does a rows-only check)."""
 
     def deco(fn):
+        # a duplicate name would SILENTLY replace the earlier query
+        # (and its oracle), shrinking the registry without any test
+        # noticing — fail at import instead
+        if name in QUERIES:
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

@@ -1848,58 +1848,3 @@ def q_corpus_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
-
-
-@query(
-    "docs_mixture_weights",
-    oracle=f"""
-    WITH per AS (
-      SELECT lang, count(*) AS n_docs,
-             CAST(SUM(len({SQL_TOKENS})) AS BIGINT) AS lang_tokens
-      FROM documents GROUP BY 1),
-    tot AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS t,
-                   count(*) AS k FROM per)
-    SELECT lang, n_docs, lang_tokens,
-           CAST(lang_tokens AS DOUBLE) / t AS actual_share,
-           CAST(t AS DOUBLE) / (k * lang_tokens) AS weight
-    FROM per, tot ORDER BY lang
-    """,
-)
-def q_docs_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
-    """Corpus mixture reweighting: per-language token mass, its share
-    of the corpus, and the sampling weight that rebalances to a
-    uniform target mixture (weight = target_share / actual_share with
-    target 1/n_langs — the multiplier a data-loader applies per
-    document, the standard domain/language-mixing move in training
-    pipelines; any other target vector is the same dataflow with a
-    different broadcast literal).
-    Scale: one groupBy on a low-cardinality key (map-side combine
-    does nearly all the work), then a broadcast 1-row totals join —
-    no second corpus pass, no skew exposure."""
-    from ..functions.text import token_count
-
-    docs = table(spark, sf, "documents")
-    per = docs.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(token_count(F.col("text"))).cast("bigint").alias("lang_tokens"),
-    )
-    tot = per.agg(
-        F.sum("lang_tokens").cast("bigint").alias("_t"),
-        F.count("*").alias("_k"),
-    )
-    return (
-        per.crossJoin(F.broadcast(tot))
-        .select(
-            "lang",
-            "n_docs",
-            "lang_tokens",
-            (F.col("lang_tokens").cast("double") / F.col("_t")).alias(
-                "actual_share"
-            ),
-            (
-                F.col("_t").cast("double")
-                / (F.col("_k") * F.col("lang_tokens"))
-            ).alias("weight"),
-        )
-        .orderBy("lang")
-    )

@@ -1148,3 +1148,30 @@ def test_compact_files_reduces_count_losslessly(spark, tmp_path):
     hi = docs.agg(F.max("doc_id")).first()[0]
     pr = rowgroup_prune_stats(ordered, {"doc_id": (0.0, hi * 0.2)})
     assert pr["skippable"] > 0  # clustering restored → stats prune
+
+
+def test_zorder_key_three_columns_and_type_guard(spark):
+    """N-column interleave: 3 dims × 4 bits → 12-bit key, distinct
+    corner points get distinct keys and the key stays within range;
+    non-numeric columns are rejected loudly (a silent all-NULL cast
+    would yield a constant key and a useless layout)."""
+    import pytest as _pytest
+
+    from pyspark.sql import Row
+
+    from hadoop_pcap_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [Row(a=i, b=j, c=k, s="x")
+         for i in (0, 15) for j in (0, 15) for k in (0, 15)]
+    )
+    rows = zorder_key(df, ["a", "b", "c"], bits=4).collect()
+    keys = {(r.a, r.b, r.c): r["_zkey"] for r in rows}
+    assert len(set(keys.values())) == 8  # all corners distinct
+    assert all(0 <= v < (1 << 12) for v in keys.values())
+    # corner (max,max,max) owns the top key, (0,0,0) the bottom
+    assert keys[(15, 15, 15)] == (1 << 12) - 1
+    assert keys[(0, 0, 0)] == 0
+
+    with _pytest.raises(TypeError, match="need numeric"):
+        zorder_key(df, ["a", "s"], bits=4)

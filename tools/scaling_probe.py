@@ -57,6 +57,8 @@ DRIVER_TABLE = {
     "text_quality_scores": "documents",
     "docs_boilerplate_shingles": "documents",
     "streaming_join_interval": "events",
+    "corpus_vocab_topk": "documents",
+    "docs_mixture_weights": "documents",
 }
 
 
