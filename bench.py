@@ -242,50 +242,19 @@ def main():
     # + size), not just the basename: a regenerated documents.parquet
     # or two dataset roots sharing a basename must re-stage, or the
     # streaming timing silently measures stale/other data
-    src_parquet = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src_parquet)
-    import hashlib
-
-    src_key = hashlib.md5(
-        f"{os.path.abspath(src_parquet)}|{st.st_mtime_ns}|{st.st_size}".encode()
-    ).hexdigest()[:12]
-    stage_prefix = f"bench_stream_docs_{os.path.basename(sf_dir)}_"
-    stage_dir = os.path.join(tempfile.gettempdir(), stage_prefix + src_key)
-    # Reuse only a COMPLETE staged copy: a run that crashed mid-write
-    # leaves a partial dir that passes isdir (ADVICE r4) — Spark's
-    # _SUCCESS marker is the completion witness.  Also drop superseded
-    # stage dirs for this dataset (old mtime keys) so tmp is bounded.
+    # Staged copies go through the shared protocol (identity-keyed
+    # dir, _SUCCESS completion witness, idle-guarded sibling cleanup,
+    # reader touch — hadoop_pcap_spark/staging.py, grown from ADVICE
+    # r4/r5 and now shared with the layout demo queries).
     import shutil
 
-    def _drop_stale_stage_dirs(prefix: str, keep: str) -> None:
-        """Remove superseded stage dirs for this dataset, but only
-        ones idle >1h: a CONCURRENT bench against the same dataset
-        basename (different mtime key) must not have its in-use
-        staging deleted mid-run (ADVICE r5) — an active writer keeps
-        its dir's mtime fresh, and the touch below keeps a READER's
-        dir fresh too (reusing a staged copy never rewrites it, so
-        without the touch a >1h benchmark run could lose its stage to
-        a concurrent run's cleanup mid-read)."""
-        now = time.time()
-        keep_path = os.path.join(tempfile.gettempdir(), keep)
-        if os.path.isdir(keep_path):
-            try:
-                os.utime(keep_path, None)
-            except OSError:
-                pass
-        for old in os.listdir(tempfile.gettempdir()):
-            if not old.startswith(prefix) or old == keep:
-                continue
-            p = os.path.join(tempfile.gettempdir(), old)
-            try:
-                idle = now - os.stat(p).st_mtime
-            except OSError:
-                continue
-            if idle > 3600:
-                shutil.rmtree(p, ignore_errors=True)
+    from hadoop_pcap_spark.staging import is_complete, staged_dir
 
-    _drop_stale_stage_dirs(stage_prefix, stage_prefix + src_key)
-    if not os.path.exists(os.path.join(stage_dir, "_SUCCESS")):
+    src_parquet = os.path.join(sf_dir, "documents.parquet")
+    stage_dir = staged_dir(
+        f"bench_stream_docs_{os.path.basename(sf_dir)}_", src_parquet
+    )
+    if not is_complete(stage_dir):
         (
             spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
             .withColumn(
@@ -386,14 +355,10 @@ def main():
     from hadoop_pcap_spark.streaming.stream import stateful_flow_counts
 
     ev_parquet = os.path.join(sf_dir, "events.parquet")
-    est = os.stat(ev_parquet)
-    ev_key = hashlib.md5(
-        f"{os.path.abspath(ev_parquet)}|{est.st_mtime_ns}|{est.st_size}".encode()
-    ).hexdigest()[:12]
-    ev_prefix = f"bench_stream_events_{os.path.basename(sf_dir)}_"
-    ev_stage = os.path.join(tempfile.gettempdir(), ev_prefix + ev_key)
-    _drop_stale_stage_dirs(ev_prefix, ev_prefix + ev_key)
-    if not os.path.exists(os.path.join(ev_stage, "_SUCCESS")):
+    ev_stage = staged_dir(
+        f"bench_stream_events_{os.path.basename(sf_dir)}_", ev_parquet
+    )
+    if not is_complete(ev_stage):
         (
             plans.table(spark, sf_dir, "events")
             .select("user_id", "value")
@@ -417,10 +382,10 @@ def main():
     # per-epoch fingerprint commit — not one degenerate mega-batch.
     from hadoop_pcap_spark.streaming.stream import streaming_incremental_dedup
 
-    inc_prefix = f"bench_incdedup_docs_{os.path.basename(sf_dir)}_"
-    inc_stage = os.path.join(tempfile.gettempdir(), inc_prefix + src_key)
-    _drop_stale_stage_dirs(inc_prefix, inc_prefix + src_key)
-    if not os.path.exists(os.path.join(inc_stage, "_SUCCESS")):
+    inc_stage = staged_dir(
+        f"bench_incdedup_docs_{os.path.basename(sf_dir)}_", src_parquet
+    )
+    if not is_complete(inc_stage):
         (
             spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
             .select("doc_id", "text")
@@ -481,10 +446,10 @@ def main():
     # keyed shuffle of both sides.
     from hadoop_pcap_spark.streaming.stream import stream_stream_interval_join
 
-    ssj_prefix = f"bench_ssj_events_{os.path.basename(sf_dir)}_"
-    ssj_stage = os.path.join(tempfile.gettempdir(), ssj_prefix + ev_key)
-    _drop_stale_stage_dirs(ssj_prefix, ssj_prefix + ev_key)
-    if not os.path.exists(os.path.join(ssj_stage, "_SUCCESS")):
+    ssj_stage = staged_dir(
+        f"bench_ssj_events_{os.path.basename(sf_dir)}_", ev_parquet
+    )
+    if not is_complete(ssj_stage):
         (
             plans.table(spark, sf_dir, "events")
             .select(

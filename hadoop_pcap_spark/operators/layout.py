@@ -209,8 +209,16 @@ def compact_files(
     import math
     import os
 
-    files = glob.glob(os.path.join(src, "*.parquet"))
+    # recursive: a Hive-partitioned source nests part files under
+    # key=value dirs — a top-level-only listing would size total=0
+    # and coalesce the whole dataset into ONE file (the opposite of
+    # the operator's purpose).  Note the rewrite is FLAT parquet;
+    # partition columns survive as ordinary columns via partition
+    # discovery on the read.
+    files = glob.glob(os.path.join(src, "**", "*.parquet"), recursive=True)
     total = sum(os.path.getsize(f) for f in files)
+    if not files:
+        raise ValueError(f"compact_files: no parquet files under {src!r}")
     n_out = max(1, math.ceil(total / target_bytes))
     df = spark.read.parquet(src)
     if order_by:

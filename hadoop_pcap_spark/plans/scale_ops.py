@@ -150,27 +150,16 @@ def q_join_bucketed_docs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _zorder_stage(spark: SparkSession, sf: str) -> str:
-    """Z-ordered copy of lineitem on (l_partkey, l_suppkey), keyed by
-    the source parquet's identity with a ``_SUCCESS`` completion
-    witness (bench.py's staging protocol); superseded keys for the
-    same dataset are dropped so tmp stays bounded."""
-    import shutil
-    import tempfile
-
+    """Z-ordered copy of lineitem on (l_partkey, l_suppkey) via the
+    shared staging protocol (staging.py: identity-keyed dir, _SUCCESS
+    witness, idle-guarded sibling cleanup, reader touch — the same
+    contract as bench.py's streaming stages)."""
     from ..operators.layout import write_zordered
+    from ..staging import is_complete, staged_dir
 
     src = os.path.join(sf, "lineitem.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
-    ).hexdigest()[:10]
-    prefix = "zorder_li_"
-    d = os.path.join(tempfile.gettempdir(), prefix + key)
-    for old in os.listdir(tempfile.gettempdir()):
-        if old.startswith(prefix) and old != prefix + key:
-            shutil.rmtree(os.path.join(tempfile.gettempdir(), old),
-                          ignore_errors=True)
-    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+    d = staged_dir(f"zorder_li_{os.path.basename(sf)}_", src)
+    if not is_complete(d):
         write_zordered(
             spark.read.parquet(src).select(
                 "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
@@ -256,31 +245,21 @@ def q_layout_compact_files(spark: SparkSession, sf: str) -> DataFrame:
     into ~target-size files — one round-robin shuffle, metadata-only
     sizing.  The rewrite must be row-lossless, so the oracle is the
     plain-table aggregate; the file-count reduction itself is
-    asserted in tests/test_operators.py.  Both stages are keyed by
-    the source parquet's identity with _SUCCESS witnesses, stale
-    keys dropped (the staging protocol shared with bench.py)."""
-    import shutil
-    import tempfile
-
+    asserted in tests/test_operators.py.  Both stages go through the
+    shared staging protocol (staging.py: identity-keyed, _SUCCESS
+    witness, idle-guarded sibling cleanup, reader touch)."""
     from ..operators.layout import compact_files
+    from ..staging import is_complete, staged_dir
 
     src = os.path.join(sf, "documents.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
-    ).hexdigest()[:10]
-    frag = os.path.join(tempfile.gettempdir(), f"compact_frag_{key}")
-    dst = os.path.join(tempfile.gettempdir(), f"compact_out_{key}")
-    for prefix, keep in (("compact_frag_", frag), ("compact_out_", dst)):
-        for old in os.listdir(tempfile.gettempdir()):
-            p = os.path.join(tempfile.gettempdir(), old)
-            if old.startswith(prefix) and p != keep:
-                shutil.rmtree(p, ignore_errors=True)
-    if not os.path.exists(os.path.join(frag, "_SUCCESS")):
+    base = os.path.basename(sf)
+    frag = staged_dir(f"compact_frag_{base}_", src)
+    dst = staged_dir(f"compact_out_{base}_", src)
+    if not is_complete(frag):
         spark.read.parquet(src).repartition(64).write.mode(
             "overwrite"
         ).parquet(frag)
-    if not os.path.exists(os.path.join(dst, "_SUCCESS")):
+    if not is_complete(dst):
         compact_files(spark, frag, dst, target_bytes=64 << 20)
     return spark.read.parquet(dst).agg(
         F.count("*").alias("n_docs"),

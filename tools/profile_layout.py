@@ -46,6 +46,8 @@ def main() -> int:
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     args = ap.parse_args()
+    if args.runs < 1:
+        ap.error("--runs must be >= 1")
     sfs = [d for d in args.sfs.split(",") if d]
     for d in sfs:
         if not os.path.isdir(d):
