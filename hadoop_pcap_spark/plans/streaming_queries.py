@@ -49,19 +49,15 @@ _EV_SCHEMA = (
 
 def _stage_events(spark: SparkSession, sf: str) -> str:
     """Stage the events table as TimestampType parquet for the file
-    streaming source (the table convention is epoch-µs longs).  The
-    stage dir is keyed by the source file's identity (path + mtime +
-    size) with a ``_SUCCESS`` completion witness, so concurrent or
-    crashed runs can never observe a half-written stage (same
-    protocol as bench.py's staging; no sibling cleanup here — these
-    queries run under the driver/audit, not a long-lived service)."""
+    streaming source (the table convention is epoch-µs longs), via
+    the shared staging protocol (staging.py: identity-keyed dir,
+    ``_SUCCESS`` completion witness, idle-guarded sibling cleanup,
+    reader touch)."""
+    from ..staging import is_complete, staged_dir
+
     src = os.path.join(sf, "events.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}".encode()
-    ).hexdigest()[:16]
-    d = os.path.join(tempfile.gettempdir(), f"squery_events_{key}")
-    if not os.path.exists(os.path.join(d, "_SUCCESS")):
+    d = staged_dir(f"squery_events_{os.path.basename(sf)}_", src)
+    if not is_complete(d):
         (
             events_table(spark, sf)
             .withColumn("ts", F.expr("timestamp_micros(ts)"))
