@@ -5,6 +5,12 @@ it to their result — release with :func:`release_persisted` (or the
 :func:`released` context manager) after materializing."""
 
 from .bucketing import bucketed_join, write_bucketed
+from .layout import (
+    compact_files,
+    rowgroup_prune_stats,
+    write_zordered,
+    zorder_key,
+)
 from .cache import register_persisted, release_persisted, released
 from .flows import flow_stats, reassemble_dns_tcp
 
@@ -16,4 +22,8 @@ __all__ = [
     "reassemble_dns_tcp",
     "write_bucketed",
     "bucketed_join",
+    "zorder_key",
+    "write_zordered",
+    "rowgroup_prune_stats",
+    "compact_files",
 ]
