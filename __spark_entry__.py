@@ -40,6 +40,21 @@ def entry(spark: SparkSession) -> DataFrame:
     return queries_map["corpus_build_stats"](spark, "/root/testdata/sf0.001")
 
 
+def _green_row(row) -> bool:
+    """THE green-row predicate: a CORRECTNESS row counts as
+    driver-verified iff rows AND hash matched and no error was
+    recorded.  One definition, shared with the meta-test
+    (tests/test_driver_contract.py) — ADVICE r6: the test deriving
+    'verified' from hash_match alone could disagree with the ordering
+    below on a hash_match=true row that also carries an err."""
+    return bool(
+        isinstance(row, dict)
+        and row.get("rows_match")
+        and row.get("hash_match")
+        and not row.get("err")
+    )
+
+
 def _staleness_order(queries_map, oracles_map) -> list[str]:
     """Oracle-bearing queries ordered least-recently-driver-verified
     first (VERDICT r5 item 5) — computed from the committed
@@ -72,12 +87,7 @@ def _staleness_order(queries_map, oracles_map) -> list[str]:
         except (OSError, ValueError):
             continue
         for name, row in data.items():
-            if (
-                isinstance(row, dict)
-                and row.get("rows_match")
-                and row.get("hash_match")
-                and not row.get("err")
-            ):
+            if _green_row(row):
                 last_green[name] = max(last_green.get(name, 0), rnd)
     return sorted(
         (k for k in queries_map if k in oracles_map),

@@ -243,19 +243,19 @@ def main():
     # or two dataset roots sharing a basename must re-stage, or the
     # streaming timing silently measures stale/other data
     # Staged copies go through the shared protocol (identity-keyed
-    # dir, _SUCCESS completion witness, idle-guarded sibling cleanup,
-    # reader touch — hadoop_pcap_spark/staging.py, grown from ADVICE
-    # r4/r5 and now shared with the layout demo queries).
+    # dir, _SUCCESS completion witness, atomic tmp→rename publish,
+    # flock-serialized writers, guarded idle sweep —
+    # hadoop_pcap_spark/staging.py, grown from ADVICE r4/r5/r6 and
+    # shared with the layout demo queries).
     import shutil
 
-    from hadoop_pcap_spark.staging import is_complete, staged_dir
+    from hadoop_pcap_spark.staging import ensure_staged
 
     src_parquet = os.path.join(sf_dir, "documents.parquet")
-    stage_dir = staged_dir(
-        f"bench_stream_docs_{os.path.basename(sf_dir)}_", src_parquet
-    )
-    if not is_complete(stage_dir):
-        (
+    stage_dir = ensure_staged(
+        f"bench_stream_docs_{os.path.basename(sf_dir)}_",
+        src_parquet,
+        lambda tmp: (
             spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
             .withColumn(
                 "ts",
@@ -266,8 +266,9 @@ def main():
             )
             .select("doc_id", "ts", "text")
             .write.mode("overwrite")
-            .parquet(stage_dir)
-        )
+            .parquet(tmp)
+        ),
+    )
 
     # State-partition sizing for the streaming rows: the measured cost
     # of a stateful streaming micro-batch is DOMINATED by a ~0.45
@@ -355,17 +356,17 @@ def main():
     from hadoop_pcap_spark.streaming.stream import stateful_flow_counts
 
     ev_parquet = os.path.join(sf_dir, "events.parquet")
-    ev_stage = staged_dir(
-        f"bench_stream_events_{os.path.basename(sf_dir)}_", ev_parquet
-    )
-    if not is_complete(ev_stage):
-        (
+    ev_stage = ensure_staged(
+        f"bench_stream_events_{os.path.basename(sf_dir)}_",
+        ev_parquet,
+        lambda tmp: (
             plans.table(spark, sf_dir, "events")
             .select("user_id", "value")
             .repartition(int(cpus))
             .write.mode("overwrite")
-            .parquet(ev_stage)
-        )
+            .parquet(tmp)
+        ),
+    )
     time_stream(
         "streaming_flow_counts",
         lambda: stateful_flow_counts(
@@ -382,17 +383,17 @@ def main():
     # per-epoch fingerprint commit — not one degenerate mega-batch.
     from hadoop_pcap_spark.streaming.stream import streaming_incremental_dedup
 
-    inc_stage = staged_dir(
-        f"bench_incdedup_docs_{os.path.basename(sf_dir)}_", src_parquet
-    )
-    if not is_complete(inc_stage):
-        (
+    inc_stage = ensure_staged(
+        f"bench_incdedup_docs_{os.path.basename(sf_dir)}_",
+        src_parquet,
+        lambda tmp: (
             spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
             .select("doc_id", "text")
             .repartition(8)
             .write.mode("overwrite")
-            .parquet(inc_stage)
-        )
+            .parquet(tmp)
+        ),
+    )
 
     def time_inc_dedup() -> None:
         name = "streaming_incremental_dedup"
@@ -446,11 +447,10 @@ def main():
     # keyed shuffle of both sides.
     from hadoop_pcap_spark.streaming.stream import stream_stream_interval_join
 
-    ssj_stage = staged_dir(
-        f"bench_ssj_events_{os.path.basename(sf_dir)}_", ev_parquet
-    )
-    if not is_complete(ssj_stage):
-        (
+    ssj_stage = ensure_staged(
+        f"bench_ssj_events_{os.path.basename(sf_dir)}_",
+        ev_parquet,
+        lambda tmp: (
             plans.table(spark, sf_dir, "events")
             .select(
                 "event_id",
@@ -460,8 +460,9 @@ def main():
             )
             .repartition(int(cpus))
             .write.mode("overwrite")
-            .parquet(ssj_stage)
-        )
+            .parquet(tmp)
+        ),
+    )
 
     def _ssj_build():
         schema = "event_id long, ts timestamp, user_id long, event_type string"

@@ -77,8 +77,9 @@ def zorder_key(
     from pyspark.sql import types as T
 
     numeric = (T.NumericType, T.TimestampType)
+    dtypes = {c: df.schema[c].dataType for c in cols}
     for c in cols:
-        dt = df.schema[c].dataType
+        dt = dtypes[c]
         # a non-numeric column would cast to all-NULL doubles and
         # silently produce a constant key — fail loudly instead
         # (hash or dictionary-encode strings upstream if needed;
@@ -86,9 +87,17 @@ def zorder_key(
         if not isinstance(dt, numeric):
             raise TypeError(f"zorder_key column {c!r} is {dt}; need numeric")
     n = 1 << bits
+    # NaN sorts ABOVE +inf in Spark's ordering, so a single NaN row
+    # would make max() — and hence the bucket bounds — NaN, skewing
+    # every real row's bucket.  nanvl(x, NULL) drops NaN from the
+    # bounds the same way NULL values already are (ADVICE r6).
+    clean = {
+        c: F.nanvl(F.col(c).cast("double"), F.lit(None).cast("double"))
+        for c in cols
+    }
     stats = df.agg(
-        *[F.min(c).cast("double").alias(f"_mn_{c}") for c in cols],
-        *[F.max(c).cast("double").alias(f"_mx_{c}") for c in cols],
+        *[F.min(clean[c]).alias(f"_mn_{c}") for c in cols],
+        *[F.max(clean[c]).alias(f"_mx_{c}") for c in cols],
     )
     out = df.crossJoin(F.broadcast(stats))
     bucket_cols: list[Column] = []
@@ -103,10 +112,16 @@ def zorder_key(
         # greatest/least IGNORE nulls (a NULL value would silently
         # clamp into the top bucket) — propagate NULL explicitly so
         # null-keyed rows cluster together instead of polluting a
-        # data bucket's stats
+        # data bucket's stats.  NaN needs the same treatment (ADVICE
+        # r6): width_bucket(NaN) is NULL, which the clamp would fold
+        # into bucket n-1; only float/double can hold NaN, and isnan
+        # on other types would just burn a codegen term
         clamped = F.greatest(F.lit(0), F.least(F.lit(n - 1), (b - 1)))
+        not_bucketable = F.col(c).isNull()
+        if isinstance(dtypes[c], (T.FloatType, T.DoubleType)):
+            not_bucketable = not_bucketable | F.isnan(F.col(c))
         bucket_cols.append(
-            F.when(F.col(c).isNull(), F.lit(None)).otherwise(clamped).cast("long")
+            F.when(not_bucketable, F.lit(None)).otherwise(clamped).cast("long")
         )
     nd = len(cols)
     terms = [
@@ -165,7 +180,16 @@ def rowgroup_prune_stats(
     import pyarrow.parquet as pq
 
     total = overlap = 0
-    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+    # recursive, like compact_files: a Hive-partitioned dataset nests
+    # part files under key=value dirs — a top-level-only listing would
+    # report {row_groups: 0, skippable: 0}, an audit that reads as
+    # "nothing to prune" instead of an error (ADVICE r6)
+    files = sorted(
+        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    if not files:
+        raise ValueError(f"rowgroup_prune_stats: no parquet files under {path!r}")
+    for f in files:
         md = pq.ParquetFile(f).metadata
         names = {md.schema.column(i).name: i for i in range(md.num_columns)}
         for rg in range(md.num_row_groups):

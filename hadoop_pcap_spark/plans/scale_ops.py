@@ -152,24 +152,26 @@ def q_join_bucketed_docs(spark: SparkSession, sf: str) -> DataFrame:
 def _zorder_stage(spark: SparkSession, sf: str) -> str:
     """Z-ordered copy of lineitem on (l_partkey, l_suppkey) via the
     shared staging protocol (staging.py: identity-keyed dir, _SUCCESS
-    witness, idle-guarded sibling cleanup, reader touch — the same
-    contract as bench.py's streaming stages)."""
+    witness, atomic tmp→rename publish, flock-serialized writers,
+    guarded idle sweep — the same contract as bench.py's streaming
+    stages)."""
     from ..operators.layout import write_zordered
-    from ..staging import is_complete, staged_dir
+    from ..staging import ensure_staged
 
     src = os.path.join(sf, "lineitem.parquet")
-    d = staged_dir(f"zorder_li_{os.path.basename(sf)}_", src)
-    if not is_complete(d):
-        write_zordered(
+    return ensure_staged(
+        f"zorder_li_{os.path.basename(sf)}_",
+        src,
+        lambda tmp: write_zordered(
             spark.read.parquet(src).select(
                 "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
             ),
-            d,
+            tmp,
             ["l_partkey", "l_suppkey"],
             bits=8,
             n_files=16,
-        )
-    return d
+        ),
+    )
 
 
 @query(
@@ -247,20 +249,26 @@ def q_layout_compact_files(spark: SparkSession, sf: str) -> DataFrame:
     plain-table aggregate; the file-count reduction itself is
     asserted in tests/test_operators.py.  Both stages go through the
     shared staging protocol (staging.py: identity-keyed, _SUCCESS
-    witness, idle-guarded sibling cleanup, reader touch)."""
+    witness, atomic tmp→rename publish, flock-serialized writers,
+    guarded idle sweep)."""
     from ..operators.layout import compact_files
-    from ..staging import is_complete, staged_dir
+    from ..staging import ensure_staged
 
     src = os.path.join(sf, "documents.parquet")
     base = os.path.basename(sf)
-    frag = staged_dir(f"compact_frag_{base}_", src)
-    dst = staged_dir(f"compact_out_{base}_", src)
-    if not is_complete(frag):
-        spark.read.parquet(src).repartition(64).write.mode(
-            "overwrite"
-        ).parquet(frag)
-    if not is_complete(dst):
-        compact_files(spark, frag, dst, target_bytes=64 << 20)
+    frag = ensure_staged(
+        f"compact_frag_{base}_",
+        src,
+        lambda tmp: spark.read.parquet(src)
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(tmp),
+    )
+    dst = ensure_staged(
+        f"compact_out_{base}_",
+        src,
+        lambda tmp: compact_files(spark, frag, tmp, target_bytes=64 << 20),
+    )
     return spark.read.parquet(dst).agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),

@@ -27,9 +27,7 @@ cardinality — frozen into the checkpoint thereafter.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,19 +51,20 @@ def _stage_events(spark: SparkSession, sf: str) -> str:
     the shared staging protocol (staging.py: identity-keyed dir,
     ``_SUCCESS`` completion witness, idle-guarded sibling cleanup,
     reader touch)."""
-    from ..staging import is_complete, staged_dir
+    from ..staging import ensure_staged
 
     src = os.path.join(sf, "events.parquet")
-    d = staged_dir(f"squery_events_{os.path.basename(sf)}_", src)
-    if not is_complete(d):
-        (
+    return ensure_staged(
+        f"squery_events_{os.path.basename(sf)}_",
+        src,
+        lambda tmp: (
             events_table(spark, sf)
             .withColumn("ts", F.expr("timestamp_micros(ts)"))
             .select("event_id", "ts", "user_id", "event_type", "value")
             .write.mode("overwrite")
-            .parquet(d)
-        )
-    return d
+            .parquet(tmp)
+        ),
+    )
 
 
 def _run_to_memory(joined_or_agg: DataFrame, mode: str, key: str) -> DataFrame:
@@ -75,11 +74,15 @@ def _run_to_memory(joined_or_agg: DataFrame, mode: str, key: str) -> DataFrame:
     sink rows live on the driver for the session's lifetime, so a
     long-lived session running these queries repeatedly (plan audits,
     scaling probes) would otherwise accumulate orphaned sink tables it
-    can never reclaim.  The spill dir is keyed by (query, dataset) and
-    overwritten each invocation — same bounded-tmp contract as
-    pipeline.py's incremental-dedup snapshot: the returned DataFrame's
-    lineage reads the spill, so it can't be deleted on exit, but keyed
-    overwrite caps tmp at one small aggregate per query per dataset."""
+    can never reclaim.  The spill dir is unique PER INVOCATION
+    (ADVICE r6: a keyed-overwrite spill raced a concurrent harness
+    process, and a same-session re-run raced readers of the previously
+    returned DataFrame, whose lineage still reads the old spill) —
+    tmp growth is bounded by staging.keyed_tmp_dir's guarded idle
+    sweep instead of by overwrite: each spill is one tiny aggregate,
+    and anything >1h idle with no lock held is reclaimed."""
+    from ..staging import keyed_tmp_dir
+
     spark = joined_or_agg.sparkSession
     name = "squery_" + uuid.uuid4().hex[:12]
     q = (
@@ -90,9 +93,9 @@ def _run_to_memory(joined_or_agg: DataFrame, mode: str, key: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    spill = os.path.join(
-        tempfile.gettempdir(),
-        "squery_sink_" + hashlib.md5(key.encode()).hexdigest()[:12],
+    spill = keyed_tmp_dir(
+        "squery_sink_",
+        f"{key}|{spark.sparkContext.applicationId}|{uuid.uuid4().hex}",
     )
     spark.table(name).write.mode("overwrite").parquet(spill)
     spark.catalog.dropTempView(name)

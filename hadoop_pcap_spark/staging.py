@@ -2,21 +2,32 @@
 
 Several surfaces (bench.py's streaming stages, the layout demo
 queries) need a derived parquet copy of a source table that is
-expensive enough to reuse but must never be served stale or
-half-written.  The protocol, grown across rounds (ADVICE r4/r5) and
-now in ONE place:
+expensive enough to reuse but must never be served half-written.
+The protocol, grown across rounds (ADVICE r4/r5/r6) and in ONE place:
 
 * the dir name is keyed by the SOURCE's identity — abspath + mtime_ns
   + size — so a regenerated table or a different dataset root
   re-stages instead of silently serving other data;
-* Spark's ``_SUCCESS`` marker is the completion witness — a crashed
-  mid-write dir passes ``isdir`` but never gets reused;
+* publication is ATOMIC: :func:`ensure_staged` writes into a unique
+  ``<final>.tmp.<rand>`` dir and ``os.rename``\\ s it into place, so
+  the final path either doesn't exist or holds one writer's complete
+  output — a reader can never observe a mix of two writers' files,
+  and a crash mid-write leaves only an orphaned tmp dir (reclaimed by
+  the idle sweep), never a poisoned final dir;
+* concurrent writers for the SAME key serialize on an ``flock`` over
+  ``<final>.lock`` — the loser re-checks completeness after acquiring
+  and reuses the winner's publish instead of re-writing;
+* Spark's ``_SUCCESS`` marker is the completion witness, checked in
+  the tmp dir BEFORE the rename (a failed Spark write never gets
+  published) and again at every reuse;
 * superseded sibling dirs (same prefix, different key) are dropped
-  only after >1h idle: a CONCURRENT process using a sibling keeps it
-  alive — an active writer refreshes its dir's mtime, and the touch
-  below keeps a pure READER's dir fresh too (reuse never rewrites,
-  so without the touch a long run could lose its stage to another
-  process's cleanup mid-read);
+  only after >1h idle AND only if their ``.lock`` isn't currently
+  held; resolving an existing stage touches its mtime, which keeps a
+  reader's dir fresh for the duration of the idle window.  That
+  window is a pragmatic bound, not a lease: a single read that takes
+  longer than 1h can still lose its stage to another process's sweep
+  — callers with multi-hour reads should re-resolve per use or hold
+  the stage's lock file themselves (shared flock on ``<dir>.lock``);
 * callers scope ``prefix`` by dataset basename (e.g.
   ``f"bench_stream_docs_{os.path.basename(sf)}_"``) so tmp stays
   legible per dataset — the idle guard, not the prefix, is what makes
@@ -30,8 +41,16 @@ import os
 import shutil
 import tempfile
 import time
+import uuid
+from typing import Callable
 
-__all__ = ["source_key", "staged_dir", "is_complete"]
+__all__ = [
+    "source_key",
+    "staged_dir",
+    "is_complete",
+    "ensure_staged",
+    "keyed_tmp_dir",
+]
 
 
 def source_key(src_path: str, n: int = 12) -> str:
@@ -46,12 +65,63 @@ def is_complete(d: str) -> bool:
     return os.path.exists(os.path.join(d, "_SUCCESS"))
 
 
+def _lock_held_elsewhere(lock_path: str) -> bool:
+    """True iff ``lock_path`` exists and another process holds its
+    flock right now — the sweep's "don't evict an active stage" probe.
+    Best-effort: platforms without fcntl report False (sweep falls
+    back to the idle guard alone)."""
+    try:
+        import fcntl
+    except ImportError:  # pragma: no cover - non-POSIX
+        return False
+    if not os.path.exists(lock_path):
+        return False
+    try:
+        with open(lock_path) as f:
+            try:
+                fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                fcntl.flock(f, fcntl.LOCK_UN)
+                return False
+            except OSError:
+                return True
+    except OSError:
+        return False
+
+
+def _sweep_siblings(tmp: str, prefix: str, keep_name: str) -> None:
+    """Reclaim same-prefix siblings of ``keep_name`` idle >1h whose
+    lock isn't held.  Covers superseded stages (stale source key),
+    crashed writers' orphaned ``.tmp.`` dirs, and stale lock files."""
+    now = time.time()
+    for old in os.listdir(tmp):
+        if not old.startswith(prefix) or old.startswith(keep_name):
+            continue  # keep_name itself, its .lock, and its .tmp.* writers
+        p = os.path.join(tmp, old)
+        try:
+            idle = now - os.stat(p).st_mtime
+        except OSError:
+            continue
+        if idle <= 3600:
+            continue
+        stem = p[: -len(".lock")] if old.endswith(".lock") else p.split(".tmp.")[0]
+        if _lock_held_elsewhere(stem + ".lock"):
+            continue
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        else:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+
+
 def staged_dir(prefix: str, src_path: str) -> str:
-    """Resolve the staging dir for ``prefix`` + ``src_path``'s identity,
-    touch it if it already exists (reader keep-alive), and drop
-    superseded same-prefix siblings idle >1h.  The caller checks
-    :func:`is_complete` and (re)writes the copy if absent — writes go
-    through Spark, whose ``_SUCCESS`` is the completion witness."""
+    """Resolve the staging dir for ``prefix`` + ``src_path``'s
+    identity, touch it if it already exists (reader keep-alive for
+    the idle window), and sweep superseded same-prefix siblings.
+    Prefer :func:`ensure_staged`, which adds the atomic write path;
+    this resolver alone is for pure readers that know the stage is
+    already published."""
     tmp = tempfile.gettempdir()
     name = prefix + source_key(src_path)
     keep = os.path.join(tmp, name)
@@ -60,15 +130,69 @@ def staged_dir(prefix: str, src_path: str) -> str:
             os.utime(keep, None)
         except OSError:
             pass
-    now = time.time()
-    for old in os.listdir(tmp):
-        if not old.startswith(prefix) or old == name:
-            continue
-        p = os.path.join(tmp, old)
+    _sweep_siblings(tmp, prefix, name)
+    return keep
+
+
+def ensure_staged(
+    prefix: str, src_path: str, write: Callable[[str], None]
+) -> str:
+    """Resolve the stage for ``src_path`` and publish it if absent:
+    ``write(tmp_dir)`` (typically a Spark ``.write.parquet``) runs
+    against a unique tmp dir, its ``_SUCCESS`` is verified, and the
+    dir is renamed into place atomically.  Writers for the same key
+    serialize on ``flock(<final>.lock)``; the loser reuses the
+    winner's publish.  Returns the final dir, complete."""
+    final = staged_dir(prefix, src_path)
+    if is_complete(final):
+        return final
+    try:
+        import fcntl
+    except ImportError:  # pragma: no cover - non-POSIX
+        fcntl = None
+    lock_path = final + ".lock"
+    lf = open(lock_path, "a")
+    try:
+        if fcntl is not None:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+        if is_complete(final):  # lost the race: winner already published
+            return final
+        tmp_dir = final + ".tmp." + uuid.uuid4().hex[:8]
+        write(tmp_dir)
+        if not is_complete(tmp_dir):
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            raise RuntimeError(
+                f"staging write for {final!r} produced no _SUCCESS witness"
+            )
+        if os.path.isdir(final):
+            # an incomplete leftover (pre-protocol crash) — safe to
+            # drop under the lock: no writer can be mid-write here,
+            # and no reader ever reuses a _SUCCESS-less dir
+            shutil.rmtree(final, ignore_errors=True)
+        os.rename(tmp_dir, final)
+        return final
+    finally:
+        if fcntl is not None:
+            try:
+                fcntl.flock(lf, fcntl.LOCK_UN)
+            except OSError:
+                pass
+        lf.close()
+
+
+def keyed_tmp_dir(prefix: str, key: str, n: int = 12) -> str:
+    """Resolve a tmp dir named by ``prefix`` + md5(``key``) with the
+    same touch + guarded idle sweep as :func:`staged_dir`, for
+    derived artifacts keyed by something other than a source file
+    (e.g. streaming_queries' per-invocation sink spills).  The caller
+    owns the contents; this only bounds tmp growth."""
+    tmp = tempfile.gettempdir()
+    name = prefix + hashlib.md5(key.encode()).hexdigest()[:n]
+    keep = os.path.join(tmp, name)
+    if os.path.isdir(keep):
         try:
-            idle = now - os.stat(p).st_mtime
+            os.utime(keep, None)
         except OSError:
-            continue
-        if idle > 3600:
-            shutil.rmtree(p, ignore_errors=True)
+            pass
+    _sweep_siblings(tmp, prefix, name)
     return keep

@@ -82,7 +82,10 @@ def test_oracle_bearing_queries_precede_rows_only():
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         with open(path) as f:
             for name, row in json.load(f).items():
-                if isinstance(row, dict) and row.get("hash_match"):
+                # the SAME green predicate the entry's ordering uses
+                # (ADVICE r6: hash_match-alone here could disagree
+                # with rows+hash+no-err there and fail spuriously)
+                if e._green_row(row):
                     verified.add(name)
     oracle_block = names[:first_rows_only]
     seen_verified = False

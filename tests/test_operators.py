@@ -1175,3 +1175,58 @@ def test_zorder_key_three_columns_and_type_guard(spark):
 
     with _pytest.raises(TypeError, match="need numeric"):
         zorder_key(df, ["a", "s"], bits=4)
+
+
+def test_zorder_key_nan_propagates_null(spark):
+    """NaN must not silently clamp into the top bucket (ADVICE r6):
+    width_bucket(NaN) is NULL and greatest/least skip NULLs, so
+    without explicit propagation a NaN row would land in bucket n-1
+    and pollute that data bucket's stats.  NaN rows key to NULL,
+    exactly like NULL rows."""
+    import math
+
+    from pyspark.sql import Row
+
+    from hadoop_pcap_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [
+            Row(a=1.0, b=7.0),
+            Row(a=float("nan"), b=7.0),
+            Row(a=100.0, b=float("nan")),
+            Row(a=100.0, b=7.0),
+        ]
+    )
+    out = zorder_key(df, ["a", "b"], bits=4).collect()
+    keys = [(r.a, r.b, r["_zkey"]) for r in out]
+    top = (1 << 8) - 1
+    for a, b, k in keys:
+        if (a is not None and math.isnan(a)) or (b is not None and math.isnan(b)):
+            assert k is None, f"NaN row got key {k}"
+        else:
+            assert k is not None and k < top
+    # and the non-NaN max row still keys highest among real rows
+    real = [k for a, b, k in keys if k is not None]
+    assert max(real) == next(k for a, b, k in keys if a == 100.0 and b == 7.0)
+
+
+def test_rowgroup_prune_stats_nested_and_empty(spark, tmp_path):
+    """The footer audit must see Hive-partitioned (nested) part files
+    — a top-level-only glob reported {row_groups: 0} on exactly the
+    datasets most worth auditing (ADVICE r6) — and must raise on a
+    path with no parquet at all instead of reporting 'nothing to
+    prune'."""
+    import pytest as _pytest
+
+    from hadoop_pcap_spark.operators.layout import rowgroup_prune_stats
+
+    df = spark.range(0, 1000).selectExpr("id", "id % 4 AS part")
+    nested = str(tmp_path / "nested")
+    df.write.partitionBy("part").parquet(nested)
+    stats = rowgroup_prune_stats(nested, {"id": (0.0, 10.0)})
+    assert stats["row_groups"] > 0
+    assert stats["skippable"] >= 0
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with _pytest.raises(ValueError, match="no parquet"):
+        rowgroup_prune_stats(str(empty), {"id": (0.0, 1.0)})

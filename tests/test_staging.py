@@ -64,3 +64,137 @@ def test_staged_dir_keeps_fresh_siblings_drops_idle(tmp_path, monkeypatch):
         assert staging.is_complete(d)
     finally:
         tempfile.tempdir = None
+
+
+def _writer(payload=b"data", succeed=True):
+    """A fake Spark write: materialize a dir with a part file and
+    (optionally) the _SUCCESS witness."""
+    calls = []
+
+    def write(tmp_dir):
+        calls.append(tmp_dir)
+        os.makedirs(tmp_dir)
+        with open(os.path.join(tmp_dir, "part-00000"), "wb") as f:
+            f.write(payload)
+        if succeed:
+            open(os.path.join(tmp_dir, "_SUCCESS"), "w").close()
+
+    write.calls = calls
+    return write
+
+
+def test_ensure_staged_publishes_atomically_and_reuses(tmp_path, monkeypatch):
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    tempfile.tempdir = None
+    try:
+        src = _mk_src(tmp_path)
+        w = _writer()
+        d = staging.ensure_staged("ens_test_", src, w)
+        assert staging.is_complete(d)
+        assert len(w.calls) == 1
+        # the write went to a UNIQUE tmp dir, renamed into place —
+        # never directly into the final path (delete-while-writing
+        # race of the old protocol, ADVICE r6)
+        assert w.calls[0] != d and ".tmp." in w.calls[0]
+        assert not os.path.exists(w.calls[0])
+        # reuse: complete stage short-circuits, writer not called again
+        assert staging.ensure_staged("ens_test_", src, w) == d
+        assert len(w.calls) == 1
+    finally:
+        tempfile.tempdir = None
+
+
+def test_ensure_staged_rejects_witnessless_write(tmp_path, monkeypatch):
+    """A write that produces no _SUCCESS must not be published — the
+    final path stays absent so the next caller retries."""
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    import pytest
+
+    tempfile.tempdir = None
+    try:
+        src = _mk_src(tmp_path)
+        with pytest.raises(RuntimeError, match="_SUCCESS"):
+            staging.ensure_staged("ens_fail_", src, _writer(succeed=False))
+        d = staging.staged_dir("ens_fail_", src)
+        assert not os.path.exists(d)
+        # and a subsequent good write publishes normally
+        d2 = staging.ensure_staged("ens_fail_", src, _writer())
+        assert staging.is_complete(d2)
+    finally:
+        tempfile.tempdir = None
+
+
+def test_ensure_staged_replaces_incomplete_leftover(tmp_path, monkeypatch):
+    """A crashed pre-protocol dir (exists, no _SUCCESS) is replaced
+    under the lock, not reused and not mixed with the new write."""
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    tempfile.tempdir = None
+    try:
+        src = _mk_src(tmp_path)
+        d = staging.staged_dir("ens_left_", src)
+        os.makedirs(d)
+        with open(os.path.join(d, "part-stale"), "wb") as f:
+            f.write(b"stale")
+        out = staging.ensure_staged("ens_left_", src, _writer(b"fresh"))
+        assert out == d and staging.is_complete(out)
+        # no mixing: the stale writer's file is gone
+        assert not os.path.exists(os.path.join(out, "part-stale"))
+        assert os.path.exists(os.path.join(out, "part-00000"))
+    finally:
+        tempfile.tempdir = None
+
+
+def test_sweep_skips_sibling_with_held_lock(tmp_path, monkeypatch):
+    """An idle-looking sibling whose .lock is currently flocked (an
+    active writer or a long reader holding a lease) survives the
+    sweep; once the lock is released it is reclaimable again."""
+    import fcntl
+    import tempfile
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    tempfile.tempdir = None
+    try:
+        src = _mk_src(tmp_path)
+        prefix = "ens_sweep_"
+        busy = tmp_path / (prefix + "busykey")
+        busy.mkdir()
+        old = time.time() - 7200
+        os.utime(busy, (old, old))
+        lock = open(str(busy) + ".lock", "w")
+        fcntl.flock(lock, fcntl.LOCK_SH)
+        try:
+            staging.staged_dir(prefix, src)
+            assert busy.exists()  # lock held → spared despite idleness
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
+            lock.close()
+        os.utime(busy, (old, old))
+        os.utime(str(busy) + ".lock", (old, old))
+        staging.staged_dir(prefix, src)
+        assert not busy.exists()  # released + idle → reclaimed
+    finally:
+        tempfile.tempdir = None
+
+
+def test_keyed_tmp_dir_unique_per_key_and_swept(tmp_path, monkeypatch):
+    import tempfile
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    tempfile.tempdir = None
+    try:
+        a = staging.keyed_tmp_dir("ktd_test_", "query|app|run1")
+        b = staging.keyed_tmp_dir("ktd_test_", "query|app|run2")
+        assert a != b  # distinct keys → distinct dirs (no overwrite race)
+        os.makedirs(a)
+        old = time.time() - 7200
+        os.utime(a, (old, old))
+        staging.keyed_tmp_dir("ktd_test_", "query|app|run3")
+        assert not os.path.exists(a)  # idle spill reclaimed
+    finally:
+        tempfile.tempdir = None
