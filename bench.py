@@ -124,6 +124,26 @@ def main():
     extras = {}
     extras["calib_start"] = calibrate()
 
+    # Contention gate (VERDICT r7 item 2: BENCH_r07 was silently
+    # inflated ~55% by neighbor memory-bandwidth pressure and only a
+    # manual re-run caught it).  The membw probe reads ~300 ms on a
+    # quiet host (BASELINE.md); >450 ms means neighbors are saturating
+    # the LLC/memory bus and every number below will embed that tax.
+    # Defense: back off once and re-probe; if the host is STILL noisy,
+    # run anyway but stamp `contended: true` into the JSON so no
+    # downstream regression math anchors on this artifact.
+    MEMBW_QUIET_MS = 450.0
+    if extras["calib_start"]["membw_ms"] > MEMBW_QUIET_MS:
+        backoff = int(os.environ.get("SPARK_GRAFT_BENCH_BACKOFF_S", "60"))
+        print(
+            f"# membw {extras['calib_start']['membw_ms']} ms > {MEMBW_QUIET_MS}"
+            f" — host contended; backing off {backoff}s and re-probing",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(backoff)
+        extras["calib_start_retry"] = calibrate()
+
     # DNS kernel speedup: columnar (body-interned) vs scalar kernel on
     # one DNS-heavy capture file, min-of-3 process CPU each.  This is
     # the VERDICT-r3 "≥2× the scalar kernel" evidence, measured
@@ -247,9 +267,16 @@ def main():
     # flock-serialized writers, guarded idle sweep —
     # hadoop_pcap_spark/staging.py, grown from ADVICE r4/r5/r6 and
     # shared with the layout demo queries).
+    import contextlib
     import shutil
 
-    from hadoop_pcap_spark.staging import ensure_staged
+    from hadoop_pcap_spark.staging import ensure_staged, hold_stage
+
+    # every staged dir is pinned with a hold_stage reader lease for
+    # the rest of the run (VERDICT r7 item 4): the streaming timings
+    # can outlive the sweep's 1h idle window on a contended host, and
+    # an mtime-based keep-alive is a bound, not a guarantee
+    leases = contextlib.ExitStack()
 
     src_parquet = os.path.join(sf_dir, "documents.parquet")
     stage_dir = ensure_staged(
@@ -269,6 +296,7 @@ def main():
             .parquet(tmp)
         ),
     )
+    leases.enter_context(hold_stage(stage_dir))
 
     # State-partition sizing for the streaming rows: the measured cost
     # of a stateful streaming micro-batch is DOMINATED by a ~0.45
@@ -367,6 +395,7 @@ def main():
             .parquet(tmp)
         ),
     )
+    leases.enter_context(hold_stage(ev_stage))
     time_stream(
         "streaming_flow_counts",
         lambda: stateful_flow_counts(
@@ -394,6 +423,7 @@ def main():
             .parquet(tmp)
         ),
     )
+    leases.enter_context(hold_stage(inc_stage))
 
     def time_inc_dedup() -> None:
         name = "streaming_incremental_dedup"
@@ -463,6 +493,7 @@ def main():
             .parquet(tmp)
         ),
     )
+    leases.enter_context(hold_stage(ssj_stage))
 
     def _ssj_build():
         schema = "event_id long, ts timestamp, user_id long, event_type string"
@@ -483,7 +514,20 @@ def main():
 
     time_stream("streaming_join_interval", _ssj_build, "append", provider="hdfs")
 
+    leases.close()  # release the hold_stage reader leases
     extras["calib_end"] = calibrate()
+    # contended iff the BEST start probe (post-backoff if one ran) or
+    # the end probe exceeds the quiet threshold — a run that started
+    # quiet and ended noisy is just as untrustworthy for regressions
+    start_membw = min(
+        extras["calib_start"]["membw_ms"],
+        extras.get("calib_start_retry", extras["calib_start"])["membw_ms"],
+    )
+    extras["membw_quiet_ref_ms"] = MEMBW_QUIET_MS
+    contended = bool(
+        start_membw > MEMBW_QUIET_MS
+        or extras["calib_end"]["membw_ms"] > MEMBW_QUIET_MS
+    )
     print(f"# extras: {extras}", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
@@ -497,6 +541,10 @@ def main():
                 "queries_cpu": cpu_timings,
                 "value_cpu": round(sum(cpu_timings.values()), 3),
                 "extras": extras,
+                # true ⇒ neighbor membw pressure measured during this
+                # run; do NOT use these numbers as a regression
+                # baseline (compare cpu-seconds, or re-run quiet)
+                "contended": contended,
                 "runs": runs,
                 "sf": sf_dir,
                 # host-contention forensics: CPU-seconds inflate with

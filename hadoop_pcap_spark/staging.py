@@ -20,14 +20,16 @@ The protocol, grown across rounds (ADVICE r4/r5/r6) and in ONE place:
 * Spark's ``_SUCCESS`` marker is the completion witness, checked in
   the tmp dir BEFORE the rename (a failed Spark write never gets
   published) and again at every reuse;
-* superseded sibling dirs (same prefix, different key) are dropped
-  only after >1h idle AND only if their ``.lock`` isn't currently
-  held; resolving an existing stage touches its mtime, which keeps a
-  reader's dir fresh for the duration of the idle window.  That
-  window is a pragmatic bound, not a lease: a single read that takes
-  longer than 1h can still lose its stage to another process's sweep
-  — callers with multi-hour reads should re-resolve per use or hold
-  the stage's lock file themselves (shared flock on ``<dir>.lock``);
+* superseded sibling dirs (same prefix, different key) and orphaned
+  ``.tmp.`` dirs — including the CURRENT key's, from a crashed
+  writer (ADVICE r7) — are dropped only after >1h idle AND only if
+  their stage's ``.lock`` isn't currently held; resolving an
+  existing stage touches its mtime, which keeps a reader's dir fresh
+  for the duration of the idle window.  The idle window is a
+  pragmatic bound, not a lease — readers that outlive it hold a REAL
+  lease with :func:`hold_stage` (shared flock on ``<dir>.lock``,
+  which every sweep probe respects), so a multi-hour read can pin
+  its stage instead of re-resolving per use;
 * callers scope ``prefix`` by dataset basename (e.g.
   ``f"bench_stream_docs_{os.path.basename(sf)}_"``) so tmp stays
   legible per dataset — the idle guard, not the prefix, is what makes
@@ -36,19 +38,21 @@ The protocol, grown across rounds (ADVICE r4/r5/r6) and in ONE place:
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import os
 import shutil
 import tempfile
 import time
 import uuid
-from typing import Callable
+from typing import Callable, Iterator
 
 __all__ = [
     "source_key",
     "staged_dir",
     "is_complete",
     "ensure_staged",
+    "hold_stage",
     "keyed_tmp_dir",
 ]
 
@@ -91,11 +95,17 @@ def _lock_held_elsewhere(lock_path: str) -> bool:
 def _sweep_siblings(tmp: str, prefix: str, keep_name: str) -> None:
     """Reclaim same-prefix siblings of ``keep_name`` idle >1h whose
     lock isn't held.  Covers superseded stages (stale source key),
-    crashed writers' orphaned ``.tmp.`` dirs, and stale lock files."""
+    crashed writers' orphaned ``.tmp.`` dirs — for the current key
+    too (ADVICE r7: unconditionally skipping the ``keep_name.tmp.*``
+    family left a crashed writer's partial copy unreclaimable while
+    its source key stayed live; a LIVE writer's tmp dir is still safe
+    because that writer holds ``keep_name.lock`` and its write keeps
+    the mtime fresh) — and stale lock files."""
     now = time.time()
+    keep_exact = {keep_name, keep_name + ".lock"}
     for old in os.listdir(tmp):
-        if not old.startswith(prefix) or old.startswith(keep_name):
-            continue  # keep_name itself, its .lock, and its .tmp.* writers
+        if not old.startswith(prefix) or old in keep_exact:
+            continue  # keep_name itself and its .lock
         p = os.path.join(tmp, old)
         try:
             idle = now - os.stat(p).st_mtime
@@ -171,6 +181,36 @@ def ensure_staged(
             shutil.rmtree(final, ignore_errors=True)
         os.rename(tmp_dir, final)
         return final
+    finally:
+        if fcntl is not None:
+            try:
+                fcntl.flock(lf, fcntl.LOCK_UN)
+            except OSError:
+                pass
+        lf.close()
+
+
+@contextlib.contextmanager
+def hold_stage(d: str) -> Iterator[str]:
+    """Reader lease on a staged dir: a SHARED flock on ``<d>.lock``
+    for the duration of the ``with`` block.  Every sweep probe
+    (:func:`_lock_held_elsewhere`) refuses to reclaim a stage whose
+    lock is held, so a read that outlives the 1h idle window keeps
+    its dir — the lease the protocol docs used to tell callers to
+    build themselves (VERDICT r7 item 4).  Shared mode lets any
+    number of readers hold one stage concurrently while still
+    serializing against :func:`ensure_staged`'s exclusive writers.
+    Best-effort on platforms without fcntl (falls back to the idle
+    guard alone, like the sweep probe itself)."""
+    try:
+        import fcntl
+    except ImportError:  # pragma: no cover - non-POSIX
+        fcntl = None
+    lf = open(d + ".lock", "a")
+    try:
+        if fcntl is not None:
+            fcntl.flock(lf, fcntl.LOCK_SH)
+        yield d
     finally:
         if fcntl is not None:
             try:

@@ -138,3 +138,24 @@ def test_flagship_release_frees_all_blocks(spark):
     # OTHER tests' orphaned blocks concurrently, so the invariant is
     # "this query left nothing behind", not strict equality
     assert sc.getPersistentRDDs().size() <= before
+
+
+def test_coverage_doc_totals_match_registry():
+    """COVERAGE.md's totals line is mechanically tied to the registry
+    (ADVICE r7 item 5: the doc said 125/119 while the registry was
+    128/122 — totals drifted twice across rounds; now drift fails CI)."""
+    import os
+    import re
+
+    from hadoop_pcap_spark import plans
+
+    plans.load_all()
+    doc = open(
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "COVERAGE.md")
+    ).read()
+    m = re.search(r"Totals: (\d+) registered queries, (\d+) with DuckDB", doc)
+    assert m, "COVERAGE.md totals line missing"
+    assert (int(m.group(1)), int(m.group(2))) == (
+        len(plans.QUERIES),
+        len(plans.ORACLES),
+    ), "COVERAGE.md totals drifted from plans.QUERIES/ORACLES"

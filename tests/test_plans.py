@@ -365,6 +365,61 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_stats")
 
 
+def test_scd2_history_single_exchange(spark):
+    """The whole SCD2 history build — change flag, island numbering,
+    per-island aggregate, validity lead — reuses ONE clustering on the
+    key: exactly one hash Exchange in the plan (the groupBy(key,
+    version) and both windows are satisfied by hashpartitioning(key))."""
+    plan = plan_of(QUERIES["scd2_history"](spark, SF))
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_merge_cdc_two_exchanges_window_reused_by_join(spark):
+    """merge_cdc's shuffle budget: changes once (winner window, whose
+    hashpartitioning the full-outer join then REUSES) + snapshot once
+    = exactly two Exchanges.  Full outer join can never broadcast, so
+    the SMJ shape is size-robust."""
+    plan = plan_of(QUERIES["merge_cdc_apply"](spark, SF))
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 2, plan
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_merge_cdc_bucketed_snapshot_side_never_shuffles(spark):
+    """The 100 TB MERGE composition (merge.py docstring, SCALING.md):
+    store the snapshot bucketed on the merge key and ONLY the change
+    batch shuffles — the snapshot's bucketed scan feeds the SMJ with
+    zero Exchange, so a 100 TB snapshot absorbs a 1% CDC batch at
+    batch-sized shuffle cost."""
+    from hadoop_pcap_spark.operators.bucketing import write_bucketed
+
+    from hadoop_pcap_spark.operators.merge import merge_cdc
+
+    try:
+        snap = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+            "doc_id", "n_chars"
+        )
+        write_bucketed(snap, "b_merge_snap", "doc_id", n_buckets=8)
+        # the ~1% change batch via a deterministic filter (a limit
+        # would add its own SinglePartition exchange to the plan)
+        chg = snap.filter("doc_id % 100 = 0").selectExpr(
+            "doc_id",
+            "n_chars + 1 AS n_chars",
+            "CAST(1 AS BIGINT) AS _seq",
+            "'U' AS _op",
+        )
+        merged = merge_cdc(spark.table("b_merge_snap"), chg, ["doc_id"])
+        plan = plan_of(merged)
+        # exactly ONE exchange — the change batch's winner window; the
+        # snapshot side rides its bucketing straight into the SMJ
+        assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1, plan
+        assert "SortMergeJoin" in plan
+        assert merged.count() == snap.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_merge_snap")
+
+
 def test_corpus_build_composition_stays_bounded(spark):
     """The five-stage corpus build composes without degenerating:
     no cartesian, no nested-loop join, no row-Python, and the corpus

@@ -198,3 +198,90 @@ def test_keyed_tmp_dir_unique_per_key_and_swept(tmp_path, monkeypatch):
         assert not os.path.exists(a)  # idle spill reclaimed
     finally:
         tempfile.tempdir = None
+
+
+def test_hold_stage_pins_dir_through_forced_sweep(tmp_path, monkeypatch):
+    """VERDICT r7 item 4: a reader inside hold_stage() keeps its stage
+    even when the dir looks >1h idle to a concurrent sweep; the lease
+    released, the same sweep reclaims it."""
+    import tempfile
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    tempfile.tempdir = None
+    try:
+        src = _mk_src(tmp_path)
+        prefix = "hold_test_"
+        held = staging.ensure_staged(prefix, src, _writer())
+        # make it look abandoned: 2h idle on the dir AND its lock,
+        # and resolved under a DIFFERENT (superseded-key) name so the
+        # sweep sees it as a reclaimable sibling
+        other = tmp_path / "other.parquet"
+        other.write_bytes(b"other source")
+        old = time.time() - 7200
+        os.utime(held, (old, old))
+        os.utime(held + ".lock", (old, old))
+        with staging.hold_stage(held):
+            staging.staged_dir(prefix, str(other))  # sweep runs here
+            assert os.path.isdir(held), "held lease must pin the stage"
+        os.utime(held, (old, old))
+        os.utime(held + ".lock", (old, old))
+        staging.staged_dir(prefix, str(other))
+        assert not os.path.exists(held), "released + idle → reclaimed"
+    finally:
+        tempfile.tempdir = None
+
+
+def test_hold_stage_allows_concurrent_readers(tmp_path, monkeypatch):
+    """The lease is SHARED: two readers can hold one stage at once
+    (an exclusive lease would serialize bench stages pointlessly)."""
+    import tempfile
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    tempfile.tempdir = None
+    try:
+        src = _mk_src(tmp_path)
+        d = staging.ensure_staged("hold2_test_", src, _writer())
+        with staging.hold_stage(d):
+            with staging.hold_stage(d):
+                assert staging.is_complete(d)
+    finally:
+        tempfile.tempdir = None
+
+
+def test_sweep_reclaims_current_keys_orphaned_tmp(tmp_path, monkeypatch):
+    """ADVICE r7: a crashed writer's <final>.tmp.<rand> for a STILL-
+    LIVE source key must be reclaimed once idle (>1h, lock free) —
+    the old sweep skipped the whole keep_name* family forever.  A
+    fresh tmp dir (a live writer's) still survives."""
+    import tempfile
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    tempfile.tempdir = None
+    try:
+        src = _mk_src(tmp_path)
+        prefix = "orph_test_"
+        final = staging.staged_dir(prefix, src)
+        crashed = final + ".tmp.deadbeef"
+        live = final + ".tmp.11c0ffee"
+        os.makedirs(crashed)
+        os.makedirs(live)
+        old = time.time() - 7200
+        os.utime(crashed, (old, old))
+        staging.staged_dir(prefix, src)
+        assert not os.path.exists(crashed), "idle orphan of live key reclaimed"
+        assert os.path.isdir(live), "fresh writer tmp survives"
+        # an idle tmp whose stage lock is HELD (writer mid-flight on a
+        # slow write) is spared
+        import fcntl
+
+        os.utime(live, (old, old))
+        lock = open(final + ".lock", "w")
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            staging.staged_dir(prefix, src)
+            assert os.path.isdir(live)
+        finally:
+            fcntl.flock(lock, fcntl.LOCK_UN)
+            lock.close()
+    finally:
+        tempfile.tempdir = None
