@@ -1,0 +1,244 @@
+"""Corpus retrieval / selection operators: BM25 ranked search,
+per-group quota capping, and DSIR-style hashed importance weighting.
+
+The reference feeds packet records to Hive and lets SQL do the rest
+(SURVEY.md §2.4); a training-data pipeline built on the same engine
+additionally needs *document selection* primitives — score documents
+against a query (retrieval for eval-set construction / hard-negative
+mining), cap how much any one source contributes (domain quotas, the
+crawl-curation knob), and reweight a raw crawl toward a curated
+target distribution (importance resampling, Xie et al. 2023 "DSIR").
+All three are pure DataFrame compositions — no UDFs, no collects —
+registered as driver queries with DuckDB oracles in plans/pipeline.py.
+
+100 TB design notes:
+
+* ``bm25_score`` filters the token explode to the query's terms
+  BEFORE any shuffle, so the per-doc aggregate moves only the query
+  terms' postings (thousands of rows per term), never the corpus
+  token stream; document length rides the same explode (constant per
+  doc), the per-term document frequencies are a |query|-row broadcast,
+  and the corpus-wide avgdl is a broadcast 1-row aggregate.  Per-term
+  contributions are summed in DECIMAL so the score is
+  order-independent under any partitioning.
+* ``group_quota`` is one hash exchange on the group key and a
+  rank-filter window Spark executes as WindowGroupLimit: each map
+  task keeps only its local top-k per group before the shuffle, so a
+  pathologically hot source (the 100 TB failure mode — one domain is
+  half the crawl) ships at most ``k × n_partitions`` rows, not its
+  full mass.
+* ``dsir_log_weights`` reduces the corpus to a ``n_buckets``-row
+  hashed-feature table per side (one token-explode aggregate with
+  map-side combine), broadcasts the merged bucket statistics, and
+  computes each document's log-importance in the same map pass that
+  tokenizes it — one corpus-token shuffle for statistics, one
+  per-doc-grain shuffle for the weight sum, nothing O(vocabulary) on
+  a single node.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["bm25_score", "group_quota", "dsir_log_weights"]
+
+# Tokenization contract shared with functions/text.py and the DuckDB
+# oracles (plans/pipeline.py SQL_TOKENS).
+from ..functions.text import tokens as _tokens
+
+
+def bm25_score(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 (Lucene idf variant) of every document that matches
+    at least one query term → ``(id_col, score)``.
+
+    idf(t)   = ln(1 + (N − df + 0.5) / (df + 0.5))
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+
+    |d| is the document token count and avgdl the corpus mean token
+    count (over ALL documents, matching or not).  Per-term
+    contributions are rounded into DECIMAL(18,6) before the per-doc
+    sum so the total is independent of partitioning/summation order —
+    the registry's standard float-determinism contract.
+
+    Scale: the only corpus-sized shuffle is the per-doc contribution
+    sum at document grain; the token explode is filtered to
+    ``query_terms`` map-side, df and avgdl arrive as broadcasts."""
+    qterms = F.array(*[F.lit(t) for t in query_terms])
+    toks = _tokens(F.col(text_col))
+    # (doc, doclen, matching token) — filter BEFORE explode: only
+    # query-term occurrences leave the scan.
+    hits = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("_dl"),
+        F.explode(F.filter(toks, lambda t: F.array_contains(qterms, t))).alias(
+            "_term"
+        ),
+    )
+    tf = hits.groupBy(id_col, "_term").agg(
+        F.count("*").alias("_tf"), F.max("_dl").alias("_dl")
+    )
+    # df per query term and the corpus stats are tiny → broadcast.
+    dfreq = (
+        docs.select(
+            F.explode(
+                F.array_intersect(F.array_distinct(toks), qterms)
+            ).alias("_term")
+        )
+        .groupBy("_term")
+        .agg(F.count("*").alias("_df"))
+    )
+    corpus = docs.agg(
+        F.count("*").cast("double").alias("_n"),
+        F.avg(F.size(toks)).alias("_avgdl"),
+    )
+    contrib = (
+        tf.join(F.broadcast(dfreq), "_term")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("_n") - F.col("_df") + 0.5)
+                    / (F.col("_df") + 0.5)
+                )
+                * (F.col("_tf") * (k1 + 1))
+                / (
+                    F.col("_tf")
+                    + k1
+                    * (1 - b + b * F.col("_dl") / F.col("_avgdl"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("_c"),
+        )
+    )
+    return contrib.groupBy(id_col).agg(
+        F.sum("_c").cast("double").alias("score")
+    )
+
+
+def group_quota(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    *,
+    priority_col: str | None = None,
+    tie_col: str | None = None,
+    rank_name: str = "qrank",
+) -> DataFrame:
+    """Cap every group at its ``k`` highest-priority rows (ascending
+    ``priority_col``; ties broken by ``tie_col``), keeping the 1-based
+    rank as ``rank_name`` — the per-domain quota pass of a crawl
+    pipeline.  With ``priority_col=None`` the priority is a
+    deterministic md5 of ``tie_col`` (an unbiased per-group sample
+    that is stable across runs and engines — no RNG).
+
+    Scale: one exchange on ``group_col``; the ``row_number() <= k``
+    filter is executed as WindowGroupLimit, so each map task emits at
+    most k rows per group before the shuffle — a hot group costs
+    k × n_partitions shuffled rows, not its full mass."""
+    if tie_col is None:
+        raise ValueError("group_quota: tie_col is required (total order)")
+    prio = (
+        F.col(priority_col)
+        if priority_col is not None
+        else F.md5(F.col(tie_col).cast("string").cast("binary"))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        prio.asc(), F.col(tie_col).asc()
+    )
+    return (
+        df.withColumn(rank_name, F.row_number().over(w))
+        .filter(F.col(rank_name) <= k)
+    )
+
+
+def _hex_bucket(col, n_buckets: int):
+    """Deterministic cross-engine feature hash: fold the first four
+    md5 hex characters' ASCII codes (base-131 polynomial) mod
+    ``n_buckets``.  Expressible identically in Spark and DuckDB
+    (``ascii``/``substring``/``md5`` exist in both with identical
+    semantics); a production pipeline would use ``xxhash64``
+    Spark-side — the oracle contract is what pins md5 here."""
+    m = F.md5(col.cast("string").cast("binary"))
+    h = F.lit(0)
+    for i in range(1, 5):
+        h = h * 131 + F.ascii(F.substring(m, i, 1))
+    return (h % n_buckets).alias("_bucket")
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target_pred,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR-style importance weights: per document, the log-likelihood
+    ratio of a hashed-unigram bag model fit on the *target* slice
+    (rows where ``target_pred`` holds) vs the full *raw* corpus →
+    ``(id_col, log_weight)``, higher = more target-like.  Sampling
+    ∝ exp(log_weight) reweights raw data toward the target
+    distribution (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling").
+
+    Both models are Laplace-smoothed over ``n_buckets`` hashed token
+    features: p(bucket) = (count + 1) / (total + n_buckets).  Per-token
+    log-ratios are rounded into DECIMAL(18,8) before the per-doc sum
+    (order-independence contract).
+
+    Scale: bucket statistics are one token-explode aggregate with
+    map-side combine into ``n_buckets`` rows per side — broadcast;
+    the per-doc sum is the only corpus-grain shuffle."""
+    tok = docs.select(
+        F.col(id_col),
+        target_pred.alias("_is_t"),
+        F.explode(_tokens(F.col(text_col))).alias("_tok"),
+    ).select(
+        id_col, "_is_t", _hex_bucket(F.col("_tok"), n_buckets)
+    )
+    stats = tok.groupBy("_bucket").agg(
+        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("_ct"),
+        F.count("*").alias("_cr"),
+    )
+    totals = stats.agg(
+        F.sum("_ct").alias("_tt"), F.sum("_cr").alias("_tr")
+    )
+    ratio = (
+        stats.crossJoin(F.broadcast(totals))
+        .select(
+            "_bucket",
+            F.round(
+                F.log(
+                    (F.col("_ct") + 1)
+                    / (F.col("_tt") + n_buckets).cast("double")
+                )
+                - F.log(
+                    (F.col("_cr") + 1)
+                    / (F.col("_tr") + n_buckets).cast("double")
+                ),
+                8,
+            )
+            .cast("decimal(18,8)")
+            .alias("_lr"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(ratio), "_bucket")
+        .groupBy(id_col)
+        .agg(F.sum("_lr").cast("double").alias("log_weight"))
+    )

@@ -1848,3 +1848,137 @@ def q_corpus_vocab_topk(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# --- retrieval / selection (operators/retrieval.py) -----------------------------
+
+# the DSIR/quota hash, SQL twin of operators.retrieval._hex_bucket
+_SQL_HEX_BUCKET = (
+    "(((ascii(substr(md5(tok),1,1))*131 + ascii(substr(md5(tok),2,1)))*131"
+    " + ascii(substr(md5(tok),3,1)))*131 + ascii(substr(md5(tok),4,1))) % 256"
+)
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH q(term) AS (VALUES ('spark'), ('data'), ('fast')),
+    tok AS (
+      SELECT doc_id, t.tok FROM documents, unnest({SQL_TOKENS}) AS t(tok)),
+    dl AS (SELECT doc_id, len({SQL_TOKENS}) AS dl FROM documents),
+    corpus AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             avg(len({SQL_TOKENS})) AS avgdl
+      FROM documents),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM tok JOIN q ON tok = q.term GROUP BY 1, 2),
+    df AS (
+      SELECT tok, count(DISTINCT doc_id) AS df
+      FROM tok JOIN q ON tok = q.term GROUP BY 1),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               ln(1 + (c.n - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / c.avgdl)),
+             6) AS DECIMAL(18,6)) AS co
+      FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), corpus c)
+    SELECT doc_id, CAST(SUM(co) AS DOUBLE) AS score
+    FROM contrib GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def q_text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 ranked retrieval (Lucene idf variant, k1=1.2, b=0.75) of
+    the top-20 documents for a 3-term query — the eval-set /
+    hard-negative mining primitive of a training-data pipeline.
+    Scale: the token explode is filtered to the query's terms BEFORE
+    any shuffle (only those postings move); df and the corpus avgdl
+    are broadcasts; per-term contributions sum in DECIMAL so the
+    score is partitioning-order-independent; the top-20 is
+    TakeOrderedAndProject, never a global sort."""
+    from ..operators.retrieval import bm25_score
+
+    docs = table(spark, sf, "documents")
+    return (
+        bm25_score(docs, ["spark", "data", "fast"])
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "docs_domain_quota",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS qrank
+      FROM documents)
+    SELECT doc_id, source, qrank FROM r WHERE qrank <= 10
+    """,
+)
+def q_docs_domain_quota(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source quota capping: each source contributes at most its
+    10 highest-priority documents, priority = deterministic md5 of
+    the doc id (an unbiased, run-stable per-domain sample — no RNG,
+    so the oracle can replay it).  The crawl-curation knob that stops
+    one domain from dominating a 100 TB corpus.
+    Scale: one exchange on source; the rank filter executes as
+    WindowGroupLimit, so a pathologically hot source ships at most
+    k rows per map task, never its full mass."""
+    from ..operators.retrieval import group_quota
+
+    docs = table(spark, sf, "documents").select("doc_id", "source")
+    return group_quota(docs, "source", 10, tie_col="doc_id").select(
+        "doc_id", "source", F.col("qrank").cast("bigint").alias("qrank")
+    )
+
+
+@query(
+    "docs_dsir_importance",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, (lang = 'en' AND source IN ('src0','src1')) AS is_t,
+             t.tok
+      FROM documents, unnest({SQL_TOKENS}) AS t(tok)),
+    tb AS (SELECT doc_id, is_t, {_SQL_HEX_BUCKET} AS bucket FROM tk),
+    st AS (
+      SELECT bucket, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+             count(*) AS cr
+      FROM tb GROUP BY 1),
+    tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM st),
+    lr AS (
+      SELECT bucket,
+             CAST(ROUND(ln((ct + 1) / CAST(tt + 256 AS DOUBLE))
+                      - ln((cr + 1) / CAST(tr + 256 AS DOUBLE)),
+             8) AS DECIMAL(18,8)) AS lr
+      FROM st, tot)
+    SELECT doc_id, CAST(SUM(lr) AS DOUBLE) AS log_weight
+    FROM tb JOIN lr USING (bucket)
+    GROUP BY doc_id
+    ORDER BY log_weight DESC, doc_id LIMIT 30
+    """,
+)
+def q_docs_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023): score every
+    document by the log-likelihood ratio of a 256-bucket
+    hashed-unigram model fit on the target slice (lang='en' ∧ source
+    ∈ {src0,src1}) vs the raw corpus; return the 30 most
+    target-like docs — the importance-resampling head that reweights
+    a raw crawl toward a curated distribution.
+    Scale: bucket statistics reduce the corpus to 256 broadcast rows
+    (one token-explode agg, map-side combine); the per-doc sum — in
+    DECIMAL, order-independent — is the only corpus-grain shuffle;
+    nothing is O(vocabulary) on one node."""
+    from ..operators.retrieval import dsir_log_weights
+
+    docs = table(spark, sf, "documents")
+    pred = (F.col("lang") == "en") & F.col("source").isin("src0", "src1")
+    return (
+        dsir_log_weights(docs, pred)
+        .orderBy(F.desc("log_weight"), "doc_id")
+        .limit(30)
+    )

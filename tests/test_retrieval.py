@@ -1,0 +1,168 @@
+"""Unit semantics for operators/retrieval.py: BM25 scoring vs a
+hand-computed value, group quotas (cap binds, determinism, hot-group
+behavior), and DSIR importance weights (target-like docs rank above
+off-target ones; weights are partitioning-invariant)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_pcap_spark.operators.retrieval import (
+    bm25_score,
+    dsir_log_weights,
+    group_quota,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestBM25:
+    def test_hand_computed_score(self, spark):
+        # 3 docs; query = ["cat"].  N=3, df=2, dl = 4/4/2, avgdl = 10/3.
+        docs = _docs(
+            spark,
+            [
+                (0, "cat dog cat bird"),  # tf=2, dl=4
+                (1, "dog dog fish bird"),  # no match
+                (2, "cat fish"),  # tf=1, dl=2
+            ],
+        )
+        got = {
+            r.doc_id: r.score
+            for r in bm25_score(docs, ["cat"]).collect()
+        }
+        assert set(got) == {0, 2}
+
+        def bm25(tf, dl, n=3.0, df=2, k1=1.2, b=0.75, avgdl=10 / 3):
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            return round(
+                idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 6
+            )
+
+        assert got[0] == pytest.approx(bm25(2, 4), abs=1e-6)
+        assert got[2] == pytest.approx(bm25(1, 2), abs=1e-6)
+
+    def test_multi_term_sums_per_term_contributions(self, spark):
+        docs = _docs(spark, [(0, "cat dog"), (1, "cat cat"), (2, "fish")])
+        one = {
+            r.doc_id: r.score
+            for r in bm25_score(docs, ["cat"]).collect()
+        }
+        two = {
+            r.doc_id: r.score
+            for r in bm25_score(docs, ["cat", "dog"]).collect()
+        }
+        dog = {
+            r.doc_id: r.score
+            for r in bm25_score(docs, ["dog"]).collect()
+        }
+        assert two[0] == pytest.approx(one[0] + dog[0], abs=2e-6)
+        assert two[1] == one[1]  # doc 1 has no "dog" contribution
+
+    def test_no_match_no_row(self, spark):
+        docs = _docs(spark, [(0, "alpha beta"), (1, "gamma")])
+        assert bm25_score(docs, ["zzz"]).count() == 0
+
+
+class TestGroupQuota:
+    def _df(self, spark):
+        rows = [(i, "hot" if i < 40 else "cold") for i in range(50)]
+        return spark.createDataFrame(rows, "doc_id long, grp string")
+
+    def test_cap_binds_per_group(self, spark):
+        out = group_quota(
+            self._df(spark), "grp", 5, tie_col="doc_id"
+        ).collect()
+        by_grp = {}
+        for r in out:
+            by_grp.setdefault(r.grp, []).append(r.qrank)
+        assert sorted(by_grp["hot"]) == [1, 2, 3, 4, 5]
+        assert sorted(by_grp["cold"]) == [1, 2, 3, 4, 5]
+
+    def test_md5_priority_is_deterministic(self, spark):
+        df = self._df(spark)
+        a = {(r.doc_id, r.qrank) for r in
+             group_quota(df, "grp", 5, tie_col="doc_id").collect()}
+        b = {(r.doc_id, r.qrank) for r in
+             group_quota(df, "grp", 5, tie_col="doc_id").collect()}
+        assert a == b
+
+    def test_explicit_priority_column(self, spark):
+        df = spark.createDataFrame(
+            [(1, "g", 0.9), (2, "g", 0.1), (3, "g", 0.5)],
+            "doc_id long, grp string, prio double",
+        )
+        out = group_quota(
+            df, "grp", 2, priority_col="prio", tie_col="doc_id"
+        ).collect()
+        # ascending priority: 0.1 (rank 1), 0.5 (rank 2); 0.9 cut
+        assert {(r.doc_id, r.qrank) for r in out} == {(2, 1), (3, 2)}
+
+    def test_requires_tie_col(self, spark):
+        with pytest.raises(ValueError):
+            group_quota(self._df(spark), "grp", 5)
+
+    def test_plan_uses_window_group_limit(self, spark):
+        plan = group_quota(
+            self._df(spark), "grp", 5, tie_col="doc_id"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
+
+
+class TestDSIR:
+    def test_target_like_docs_score_higher(self, spark):
+        # target vocabulary {aa,bb}; off-target {xx,yy}.  A doc made of
+        # target tokens must out-weight one made of off-target tokens.
+        rows = (
+            [(i, "aa bb aa bb", True) for i in range(10)]
+            + [(100 + i, "xx yy xx yy", False) for i in range(10)]
+            + [(200, "aa bb", False), (201, "xx yy", False)]
+        )
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, is_target boolean"
+        )
+        w = {
+            r.doc_id: r.log_weight
+            for r in dsir_log_weights(docs, F.col("is_target")).collect()
+        }
+        assert w[200] > 0 > w[201]
+        assert w[200] > w[201]
+
+    def test_weight_scales_with_length(self, spark):
+        # doubling a doc's tokens doubles its log-weight (bag model)
+        rows = [
+            (0, "aa", True),
+            (1, "aa", False),
+            (2, "aa aa", False),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, is_target boolean"
+        )
+        w = {
+            r.doc_id: r.log_weight
+            for r in dsir_log_weights(docs, F.col("is_target")).collect()
+        }
+        assert w[2] == pytest.approx(2 * w[1], abs=1e-7)
+
+    def test_partitioning_invariance(self, spark):
+        rows = [(i, f"tok{i % 7} tok{i % 3} aa", i % 2 == 0)
+                for i in range(60)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, is_target boolean"
+        )
+        one = {
+            (r.doc_id, r.log_weight)
+            for r in dsir_log_weights(
+                docs.coalesce(1), F.col("is_target")
+            ).collect()
+        }
+        many = {
+            (r.doc_id, r.log_weight)
+            for r in dsir_log_weights(
+                docs.repartition(8), F.col("is_target")
+            ).collect()
+        }
+        assert one == many  # DECIMAL contribution sum ⇒ exact equality
