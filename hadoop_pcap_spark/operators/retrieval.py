@@ -13,12 +13,12 @@ registered as driver queries with DuckDB oracles in plans/pipeline.py.
 
 100 TB design notes:
 
-* ``bm25_score`` filters the token explode to the query's terms
-  BEFORE any shuffle, so the per-doc aggregate moves only the query
-  terms' postings (thousands of rows per term), never the corpus
-  token stream; document length rides the same explode (constant per
-  doc), the per-term document frequencies are a |query|-row broadcast,
-  and the corpus-wide avgdl is a broadcast 1-row aggregate.  Per-term
+* ``bm25_score`` tokenizes the corpus ONCE into a persisted per-doc
+  projection of (length, query-term hits) — bounded by |query| per
+  doc, a sliver of the text it replaces — that feeds tf, df and
+  avgdl; the filter to query terms happens BEFORE any shuffle, so the
+  per-doc aggregate moves only the query terms' postings, never the
+  corpus token stream; df and avgdl are broadcasts.  Per-term
   contributions are summed in DECIMAL so the score is
   order-independent under any partitioning.
 * ``group_quota`` is one hash exchange on the group key and a
@@ -27,13 +27,12 @@ registered as driver queries with DuckDB oracles in plans/pipeline.py.
   pathologically hot source (the 100 TB failure mode — one domain is
   half the crawl) ships at most ``k × n_partitions`` rows, not its
   full mass.
-* ``dsir_log_weights`` reduces the corpus to a ``n_buckets``-row
-  hashed-feature table per side (one token-explode aggregate with
-  map-side combine), broadcasts the merged bucket statistics, and
-  computes each document's log-importance in the same map pass that
-  tokenizes it — one corpus-token shuffle for statistics, one
-  per-doc-grain shuffle for the weight sum, nothing O(vocabulary) on
-  a single node.
+* ``dsir_log_weights`` tokenizes + feature-hashes the corpus ONCE
+  into a persisted (doc, bucket) stream that feeds both the
+  ``n_buckets``-row statistics aggregate (map-side combine →
+  broadcast) and the per-doc weight sum, which reuses the
+  repartition's doc-key clustering — nothing O(vocabulary) on a
+  single node, and the corpus text is never scanned twice.
 """
 
 from __future__ import annotations
@@ -74,33 +73,45 @@ def bm25_score(
     Scale: the only corpus-sized shuffle is the per-doc contribution
     sum at document grain; the token explode is filtered to
     ``query_terms`` map-side, df and avgdl arrive as broadcasts."""
+    from pyspark import StorageLevel
+
+    from .cache import register_persisted
+
     qterms = F.array(*[F.lit(t) for t in query_terms])
     toks = _tokens(F.col(text_col))
-    # (doc, doclen, matching token) — filter BEFORE explode: only
-    # query-term occurrences leave the scan.
-    hits = docs.select(
-        F.col(id_col),
-        F.size(toks).alias("_dl"),
-        F.explode(F.filter(toks, lambda t: F.array_contains(qterms, t))).alias(
-            "_term"
-        ),
+    # Small-file inputs arrive as one partition; the tokenizer split
+    # is the dominant cost and embarrassingly parallel — spread it
+    # first (at real scale the input is many files and this is
+    # already true).  One scan feeds tf, df and the corpus stats: the
+    # per-doc projection keeps only the doc length and the query-term
+    # hits (bounded by |query| per doc), so the persisted frame is
+    # tiny regardless of corpus text size.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = (
+        docs.repartition(par, id_col)
+        .select(
+            F.col(id_col),
+            F.size(toks).alias("_dl"),
+            F.filter(toks, lambda t: F.array_contains(qterms, t)).alias(
+                "_hits"
+            ),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    tf = hits.groupBy(id_col, "_term").agg(
-        F.count("*").alias("_tf"), F.max("_dl").alias("_dl")
+    tf = (
+        base.select(id_col, "_dl", F.explode("_hits").alias("_term"))
+        .groupBy(id_col, "_term")
+        .agg(F.count("*").alias("_tf"), F.max("_dl").alias("_dl"))
     )
     # df per query term and the corpus stats are tiny → broadcast.
     dfreq = (
-        docs.select(
-            F.explode(
-                F.array_intersect(F.array_distinct(toks), qterms)
-            ).alias("_term")
-        )
+        base.select(F.explode(F.array_distinct("_hits")).alias("_term"))
         .groupBy("_term")
         .agg(F.count("*").alias("_df"))
     )
-    corpus = docs.agg(
+    corpus = base.agg(
         F.count("*").cast("double").alias("_n"),
-        F.avg(F.size(toks)).alias("_avgdl"),
+        F.avg("_dl").alias("_avgdl"),
     )
     contrib = (
         tf.join(F.broadcast(dfreq), "_term")
@@ -125,9 +136,12 @@ def bm25_score(
             .alias("_c"),
         )
     )
-    return contrib.groupBy(id_col).agg(
+    result = contrib.groupBy(id_col).agg(
         F.sum("_c").cast("double").alias("score")
     )
+    # caller releases via operators.release_persisted(result) after
+    # materializing (cache-hygiene contract shared with dedup.py)
+    return register_persisted(result, base)
 
 
 def group_quota(
@@ -204,12 +218,28 @@ def dsir_log_weights(
     Scale: bucket statistics are one token-explode aggregate with
     map-side combine into ``n_buckets`` rows per side — broadcast;
     the per-doc sum is the only corpus-grain shuffle."""
-    tok = docs.select(
-        F.col(id_col),
-        target_pred.alias("_is_t"),
-        F.explode(_tokens(F.col(text_col))).alias("_tok"),
-    ).select(
-        id_col, "_is_t", _hex_bucket(F.col("_tok"), n_buckets)
+    from pyspark import StorageLevel
+
+    from .cache import register_persisted
+
+    # One tokenize+hash pass feeds both the bucket statistics and the
+    # per-doc weight sum: the bucketed token stream is persisted (one
+    # int bucket + a bool per occurrence — a sliver of the text it
+    # replaces) instead of re-scanning and re-hashing the corpus.
+    # Repartition first: small-file inputs arrive as one partition and
+    # the md5-per-token hash is the dominant, embarrassingly parallel
+    # cost (at real scale the input is many files and this is already
+    # true).
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    tok = (
+        docs.repartition(par, id_col)
+        .select(
+            F.col(id_col),
+            target_pred.alias("_is_t"),
+            F.explode(_tokens(F.col(text_col))).alias("_tok"),
+        )
+        .select(id_col, "_is_t", _hex_bucket(F.col("_tok"), n_buckets))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     stats = tok.groupBy("_bucket").agg(
         F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("_ct"),
@@ -237,8 +267,11 @@ def dsir_log_weights(
             .alias("_lr"),
         )
     )
-    return (
+    result = (
         tok.join(F.broadcast(ratio), "_bucket")
         .groupBy(id_col)
         .agg(F.sum("_lr").cast("double").alias("log_weight"))
     )
+    # caller releases via operators.release_persisted(result) after
+    # materializing (cache-hygiene contract shared with dedup.py)
+    return register_persisted(result, tok)

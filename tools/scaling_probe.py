@@ -59,6 +59,9 @@ DRIVER_TABLE = {
     "streaming_join_interval": "events",
     "corpus_vocab_topk": "documents",
     "docs_mixture_weights": "documents",
+    "text_bm25_topk": "documents",
+    "docs_domain_quota": "documents",
+    "docs_dsir_importance": "documents",
 }
 
 
