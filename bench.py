@@ -52,12 +52,24 @@ HEADLINE = [
 def calibrate() -> dict:
     """Fixed-work host-speed probe, run single-threaded with numpy.
 
-    Two numbers, each the min-of-3 ``time.process_time`` of a fixed
-    workload, in milliseconds:
+    Two numbers, each the min-of-3 of a fixed workload, in ms:
 
-    * ``cpu_ms``  — 5 float64 matmuls of 256x256 (ALU/FPU bound);
-    * ``membw_ms`` — one pass of ``arr.sum()`` over a 128 MiB array
-      (memory-bandwidth bound — the resource neighbors actually steal).
+    * ``membw_ms`` — WALL time (``perf_counter``) of one ``arr.sum()``
+      pass over a 128 MiB array (memory-bandwidth bound — the
+      resource neighbors actually steal).  Quiet host: ~15-20 ms.
+      Wall, not ``process_time``, and measured BEFORE the matmul
+      probe: threaded-BLAS worker threads spin-wait after a matmul
+      and ``process_time`` charges their spinning to whatever runs
+      next, inflating the old post-matmul process_time measurement
+      20-30x non-deterministically (observed 477-532 ms process_time
+      vs 18 ms wall for the same sum; every probe number recorded
+      before round 8's fix — the "~300 ms quiet / 538-908 contended"
+      band — is in those polluted units and is NOT comparable).
+      Min-of-3 dodges descheduling blips, so sustained neighbor
+      bandwidth pressure is the only thing that moves this number.
+    * ``cpu_ms``  — ``process_time`` of 5 float64 matmuls of 256x256
+      (ALU/FPU bound; process_time makes it a total-work measure even
+      if BLAS threads the kernel).
 
     The suite's CPU-seconds inflate up to 4-5x under neighbor
     memory-bandwidth pressure even when loadavg looks idle (observed
@@ -66,10 +78,17 @@ def calibrate() -> dict:
     across rounds instead of guessing from loadavg."""
     import numpy as np
 
+    arr = np.ones(16 * 1024 * 1024, dtype=np.float64)  # 128 MiB
+    float(arr.sum())  # touch once: exclude first-pass page effects
+    best_bw = None
+    for _ in range(3):
+        c0 = time.perf_counter()
+        float(arr.sum())
+        dt = (time.perf_counter() - c0) * 1e3
+        best_bw = dt if best_bw is None else min(best_bw, dt)
     rng = np.random.default_rng(42)
     m = rng.random((256, 256))
-    arr = np.ones(16 * 1024 * 1024, dtype=np.float64)  # 128 MiB
-    best_cpu = best_bw = None
+    best_cpu = None
     for _ in range(3):
         c0 = time.process_time()
         for _ in range(5):
@@ -77,10 +96,6 @@ def calibrate() -> dict:
             m /= np.abs(m).max() + 1.0
         dt = (time.process_time() - c0) * 1e3
         best_cpu = dt if best_cpu is None else min(best_cpu, dt)
-        c0 = time.process_time()
-        float(arr.sum())
-        dt = (time.process_time() - c0) * 1e3
-        best_bw = dt if best_bw is None else min(best_bw, dt)
     return {"cpu_ms": round(best_cpu, 1), "membw_ms": round(best_bw, 1)}
 
 
@@ -126,13 +141,16 @@ def main():
 
     # Contention gate (VERDICT r7 item 2: BENCH_r07 was silently
     # inflated ~55% by neighbor memory-bandwidth pressure and only a
-    # manual re-run caught it).  The membw probe reads ~300 ms on a
-    # quiet host (BASELINE.md); >450 ms means neighbors are saturating
-    # the LLC/memory bus and every number below will embed that tax.
+    # manual re-run caught it).  The wall-clock membw probe reads
+    # ~15-20 ms on a quiet host; >45 ms (2.5x quiet) means neighbors
+    # are saturating the LLC/memory bus and every number below will
+    # embed that tax.  (Threshold re-derived in round 8 after the
+    # probe fix — see calibrate(); the old 450 ms threshold was in
+    # spin-wait-polluted process_time units.)
     # Defense: back off once and re-probe; if the host is STILL noisy,
     # run anyway but stamp `contended: true` into the JSON so no
     # downstream regression math anchors on this artifact.
-    MEMBW_QUIET_MS = 450.0
+    MEMBW_QUIET_MS = 45.0
     if extras["calib_start"]["membw_ms"] > MEMBW_QUIET_MS:
         backoff = int(os.environ.get("SPARK_GRAFT_BENCH_BACKOFF_S", "60"))
         print(
