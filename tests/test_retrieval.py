@@ -8,11 +8,19 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
+from hadoop_pcap_spark.operators import released
 from hadoop_pcap_spark.operators.retrieval import (
     bm25_score,
     dsir_log_weights,
     group_quota,
 )
+
+
+def _rows(df):
+    """Collect and release the operator's persisted intermediate —
+    the cache-hygiene contract shared with the dedup tests."""
+    with released(df, blocking=True) as d:
+        return d.collect()
 
 
 def _docs(spark, rows):
@@ -32,7 +40,7 @@ class TestBM25:
         )
         got = {
             r.doc_id: r.score
-            for r in bm25_score(docs, ["cat"]).collect()
+            for r in _rows(bm25_score(docs, ["cat"]))
         }
         assert set(got) == {0, 2}
 
@@ -49,22 +57,22 @@ class TestBM25:
         docs = _docs(spark, [(0, "cat dog"), (1, "cat cat"), (2, "fish")])
         one = {
             r.doc_id: r.score
-            for r in bm25_score(docs, ["cat"]).collect()
+            for r in _rows(bm25_score(docs, ["cat"]))
         }
         two = {
             r.doc_id: r.score
-            for r in bm25_score(docs, ["cat", "dog"]).collect()
+            for r in _rows(bm25_score(docs, ["cat", "dog"]))
         }
         dog = {
             r.doc_id: r.score
-            for r in bm25_score(docs, ["dog"]).collect()
+            for r in _rows(bm25_score(docs, ["dog"]))
         }
         assert two[0] == pytest.approx(one[0] + dog[0], abs=2e-6)
         assert two[1] == one[1]  # doc 1 has no "dog" contribution
 
     def test_no_match_no_row(self, spark):
         docs = _docs(spark, [(0, "alpha beta"), (1, "gamma")])
-        assert bm25_score(docs, ["zzz"]).count() == 0
+        assert len(_rows(bm25_score(docs, ["zzz"]))) == 0
 
 
 class TestGroupQuota:
@@ -126,7 +134,7 @@ class TestDSIR:
         )
         w = {
             r.doc_id: r.log_weight
-            for r in dsir_log_weights(docs, F.col("is_target")).collect()
+            for r in _rows(dsir_log_weights(docs, F.col("is_target")))
         }
         assert w[200] > 0 > w[201]
         assert w[200] > w[201]
@@ -143,7 +151,7 @@ class TestDSIR:
         )
         w = {
             r.doc_id: r.log_weight
-            for r in dsir_log_weights(docs, F.col("is_target")).collect()
+            for r in _rows(dsir_log_weights(docs, F.col("is_target")))
         }
         assert w[2] == pytest.approx(2 * w[1], abs=1e-7)
 
@@ -155,14 +163,33 @@ class TestDSIR:
         )
         one = {
             (r.doc_id, r.log_weight)
-            for r in dsir_log_weights(
-                docs.coalesce(1), F.col("is_target")
-            ).collect()
+            for r in _rows(
+                dsir_log_weights(docs.coalesce(1), F.col("is_target"))
+            )
         }
         many = {
             (r.doc_id, r.log_weight)
-            for r in dsir_log_weights(
-                docs.repartition(8), F.col("is_target")
-            ).collect()
+            for r in _rows(
+                dsir_log_weights(docs.repartition(8), F.col("is_target"))
+            )
         }
         assert one == many  # DECIMAL contribution sum ⇒ exact equality
+
+
+def test_release_persisted_frees_retrieval_caches(spark):
+    """bm25_score and dsir_log_weights persist one intermediate each;
+    release_persisted must return the session to its prior cache
+    footprint (same contract as the dedup operators)."""
+    sc = spark.sparkContext
+    docs = spark.createDataFrame(
+        [(0, "aa bb", True), (1, "bb cc", False)],
+        "doc_id long, text string, is_target boolean",
+    )
+    before = sc._jsc.sc().getPersistentRDDs().size()
+    with released(bm25_score(docs, ["bb"]), blocking=True) as r:
+        r.collect()
+    with released(
+        dsir_log_weights(docs, F.col("is_target")), blocking=True
+    ) as r:
+        r.collect()
+    assert sc._jsc.sc().getPersistentRDDs().size() <= before
