@@ -42,6 +42,13 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "similarity_cosine_topk",
     "text_quality_scores",
+    # retrieval / selection family (round 8): BM25 ranked search and
+    # DSIR importance weighting — new compute shapes (query-term
+    # posting aggregation; hashed-feature statistics broadcast), so
+    # they earn headline rows; the quota op is window-family work
+    # already covered by window_topn_per_group.
+    "text_bm25_topk",
+    "docs_dsir_importance",
     "pcap_port_count",
     "pcap_decode_100k",
     "pcap_decode_dns_100k",
