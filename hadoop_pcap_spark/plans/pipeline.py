@@ -1982,3 +1982,54 @@ def q_docs_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("log_weight"), "doc_id")
         .limit(30)
     )
+
+
+@query(
+    "corpus_bpe_pair_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT t.tok FROM documents, unnest({SQL_TOKENS}) AS t(tok)),
+    pairs AS (
+      SELECT unnest([substr(tok, i, 2) FOR i IN range(1, length(tok))]) AS pair
+      FROM tok WHERE length(tok) >= 2)
+    SELECT pair, count(*) AS n
+    FROM pairs GROUP BY 1 ORDER BY n DESC, pair LIMIT 50
+    """,
+)
+def q_corpus_bpe_pair_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """One merge-selection round of BPE tokenizer training: adjacent
+    character-pair frequencies over every token OCCURRENCE (frequency
+    weighting is what makes the merge choice corpus-representative),
+    top-50 by count with a lexical tie-break — the statistic a
+    vocabulary-induction pass computes each round before merging the
+    winning pair.
+    Scale: the pair explode is map-only (~word-length × token stream,
+    no shuffle); the count is one aggregate with map-side combine
+    into a pair vocabulary bounded by the alphabet squared (≤ ~1.3k
+    rows for [a-z0-9]²), and the top-50 is TakeOrderedAndProject —
+    per-partition heaps, never a global sort.  Single-char tokens
+    contribute no pairs (filtered identically in both engines:
+    Spark's inclusive sequence(1, len-1) would go DESCENDING for
+    len=1 while DuckDB's half-open range(1, len) is empty — the
+    length >= 2 guard pins the same semantics)."""
+    from ..functions.text import tokens
+
+    docs = table(spark, sf, "documents")
+    pairs = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("_tok"))
+        .filter(F.length("_tok") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(_tok)-1),"
+                    " i -> substring(_tok, i, 2))"
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(50)
+    )

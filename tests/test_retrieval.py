@@ -193,3 +193,51 @@ def test_release_persisted_frees_retrieval_caches(spark):
     ) as r:
         r.collect()
     assert sc._jsc.sc().getPersistentRDDs().size() <= before
+
+
+def test_bm25_matches_pure_python_reference(spark):
+    """Equivalence on a seeded random corpus: the distributed plan must
+    reproduce a from-scratch single-process BM25 (Lucene idf variant)
+    for every matching doc, to the operator's 6-decimal rounding."""
+    import random
+
+    rng = random.Random(8)
+    vocab = [f"w{i}" for i in range(12)]
+    corpus = {
+        d: [rng.choice(vocab) for _ in range(rng.randint(1, 30))]
+        for d in range(60)
+    }
+    query = ["w0", "w3", "w7"]
+
+    n = float(len(corpus))
+    avgdl = sum(len(t) for t in corpus.values()) / n
+    df = {q: sum(q in t for t in corpus.values()) for q in query}
+    k1, b = 1.2, 0.75
+
+    def ref_score(toks):
+        s = 0.0
+        for q in query:
+            tf = toks.count(q)
+            if not tf or not df[q]:
+                continue
+            idf = math.log(1 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            s += round(
+                idf * tf * (k1 + 1)
+                / (tf + k1 * (1 - b + b * len(toks) / avgdl)),
+                6,
+            )
+        return round(s, 6)
+
+    expected = {
+        d: ref_score(t)
+        for d, t in corpus.items()
+        if any(q in t for q in query)
+    }
+    docs = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in corpus.items()],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.score for r in _rows(bm25_score(docs, query))}
+    assert set(got) == set(expected)
+    for d in expected:
+        assert got[d] == pytest.approx(expected[d], abs=2e-6), d
