@@ -241,3 +241,34 @@ def test_bm25_matches_pure_python_reference(spark):
     assert set(got) == set(expected)
     for d in expected:
         assert got[d] == pytest.approx(expected[d], abs=2e-6), d
+
+
+def test_dsir_xxhash64_path_same_semantics(spark):
+    """The production hash knob changes bucket assignment, not the
+    model: target-like docs still out-weight off-target ones, the
+    weights are deterministic across calls, and an unknown hash_fn
+    raises."""
+    rows = (
+        [(i, "aa bb aa bb", True) for i in range(10)]
+        + [(100 + i, "xx yy xx yy", False) for i in range(10)]
+        + [(200, "aa bb", False), (201, "xx yy", False)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, is_target boolean"
+    )
+    w1 = {
+        r.doc_id: r.log_weight
+        for r in _rows(
+            dsir_log_weights(docs, F.col("is_target"), hash_fn="xxhash64")
+        )
+    }
+    assert w1[200] > 0 > w1[201]
+    w2 = {
+        r.doc_id: r.log_weight
+        for r in _rows(
+            dsir_log_weights(docs, F.col("is_target"), hash_fn="xxhash64")
+        )
+    }
+    assert w1 == w2
+    with pytest.raises(ValueError):
+        dsir_log_weights(docs, F.col("is_target"), hash_fn="sha1")
