@@ -49,6 +49,19 @@ __all__ = ["bm25_score", "group_quota", "dsir_log_weights"]
 from ..functions.text import tokens as _tokens
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Repartition iff the scan is under-parallel (small-file inputs
+    arrive as one partition and the tokenize map stage is the dominant,
+    embarrassingly parallel cost).  At real scale the input is many
+    files, the scan already fills the cluster, and this is a no-op —
+    shuffling 100 TB of raw text to parallelize a cheap map would be
+    the wrong trade, so the shuffle is inserted only when needed."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par, key)
+
+
 def bm25_score(
     docs: DataFrame,
     query_terms: Sequence[str],
@@ -79,16 +92,12 @@ def bm25_score(
 
     qterms = F.array(*[F.lit(t) for t in query_terms])
     toks = _tokens(F.col(text_col))
-    # Small-file inputs arrive as one partition; the tokenizer split
-    # is the dominant cost and embarrassingly parallel — spread it
-    # first (at real scale the input is many files and this is
-    # already true).  One scan feeds tf, df and the corpus stats: the
-    # per-doc projection keeps only the doc length and the query-term
-    # hits (bounded by |query| per doc), so the persisted frame is
-    # tiny regardless of corpus text size.
-    par = docs.sparkSession.sparkContext.defaultParallelism
+    # One scan feeds tf, df and the corpus stats: the per-doc
+    # projection keeps only the doc length and the query-term hits
+    # (bounded by |query| per doc), so the persisted frame is tiny
+    # regardless of corpus text size.
     base = (
-        docs.repartition(par, id_col)
+        _spread(docs, id_col)
         .select(
             F.col(id_col),
             F.size(toks).alias("_dl"),
@@ -239,13 +248,8 @@ def dsir_log_weights(
     # per-doc weight sum: the bucketed token stream is persisted (one
     # int bucket + a bool per occurrence — a sliver of the text it
     # replaces) instead of re-scanning and re-hashing the corpus.
-    # Repartition first: small-file inputs arrive as one partition and
-    # the md5-per-token hash is the dominant, embarrassingly parallel
-    # cost (at real scale the input is many files and this is already
-    # true).
-    par = docs.sparkSession.sparkContext.defaultParallelism
     tok = (
-        docs.repartition(par, id_col)
+        _spread(docs, id_col)
         .select(
             F.col(id_col),
             target_pred.alias("_is_t"),
