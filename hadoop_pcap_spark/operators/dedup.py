@@ -25,6 +25,8 @@ from typing import List
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .partitioning import spread
+
 from ..functions.text import tokens
 
 N_MINHASHES = 8
@@ -356,11 +358,11 @@ def minhash_lsh_pairs(
     ``storage_level=DISK_ONLY`` — the knob to use when the cache is
     a meaningful fraction of executor memory (gate:
     tests/test_operators.py::test_minhash_150k_low_memory)."""
-    # Small-file inputs arrive as one partition; shingling + 8×md5 is
-    # the dominant cost and embarrassingly parallel — spread it first
-    # (at real scale the input is many files and this is already true).
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    docs = docs.repartition(par, "doc_id")
+    # Small-file inputs arrive as one partition; shingling + minhash
+    # is the dominant cost and embarrassingly parallel — spread it
+    # first (no-op at real scale, where the many-file scan already
+    # fills the cluster; operators/partitioning.py).
+    docs = spread(docs, "doc_id")
     if shingle_k > 1:
         arrays = doc_shingle_arrays(docs, shingle_k)
     else:
@@ -489,8 +491,7 @@ def simhash_banded_pairs(
     n_bands = max_hamming + 1
     width = bits // n_bands
     mask = (1 << width) - 1
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    docs = docs.repartition(par, "doc_id")
+    docs = spread(docs, "doc_id")
     sh = simhash_bits(doc_tokens(docs), bits, scheme)
     band_structs = [
         F.struct(
@@ -550,8 +551,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, block_col=None) ->
     within each ``block_col`` group, so use it only when groups are
     small.  The scale path is :func:`simhash_banded_pairs` (pigeonhole
     banding, no quadratic join, no recall loss)."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    docs = docs.repartition(par, "doc_id")
+    docs = spread(docs, "doc_id")
     tok = doc_tokens(docs)
     sh = simhash16(tok)
     if block_col is not None:

@@ -47,19 +47,7 @@ __all__ = ["bm25_score", "group_quota", "dsir_log_weights"]
 # Tokenization contract shared with functions/text.py and the DuckDB
 # oracles (plans/pipeline.py SQL_TOKENS).
 from ..functions.text import tokens as _tokens
-
-
-def _spread(df: DataFrame, key: str) -> DataFrame:
-    """Repartition iff the scan is under-parallel (small-file inputs
-    arrive as one partition and the tokenize map stage is the dominant,
-    embarrassingly parallel cost).  At real scale the input is many
-    files, the scan already fills the cluster, and this is a no-op —
-    shuffling 100 TB of raw text to parallelize a cheap map would be
-    the wrong trade, so the shuffle is inserted only when needed."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= par:
-        return df
-    return df.repartition(par, key)
+from .partitioning import spread as _spread
 
 
 def bm25_score(
