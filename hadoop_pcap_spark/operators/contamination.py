@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .partitioning import spread
+
 from .dedup import doc_shingle_arrays, doc_shingles
 
 
@@ -54,16 +56,15 @@ def ngram_contamination(
     from ..functions import explode_computed
 
     # CPU-heavy map stage over few file splits: spread it like the
-    # minhash pipeline does (at real scale the input is many files
-    # and this is already the case).
-    par = corpus.sparkSession.sparkContext.defaultParallelism
+    # minhash pipeline does (no-op at real scale, where the many-file
+    # scan already fills the cluster; operators/partitioning.py).
     bench = (
         doc_shingles(benchmark, k=k, id_col=id_col, text_col=text_col)
         .select(F.col("token").alias("shingle"), F.col("doc_id").alias("bench_id"))
         .distinct()
     )
     corp = doc_shingle_arrays(
-        corpus.repartition(par, id_col), k=k, id_col=id_col, text_col=text_col
+        spread(corpus, id_col), k=k, id_col=id_col, text_col=text_col
     ).select("doc_id", "sz", explode_computed("arr", never_empty=True).alias("shingle"))
     hits = (
         corp.join(F.broadcast(bench), "shingle")

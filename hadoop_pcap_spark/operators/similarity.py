@@ -23,6 +23,8 @@ from typing import List, Optional
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .partitioning import spread
+
 
 def _dot(a, b, dim: Optional[int] = None):
     """Sequential double-precision dot product of two array columns.
@@ -93,15 +95,15 @@ def cosine_topk_bruteforce(
     via window (WindowGroupLimit pushes the k-filter before the
     shuffle)."""
     # Norms are precomputed per side (once per vector, not once per
-    # pair) and the one-file corpus is spread across cores before the
-    # O(queries × corpus) scoring join.
-    par = corpus.sparkSession.sparkContext.defaultParallelism
+    # pair) and an under-parallel (few-file) corpus is spread across
+    # cores before the O(queries × corpus) scoring join — a no-op at
+    # real scale (operators/partitioning.py).
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         _norm(F.col(vec_col)).alias("q_norm"),
     )
-    c = corpus.repartition(par).select(
+    c = spread(corpus, id_col).select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
         _norm(F.col(vec_col)).alias("n_norm"),
@@ -204,8 +206,7 @@ def cosine_topk_lsh(
     finer buckets for bigger corpora."""
     planes = _hyperplanes(n_planes, dim)
     masks = _probe_masks(n_planes, probe_bits)
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    c = corpus.repartition(par).select(
+    c = spread(corpus, id_col).select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
