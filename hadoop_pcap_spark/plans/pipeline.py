@@ -441,6 +441,17 @@ def q_similarity_ann(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
+@query("similarity_ann_pq")  # rows-only: approximate by construction
+def q_similarity_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN (compress vectors to 16 sub-codes,
+    score queries against reconstructions, exact-rerank the
+    shortlist) — the scan-byte lever when the corpus outgrows
+    storage-adjacent compute.  Approximate by construction → no SQL
+    oracle; recall ≥0.8 vs brute force asserted in pytest."""
+    emb = table(spark, sf, "embeddings")
+    return SIM.cosine_topk_pq(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
 @query("dedup_embedding_cosine_rp")  # rows-only: approximate by
 # construction (seeded random projections); recall ≥0.9 at threshold
 # 0.9 is pytest-asserted on planted near-dups (test_operators.py)

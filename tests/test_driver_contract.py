@@ -23,6 +23,7 @@ def test_registry_shape():
         "frequent_items_sketch",
         "similarity_ann_lsh",
         "similarity_ann_ivf",
+        "similarity_ann_pq",
         "dedup_embedding_cosine_rp",
     }, f"unexpected rows-only set: {sorted(rows_only)}"
     for name, fn in qs.items():

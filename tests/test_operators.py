@@ -1230,3 +1230,33 @@ def test_rowgroup_prune_stats_nested_and_empty(spark, tmp_path):
     empty.mkdir()
     with _pytest.raises(ValueError, match="no parquet"):
         rowgroup_prune_stats(str(empty), {"id": (0.0, 1.0)})
+
+
+def test_pq_ann_recall_and_rank_shape(spark):
+    """PQ ANN at the defaults (16 subspaces x 64 codes, 8x shortlist,
+    exact rerank): recall >=0.8 vs brute-force top-5 on the sf0.1
+    embeddings — near-uniform vectors, PQ's adversarial case — while
+    the approximate pass reads 16-byte codes instead of 256-byte
+    vectors."""
+    from hadoop_pcap_spark.operators import release_persisted
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    truth = {
+        (r.q_id, r.n_id)
+        for r in SIM.cosine_topk_bruteforce(emb, q, k=5).collect()
+    }
+    pq = SIM.cosine_topk_pq(emb, q, k=5)
+    got = pq.collect()
+    release_persisted(pq)
+    approx = {(r.q_id, r.n_id) for r in got}
+    recall = len(truth & approx) / len(truth)
+    print(f"PQ recall={recall:.2f}")
+    assert recall >= 0.8, f"PQ recall too low: {recall}"
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.q_id, []).append(r)
+    assert len(per_q) == 8
+    for q_id, rows in per_q.items():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
