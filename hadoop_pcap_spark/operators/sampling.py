@@ -89,3 +89,38 @@ def stratified_sample_exact(
         .withColumn(size_col, F.count("*").over(w_all))
         .filter(F.col(rank_col) <= quota)
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key,
+    weight,
+    k: int,
+    priority_name: str = "wpriority",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis exponential sort): draw ``k`` rows with
+    inclusion probability proportional to ``weight`` — the mixture /
+    token-budget-proportional draw of a corpus build — reproducibly.
+
+    Each row gets u ∈ (0,1) from the first 8 hex chars of
+    ``md5(key)`` (deterministic, engine-replayable — the same
+    no-RNG contract as :func:`hash_sample`) and ES key
+    ``ln(u)/weight``; the k largest keys are the sample, which is
+    distributionally identical to sequential weighted draws without
+    replacement (Efraimidis & Spirakis 2006).  NULL or non-positive
+    weights never win (priority −∞ via weight → NULL guard).
+
+    Scale: one scan computes priorities (md5 + ln, whole-stage
+    codegen); the top-k is TakeOrderedAndProject — per-partition
+    heaps, no global sort, no shuffle beyond the k winners."""
+    w = (F.col(weight) if isinstance(weight, str) else weight).cast("double")
+    u = (
+        F.conv(F.substring(_hash_key(key), 1, 8), 16, 10).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16**8 + 1))
+    prio = F.log(u) / F.nullif(F.when(w > 0, w), F.lit(0.0))
+    out = df.withColumn(priority_name, F.round(prio, 10))
+    kc = F.col(priority_name)
+    keyc = F.col(key) if isinstance(key, str) else key
+    return out.filter(kc.isNotNull()).orderBy(kc.desc(), keyc.asc()).limit(k)

@@ -2044,3 +2044,36 @@ def q_corpus_bpe_pair_stats(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(50)
     )
+
+
+@query(
+    "docs_weighted_sample",
+    oracle="""
+    WITH pri AS (
+      SELECT doc_id, n_chars,
+             ROUND(
+               ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) + 1.0) / 4294967297.0)
+               / nullif(CASE WHEN n_chars > 0
+                             THEN CAST(n_chars AS DOUBLE) END, 0.0),
+             10) AS wpriority
+      FROM documents)
+    SELECT doc_id, n_chars, wpriority FROM pri
+    WHERE wpriority IS NOT NULL
+    ORDER BY wpriority DESC, doc_id LIMIT 30
+    """,
+)
+def q_docs_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis exponential sort, operators/sampling.py):
+    draw 30 documents with probability ∝ n_chars — the token-budget-
+    proportional mixture draw of a corpus build — with the uniform
+    derived from md5(doc_id), so the oracle replays the exact draw
+    (no RNG, the registry's sampling contract).
+    Scale: priorities are one scan (md5 + ln in whole-stage codegen);
+    the top-k is TakeOrderedAndProject — per-partition heaps, only k
+    winners move."""
+    from ..operators.sampling import weighted_sample
+
+    docs = table(spark, sf, "documents").select("doc_id", "n_chars")
+    return weighted_sample(docs, "doc_id", "n_chars", k=30)

@@ -101,3 +101,49 @@ def test_stratified_quota_exact_decimal(spark):
     df3 = spark.createDataFrame([(i, "t") for i in range(300)], ["doc_id", "lang"])
     assert stratified_sample_exact(df3, ["lang"], 0.29, "doc_id").count() == 87
     assert stratified_sample_exact(df3, ["lang"], 0.1, "doc_id").count() == 30
+
+
+class TestWeightedSample:
+    def _df(self, spark):
+        rows = [(i, 100 if i % 2 == 0 else 1) for i in range(200)]
+        return spark.createDataFrame(rows, "doc_id long, w long")
+
+    def test_heavier_rows_dominate_the_sample(self, spark):
+        from hadoop_pcap_spark.operators.sampling import weighted_sample
+
+        got = weighted_sample(self._df(spark), "doc_id", "w", k=50).collect()
+        assert len(got) == 50
+        even = sum(1 for r in got if r.doc_id % 2 == 0)
+        # 100:1 weights → the 100 heavy rows should crowd out the 100
+        # light ones almost completely
+        assert even >= 45, f"only {even}/50 heavy rows sampled"
+
+    def test_deterministic_across_partitionings(self, spark):
+        from hadoop_pcap_spark.operators.sampling import weighted_sample
+
+        df = self._df(spark)
+        a = [r.doc_id for r in
+             weighted_sample(df.coalesce(1), "doc_id", "w", 20).collect()]
+        b = [r.doc_id for r in
+             weighted_sample(df.repartition(8), "doc_id", "w", 20).collect()]
+        assert a == b
+
+    def test_nonpositive_and_null_weights_never_win(self, spark):
+        from hadoop_pcap_spark.operators.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, 5), (2, 0), (3, -7), (4, None), (5, 5)],
+            "doc_id long, w long",
+        )
+        got = {r.doc_id for r in
+               weighted_sample(df, "doc_id", "w", k=5).collect()}
+        assert got == {1, 5}
+
+    def test_plan_is_take_ordered(self, spark):
+        from hadoop_pcap_spark.operators.sampling import weighted_sample
+
+        plan = (
+            weighted_sample(self._df(spark), "doc_id", "w", 10)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan
