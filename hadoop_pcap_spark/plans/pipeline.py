@@ -452,6 +452,17 @@ def q_similarity_pq(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.cosine_topk_pq(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
+@query("similarity_ann_ivfpq")  # rows-only: approximate by construction
+def q_similarity_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed IVF+PQ index (cells bound which rows a query
+    touches, codes bound the bytes per touched row, exact rerank
+    restores precision) — the standard billion-scale ANN layout.
+    Approximate by construction → no SQL oracle; recall ≥0.8 vs
+    brute force asserted in pytest."""
+    emb = table(spark, sf, "embeddings")
+    return SIM.cosine_topk_ivfpq(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
 @query("dedup_embedding_cosine_rp")  # rows-only: approximate by
 # construction (seeded random projections); recall ≥0.9 at threshold
 # 0.9 is pytest-asserted on planted near-dups (test_operators.py)

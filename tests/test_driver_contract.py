@@ -24,6 +24,7 @@ def test_registry_shape():
         "similarity_ann_lsh",
         "similarity_ann_ivf",
         "similarity_ann_pq",
+        "similarity_ann_ivfpq",
         "dedup_embedding_cosine_rp",
     }, f"unexpected rows-only set: {sorted(rows_only)}"
     for name, fn in qs.items():

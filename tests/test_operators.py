@@ -1260,3 +1260,32 @@ def test_pq_ann_recall_and_rank_shape(spark):
     for q_id, rows in per_q.items():
         ranks = sorted(r.rank for r in rows)
         assert ranks == list(range(1, len(rows) + 1))
+
+
+def test_ivfpq_ann_recall_and_rank_shape(spark):
+    """The composed IVF+PQ index at the defaults (32 cells / 12
+    probed, 16x64 codes, 8x shortlist, exact rerank): recall >=0.8 vs
+    brute-force top-5 on the sf0.1 embeddings.  Fully deterministic
+    (sampled k-means + md5-free codes), so the measured 0.825 is
+    exact, not a seed roll."""
+    from hadoop_pcap_spark.operators import release_persisted
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    truth = {
+        (r.q_id, r.n_id)
+        for r in SIM.cosine_topk_bruteforce(emb, q, k=5).collect()
+    }
+    res = SIM.cosine_topk_ivfpq(emb, q, k=5)
+    got = res.collect()
+    release_persisted(res)
+    approx = {(r.q_id, r.n_id) for r in got}
+    recall = len(truth & approx) / len(truth)
+    print(f"IVF+PQ recall={recall:.2f}")
+    assert recall >= 0.8, f"IVF+PQ recall too low: {recall}"
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.q_id, []).append(r)
+    for q_id, rows in per_q.items():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
