@@ -212,6 +212,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     from hadoop_pcap_spark import plans
+    from hadoop_pcap_spark.operators.cache import release_persisted
 
     plans.load_all()
 
@@ -224,11 +225,17 @@ def main():
         for _ in range(runs):
             c0 = proc_tree_cpu()
             t0 = time.time()
-            n = fn(spark, sf_dir).count()
+            df = fn(spark, sf_dir)
+            n = df.count()
             dt = time.time() - t0
             dc = proc_tree_cpu() - c0
             best = dt if best is None else min(best, dt)
             best_cpu = dc if best_cpu is None else min(best_cpu, dc)
+            # each call builds (and persists) fresh intermediates;
+            # release them so later rows aren't measured under the
+            # accumulated cache pressure of earlier ones (no-op for
+            # queries that persist nothing; outside the timed window)
+            release_persisted(df)
         timings[name] = round(best, 3)
         cpu_timings[name] = round(best_cpu, 3)
         print(

@@ -88,7 +88,13 @@ def bm25_score(
         _spread(docs, id_col)
         .select(
             F.col(id_col),
-            F.size(toks).alias("_dl"),
+            # NULL-text guard: size(NULL) is -1 under Spark's default
+            # legacy.sizeOfNull, which would poison avgdl corpus-wide
+            # (DuckDB's len(NULL) is NULL and drops out of avg); keep
+            # the NULL so both engines exclude the row from avgdl
+            F.when(
+                F.col(text_col).isNotNull(), F.size(toks)
+            ).alias("_dl"),
             F.filter(toks, lambda t: F.array_contains(qterms, t)).alias(
                 "_hits"
             ),

@@ -431,6 +431,36 @@ def _pq_recon_dot_expr(CB, q_vec="q_vec", codes="codes"):
     )
 
 
+def _exact_rerank(shortlist: DataFrame, corpus: DataFrame, k: int,
+                  id_col: str, vec_col: str) -> DataFrame:
+    """Exact-cosine rerank of a shortlist: join the shortlisted
+    (q_id, q_vec, q_norm, n_id) pairs back to the true vectors, score
+    exactly, keep the top-k per query.  The shared tail of the PQ
+    variants (review r8: hand-copies of this block risked the
+    tie-break/rounding drifting apart between registry rows)."""
+    vecs = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        _norm(F.col(vec_col)).alias("n_norm"),
+    )
+    exact = (
+        shortlist.join(vecs, "n_id")
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("q_vec"), F.col("n_vec"))
+                / F.nullif(F.col("q_norm") * F.col("n_norm"), F.lit(0.0)),
+                6,
+            ),
+        )
+        .select("q_id", "n_id", "cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return exact.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def cosine_topk_pq(
     corpus: DataFrame,
     queries: DataFrame,
@@ -499,27 +529,7 @@ def cosine_topk_pq(
         F.col("arank") <= rerank_factor * k
     )
     # exact rerank: only the shortlist touches true vectors
-    vecs = corpus.select(
-        F.col(id_col).alias("n_id"),
-        F.col(vec_col).alias("n_vec"),
-        _norm(F.col(vec_col)).alias("n_norm"),
-    )
-    exact = (
-        shortlist.join(vecs, "n_id")
-        .withColumn(
-            "cos",
-            F.round(
-                _dot(F.col("q_vec"), F.col("n_vec"))
-                / F.nullif(F.col("q_norm") * F.col("n_norm"), F.lit(0.0)),
-                6,
-            ),
-        )
-        .select("q_id", "n_id", "cos")
-    )
-    w2 = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
-    result = exact.withColumn("rank", F.row_number().over(w2)).filter(
-        F.col("rank") <= k
-    )
+    result = _exact_rerank(shortlist, corpus, k, id_col, vec_col)
     return register_persisted(result, enc)
 
 
@@ -595,27 +605,8 @@ def cosine_topk_ivfpq(
     shortlist = approx.withColumn("arank", F.row_number().over(w)).filter(
         F.col("arank") <= rerank_factor * k
     )
-    vecs_df = corpus.select(
-        F.col(id_col).alias("n_id"),
-        F.col(vec_col).alias("n_vec"),
-        _norm(F.col(vec_col)).alias("n_norm"),
-    )
-    exact = (
-        shortlist.join(vecs_df, "n_id")
-        .withColumn(
-            "cos",
-            F.round(
-                _dot(F.col("q_vec"), F.col("n_vec"))
-                / F.nullif(F.col("q_norm") * F.col("n_norm"), F.lit(0.0)),
-                6,
-            ),
-        )
-        .select("q_id", "n_id", "cos")
-    )
-    w2 = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
-    result = exact.withColumn("rank", F.row_number().over(w2)).filter(
-        F.col("rank") <= k
-    )
+    # exact rerank: only the shortlist touches true vectors
+    result = _exact_rerank(shortlist, corpus, k, id_col, vec_col)
     return register_persisted(result, enc)
 
 

@@ -1920,13 +1920,16 @@ def q_text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     are broadcasts; per-term contributions sum in DECIMAL so the
     score is partitioning-order-independent; the top-20 is
     TakeOrderedAndProject, never a global sort."""
+    from ..operators.cache import propagate_persisted
     from ..operators.retrieval import bm25_score
 
     docs = table(spark, sf, "documents")
-    return (
-        bm25_score(docs, ["spark", "data", "fast"])
-        .orderBy(F.desc("score"), "doc_id")
-        .limit(20)
+    scored = bm25_score(docs, ["spark", "data", "fast"])
+    # carry the operator's cache-release handle onto the derived frame
+    # (review r8: a bare .orderBy().limit() strands it, making
+    # release_persisted on the registry result a silent no-op)
+    return propagate_persisted(
+        scored.orderBy(F.desc("score"), "doc_id").limit(20), scored
     )
 
 
@@ -1995,14 +1998,16 @@ def q_docs_dsir_importance(spark: SparkSession, sf: str) -> DataFrame:
     (one token-explode agg, map-side combine); the per-doc sum — in
     DECIMAL, order-independent — is the only corpus-grain shuffle;
     nothing is O(vocabulary) on one node."""
+    from ..operators.cache import propagate_persisted
     from ..operators.retrieval import dsir_log_weights
 
     docs = table(spark, sf, "documents")
     pred = (F.col("lang") == "en") & F.col("source").isin("src0", "src1")
-    return (
-        dsir_log_weights(docs, pred)
-        .orderBy(F.desc("log_weight"), "doc_id")
-        .limit(30)
+    weighted = dsir_log_weights(docs, pred)
+    # carry the cache-release handle onto the derived frame (see
+    # text_bm25_topk)
+    return propagate_persisted(
+        weighted.orderBy(F.desc("log_weight"), "doc_id").limit(30), weighted
     )
 
 

@@ -272,3 +272,56 @@ def test_dsir_xxhash64_path_same_semantics(spark):
     assert w1 == w2
     with pytest.raises(ValueError):
         dsir_log_weights(docs, F.col("is_target"), hash_fn="sha1")
+
+
+def test_bm25_null_text_excluded_from_avgdl(spark):
+    """A NULL-text row must not poison avgdl: Spark's size(NULL) is -1
+    under default legacy.sizeOfNull, so the operator guards _dl with a
+    NULL (matching DuckDB's len(NULL), excluded from avg).  Scores
+    over the remaining docs must equal the corpus-without-the-NULL-row
+    scores exactly."""
+    clean = _docs(spark, [(0, "cat dog cat bird"), (2, "cat fish")])
+    with_null = spark.createDataFrame(
+        [(0, "cat dog cat bird"), (1, None), (2, "cat fish")],
+        "doc_id long, text string",
+    )
+    a = {r.doc_id: r.score for r in _rows(bm25_score(clean, ["cat"]))}
+    # N differs (2 vs 3 docs) so recompute expected idf shift is
+    # nontrivial — instead compare against a 3-doc corpus whose third
+    # doc is EMPTY text (tokenizes to []), which DuckDB treats the
+    # same as NULL for avgdl except size([])=0 enters avg... so the
+    # strong check is: NULL text yields no score row and no error,
+    # and the matched docs' doclen/avgdl terms use only non-NULL docs.
+    b = {r.doc_id: r.score for r in _rows(bm25_score(with_null, ["cat"]))}
+    assert set(b) == {0, 2}
+    # avgdl over non-NULL docs is identical (4+2)/2 in both corpora;
+    # only N (and thus idf) differs — verify by recomputing doc 2:
+    import math as _m
+
+    def score(tf, dl, n, df, avgdl, k1=1.2, bb=0.75):
+        idf = _m.log(1 + (n - df + 0.5) / (df + 0.5))
+        return round(
+            idf * tf * (k1 + 1) / (tf + k1 * (1 - bb + bb * dl / avgdl)), 6
+        )
+
+    assert b[2] == pytest.approx(score(1, 2, 3.0, 2, 3.0), abs=1e-6)
+    assert a[2] == pytest.approx(score(1, 2, 2.0, 2, 3.0), abs=1e-6)
+
+
+def test_registry_retrieval_queries_release_their_caches(spark):
+    """The registry wrappers derive .orderBy().limit() frames from the
+    operators' results; propagate_persisted must carry the release
+    handle so release_persisted on the REGISTRY result frees the
+    operator's persisted intermediate (review r8: a bare derivation
+    stranded the handle and the caches outlived every driver run)."""
+    from hadoop_pcap_spark.operators.cache import release_persisted
+    from hadoop_pcap_spark.plans import QUERIES, load_all
+
+    load_all()
+    sc = spark.sparkContext._jsc.sc()
+    before = sc.getPersistentRDDs().size()
+    for name in ("text_bm25_topk", "docs_dsir_importance"):
+        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        df.count()
+        release_persisted(df, blocking=True)
+    assert sc.getPersistentRDDs().size() <= before
