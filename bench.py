@@ -218,15 +218,19 @@ def main():
 
     timings = {}
     cpu_timings = {}
-    for name in HEADLINE:
+
+    def time_query(name: str):
+        """Min-of-N one registry query; returns (wall, cpu) and records
+        into timings/cpu_timings."""
         fn = plans.QUERIES[name]
         best = best_cpu = None
         n = 0
-        df = None
+        frames = []
         for _ in range(runs):
             c0 = proc_tree_cpu()
             t0 = time.time()
             df = fn(spark, sf_dir)
+            frames.append(df)
             n = df.count()
             dt = time.time() - t0
             dc = proc_tree_cpu() - c0
@@ -239,11 +243,17 @@ def main():
         # (releasing per-run turned minhash/dsir into cold runs,
         # 10.5→16.6 cpu-s, breaking r6 comparability) — while later
         # QUERIES still never run under this one's cache pressure.
-        # All three runs' handles share the deduped entries, so
-        # releasing the last frame frees everything.
-        release_persisted(df)
-        timings[name] = round(best, 3)
-        cpu_timings[name] = round(best_cpu, 3)
+        # EVERY run's frame is released, not just the last: plan dedup
+        # makes the extra releases no-ops for pure-expression plans,
+        # and plans containing Python UDFs (which compare by function
+        # reference, so each run persists its own entry) can't strand
+        # cache entries for the rest of the suite (ADVICE r8).
+        for df in frames:
+            release_persisted(df)
+        return round(best, 3), round(best_cpu, 3), n
+
+    for name in HEADLINE:
+        timings[name], cpu_timings[name], n = time_query(name)
         print(
             f"# {name}: {timings[name]}s wall / {cpu_timings[name]}s cpu ({n} rows)",
             file=sys.stderr,
@@ -553,6 +563,31 @@ def main():
     time_stream("streaming_join_interval", _ssj_build, "append", provider="hdfs")
 
     leases.close()  # release the hold_stage reader leases
+
+    # End-of-suite drift sentinel (VERDICT r8 item 1): the membw probe
+    # brackets the window's EDGES; this re-times the suite's heaviest
+    # batch row at the END under identical min-of-N warm-min semantics
+    # and compares against its own earlier min.  Contention that
+    # arrived (or left) mid-window moves the ratio; >25% off in either
+    # direction stamps `drifted: true`, which folds into `contended`,
+    # so a `contended: false` artifact now certifies the WHOLE window.
+    # CPU-seconds are the compared signal (steal-stretched wall would
+    # false-positive on a merely busy-but-not-bandwidth-starved host;
+    # LLC/bandwidth pressure is precisely what inflates cpu — the
+    # "12 vs 60+ cpu-s for the same work" mode in BASELINE.md).
+    sentinel = "dedup_minhash_lsh"
+    s_wall, s_cpu, _ = time_query(sentinel)
+    ratio = s_cpu / cpu_timings[sentinel] if cpu_timings[sentinel] else 1.0
+    drifted = bool(max(ratio, 1.0 / ratio) > 1.25)
+    extras["drift_sentinel"] = {
+        "query": sentinel,
+        "end_wall_s": s_wall,
+        "end_cpu_s": s_cpu,
+        "ref_wall_s": timings[sentinel],
+        "ref_cpu_s": cpu_timings[sentinel],
+        "cpu_ratio": round(ratio, 3),
+    }
+
     extras["calib_end"] = calibrate()
     # contended iff the BEST start probe (post-backoff if one ran) or
     # the end probe exceeds the quiet threshold — a run that started
@@ -565,6 +600,7 @@ def main():
     contended = bool(
         start_membw > MEMBW_QUIET_MS
         or extras["calib_end"]["membw_ms"] > MEMBW_QUIET_MS
+        or drifted
     )
     print(f"# extras: {extras}", file=sys.stderr, flush=True)
 
@@ -583,6 +619,9 @@ def main():
                 # run; do NOT use these numbers as a regression
                 # baseline (compare cpu-seconds, or re-run quiet)
                 "contended": contended,
+                # true ⇒ the end-of-suite sentinel re-time moved >25%
+                # vs its own min: contention arrived/left mid-window
+                "drifted": drifted,
                 "runs": runs,
                 "sf": sf_dir,
                 # host-contention forensics: CPU-seconds inflate with

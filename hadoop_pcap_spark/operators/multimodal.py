@@ -103,28 +103,40 @@ def _parse_image_dims(data: bytes):
     return None
 
 
-def _decode_image(data: bytes) -> tuple:
-    """(width, height): PIL when importable → header parse → stub."""
+def _decode_image(data: bytes, codec: str = "auto") -> tuple:
+    """(width, height): PIL when importable → header parse → stub.
+
+    ``codec="builtin"`` skips the codec-library step and pins the
+    pure-Python header-parse → stub chain — the mode the driver-
+    verified fixture oracles run in, so their ground truth holds even
+    on a host where PIL is installed (the fixture blobs are synthetic
+    headers a real codec would reject)."""
     if not data:
         raise ValueError("empty image buffer")
-    try:
-        import io
-
-        import PIL.Image
-
+    if codec == "auto":
         try:
-            return PIL.Image.open(io.BytesIO(data)).size
-        except Exception:
-            raise ValueError("undecodable image") from None
-    except ImportError:
-        pass
+            import io
+
+            import PIL.Image
+
+            try:
+                return PIL.Image.open(io.BytesIO(data)).size
+            except Exception:
+                raise ValueError("undecodable image") from None
+        except ImportError:
+            pass
     dims = _parse_image_dims(data)
     if dims is not None:
         return int(dims[0]), int(dims[1])
     return _decode_image_stub(data)
 
 
-def image_features(df: DataFrame, id_col: str = "media_id", bytes_col: str = "content") -> DataFrame:
+def image_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    bytes_col: str = "content",
+    codec: str = "auto",
+) -> DataFrame:
     """binary column → typed feature rows, Arrow-batched.
 
     Scale: pure map — no shuffle; each task decodes its partition's
@@ -137,7 +149,7 @@ def image_features(df: DataFrame, id_col: str = "media_id", bytes_col: str = "co
             for mid, data in zip(pdf[id_col], pdf[bytes_col]):
                 data = bytes(data) if data is not None else b""
                 try:
-                    w, h = _decode_image(data)
+                    w, h = _decode_image(data, codec)
                 except ValueError:
                     w, h = None, None
                 rows.append(
@@ -240,33 +252,40 @@ def _parse_wav(data: bytes):
     return None
 
 
-def _decode_audio(data: bytes) -> tuple:
+def _decode_audio(data: bytes, codec: str = "auto") -> tuple:
     """(duration_ms, sample_rate): soundfile when importable → WAV
-    header parse → stub."""
+    header parse → stub.  ``codec="builtin"`` pins the dependency-free
+    chain (see :func:`_decode_image`)."""
     if not data:
         raise ValueError("empty audio buffer")
-    try:
-        import io
-
-        import soundfile
-
+    if codec == "auto":
         try:
-            info = soundfile.SoundFile(io.BytesIO(data))
-            return (
-                int(info.frames * 1000 // info.samplerate),
-                int(info.samplerate),
-            )
-        except Exception:
-            raise ValueError("undecodable audio") from None
-    except ImportError:
-        pass
+            import io
+
+            import soundfile
+
+            try:
+                info = soundfile.SoundFile(io.BytesIO(data))
+                return (
+                    int(info.frames * 1000 // info.samplerate),
+                    int(info.samplerate),
+                )
+            except Exception:
+                raise ValueError("undecodable audio") from None
+        except ImportError:
+            pass
     parsed = _parse_wav(data)
     if parsed is not None:
         return parsed
     return _decode_audio_stub(data)
 
 
-def audio_features(df: DataFrame, id_col: str = "media_id", bytes_col: str = "content") -> DataFrame:
+def audio_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    bytes_col: str = "content",
+    codec: str = "auto",
+) -> DataFrame:
     """Audio twin of image_features: binary → typed metadata rows,
     Arrow-batched, no shuffle."""
 
@@ -281,7 +300,7 @@ def audio_features(df: DataFrame, id_col: str = "media_id", bytes_col: str = "co
                         fmt = name
                         break
                 try:
-                    dur, rate = _decode_audio(data)
+                    dur, rate = _decode_audio(data, codec)
                 except ValueError:
                     dur, rate = None, None
                 rows.append(
@@ -328,6 +347,7 @@ def resize_images(
     max_dim: int = 256,
     id_col: str = "media_id",
     bytes_col: str = "content",
+    codec: str = "auto",
 ) -> DataFrame:
     """Resize the binary image column to fit a ``max_dim`` square
     (aspect-preserving, never upscaling) — the thumbnailing pass of a
@@ -342,18 +362,20 @@ def resize_images(
     the downstream write re-partitions by size, not here."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            import io
+        PILImage = None
+        if codec == "auto":
+            try:
+                import io
 
-            import PIL.Image as PILImage
-        except ImportError:
-            PILImage = None
+                import PIL.Image as PILImage
+            except ImportError:
+                PILImage = None
         for pdf in batches:
             rows = []
             for mid, data in zip(pdf[id_col], pdf[bytes_col]):
                 data = bytes(data) if data is not None else b""
                 try:
-                    sw, sh = _decode_image(data)
+                    sw, sh = _decode_image(data, codec)
                 except ValueError:
                     sw, sh = None, None
                 if sw is None:

@@ -100,6 +100,7 @@ def load_all() -> None:
     from . import relational  # noqa: F401
     from . import pipeline  # noqa: F401
     from . import pcap_queries  # noqa: F401
+    from . import media_queries  # noqa: F401
     from . import scale_ops  # noqa: F401
     from . import incremental  # noqa: F401
     from . import streaming_queries  # noqa: F401

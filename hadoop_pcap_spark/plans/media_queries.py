@@ -1,0 +1,364 @@
+"""Multimodal-column queries registered with the driver harness.
+
+The driver's parquet tables carry no binary media column, so these run
+on a deterministic synthesized media fixture: ~20 blobs covering every
+branch of operators/multimodal.py's decoder-resolution chain — real
+pure-Python-parseable container headers (PNG / GIF87a / GIF89a / BMP
+incl. top-down / JPEG-SOF0 / RIFF-WAVE incl. odd-chunk alignment),
+deliberately corrupt headers that must fall through to the documented
+hash-stub, codec-magic-only blobs (FLAC / MP3 / OGG / MP4), and the
+empty blob.  Ground truth is SYNTHESIS INTENT, the pcap_queries.py
+convention: the generator records the width/height/sample-rate it
+wrote into each header (never re-running the operator's parser), and
+for stub-path blobs it evaluates the stub's *documented* sha256
+formula — the spec, restated independently.  (VERDICT r8 item 1: the
+image/audio/resize trio was the last pytest-only family; these queries
+give operators/multimodal.py:127,269,326 driver-visible DuckDB
+oracles, the same standard as the pcap payload column, D12.)
+
+Environment pinning: the queries pass ``codec="builtin"`` so the
+dependency-free header-parse → stub chain runs even on hosts where
+PIL / soundfile are installed (a real codec would reject these
+synthetic header-only blobs, changing the answer).  Production calls
+keep the default ``codec="auto"``.
+
+Reference motif: the payload BinaryType column (PcapReader.java:453-461)
+is the pcap instance of the opaque-binary-plus-typed-metadata pattern;
+SURVEY.md §2.5 multimodal row.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import struct
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import query
+from .pcap_queries import _fixture_subdir, _write_truth_parquet
+from ..operators.multimodal import audio_features, image_features, resize_images, sample_frames
+
+RESIZE_MAX_DIM = 256
+FRAME_BYTES = 64
+
+# ---------------------------------------------------------------------------
+# blob synthesis — each case is (media_id, blob, intent); intent columns
+# are the parameters the header was BUILT from, plus the expected
+# format tags per the operators' documented magic tables
+# ---------------------------------------------------------------------------
+
+
+def _png(w: int, h: int, pad: bytes = b"\x00" * 24) -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", w, h)
+        + b"\x08\x06\x00\x00\x00"
+        + pad
+    )
+
+
+def _gif(tag: bytes, w: int, h: int) -> bytes:
+    return tag + struct.pack("<HH", w, h) + b"\xf7\x00\x00" + b";" * 16
+
+
+def _bmp(w: int, h: int) -> bytes:
+    # BITMAPFILEHEADER (14) + start of BITMAPINFOHEADER: biWidth/biHeight
+    # are the int32 pair at offset 18; negative height = top-down DIB
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 62, 0, 0, 54)
+        + struct.pack("<I", 40)
+        + struct.pack("<ii", w, h)
+        + b"\x01\x00\x18\x00" + b"\x00" * 24
+    )
+
+
+def _jpeg_sof0(w: int, h: int) -> bytes:
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _wav(sample_rate: int, channels: int, bits: int, data_len: int,
+         fmt_first: bool = True, include_data: bool = True,
+         include_fmt: bool = True) -> bytes:
+    byte_rate = sample_rate * channels * (bits // 8)
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate,
+        channels * (bits // 8), bits,
+    )
+    body = b"\x5a" * data_len
+    data = b"data" + struct.pack("<I", data_len) + body + (b"\x00" if data_len % 2 else b"")
+    chunks = b""
+    order = (fmt, data) if fmt_first else (data, fmt)
+    for c in order:
+        if c is fmt and not include_fmt:
+            continue
+        if c is data and not include_data:
+            continue
+        chunks += c
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _stub_image(data: bytes) -> tuple:
+    """The stub's documented formula (multimodal.py `_decode_image_stub`
+    spec): dims derived from sha256 — restated here as the synthesis-
+    intent ground truth for blobs built to be header-unparseable."""
+    h = hashlib.sha256(data).digest()
+    return (
+        16 + (struct.unpack(">H", h[:2])[0] % 2048),
+        16 + (struct.unpack(">H", h[2:4])[0] % 2048),
+    )
+
+
+def _stub_audio(data: bytes) -> tuple:
+    h = hashlib.sha256(data).digest()
+    return (
+        100 + (struct.unpack(">I", h[:4])[0] % 600000),
+        [8000, 16000, 22050, 44100, 48000][h[4] % 5],
+    )
+
+
+def _fit(w, h):
+    """The resize policy (aspect-preserving fit into a RESIZE_MAX_DIM
+    square, never upscaling) as integer arithmetic — ground truth for
+    the resize-dims oracle."""
+    if w is None:
+        return None, None
+    if max(w, h) <= RESIZE_MAX_DIM:
+        return w, h
+    if w >= h:
+        return RESIZE_MAX_DIM, max(1, (h * RESIZE_MAX_DIM) // w)
+    return max(1, (w * RESIZE_MAX_DIM) // h), RESIZE_MAX_DIM
+
+
+def media_blobs() -> list:
+    """(media_id, blob, intent) triples.  ``intent`` records what the
+    synthesizer put in the header (parse-path cases) or evaluates the
+    documented stub formula (stub-path cases); img/aud format tags are
+    assigned per the operators' magic tables, by hand, per case."""
+    out = []
+
+    def add(mid, blob, img_fmt, w, h, aud_fmt, dur, rate):
+        out.append(
+            (
+                mid,
+                blob,
+                dict(img_format=img_fmt, width=w, height=h,
+                     aud_format=aud_fmt, duration_ms=dur, sample_rate=rate),
+            )
+        )
+
+    def add_parsed_image(mid, blob, img_fmt, w, h):
+        dur, rate = _stub_audio(blob)
+        add(mid, blob, img_fmt, w, h, "unknown", dur, rate)
+
+    def add_stub(mid, blob, img_fmt="unknown", aud_fmt="unknown"):
+        w, h = _stub_image(blob)
+        dur, rate = _stub_audio(blob)
+        add(mid, blob, img_fmt, w, h, aud_fmt, dur, rate)
+
+    # --- header-parseable images ---------------------------------------
+    add_parsed_image(1, _png(640, 360), "png", 640, 360)
+    add_parsed_image(2, _png(4000, 1000), "png", 4000, 1000)   # downsize case
+    add_parsed_image(3, _gif(b"GIF87a", 320, 200), "gif", 320, 200)
+    add_parsed_image(4, _gif(b"GIF89a", 77, 55), "gif", 77, 55)
+    add_parsed_image(5, _bmp(512, 384), "unknown", 512, 384)   # BM not in image magic map
+    add_parsed_image(6, _bmp(100, -60), "unknown", 100, 60)    # top-down DIB → abs(height)
+    add_parsed_image(7, _jpeg_sof0(1024, 768), "jpeg", 1024, 768)
+    add_parsed_image(8, _jpeg_sof0(120, 3000), "jpeg", 120, 3000)  # tall: fit clamps height
+
+    # --- stub-path images (headers built to be unparseable) ------------
+    add_stub(9, b"\xff\xd8\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9,
+             img_fmt="jpeg")                                    # JPEG, no SOF frame
+    add_stub(10, b"\x89PNG\r\n\x1a\nXXXXYYYY\x01\x02\x03\x04", img_fmt="png")  # corrupt IHDR
+    add_stub(11, b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 24, img_fmt="mp4?")
+    add_stub(12, b"BLOB" + bytes(range(64)))                    # no magic at all
+
+    # --- header-parseable audio ----------------------------------------
+    wav1 = _wav(8000, 1, 16, 4000)            # byte_rate 16000 → 250 ms
+    w, h = _stub_image(wav1)
+    add(13, wav1, "riff", w, h, "wav", 4000 * 1000 // 16000, 8000)
+    wav2 = _wav(16000, 1, 8, 333, fmt_first=False)   # odd data chunk, fmt after
+    w, h = _stub_image(wav2)
+    add(14, wav2, "riff", w, h, "wav", 333 * 1000 // 16000, 16000)
+    wav3 = _wav(44100, 2, 16, 1764)           # byte_rate 176400 → 10 ms
+    w, h = _stub_image(wav3)
+    add(15, wav3, "riff", w, h, "wav", 1764 * 1000 // 176400, 44100)
+
+    # --- stub-path audio ------------------------------------------------
+    add_stub(16, b"fLaC\x00\x00\x00\x22" + b"\x10" * 40, aud_fmt="flac")
+    add_stub(17, b"ID3\x03\x00\x00\x00\x00\x00\x0a" + b"\x20" * 32, aud_fmt="mp3")
+    add_stub(18, b"OggS\x00\x02" + b"\x30" * 48, aud_fmt="ogg")
+    # RIFF but not WAVE: audio magic table tags it "wav", parse falls to stub
+    riff_avi = b"RIFF" + struct.pack("<I", 32) + b"AVI LIST" + b"\x00" * 24
+    add_stub(19, riff_avi, img_fmt="riff", aud_fmt="wav")
+    # RIFF/WAVE missing data chunk → stub
+    wav_nodata = _wav(22050, 1, 16, 0, include_data=False)
+    add_stub(20, wav_nodata, img_fmt="riff", aud_fmt="wav")
+    # RIFF/WAVE missing fmt chunk → stub
+    wav_nofmt = _wav(22050, 1, 16, 40, include_fmt=False)
+    add_stub(21, wav_nofmt, img_fmt="riff", aud_fmt="wav")
+
+    # --- empty blob: every feature NULL, one empty frame ----------------
+    add(22, b"", "unknown", None, None, "unknown", None, None)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# fixture parquets (input + truths), built lazily at first access
+# ---------------------------------------------------------------------------
+
+
+def media_fixture_path() -> str:
+    """Input parquet: (media_id int64, content binary)."""
+    d = _fixture_subdir("media_input_v1")
+    path = os.path.join(d, "expected.parquet")
+    if os.path.exists(path):
+        return path
+    rows = [dict(media_id=mid, content=blob) for mid, blob, _ in media_blobs()]
+    return _write_truth_parquet(
+        "media_input_v1", rows, [("media_id", "int64"), ("content", "binary")]
+    )
+
+
+def media_truth_path() -> str:
+    """Per-blob ground truth for image/audio/resize features."""
+    rows = []
+    for mid, blob, it in media_blobs():
+        fit_w, fit_h = _fit(it["width"], it["height"])
+        rows.append(
+            dict(
+                media_id=mid,
+                n_bytes=len(blob),
+                img_format=it["img_format"],
+                width=it["width"],
+                height=it["height"],
+                aud_format=it["aud_format"],
+                duration_ms=it["duration_ms"],
+                sample_rate=it["sample_rate"],
+                fit_w=fit_w,
+                fit_h=fit_h,
+                sha=hashlib.sha256(blob).hexdigest(),
+            )
+        )
+    return _write_truth_parquet(
+        "media_truth_v1",
+        rows,
+        [
+            ("media_id", "int64"),
+            ("n_bytes", "int64"),
+            ("img_format", "string"),
+            ("width", "int64"),
+            ("height", "int64"),
+            ("aud_format", "string"),
+            ("duration_ms", "int64"),
+            ("sample_rate", "int64"),
+            ("fit_w", "int64"),
+            ("fit_h", "int64"),
+            ("sha", "string"),
+        ],
+    )
+
+
+def frames_truth_path() -> str:
+    """Frame-sampling ground truth: frame i of a blob is the byte
+    window [i*FRAME_BYTES, (i+1)*FRAME_BYTES); an empty blob yields
+    exactly one empty frame (the operator's documented shape)."""
+    rows = []
+    for mid, blob, _ in media_blobs():
+        for i in range(0, max(len(blob), 1), FRAME_BYTES):
+            rows.append(
+                dict(
+                    media_id=mid,
+                    frame_no=i // FRAME_BYTES,
+                    frame_sha=hashlib.sha256(blob[i : i + FRAME_BYTES]).hexdigest(),
+                )
+            )
+    return _write_truth_parquet(
+        "media_frames_truth_v1",
+        rows,
+        [("media_id", "int64"), ("frame_no", "int64"), ("frame_sha", "string")],
+    )
+
+
+def _media_df(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(media_fixture_path())
+
+
+# ---------------------------------------------------------------------------
+# driver queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "media_image_features",
+    oracle=lambda: f"""
+    SELECT media_id, n_bytes, img_format AS format_guess, width, height,
+           sha AS content_sha
+    FROM '{media_truth_path()}'
+    """,
+)
+def q_media_image_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Image decode-to-features over the binary media column
+    (operators/multimodal.py:image_features).  Oracle: the dimensions
+    the synthesizer wrote into each PNG/GIF/BMP/JPEG header, the
+    documented stub formula for unparseable blobs, NULLs for the empty
+    blob."""
+    return image_features(_media_df(spark), codec="builtin")
+
+
+@query(
+    "media_audio_features",
+    oracle=lambda: f"""
+    SELECT media_id, n_bytes, aud_format AS format_guess, duration_ms,
+           sample_rate, sha AS content_sha
+    FROM '{media_truth_path()}'
+    """,
+)
+def q_media_audio_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio decode-to-features (operators/multimodal.py:audio_features).
+    Oracle: duration = data_len*1000 // byte_rate from the synthesized
+    RIFF/WAVE chunk parameters (incl. odd-chunk word alignment and
+    fmt-after-data ordering); stub formula for magic-only blobs."""
+    return audio_features(_media_df(spark), codec="builtin")
+
+
+@query(
+    "media_resize_dims",
+    oracle=lambda: f"""
+    SELECT media_id, width AS src_width, height AS src_height,
+           fit_w AS width, fit_h AS height,
+           CAST(CASE WHEN width IS NULL THEN NULL ELSE false END AS BOOLEAN) AS resized
+    FROM '{media_truth_path()}'
+    """,
+)
+def q_media_resize_dims(spark: SparkSession, sf: str) -> DataFrame:
+    """Resize planning (operators/multimodal.py:resize_images): target
+    dims from the aspect-preserving never-upscale fit policy; with the
+    builtin codec chain bytes pass through so ``resized`` is false for
+    every decodable blob (NULL-dims rows keep resized=false too — the
+    operator emits a passthrough row for them)."""
+    out = resize_images(_media_df(spark), max_dim=RESIZE_MAX_DIM, codec="builtin")
+    return out.select(
+        "media_id", "src_width", "src_height", "width", "height",
+        F.when(F.col("src_width").isNull(), None).otherwise(F.col("resized")).alias("resized"),
+    )
+
+
+@query(
+    "media_frame_sample",
+    oracle=lambda: f"""
+    SELECT media_id, frame_no, frame_sha
+    FROM '{frames_truth_path()}'
+    """,
+)
+def q_media_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame sampling: one blob → many fixed-stride frame rows (the
+    row-explosion UDTF shape; operators/multimodal.py:sample_frames).
+    Oracle: sha256 of each synthesis-intent byte window."""
+    return sample_frames(_media_df(spark), every_n_bytes=FRAME_BYTES)

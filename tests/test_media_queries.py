@@ -1,0 +1,109 @@
+"""Media fixture queries (plans/media_queries.py): generator
+invariants, codec="builtin" pinning, and Spark-vs-truth agreement
+(the driver repeats the same compare against DuckDB)."""
+
+import hashlib
+import sys
+import types
+
+import pytest
+
+from hadoop_pcap_spark.operators import multimodal as MM
+from hadoop_pcap_spark.plans import media_queries as MQ
+
+
+def test_blob_ids_unique_and_cases_present():
+    blobs = MQ.media_blobs()
+    ids = [mid for mid, _, _ in blobs]
+    assert len(ids) == len(set(ids))
+    kinds = {it["img_format"] for _, _, it in blobs}
+    assert {"png", "gif", "jpeg", "riff", "mp4?", "unknown"} <= kinds
+    akinds = {it["aud_format"] for _, _, it in blobs}
+    assert {"wav", "flac", "mp3", "ogg", "unknown"} <= akinds
+    assert any(len(b) == 0 for _, b, _ in blobs), "empty-blob case required"
+
+
+def test_header_parsers_recover_synthesis_intent():
+    """The operator's pure-Python parsers must read back exactly the
+    dimensions/rates the synthesizer wrote — for every parse-path
+    blob (intent rows whose values differ from the stub formula)."""
+    for mid, blob, it in MQ.media_blobs():
+        if not blob:
+            continue
+        stub_w, stub_h = MQ._stub_image(blob)
+        if (it["width"], it["height"]) != (stub_w, stub_h):
+            assert MM._decode_image(blob, codec="builtin") == (
+                it["width"], it["height"]), f"media_id={mid}"
+        stub_d, stub_r = MQ._stub_audio(blob)
+        if (it["duration_ms"], it["sample_rate"]) not in ((stub_d, stub_r), (None, None)):
+            assert MM._decode_audio(blob, codec="builtin") == (
+                it["duration_ms"], it["sample_rate"]), f"media_id={mid}"
+
+
+def test_fit_policy_matches_operator():
+    for w, h in [(640, 360), (4000, 1000), (120, 3000), (256, 256), (1, 1), (257, 257)]:
+        assert MQ._fit(w, h) == MM._fit_dims(w, h, MQ.RESIZE_MAX_DIM)
+
+
+def test_builtin_codec_ignores_installed_pil(monkeypatch):
+    """codec='builtin' must not consult PIL even when importable —
+    the fixture oracles' environment-independence guarantee."""
+    pil = types.ModuleType("PIL")
+    image_mod = types.ModuleType("PIL.Image")
+
+    def _boom(*a, **k):  # a codec that would reject synthetic headers
+        raise OSError("cannot identify image file")
+
+    image_mod.open = _boom
+    pil.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+
+    png = MQ._png(12, 34)
+    assert MM._decode_image(png, codec="builtin") == (12, 34)
+    with pytest.raises(ValueError):
+        MM._decode_image(png, codec="auto")  # auto consults (fake) PIL
+
+
+def test_wav_chunk_walk_edge_cases():
+    odd = MQ._wav(16000, 1, 8, 333, fmt_first=False)
+    assert MM._parse_wav(odd) == (333 * 1000 // 16000, 16000)
+    assert MM._parse_wav(MQ._wav(22050, 1, 16, 0, include_data=False)) is None
+    assert MM._parse_wav(MQ._wav(22050, 1, 16, 40, include_fmt=False)) is None
+
+
+def test_spark_output_matches_truth(spark):
+    """image/audio/resize/frames over the fixture parquet == the
+    synthesis-intent truth rows (local twin of the driver's gate)."""
+    truth = {mid: it for mid, _, it in MQ.media_blobs()}
+    by_id = {mid: blob for mid, blob, _ in MQ.media_blobs()}
+
+    img = {r.media_id: r for r in MQ.q_media_image_features(spark, "").collect()}
+    assert set(img) == set(truth)
+    for mid, r in img.items():
+        it = truth[mid]
+        assert (r.width, r.height) == (it["width"], it["height"]), mid
+        assert r.format_guess == it["img_format"]
+        assert r.content_sha == hashlib.sha256(by_id[mid]).hexdigest()
+
+    aud = {r.media_id: r for r in MQ.q_media_audio_features(spark, "").collect()}
+    for mid, r in aud.items():
+        it = truth[mid]
+        assert (r.duration_ms, r.sample_rate) == (it["duration_ms"], it["sample_rate"]), mid
+        assert r.format_guess == it["aud_format"]
+
+    rsz = {r.media_id: r for r in MQ.q_media_resize_dims(spark, "").collect()}
+    for mid, r in rsz.items():
+        it = truth[mid]
+        assert (r.width, r.height) == MQ._fit(it["width"], it["height"]), mid
+        assert r.resized is (None if it["width"] is None else False)
+
+    frames = MQ.q_media_frame_sample(spark, "").collect()
+    n_expected = sum(
+        len(range(0, max(len(b), 1), MQ.FRAME_BYTES)) for b in by_id.values()
+    )
+    assert len(frames) == n_expected
+    # empty blob yields exactly one frame: sha256 of b""
+    empties = [r for r in frames if r.media_id == 22]
+    assert len(empties) == 1
+    assert empties[0].frame_sha == hashlib.sha256(b"").hexdigest()
