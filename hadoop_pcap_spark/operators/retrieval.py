@@ -78,6 +78,12 @@ def bm25_score(
 
     from .cache import register_persisted
 
+    # Deduplicate query terms at entry: tf groups per DISTINCT term, so
+    # a repeated term would contribute once anyway — multiset query
+    # scoring is deliberately not modeled (document the divergence
+    # rather than hide it), and dedup also bounds the O(|query|)
+    # map-side containment filter (ADVICE r8).
+    query_terms = sorted(set(query_terms))
     qterms = F.array(*[F.lit(t) for t in query_terms])
     toks = _tokens(F.col(text_col))
     # One scan feeds tf, df and the corpus stats: the per-doc

@@ -106,21 +106,36 @@ def weighted_sample(
     Each row gets u ∈ (0,1) from the first 8 hex chars of
     ``md5(key)`` (deterministic, engine-replayable — the same
     no-RNG contract as :func:`hash_sample`) and ES key
-    ``ln(u)/weight``; the k largest keys are the sample, which is
-    distributionally identical to sequential weighted draws without
-    replacement (Efraimidis & Spirakis 2006).  NULL or non-positive
-    weights never win (priority −∞ via weight → NULL guard).
+    ``ln(u)/(weight/max_weight)``; the k largest keys are the sample,
+    which is distributionally identical to sequential weighted draws
+    without replacement (Efraimidis & Spirakis 2006).  NULL or
+    non-positive weights never win (priority −∞ via weight → NULL
+    guard).  Weights are normalized by their max (a monotonic
+    rescaling of every priority by the positive constant
+    ``max_weight``, so the selected set and its order are the
+    UNNORMALIZED ES draw exactly): priorities are rounded to 10
+    decimals for cross-engine replay, and without normalization
+    weights ≳1e9 would push ``ln(u)/w`` below that resolution,
+    collapsing ties to key order instead of a weighted draw
+    (ADVICE r8).  Normalized, ``w/wmax ≤ 1`` bounds every priority's
+    magnitude at ≥ |ln u| ≥ 2e-10, above the rounding floor.
 
     Scale: one scan computes priorities (md5 + ln, whole-stage
-    codegen); the top-k is TakeOrderedAndProject — per-partition
-    heaps, no global sort, no shuffle beyond the k winners."""
+    codegen) against a broadcast 1-row max; the top-k is
+    TakeOrderedAndProject — per-partition heaps, no global sort, no
+    shuffle beyond the k winners."""
     w = (F.col(weight) if isinstance(weight, str) else weight).cast("double")
+    wmax = df.agg(F.max(F.when(w > 0, w)).alias("_wmax"))
     u = (
         F.conv(F.substring(_hash_key(key), 1, 8), 16, 10).cast("double")
         + F.lit(1.0)
     ) / F.lit(float(16**8 + 1))
-    prio = F.log(u) / F.nullif(F.when(w > 0, w), F.lit(0.0))
-    out = df.withColumn(priority_name, F.round(prio, 10))
+    prio = F.log(u) / F.nullif(F.when(w > 0, w / F.col("_wmax")), F.lit(0.0))
+    out = (
+        df.join(F.broadcast(wmax), how="cross")
+        .withColumn(priority_name, F.round(prio, 10))
+        .drop("_wmax")
+    )
     kc = F.col(priority_name)
     keyc = F.col(key) if isinstance(key, str) else key
     return out.filter(kc.isNotNull()).orderBy(kc.desc(), keyc.asc()).limit(k)

@@ -389,6 +389,8 @@ def _pq_encode_udf(CB):
     m_sub, _, sub = CB.shape
 
     def _encode(v):
+        if not len(v):  # Arrow can deliver zero-row batches (ADVICE r8)
+            return pd.Series([], dtype=object)
         X = np.stack(v.to_numpy())  # (n, d)
         codes = np.empty((len(X), m_sub), dtype=np.int32)
         for m in range(m_sub):

@@ -2065,15 +2065,18 @@ def q_corpus_bpe_pair_stats(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "docs_weighted_sample",
     oracle="""
-    WITH pri AS (
+    WITH mx AS (
+      SELECT max(CAST(n_chars AS DOUBLE)) AS wmax
+      FROM documents WHERE n_chars > 0),
+    pri AS (
       SELECT doc_id, n_chars,
              ROUND(
                ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                         AS BIGINT) + 1.0) / 4294967297.0)
                / nullif(CASE WHEN n_chars > 0
-                             THEN CAST(n_chars AS DOUBLE) END, 0.0),
+                             THEN CAST(n_chars AS DOUBLE) / wmax END, 0.0),
              10) AS wpriority
-      FROM documents)
+      FROM documents, mx)
     SELECT doc_id, n_chars, wpriority FROM pri
     WHERE wpriority IS NOT NULL
     ORDER BY wpriority DESC, doc_id LIMIT 30

@@ -1,0 +1,58 @@
+"""spread() — conditional input spreading (operators/partitioning.py):
+no-op path adds zero Exchange, probe decision is memoized per
+(plan, parallelism), conf escape hatches work."""
+
+from pyspark.sql import functions as F
+
+from hadoop_pcap_spark.operators import partitioning as P
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_spread_noop_adds_zero_exchange(spark):
+    # already at >= defaultParallelism partitions → returned unchanged
+    par = spark.sparkContext.defaultParallelism
+    df = spark.range(1000).repartition(par + 2).withColumn("k", F.col("id") % 7)
+    out = P.spread(df, "k")
+    assert out is df  # literally the same frame: no plan node added
+
+
+def test_spread_underparallel_repartitions(spark):
+    df = spark.range(100).coalesce(1).withColumn("k", F.col("id") % 7)
+    out = P.spread(df, "k")
+    par = spark.sparkContext.defaultParallelism
+    assert out.rdd.getNumPartitions() == par
+    assert "Exchange hashpartitioning" in _plan(out)
+
+
+def test_spread_memoizes_probe(spark, monkeypatch):
+    P._MEMO.clear()
+    calls = []
+    orig = P._n_partitions
+    monkeypatch.setattr(P, "_n_partitions", lambda df: calls.append(1) or orig(df))
+    df = spark.range(50).coalesce(1).withColumn("k", F.col("id") % 3)
+    P.spread(df, "k")
+    assert len(calls) == 1
+    # semantically identical plan, rebuilt from scratch → memo hit
+    df2 = spark.range(50).coalesce(1).withColumn("k", F.col("id") % 3)
+    P.spread(df2, "k")
+    assert len(calls) == 1, "second probe should be served from the memo"
+    # a different plan probes again
+    df3 = spark.range(51).coalesce(1).withColumn("k", F.col("id") % 3)
+    P.spread(df3, "k")
+    assert len(calls) == 2
+
+
+def test_spread_conf_modes(spark):
+    df = spark.range(40).coalesce(1).withColumn("k", F.col("id") % 3)
+    spark.conf.set("spark.hadoop_pcap.spread", "never")
+    try:
+        assert P.spread(df, "k") is df
+        spark.conf.set("spark.hadoop_pcap.spread", "always")
+        par = spark.sparkContext.defaultParallelism
+        big = spark.range(40).repartition(par + 1).withColumn("k", F.col("id") % 3)
+        assert P.spread(big, "k").rdd.getNumPartitions() == par
+    finally:
+        spark.conf.unset("spark.hadoop_pcap.spread")
