@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from . import query, table
+from . import ann_oracles as ANN
 from ..functions import text as TXT
 from ..operators import dedup as DD
 from ..operators import similarity as SIM
@@ -432,40 +433,54 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("similarity_ann_lsh")  # rows-only: LSH recall asserted in pytest
+@query("similarity_ann_lsh", oracle=ANN.lsh_oracle)
 def q_similarity_ann(spark: SparkSession, sf: str) -> DataFrame:
     """LSH-bucketed approximate nearest neighbors (hyperplane signs →
-    bucket equi-join → exact rerank). Approximate by construction →
-    no SQL oracle; tests assert recall vs brute force."""
+    bucket equi-join → exact rerank).  Approximate vs brute force
+    (recall pytest-asserted) but deterministic as a program — the
+    generated oracle (plans/ann_oracles.py) replays buckets, probes
+    and rerank in DuckDB with the md5 planes as literals, so the
+    distributed implementation is hash-checked since r9."""
     emb = table(spark, sf, "embeddings")
-    return SIM.cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return SIM.cosine_topk_lsh(
+        emb, emb.filter(F.col("vec_id") < 8), k=5
+    ).withColumn("rank", F.col("rank").cast("long"))
 
 
-@query("similarity_ann_pq")  # rows-only: approximate by construction
+@query("similarity_ann_pq", oracle=ANN.pq_oracle)
 def q_similarity_pq(spark: SparkSession, sf: str) -> DataFrame:
     """Product-quantization ANN (compress vectors to 16 sub-codes,
     score queries against reconstructions, exact-rerank the
     shortlist) — the scan-byte lever when the corpus outgrows
-    storage-adjacent compute.  Approximate by construction → no SQL
-    oracle; recall ≥0.8 vs brute force asserted in pytest."""
+    storage-adjacent compute.  Recall vs brute force stays pytest-
+    asserted; the implementation is hash-checked since r9 against a
+    generated oracle that trains the same deterministic codebooks and
+    replays encode + unrolled ADC + rerank in DuckDB."""
     emb = table(spark, sf, "embeddings")
-    return SIM.cosine_topk_pq(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return SIM.cosine_topk_pq(
+        emb, emb.filter(F.col("vec_id") < 8), k=5
+    ).withColumn("rank", F.col("rank").cast("long"))
 
 
-@query("similarity_ann_ivfpq")  # rows-only: approximate by construction
+@query("similarity_ann_ivfpq", oracle=ANN.ivfpq_oracle)
 def q_similarity_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     """The composed IVF+PQ index (cells bound which rows a query
     touches, codes bound the bytes per touched row, exact rerank
     restores precision) — the standard billion-scale ANN layout.
-    Approximate by construction → no SQL oracle; recall ≥0.8 vs
-    brute force asserted in pytest."""
+    Recall vs brute force stays pytest-asserted; the implementation is
+    hash-checked since r9 against a generated oracle replaying cell
+    routing + encode + unrolled ADC + rerank in DuckDB."""
     emb = table(spark, sf, "embeddings")
-    return SIM.cosine_topk_ivfpq(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return SIM.cosine_topk_ivfpq(
+        emb, emb.filter(F.col("vec_id") < 8), k=5
+    ).withColumn("rank", F.col("rank").cast("long"))
 
 
-@query("dedup_embedding_cosine_rp")  # rows-only: approximate by
-# construction (seeded random projections); recall ≥0.9 at threshold
-# 0.9 is pytest-asserted on planted near-dups (test_operators.py)
+@query("dedup_embedding_cosine_rp", oracle=ANN.rp_neardup_oracle)
+# recall ≥0.9 at threshold 0.9 additionally pytest-asserted on
+# planted near-dups (test_operators.py); hash-checked since r9 — the
+# seeded random projections are deterministic, so the generated
+# oracle replays bands + star-guarded buckets + cosine verify
 def q_dedup_embedding_rp(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding near-dup at the PRODUCTION operating point — random-
     projection sign bands, cosine ≥ 0.9 (VERDICT r3 item 5; the
@@ -485,6 +500,11 @@ def q_dedup_embedding_rp(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
             F.transform(
                 F.col("embedding"),
+                # lateral-column-alias resolution binds this vec_id to
+                # the PLANTED id alias above (verified empirically; the
+                # generated oracle spells sin(i + vec_id + 1000000)
+                # out explicitly) — either binding plants a valid
+                # ±5% twin, but the oracle must replay this exact one
                 lambda x, i: x.cast("double")
                 * (F.lit(1.0) + F.lit(0.05) * F.sin(i + F.col("vec_id"))),
             ).alias("embedding"),
@@ -841,13 +861,18 @@ def q_text_token_budget(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("similarity_ann_ivf")  # rows-only: approximate by construction
+@query("similarity_ann_ivf", oracle=ANN.ivf_oracle)
 def q_similarity_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-flat ANN (k-means cells + n_probe nearest-cell search +
     exact rerank) — the scale path when the corpus is stored bucketed
-    by cell.  Recall vs brute force asserted in pytest."""
+    by cell.  Recall vs brute force stays pytest-asserted; the
+    implementation is hash-checked since r9 against a generated
+    oracle that trains the same deterministic centroids and replays
+    cell routing + rerank in DuckDB (plans/ann_oracles.py)."""
     emb = table(spark, sf, "embeddings")
-    return SIM.cosine_topk_ivf(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return SIM.cosine_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < 8), k=5
+    ).withColumn("rank", F.col("rank").cast("long"))
 
 
 # --- PII scrubbing & deterministic sampling -----------------------------------

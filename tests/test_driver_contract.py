@@ -11,21 +11,18 @@ def test_registry_shape():
     assert len(qs) >= 60
     assert set(os_) <= set(qs), "oracle without a query"
     rows_only = set(qs) - set(os_)
-    # rows-only set is exactly the approx/ANN queries — the inherently
-    # non-deterministic residue.  (Five fixture pcap queries gained
-    # synthesizer-ground-truth oracles in round 5; TCP-reassembly +
-    # enriched-flows and the three template-cyclic throughput benches
-    # followed in round 6, so every DETERMINISTIC query now carries
+    # rows-only set is exactly the sketch queries — the inherently
+    # RANDOM residue (error-bound pytest instead).  (Five fixture pcap
+    # queries gained synthesizer-ground-truth oracles in round 5;
+    # TCP-reassembly + enriched-flows and the three template-cyclic
+    # throughput benches followed in round 6; the five deterministic
+    # ANN variants gained generated model-replay oracles in round 9 —
+    # plans/ann_oracles.py — so every DETERMINISTIC query now carries
     # one.)
     assert rows_only == {
         "approx_count_distinct",
         "approx_percentiles_sketch",
         "frequent_items_sketch",
-        "similarity_ann_lsh",
-        "similarity_ann_ivf",
-        "similarity_ann_pq",
-        "similarity_ann_ivfpq",
-        "dedup_embedding_cosine_rp",
     }, f"unexpected rows-only set: {sorted(rows_only)}"
     for name, fn in qs.items():
         assert callable(fn), name

@@ -110,6 +110,10 @@ def main():
     )
     args = ap.parse_args()
 
+    # generated oracles that train model artifacts from the corpus
+    # (plans/ann_oracles.py) must read the same SF this run compares at
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = args.sf
+
     import duckdb
     from pyspark.sql import SparkSession
 
