@@ -540,10 +540,10 @@ def cosine_topk_ivfpq(
     queries: DataFrame,
     k: int = 5,
     n_cells: int = 32,
-    n_probe: int = 12,
+    n_probe: int = 16,
     m_sub: int = 16,
     k_codes: int = 64,
-    rerank_factor: int = 8,
+    rerank_factor: int = 16,
     sample_size: int = 2048,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -560,9 +560,13 @@ def cosine_topk_ivfpq(
     Scale: the corpus shuffles once on cell id (stored bucketed by
     cell in a real deployment, making the probe join exchange-free);
     the approximate scan reads (n_probe/n_cells) × (code bytes) — at
-    the defaults ~37% of rows at 1/16 the bytes ≈ 2.3% of the flat
-    exact scan's I/O.  Rows-only in the registry (approximate by
-    construction); recall vs brute force asserted in pytest."""
+    the defaults 50% of rows at 1/16 the bytes ≈ 3.1% of the flat
+    exact scan's I/O.  Defaults re-tuned in r9 (n_probe 12→16,
+    shortlist 8k→16k): measured recall 0.925 vs brute-force top-5 on
+    the sf0.1 embeddings, up from 0.825, for +0.8pp of flat-scan I/O
+    (sweep in the r9 log; pytest asserts ≥0.85, a ≥0.075 margin).
+    Hash-checked against the generated model-replay oracle
+    (plans/ann_oracles.py); recall asserted in pytest."""
     from pyspark import StorageLevel
 
     from .cache import register_persisted

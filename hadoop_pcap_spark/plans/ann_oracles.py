@@ -50,6 +50,8 @@ N_QUERIES_PRED = "vec_id < 8"
 N_PLANES, PROBE_BITS = 6, 3
 N_CELLS, N_PROBE = 32, 12
 M_SUB, K_CODES, RERANK_FACTOR = 16, 64, 8
+# IVF+PQ re-tuned in r9 (recall 0.825→0.925 for +0.8pp flat-scan I/O)
+IVFPQ_N_PROBE, IVFPQ_RERANK = 16, 16
 SAMPLE_SIZE = 2048
 SUB = DIM // M_SUB
 
@@ -122,7 +124,7 @@ def _exact_rerank_sql(shortlist: str) -> str:
     {_rank_tail('exact')}"""
 
 
-def _cells_ctes(C) -> str:
+def _cells_ctes(C, n_probe: int = N_PROBE) -> str:
     """cell routing: per-vector centroid distances → rn=1 corpus
     assignment (assign) and rn<=n_probe query probes (probes) — the
     SQL twin of similarity._nearest_cells_expr (dist ties break to the
@@ -143,7 +145,7 @@ def _cells_ctes(C) -> str:
       FROM cdists),
     assign AS (SELECT vec_id, c FROM cranked WHERE rn = 1),
     probes AS (SELECT vec_id AS q_id, c FROM cranked
-               WHERE rn <= {N_PROBE} AND {N_QUERIES_PRED})"""
+               WHERE rn <= {n_probe} AND {N_QUERIES_PRED})"""
 
 
 def _codes_ctes(CB) -> str:
@@ -359,7 +361,7 @@ def ivfpq_oracle() -> str:
     C, CB = _models(_sf_dir())
     cbf_cte, adc = _adc_expr(CB)
     return f"""
-    WITH {_cells_ctes(C)},
+    WITH {_cells_ctes(C, IVFPQ_N_PROBE)},
     {_codes_ctes(CB)},
     {cbf_cte},
     {_NORM_CTE},
@@ -378,6 +380,6 @@ def ivfpq_oracle() -> str:
         SELECT q_id, n_id,
                row_number() OVER (PARTITION BY q_id ORDER BY acos DESC, n_id) AS arank
         FROM approx)
-      WHERE arank <= {RERANK_FACTOR * K}),
+      WHERE arank <= {IVFPQ_RERANK * K}),
     {_exact_rerank_sql('shortlist')}
     """

@@ -1263,11 +1263,13 @@ def test_pq_ann_recall_and_rank_shape(spark):
 
 
 def test_ivfpq_ann_recall_and_rank_shape(spark):
-    """The composed IVF+PQ index at the defaults (32 cells / 12
-    probed, 16x64 codes, 8x shortlist, exact rerank): recall >=0.8 vs
-    brute-force top-5 on the sf0.1 embeddings.  Fully deterministic
-    (sampled k-means + md5-free codes), so the measured 0.825 is
-    exact, not a seed roll."""
+    """The composed IVF+PQ index at the defaults (32 cells / 16
+    probed, 16x64 codes, 16x shortlist, exact rerank): recall >=0.85
+    vs brute-force top-5 on the sf0.1 embeddings.  Fully deterministic
+    (sampled k-means + md5-free codes), so the measured 0.925 is
+    exact, not a seed roll (r9 sweep: 12 probed / 8x shortlist gave
+    0.825 — one regression from the old >=0.8 bar; the new defaults
+    buy 0.1 recall for +0.8pp of flat-scan I/O, total ~3.1%)."""
     from hadoop_pcap_spark.operators import release_persisted
 
     emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
@@ -1282,7 +1284,7 @@ def test_ivfpq_ann_recall_and_rank_shape(spark):
     approx = {(r.q_id, r.n_id) for r in got}
     recall = len(truth & approx) / len(truth)
     print(f"IVF+PQ recall={recall:.2f}")
-    assert recall >= 0.8, f"IVF+PQ recall too low: {recall}"
+    assert recall >= 0.85, f"IVF+PQ recall too low: {recall}"
     per_q = {}
     for r in got:
         per_q.setdefault(r.q_id, []).append(r)
