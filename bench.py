@@ -53,6 +53,11 @@ HEADLINE = [
     "pcap_decode_100k",
     "pcap_decode_dns_100k",
     "pcap_decode_v6ext_100k",
+    # round 9: split-parallel decode of ONE ~180 MB capture — the
+    # index-pass path that beats the reference's whole-file
+    # constraint; the serial same-file reference run and the speedup
+    # land in extras["single_file_decode"]
+    "pcap_decode_1file_parallel",
 ]
 
 
@@ -259,6 +264,29 @@ def main():
             file=sys.stderr,
             flush=True,
         )
+
+    # Serial reference for the single-giant-file row: the same file
+    # through the same kernel and aggregation but WITHOUT the split
+    # index — one task, the reference's whole-file constraint.  One
+    # run (it is the slow case by design); the ratio is the
+    # near-linear-speedup evidence for pcap_decode_1file_parallel.
+    from hadoop_pcap_spark.plans.pcap_queries import giant_dir
+    from hadoop_pcap_spark.sources import read_pcap as _read_pcap
+
+    t0 = time.time()
+    (
+        _read_pcap(spark, giant_dir())
+        .groupBy("protocol")
+        .agg(F.count("*").alias("n"))
+        .count()
+    )
+    serial_wall = round(time.time() - t0, 3)
+    extras["single_file_decode"] = {
+        "serial_wall_s": serial_wall,
+        "parallel_wall_s": timings["pcap_decode_1file_parallel"],
+        "speedup": round(serial_wall / timings["pcap_decode_1file_parallel"], 2),
+    }
+    print(f"# single_file_decode: {extras['single_file_decode']}", file=sys.stderr, flush=True)
 
     # Layout-rewrite row: write_zordered is a WRITE operator, so the
     # registry query can't gate it (its staging reuses a _SUCCESS'd

@@ -811,6 +811,108 @@ def throughput_truth_path(n_files: int = 8, pkts_per_file: int = 12500) -> str:
     )
 
 
+def giant_dir(pkts: int = 1_200_000) -> str:
+    """ONE ~180 MB capture file (template-cyclic, same three frame
+    intents as :func:`throughput_dir`) — the single-giant-file shape
+    behind ``pcap_decode_1file_parallel``.  The reference cannot
+    parallelize inside one file at all (io/PcapInputFormat.java:72-75
+    isSplitable → false); this fixture exists to prove the index-pass
+    split path beats that constraint instead of inheriting it."""
+    d = _fixture_subdir("giant1")
+    path = os.path.join(d, "giant.pcap")
+    if os.path.exists(path):
+        return d
+    q = S.dns_query(7, "example.com")
+    frames = [
+        S.ethernet(S.ipv4(S.udp(q, 5353, 53, "10.0.0.1", "10.0.0.2"), 17, "10.0.0.1", "10.0.0.2")),
+        S.ethernet(S.ipv4(S.tcp(b"x" * 200, 44000, 443), 6, "10.0.0.3", "10.0.0.4")),
+        S.ethernet(S.ipv4(b"\x08\x00" + b"\x00" * 30, 1, "10.0.0.5", "10.0.0.6")),
+    ]
+    fd, tmp = tempfile.mkstemp(dir=d)
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(S.global_header(1))
+            for i in range(pkts):
+                f.write(S.record(1700000000 + i, frames[i % 3]))
+        os.rename(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+    return d
+
+
+def giant_truth_path(pkts: int = 1_200_000) -> str:
+    """Per-protocol synthesis-intent aggregate for the giant file —
+    same closed-form template arithmetic as throughput_truth_path."""
+    q = S.dns_query(7, "example.com")
+    intents = [
+        {"protocol": "UDP", "len": len(q)},
+        {"protocol": "TCP", "len": 200},
+        {"protocol": "ICMP", "len": None},
+    ]
+    counts = [0] * len(intents)
+    for i in range(pkts):
+        counts[i % len(intents)] += 1
+    rows = [
+        {
+            "protocol": t["protocol"],
+            "n_packets": c,
+            "n_src": 1,
+            "total_payload_bytes": None if t["len"] is None else t["len"] * c,
+            "first_pkt": 1 + intents.index(t),
+            "last_pkt": pkts - ((pkts - 1 - intents.index(t)) % len(intents)),
+        }
+        for t, c in zip(intents, counts)
+    ]
+    return _write_truth_parquet(
+        "giant1_truth_v1",
+        rows,
+        [
+            ("protocol", "string"),
+            ("n_packets", "int64"),
+            ("n_src", "int64"),
+            ("total_payload_bytes", "int64"),
+            ("first_pkt", "int64"),
+            ("last_pkt", "int64"),
+        ],
+    )
+
+
+@query(
+    "pcap_decode_1file_parallel",
+    oracle=lambda: f"""
+    SELECT protocol, n_packets, n_src, total_payload_bytes,
+           first_pkt, last_pkt
+    FROM '{giant_truth_path()}'
+    """,
+)
+def q_pcap_decode_1file_parallel(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-parallel decode of ONE giant capture
+    (read_pcap(split_single_files=True), sources/pcap_source.py): a
+    framing-only index pass emits record-aligned splits, decode
+    range-reads them on every core — beating the reference's
+    whole-file constraint (io/PcapInputFormat.java:72-75) rather than
+    inheriting it (S2).  min/max(pkt_no) in the oracle pins the
+    per-split ordinal REBASE, not just the row multiset: a rebase bug
+    that collided or shifted ordinals would break first/last even
+    with counts intact.  8 MiB splits model the production 64 MiB
+    default on N-GB files."""
+    return (
+        read_pcap(
+            spark, giant_dir(), split_single_files=True, chunk_bytes=8 << 20
+        )
+        .groupBy("protocol")
+        .agg(
+            F.count("*").alias("n_packets"),
+            F.countDistinct("src").alias("n_src"),
+            F.sum("len").alias("total_payload_bytes"),
+            F.min("pkt_no").alias("first_pkt"),
+            F.max("pkt_no").alias("last_pkt"),
+        )
+    )
+
+
 @query(
     "pcap_decode_100k",
     oracle=lambda: f"""

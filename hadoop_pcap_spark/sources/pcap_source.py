@@ -405,6 +405,7 @@ def read_pcap(
     engine: str = "arrow",
     chunk_bytes: Optional[int] = None,
     keep_frame: bool = False,
+    split_single_files: bool = False,
 ) -> DataFrame:
     """Read pcap file(s) into a typed DataFrame.
 
@@ -433,6 +434,21 @@ def read_pcap(
     unrecognised schemes fall back to whole-content materialization
     via binaryFile.  Pass ``chunk_bytes=0`` to force the whole-file
     path for local files too.
+
+    ``split_single_files=True`` breaks the reference's whole-file
+    parallelism constraint (io/PcapInputFormat.java:72-75 —
+    ``isSplitable`` false because pcap framing is a byte-chain): a
+    distributed INDEX pass (one task per file, framing walk only — no
+    decode, I/O speed) emits record-aligned ``chunk_bytes`` splits,
+    the tiny split metadata reshuffles across the cluster, and decode
+    tasks range-read their own split (seek + read — at deployment
+    scale these are object-store range GETs).  One N-GB capture then
+    decodes on every core instead of one.  Output is byte-identical
+    to the serial path (``pkt_no`` rebased per split from the index;
+    property-diffed in tests/test_chunked.py).  Files the indexer
+    cannot range-split (compressed, pcapng, foreign header) fall back
+    to the serial streamed path automatically; requires an ``arrow``
+    engine and a seekable (streamed) source.
     """
     if engine not in ("arrow", "arrow-scalar", "pandas"):
         raise ValueError(
@@ -467,6 +483,18 @@ def read_pcap(
         if streamed
         else reader.load(path).select("path", "content")
     )
+
+    if split_single_files:
+        if engine not in ("arrow", "arrow-scalar"):
+            raise ValueError("split_single_files requires an arrow engine")
+        if not streamed:
+            raise ValueError(
+                "split_single_files requires a seekable streamed source "
+                "(local path or pyarrow.fs-reachable URI, chunk_bytes > 0)"
+            )
+        return _read_pcap_split(
+            spark, files, schema, opts, chunk_bytes, engine
+        )
 
     if engine in ("arrow", "arrow-scalar"):
         to_batches = (
@@ -503,6 +531,104 @@ def read_pcap(
         yield from decode_files_to_frames(gen(), schema, opts)
 
     return files.mapInPandas(decode_partition, schema)
+
+
+def _read_pcap_split(
+    spark: SparkSession,
+    files: DataFrame,
+    schema: T.StructType,
+    opts: DecodeOptions,
+    chunk_bytes: int,
+    engine: str,
+) -> DataFrame:
+    """The split-parallel decode plan behind
+    ``read_pcap(split_single_files=True)``:
+
+    paths → [index tasks: framing walk → (path, offset, n_bytes,
+    first_pkt) split rows] → round-robin repartition of the metadata
+    (bytes stay put — only ~40-byte split descriptors shuffle) →
+    [decode tasks: range-read the split, run the columnar kernel,
+    rebase pkt_no].  Unsplittable files degrade to one whole-file
+    split in place, so mixed directories need no second scan."""
+    from ..pcap.chunked import (
+        GLOBAL_HEADER_SIZE,
+        file_size,
+        index_capture_splits_cached,
+        open_raw,
+    )
+
+    split_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType(), False),
+            T.StructField("offset", T.LongType(), False),
+            T.StructField("n_bytes", T.LongType(), False),
+            T.StructField("first_pkt", T.LongType(), False),
+        ]
+    )
+
+    def index_partition(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            rows = {"path": [], "offset": [], "n_bytes": [], "first_pkt": []}
+            for p in rb.column(0).to_pylist():
+                splits = index_capture_splits_cached(p, chunk_bytes)
+                if splits is None:
+                    # unsplittable (compressed/pcapng/short): one
+                    # whole-file pseudo-split, decoded serially by one
+                    # task via the streamed chunk path
+                    splits = [(-1, max(file_size(p), 0), 1)]
+                for off, nb, fp in splits:
+                    rows["path"].append(p)
+                    rows["offset"].append(off)
+                    rows["n_bytes"].append(nb)
+                    rows["first_pkt"].append(fp)
+            yield pa.RecordBatch.from_pydict(rows)
+
+    splits_df = files.mapInArrow(index_partition, split_schema).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    to_batches = (
+        decode_files_to_arrow_columnar if engine == "arrow" else decode_files_to_arrow
+    )
+
+    def decode_split_partition(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ..pcap.chunked import stream_file_chunks
+
+        for rb in batches:
+            for row in rb.to_pylist():
+                p, off, base = row["path"], row["offset"], row["first_pkt"] - 1
+                if off < 0:
+                    # whole-file fallback split: serial streamed decode
+                    feed = stream_file_chunks(
+                        [p], chunk_bytes,
+                        permissive=opts.mode == "PERMISSIVE",
+                    )
+                else:
+                    with open_raw(p) as f:
+                        header = f.read(GLOBAL_HEADER_SIZE)
+                        f.seek(off)
+                        data = f.read(row["n_bytes"])
+                    feed = iter([(p, header + data)])
+                # one to_batches call per split: pkt_no restarts at 1
+                # for each split and is rebased from the index below —
+                # feeding consecutive same-path splits through one call
+                # would let the chunk-continuation logic double-count
+                for out in to_batches(feed, schema, opts):
+                    i = out.schema.get_field_index("pkt_no")
+                    if base and i >= 0:
+                        out = out.set_column(
+                            i,
+                            out.schema.field(i),
+                            pc.add(out.column(i), pa.scalar(base, pa.int64())),
+                        )
+                    yield out
+
+    return splits_df.mapInArrow(decode_split_partition, schema)
 
 
 def write_packets_parquet(

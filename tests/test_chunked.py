@@ -597,3 +597,123 @@ def test_wasb_alias_translates_blob_endpoint(monkeypatch):
     # non-Azure aliases keep their authority untouched
     _filesystem_for("s3a://bucket/key.pcap")
     assert seen["uri"] == "s3://bucket/key.pcap"
+
+
+# --- split-parallel decode of one file (index_capture_splits) ---------------
+
+
+def test_index_splits_cover_file(tmp_path):
+    from hadoop_pcap_spark.pcap.chunked import index_capture_splits
+
+    data = _pcap_many(50)
+    p = tmp_path / "big.pcap"
+    p.write_bytes(data)
+    splits = index_capture_splits(str(p), split_bytes=600)
+    assert len(splits) > 3
+    # contiguous, record-aligned, full coverage
+    assert splits[0][0] == 24
+    for (o1, n1, f1), (o2, n2, f2) in zip(splits, splits[1:]):
+        assert o1 + n1 == o2
+        assert f2 > f1
+    assert splits[-1][0] + splits[-1][1] == len(data)
+    # each split is a valid standalone capture whose record count
+    # matches the index's first_pkt deltas
+    firsts = [f for _, _, f in splits] + [51]
+    for (off, nb, f), nxt in zip(splits, firsts[1:]):
+        rows = list(decode_pcap(data[:24] + data[off : off + nb], name="s"))
+        assert len(rows) == nxt - f
+
+
+def test_index_splits_truncated_tail_and_tiny(tmp_path):
+    from hadoop_pcap_spark.pcap.chunked import index_capture_splits
+
+    data = _pcap_many(10)
+    p = tmp_path / "trunc.pcap"
+    p.write_bytes(data[:-5])  # truncate mid-record
+    splits = index_capture_splits(str(p), split_bytes=300)
+    assert splits[-1][0] + splits[-1][1] == len(data) - 5
+    # header-only file → exactly one empty split
+    q = tmp_path / "empty.pcap"
+    q.write_bytes(S.global_header())
+    assert index_capture_splits(str(q)) == [(24, 0, 1)]
+
+
+def test_index_splits_refuses_unsplittable(tmp_path):
+    from hadoop_pcap_spark.pcap.chunked import index_capture_splits
+
+    g = tmp_path / "a.pcap.gz"
+    g.write_bytes(gzip.compress(_pcap_many(5)))
+    assert index_capture_splits(str(g)) is None
+    j = tmp_path / "junk.bin"
+    j.write_bytes(b"\x00" * 100)
+    assert index_capture_splits(str(j)) is None
+
+
+def test_split_read_equals_serial(spark, tmp_path):
+    """read_pcap(split_single_files=True) is row-identical to the
+    serial path — incl. a truncated tail, pkt_no rebasing across
+    splits, and a gz neighbor that falls back to the serial split."""
+    from hadoop_pcap_spark.sources import read_pcap
+
+    d = tmp_path / "caps"
+    d.mkdir()
+    data = _pcap_many(200, payload_size=120)
+    (d / "big.pcap").write_bytes(data[:-7])  # truncated tail row
+    (d / "sibling.pcap.gz").write_bytes(gzip.compress(_pcap_many(13)))
+
+    def key(r):
+        return (r["file"], r["pkt_no"])
+
+    serial = sorted(
+        (r.asDict() for r in read_pcap(spark, str(d), calculate_md5=True).collect()),
+        key=key,
+    )
+    split = sorted(
+        (
+            r.asDict()
+            for r in read_pcap(
+                spark, str(d), calculate_md5=True,
+                split_single_files=True, chunk_bytes=4096,
+            ).collect()
+        ),
+        key=key,
+    )
+    assert len(serial) == 200 + 13  # 199 full + 1 ts-only + 13 gz
+    assert split == serial
+
+
+def test_split_read_requires_arrow_and_streamed(spark, tmp_path):
+    from hadoop_pcap_spark.sources import read_pcap
+
+    p = tmp_path / "x.pcap"
+    p.write_bytes(_pcap_many(3))
+    with pytest.raises(ValueError, match="arrow engine"):
+        read_pcap(spark, str(p), engine="pandas", split_single_files=True)
+    with pytest.raises(ValueError, match="seekable"):
+        read_pcap(spark, str(p), chunk_bytes=0, split_single_files=True)
+
+
+def test_index_split_cache_hits_and_invalidates(tmp_path):
+    from hadoop_pcap_spark.pcap.chunked import (
+        index_capture_splits,
+        index_capture_splits_cached,
+    )
+
+    p = tmp_path / "c.pcap"
+    p.write_bytes(_pcap_many(30))
+    first = index_capture_splits_cached(str(p), split_bytes=400)
+    assert first == index_capture_splits(str(p), split_bytes=400)
+    # cache hit returns the same splits
+    assert index_capture_splits_cached(str(p), split_bytes=400) == first
+    # different split size → different cache entry, not a stale hit
+    assert index_capture_splits_cached(str(p), split_bytes=10**9) != first
+    # rewrite (new size) → identity changes → recomputed, not stale
+    p.write_bytes(_pcap_many(31))
+    again = index_capture_splits_cached(str(p), split_bytes=400)
+    assert again == index_capture_splits(str(p), split_bytes=400)
+    assert sum(n for _, n, _ in again) != sum(n for _, n, _ in first)
+    # unsplittable marker is cached too
+    g = tmp_path / "c.pcap.gz"
+    g.write_bytes(gzip.compress(_pcap_many(5)))
+    assert index_capture_splits_cached(str(g)) is None
+    assert index_capture_splits_cached(str(g)) is None
