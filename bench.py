@@ -599,13 +599,22 @@ def main():
     # arrived (or left) mid-window moves the ratio; >25% off in either
     # direction stamps `drifted: true`, which folds into `contended`,
     # so a `contended: false` artifact now certifies the WHOLE window.
-    # CPU-seconds are the compared signal (steal-stretched wall would
-    # false-positive on a merely busy-but-not-bandwidth-starved host;
-    # LLC/bandwidth pressure is precisely what inflates cpu — the
-    # "12 vs 60+ cpu-s for the same work" mode in BASELINE.md).
+    # WALL is the compared signal: neighbor steal and LLC/bandwidth
+    # pressure both stretch wall, which min-of-N cannot hide if the
+    # pressure spans the whole re-run.  The cpu ratio is recorded for
+    # forensics but deliberately NOT gated on — it is position-
+    # polluted: after the streaming rows, JVM background activity
+    # (GC, state-store maintenance pools) lands in the process-tree
+    # delta, observed as 8.95→17.37 cpu-s with wall FLAT (1.29→1.33)
+    # on a probe-quiet host.  That same mechanism is the likely source
+    # of the r6–r8 minhash cpu spread (10.49/14.43/9.23): the number
+    # moves with suite position and background phase, not host noise
+    # alone — which is why per-row cpu is only compared against the
+    # SAME row in the SAME suite order across rounds.
     sentinel = "dedup_minhash_lsh"
     s_wall, s_cpu, _ = time_query(sentinel)
-    ratio = s_cpu / cpu_timings[sentinel] if cpu_timings[sentinel] else 1.0
+    ratio = s_wall / timings[sentinel] if timings[sentinel] else 1.0
+    cpu_ratio = s_cpu / cpu_timings[sentinel] if cpu_timings[sentinel] else 1.0
     drifted = bool(max(ratio, 1.0 / ratio) > 1.25)
     extras["drift_sentinel"] = {
         "query": sentinel,
@@ -613,7 +622,8 @@ def main():
         "end_cpu_s": s_cpu,
         "ref_wall_s": timings[sentinel],
         "ref_cpu_s": cpu_timings[sentinel],
-        "cpu_ratio": round(ratio, 3),
+        "wall_ratio": round(ratio, 3),
+        "cpu_ratio": round(cpu_ratio, 3),
     }
 
     extras["calib_end"] = calibrate()
