@@ -717,3 +717,41 @@ def test_index_split_cache_hits_and_invalidates(tmp_path):
     g.write_bytes(gzip.compress(_pcap_many(5)))
     assert index_capture_splits_cached(str(g)) is None
     assert index_capture_splits_cached(str(g)) is None
+
+
+def test_split_read_shuffles_metadata_only(spark, tmp_path):
+    """The split plan's ONE exchange moves 4-column split descriptors
+    (~40 B/row), never capture bytes: decode sits ABOVE the exchange,
+    the index pass below it."""
+    from hadoop_pcap_spark.sources import read_pcap
+
+    p = tmp_path / "m.pcap"
+    p.write_bytes(_pcap_many(20))
+    df = read_pcap(spark, str(p), split_single_files=True, chunk_bytes=512)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "first_pkt" in plan  # descriptor schema reaches the exchange
+    first_map = plan.find("MapInArrow")
+    second_map = plan.find("MapInArrow", first_map + 1)
+    exch = plan.find("Exchange")
+    assert first_map < exch < second_map, plan
+
+
+def test_index_splits_big_endian(tmp_path):
+    from hadoop_pcap_spark.pcap.chunked import index_capture_splits
+
+    frames = [S.ethernet(S.ipv4(S.udp(b"y" * 40, 1, 53), 17, "10.0.0.1", "10.0.0.2"))]
+    data = S.global_header_be() + b"".join(
+        S.record_be(1700000000 + i, frames[0]) for i in range(12)
+    )
+    p = tmp_path / "be.pcap"
+    p.write_bytes(data)
+    splits = index_capture_splits(str(p), split_bytes=300)
+    assert len(splits) > 1
+    assert splits[-1][0] + splits[-1][1] == len(data)
+    ns = DecodeOptions(strict_reference=False)  # BE is non-strict-only
+    total = sum(
+        len(list(decode_pcap(data[:24] + data[o : o + n], name="b", opts=ns)))
+        for o, n, _ in splits
+    )
+    assert total == 12

@@ -30,6 +30,10 @@ def main() -> int:
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "8"))
     args = ap.parse_args()
 
+    # generated oracles that train model artifacts from the corpus
+    # (plans/ann_oracles.py) read this to stay in sync with --sf
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF", args.sf)
+
     from hadoop_pcap_spark.plans import ORACLES, QUERIES, load_all
 
     load_all()
