@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .partitioning import spread as _spread
+
 IMAGE_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -139,9 +141,14 @@ def image_features(
 ) -> DataFrame:
     """binary column → typed feature rows, Arrow-batched.
 
-    Scale: pure map — no shuffle; each task decodes its partition's
-    blobs. Pair with ``spark.sql.files.maxPartitionBytes`` to bound
-    per-task memory when blobs are large."""
+    Scale: pure map on an already-parallel scan — no shuffle; each
+    task decodes its partition's blobs (pair with
+    ``spark.sql.files.maxPartitionBytes`` to bound per-task memory
+    when blobs are large).  A FEW-FILE corpus is the exception: the
+    per-blob Python decode would serialize on the scan's partitions,
+    so the input is conditionally spread (operators/partitioning.py —
+    repartitions ONLY when the scan is under-parallel; a no-op with
+    zero Exchange at real file counts)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -164,7 +171,7 @@ def image_features(
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURE_SCHEMA.fields])
 
-    return df.select(id_col, bytes_col).mapInPandas(fn, IMAGE_FEATURE_SCHEMA)
+    return _spread(df.select(id_col, bytes_col), id_col).mapInPandas(fn, IMAGE_FEATURE_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType(
@@ -198,7 +205,7 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 1024, id_col: str = "media
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
 
-    return df.select(id_col, bytes_col).mapInPandas(fn, FRAME_SCHEMA)
+    return _spread(df.select(id_col, bytes_col), id_col).mapInPandas(fn, FRAME_SCHEMA)
 
 
 AUDIO_FEATURE_SCHEMA = T.StructType(
@@ -315,7 +322,7 @@ def audio_features(
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields])
 
-    return df.select(id_col, bytes_col).mapInPandas(fn, AUDIO_FEATURE_SCHEMA)
+    return _spread(df.select(id_col, bytes_col), id_col).mapInPandas(fn, AUDIO_FEATURE_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -400,4 +407,4 @@ def resize_images(
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
 
-    return df.select(id_col, bytes_col).mapInPandas(fn, RESIZED_SCHEMA)
+    return _spread(df.select(id_col, bytes_col), id_col).mapInPandas(fn, RESIZED_SCHEMA)
