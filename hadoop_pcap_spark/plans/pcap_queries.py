@@ -914,6 +914,43 @@ def q_pcap_decode_1file_parallel(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "streaming_pcap_ingest",
+    oracle=lambda: f"""
+    SELECT protocol, n_packets, n_src, total_payload_bytes
+    FROM '{throughput_truth_path()}'
+    """,
+)
+def q_streaming_pcap_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING capture ingestion end-to-end
+    (sources/pcap_source.py::read_pcap_stream): tail the 8-file
+    throughput corpus as a binaryFile stream with maxFilesPerTrigger=2
+    (4 real micro-batches — discovery, per-batch decode, complete-mode
+    aggregation state all exercised), run to completion via
+    AvailableNow, and hash the same per-protocol aggregate as
+    pcap_decode_100k against the same closed-form synthesis-intent
+    oracle.  The live-rotation shape the reference's batch InputFormat
+    cannot express; decode closure shared with the batch reader, so
+    streaming and batch are row-identical by construction.
+    Scale: one listing per trigger; decode parallelism follows
+    files-per-batch; the aggregate state is 3 rows."""
+    from ..sources import read_pcap_stream
+    from .streaming_queries import _run_to_memory
+
+    agg = (
+        read_pcap_stream(spark, throughput_dir(), max_files_per_trigger=2)
+        .groupBy("protocol")
+        .agg(
+            F.count("*").alias("n_packets"),
+            # countDistinct is not allowed on streams; collect_set is,
+            # and the per-protocol source-address set is bounded
+            F.size(F.collect_set("src")).cast("long").alias("n_src"),
+            F.sum("len").alias("total_payload_bytes"),
+        )
+    )
+    return _run_to_memory(agg, "complete", "pcap_ingest")
+
+
+@query(
     "pcap_decode_100k",
     oracle=lambda: f"""
     SELECT protocol, n_packets, n_src, total_payload_bytes

@@ -6,6 +6,7 @@ from .pcap_source import (  # noqa: F401
     PACKET_SCHEMA,
     packet_schema,
     read_pcap,
+    read_pcap_stream,
     write_packets_parquet,
     write_pcap,
 )

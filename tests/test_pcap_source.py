@@ -311,3 +311,46 @@ def test_etl_write_sorts_rows_within_files(spark, tmp_path):
     for f in files:
         ts = pq.read_table(f, columns=["ts"]).column("ts").to_pylist()
         assert ts == sorted(ts), f"unsorted ts in {f}"
+
+
+def test_read_pcap_stream_equals_batch(spark):
+    """Streaming capture ingestion (read_pcap_stream) is row-identical
+    to the batch reader over the same files — one file per
+    micro-batch, so discovery/batching really happens."""
+    import uuid
+
+    from hadoop_pcap_spark.plans.pcap_queries import fixture_dir
+    from hadoop_pcap_spark.sources import read_pcap, read_pcap_stream
+
+    d = fixture_dir()
+    name = "t_pcap_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        read_pcap_stream(spark, d, calculate_md5=True, max_files_per_trigger=1)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def key(r):
+        return (r["file"], r["pkt_no"])
+
+    got = sorted((r.asDict() for r in spark.table(name).collect()), key=key)
+    spark.catalog.dropTempView(name)
+    exp = sorted(
+        (r.asDict() for r in read_pcap(spark, d, calculate_md5=True).collect()),
+        key=key,
+    )
+    assert len(exp) > 0
+    assert got == exp
+
+
+def test_read_pcap_stream_argument_guards(spark, tmp_path):
+    from hadoop_pcap_spark.sources import read_pcap_stream
+
+    with pytest.raises(ValueError, match="arrow engine"):
+        read_pcap_stream(spark, str(tmp_path), engine="pandas")
+    with pytest.raises(ValueError, match="streamed chunked path"):
+        read_pcap_stream(spark, str(tmp_path), chunk_bytes=0)
