@@ -328,12 +328,10 @@ def cosine_topk_ivf(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def _nearest_cells_expr(C, vec_col_expr, n: int):
-    """Column expr: array of the ``n`` nearest cell ids (by L2) to a
-    vector column, against centroid matrix ``C`` riding the plan as
-    literals — the IVF routing expression, shared by the flat and
-    IVF+PQ variants."""
-    dists = F.array(
+def _cell_dists_expr(C, vec_col_expr):
+    """Column expr: array of squared-L2 distances from a vector column
+    to every centroid of ``C`` (riding the plan as literals)."""
+    return F.array(
         *[
             F.aggregate(
                 F.zip_with(
@@ -347,6 +345,14 @@ def _nearest_cells_expr(C, vec_col_expr, n: int):
             for c in range(len(C))
         ]
     )
+
+
+def _nearest_cells_expr(C, vec_col_expr, n: int):
+    """Column expr: array of the ``n`` nearest cell ids (by L2) to a
+    vector column, against centroid matrix ``C`` riding the plan as
+    literals — the IVF routing expression, shared by the flat and
+    IVF+PQ variants."""
+    dists = _cell_dists_expr(C, vec_col_expr)
     ranked = F.transform(
         F.array_sort(
             F.arrays_zip(dists, F.array(*[F.lit(c) for c in range(len(C))]))
@@ -354,6 +360,52 @@ def _nearest_cells_expr(C, vec_col_expr, n: int):
         lambda s: s["1"],
     )
     return F.slice(ranked, 1, n)
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    n_cells: int = 32,
+    sample_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic clustering of an embedding corpus: deterministic
+    sampled k-means (the shared IVF trainer) broadcast as plan
+    literals, every vector assigned its nearest centroid —
+    ``(id_col, cluster_id, dist2)`` with ``dist2`` the squared L2 to
+    the assigned centroid (the k-means objective term).  The curation
+    primitive behind semantic dedup / diversity balancing / cluster-
+    stratified sampling of a training corpus (SemDeDup-style
+    pipelines cluster first, prune within clusters second).
+
+    Deterministic end-to-end (strided-init Lloyd on an ORDER BY
+    sample), so the driver hash-checks it via a generated oracle that
+    retrains the same centroids (plans/ann_oracles.py pattern).
+
+    Scale: one pass over the corpus with a codegen'd distance array —
+    no shuffle at all; downstream per-cluster aggregation shuffles
+    one row per vector.  Centroids are O(cells·dim) literals."""
+    sample = (
+        corpus.orderBy(id_col).limit(sample_size).select(vec_col).collect()
+    )
+    C = _kmeans_centroids([r[0] for r in sample], n_cells)
+    # staged projections so the distance array materializes ONCE per
+    # row (no CSE across big expressions; same motif as the minhash
+    # md5 interning): dists → min → first-position-of-min (= lowest
+    # cell id on exact ties, the IVF routing tie-break)
+    with_d = corpus.select(
+        F.col(id_col), _cell_dists_expr(C, F.col(vec_col)).alias("_d")
+    )
+    with_m = with_d.select(
+        id_col, "_d", F.array_min("_d").alias("dist2")
+    )
+    return with_m.select(
+        F.col(id_col),
+        (F.array_position("_d", F.col("dist2")) - 1).cast("int").alias(
+            "cluster_id"
+        ),
+        "dist2",
+    )
 
 
 def _pq_codebooks(sample_vecs, m_sub: int, k_codes: int):

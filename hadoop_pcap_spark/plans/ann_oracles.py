@@ -280,6 +280,26 @@ def pq_oracle() -> str:
     """
 
 
+def clusters_oracle() -> str:
+    """Replay embeddings_semantic_clusters: nearest-centroid
+    assignment (ties to the lower cell id) + per-cluster size and
+    DECIMAL-summed inertia — the k-means objective per cluster."""
+    C, _ = _models(_sf_dir())
+    return f"""
+    WITH {_cells_ctes(C)},
+    assigned AS (
+      SELECT vec_id, c AS cluster_id, d FROM (
+        SELECT vec_id, c, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+        FROM cdists)
+      WHERE rn = 1)
+    SELECT cluster_id, count(*) AS n_vecs,
+           CAST(CAST(SUM(CAST(ROUND(d, 6) AS DECIMAL(18,6))) AS VARCHAR)
+                AS DOUBLE) AS sse
+    FROM assigned GROUP BY cluster_id
+    """
+
+
 def rp_neardup_oracle() -> str:
     """Replay dedup_embedding_cosine_rp: the registered query plants
     deterministic ±5%-perturbed twins (sin(i + vec_id) factors —

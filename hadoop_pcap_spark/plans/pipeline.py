@@ -433,6 +433,27 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("embeddings_semantic_clusters", oracle=ANN.clusters_oracle)
+def q_embeddings_semantic_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic clustering of the embedding corpus
+    (similarity.kmeans_assign): deterministic sampled k-means,
+    nearest-centroid assignment in one shuffle-free codegen pass,
+    then per-cluster size + DECIMAL-summed inertia (the k-means
+    objective) — the curation primitive behind SemDeDup-style
+    cluster-then-prune pipelines and cluster-stratified sampling.
+    Hash-checked against a generated oracle that retrains the same
+    centroids and replays the assignment in DuckDB."""
+    from ..operators.similarity import kmeans_assign
+
+    a = kmeans_assign(table(spark, sf, "embeddings"))
+    return a.groupBy("cluster_id").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(F.round(F.col("dist2"), 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sse"),
+    )
+
+
 @query("similarity_ann_lsh", oracle=ANN.lsh_oracle)
 def q_similarity_ann(spark: SparkSession, sf: str) -> DataFrame:
     """LSH-bucketed approximate nearest neighbors (hyperplane signs →

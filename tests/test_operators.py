@@ -1291,3 +1291,29 @@ def test_ivfpq_ann_recall_and_rank_shape(spark):
     for q_id, rows in per_q.items():
         ranks = sorted(r.rank for r in rows)
         assert ranks == list(range(1, len(rows) + 1))
+
+
+def test_kmeans_assign_matches_numpy_argmin(spark):
+    """kmeans_assign: every vector assigned; the Spark-side nearest-
+    centroid decision (incl. the lowest-id tie-break) matches an
+    independent numpy argmin over the same deterministically trained
+    centroids; dist2 is the true squared L2."""
+    import numpy as np
+
+    from hadoop_pcap_spark.operators.similarity import (
+        _kmeans_centroids,
+        kmeans_assign,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    out = {r.vec_id: r for r in kmeans_assign(emb, n_cells=8).collect()}
+    assert len(out) == emb.count()
+    rows = emb.orderBy("vec_id").collect()
+    C = _kmeans_centroids([r.embedding for r in rows[:2048]], 8)
+    X = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    for i, r in enumerate(rows):
+        got = out[r.vec_id]
+        assert got.cluster_id == int(d2[i].argmin())
+        assert abs(got.dist2 - d2[i].min()) < 1e-9
+        assert got.dist2 >= 0
