@@ -705,6 +705,7 @@ def rp_sign_bands(
     seed: int = 42,
     id_col: str = "doc_id",
     vec_col: str = "vec",
+    engine: str = "arrow",
 ) -> DataFrame:
     """(id, band, key) rows keyed by RANDOM-PROJECTION sign patterns —
     the production variant of :func:`sign_bands` (VERDICT r3 item 5).
@@ -722,25 +723,113 @@ def rp_sign_bands(
     Scale: identical shuffle shape to sign_bands — O(n·n_bands) band
     rows into the one-shuffle bucket builder; projections are
     unrolled literal-weight sums inside whole-stage codegen
-    (:func:`_proj`), no Python."""
-    bands = []
+    (:func:`_proj`), no Python.
+
+    Engines (bit-identical outputs, equality pytest-pinned):
+
+    * ``"arrow"`` (default) — one vectorized pandas_udf computes ALL
+      bands' projections as a numpy pass that accumulates
+      SEQUENTIALLY over dimensions (``acc + X[:,d]·W[d,:]`` per
+      step), which is the exact IEEE order of the unrolled expression
+      AND of the oracle's DuckDB ``list_sum`` — so sign decisions
+      match bit-for-bit across all three.  Exists because the
+      expression form hits JVM codegen's 64 KB method limit:
+      bands × planes × dim multiply-adds funnel into one
+      whole-stage-codegen method Janino cannot split ("Code grows
+      beyond 64 KB" at the default sizing, silently degrading the
+      stage to interpreted eval — found at the r9 sf3 gate).
+    * ``"expr"`` — the pure-expression form (per-band staged key
+      columns feeding the explode), kept as the no-Python
+      cross-check path; correct under codegen fallback."""
+    if engine == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        planes_flat = []
+        for b in range(n_bands):
+            planes_flat.extend(_hyperplanes(band_planes, dim, tag=f"rp:{seed}:{b}"))
+        Wm = np.array(planes_flat, dtype=np.float64).T  # (dim, bands*planes)
+
+        def _keys(v):
+            if not len(v):
+                return pd.Series([], dtype=object)
+            X = np.stack(v.to_numpy()).astype(np.float64)  # exact for f32/f64
+            acc = np.zeros((len(X), Wm.shape[1]))
+            for d in range(X.shape[1]):
+                acc = acc + X[:, d : d + 1] * Wm[d][None, :]
+            bits = np.where(acc >= 0, "1", "0").reshape(
+                len(X), n_bands, band_planes
+            )
+            keys = bits[:, :, 0]
+            for j in range(1, band_planes):
+                keys = np.char.add(keys, bits[:, :, j])
+            return pd.Series(list(keys))
+
+        keys_udf = F.pandas_udf(_keys, "array<string>")
+        return (
+            vecs.select(
+                F.col(id_col).alias("doc_id"),
+                F.posexplode(keys_udf(F.col(vec_col))).alias("band", "key"),
+            )
+        )
+
+    key_cols = []
     for b in range(n_bands):
         planes = _hyperplanes(band_planes, dim, tag=f"rp:{seed}:{b}")
         bits = []
         for plane in planes:
             proj = _proj(F.col(vec_col), plane)
             bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-        bands.append(F.struct(F.lit(b).alias("band"), F.concat(*bits).alias("key")))
-    return vecs.select(
-        F.col(id_col).alias("doc_id"), F.explode(F.array(*bands)).alias("bk")
+        key_cols.append(F.concat(*bits).alias(f"_k{b}"))
+    staged = vecs.select(F.col(id_col).alias("doc_id"), *key_cols)
+    bands = [
+        F.struct(F.lit(b).alias("band"), F.col(f"_k{b}").alias("key"))
+        for b in range(n_bands)
+    ]
+    return staged.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def rp_band_params(
+    n: int,
+    threshold: float = 0.9,
+    recall: float = 0.98,
+    target_bucket: int = 32,
+    min_planes: int = 8,
+) -> tuple:
+    """Corpus-size-aware LSH banding: ``(band_planes, n_bands)``.
+
+    The scale law this encodes (learned the hard way at the sf3 spot
+    gate, r9): with FIXED band width, expected bucket size is
+    n / 2^planes, so candidate cliques — and the verify join — grow
+    ~n²/2^planes: fine at 2k vectors, an 84M-pair blowup at 60k.
+    Holding bucket size at ``target_bucket`` by scaling
+    planes = log2(n / target_bucket) makes verify cost
+    O(n · target_bucket · bands) — LINEAR in n — while n_bands is
+    recomputed from the LSH S-curve to keep the recall target:
+    per-band collision prob for a threshold-cosine pair is
+    p^planes with p = 1 − acos(t)/π, and
+    bands = ln(1−recall)/ln(1−p^planes).
+
+    At ~2k vectors this yields exactly the old fixed defaults (8, 12),
+    so small-corpus results (driver sf0.01 rows, recall pytest) are
+    unchanged; at 60k it yields (11, 20), at 1M (15, 38) — the
+    constant-factor growth that buys linearity."""
+    import math
+
+    p = 1.0 - math.acos(threshold) / math.pi
+    planes = max(min_planes, math.ceil(math.log2(max(n, 2) / target_bucket)))
+    pb = p ** planes
+    bands = max(1, math.ceil(math.log(1.0 - recall) / math.log(1.0 - pb)))
+    return planes, bands
 
 
 def embedding_near_dup_rp(
     emb: DataFrame,
     threshold: float = 0.9,
-    n_bands: int = 12,
-    band_planes: int = 8,
+    n_bands: Optional[int] = None,
+    band_planes: Optional[int] = None,
     dim: int = 64,
     seed: int = 42,
     max_bucket: int = 4096,
@@ -751,10 +840,20 @@ def embedding_near_dup_rp(
     projection sign bands (seeded) for candidates, exact cosine ≥
     threshold (default 0.9) for verification.  Approximate by
     construction (recall ≈0.98 at 0.9, pytest-asserted on planted
-    near-dups) → rows-only registration; the oracle-checked
-    coordinate-band variant stays :func:`embedding_near_dup`.
+    near-dups); hash-oracled since r9 (the generated oracle replays
+    the same sizing + planes).  The oracle-checked coordinate-band
+    variant stays :func:`embedding_near_dup`.
+
+    Band sizing defaults to :func:`rp_band_params` over the corpus
+    COUNT (one cheap job at build time — same budget class as the
+    ANN training sample), which is what keeps the verify join linear
+    in n; pass ``n_bands``/``band_planes`` explicitly to pin a shape.
 
     Output: (a, b, cos) with a < b, cos rounded to 6 places."""
+    if n_bands is None or band_planes is None:
+        auto_planes, auto_bands = rp_band_params(emb.count(), threshold)
+        band_planes = band_planes if band_planes is not None else auto_planes
+        n_bands = n_bands if n_bands is not None else auto_bands
     from .cache import register_persisted
     from .dedup import candidate_pairs
 

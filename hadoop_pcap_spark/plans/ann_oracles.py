@@ -308,9 +308,18 @@ def rp_neardup_oracle() -> str:
     md5-seeded planes, tag 'rp:42:b') through the candidate_pairs
     bucket builder (incl. the 4096 hot-bucket star guard, mirrored
     from the minhash oracle) and verifies exact cosine ≥ 0.9."""
-    from ..operators.similarity import _hyperplanes
+    import duckdb
 
-    n_bands, band_planes, seed, max_bucket, threshold = 12, 8, 42, 4096, 0.9
+    from ..operators.similarity import _hyperplanes, rp_band_params
+
+    seed, max_bucket, threshold = 42, 4096, 0.9
+    # corpus-size-aware banding, same sizing call as the operator:
+    # n = embeddings + the <50 planted twins the query adds
+    n_emb, n_planted = duckdb.sql(
+        f"SELECT count(*), count(*) FILTER (vec_id < 50)"
+        f" FROM read_parquet('{_sf_dir()}/embeddings.parquet')"
+    ).fetchall()[0]
+    band_planes, n_bands = rp_band_params(int(n_emb) + int(n_planted), threshold)
 
     def proj(pl) -> str:
         return (

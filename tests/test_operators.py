@@ -1317,3 +1317,38 @@ def test_kmeans_assign_matches_numpy_argmin(spark):
         assert got.cluster_id == int(d2[i].argmin())
         assert abs(got.dist2 - d2[i].min()) < 1e-9
         assert got.dist2 >= 0
+
+
+def test_rp_sign_bands_engines_bit_identical(spark, emb):
+    """The vectorized Arrow band engine and the pure-expression engine
+    produce IDENTICAL (doc_id, band, key) rows — the sequential
+    numpy accumulation replays the unrolled expression's IEEE order
+    exactly, which is what keeps the DuckDB oracle valid for either."""
+    vecs = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    a = {(r.doc_id, r.band, r.key)
+         for r in SIM.rp_sign_bands(vecs, engine="arrow").collect()}
+    b = {(r.doc_id, r.band, r.key)
+         for r in SIM.rp_sign_bands(vecs, engine="expr").collect()}
+    assert a == b and len(a) > 0
+
+
+def test_rp_band_params_scaling_law():
+    """Auto-sizing holds bucket size ~constant (planes ≈ log2(n/32))
+    and recomputes bands from the S-curve; at ≤2k vectors it equals
+    the historical fixed defaults so small-corpus results are
+    unchanged."""
+    from hadoop_pcap_spark.operators.similarity import rp_band_params
+
+    assert rp_band_params(550) == (8, 12)
+    assert rp_band_params(2050) == (8, 12)
+    p1, b1 = rp_band_params(60050)
+    p2, b2 = rp_band_params(1_000_000)
+    assert p2 > p1 > 8  # planes grow with n
+    assert b2 > b1 >= 12  # bands grow to hold the recall target
+    # expected bucket size stays bounded near the target
+    for n in (60050, 1_000_000):
+        planes, _ = rp_band_params(n)
+        assert n / 2 ** planes <= 64
