@@ -158,3 +158,34 @@ def test_coverage_doc_totals_match_registry():
         len(plans.QUERIES),
         len(plans.ORACLES),
     ), "COVERAGE.md totals drifted from plans.QUERIES/ORACLES"
+
+
+def test_ann_oracle_constants_match_operator_defaults():
+    """The generated ANN oracles (plans/ann_oracles.py) replay the
+    operators at their DEFAULT parameters; a default changed on one
+    side without the other would only surface as a driver hash
+    mismatch a round later — pin the pairing here instead."""
+    import inspect
+
+    from hadoop_pcap_spark.operators import similarity as S
+    from hadoop_pcap_spark.plans import ann_oracles as A
+
+    def defaults(fn):
+        return {
+            k: v.default for k, v in inspect.signature(fn).parameters.items()
+        }
+
+    ivf = defaults(S.cosine_topk_ivf)
+    assert (A.N_CELLS, A.N_PROBE, A.SAMPLE_SIZE, A.K) == (
+        ivf["n_cells"], ivf["n_probe"], ivf["sample_size"], ivf["k"])
+    pq = defaults(S.cosine_topk_pq)
+    assert (A.M_SUB, A.K_CODES, A.RERANK_FACTOR) == (
+        pq["m_sub"], pq["k_codes"], pq["rerank_factor"])
+    ipq = defaults(S.cosine_topk_ivfpq)
+    assert (A.IVFPQ_N_PROBE, A.IVFPQ_RERANK) == (
+        ipq["n_probe"], ipq["rerank_factor"])
+    lsh = defaults(S.cosine_topk_lsh)
+    assert (A.N_PLANES, A.PROBE_BITS, A.DIM) == (
+        lsh["n_planes"], lsh["probe_bits"], lsh["dim"])
+    # the rp near-dup sizing is shared CODE (rp_band_params), not
+    # constants — both sides call it, nothing to pin
