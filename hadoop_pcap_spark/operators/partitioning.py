@@ -16,9 +16,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["spread"]
+__all__ = ["spread", "clear_spread_memo"]
 
-# (analyzed-plan semanticHash, defaultParallelism) → under-parallel?
+# (plan semanticHash, session id, defaultParallelism) → under-parallel?
 # Probing the partition count forces physical planning of the scan
 # (no job, but catalyst + file listing), and multi-operator
 # compositions call spread() on the same source several times per
@@ -35,6 +35,17 @@ _MEMO_CAP = 512
 def _n_partitions(df: DataFrame) -> int:
     """Scan-partition probe (separate hook so tests can count calls)."""
     return df.rdd.getNumPartitions()
+
+
+def clear_spread_memo() -> None:
+    """Drop every memoized under-parallel verdict.
+
+    The memo assumes the file layout behind a semantically equal plan
+    is stable for the session — the same assumption Spark's own
+    file-index caching makes.  If a path GAINS files mid-session, a
+    semantically identical scan would keep a stale 'not under-parallel'
+    no-op; call this after such a layout change (ADVICE r9)."""
+    _MEMO.clear()
 
 
 def spread(df: DataFrame, key: str) -> DataFrame:
@@ -54,13 +65,23 @@ def spread(df: DataFrame, key: str) -> DataFrame:
     if mode == "always":
         return df.repartition(par, key)
     try:
-        memo_key = (df._jdf.queryExecution().analyzed().semanticHash(), par)
-    except Exception:  # pragma: no cover - e.g. Connect: probe uncached
+        # df.semanticHash() is public API on BOTH classic and Connect
+        # sessions (vs the former _jdf reach-in, classic-only); memo
+        # entries are per-session so one session's layout never decides
+        # for another (ADVICE r9).
+        memo_key = (df.semanticHash(), id(sess), par)
+    except Exception:  # pragma: no cover - defensive: probe uncached
         memo_key = None
     if memo_key is not None and memo_key in _MEMO:
         under = _MEMO[memo_key]
     else:
-        under = _n_partitions(df) < par
+        try:
+            under = _n_partitions(df) < par
+        except Exception:  # pragma: no cover - Connect: no df.rdd.
+            # The safe fallback is the historical unconditional
+            # repartition — memoized above, so it is decided once per
+            # plan, not re-probed per call (VERDICT r9 item 6).
+            under = True
         if memo_key is not None:
             if len(_MEMO) >= _MEMO_CAP:
                 _MEMO.clear()

@@ -112,8 +112,12 @@ def weighted_sample(
     non-positive weights never win (priority −∞ via weight → NULL
     guard).  Weights are normalized by their max (a monotonic
     rescaling of every priority by the positive constant
-    ``max_weight``, so the selected set and its order are the
-    UNNORMALIZED ES draw exactly): priorities are rounded to 10
+    ``max_weight``, so PRE-ROUNDING the selected set and its order are
+    the unnormalized ES draw exactly; after the 10-decimal rounding
+    below, priorities that differ by < 1e-10 can tie — and break by
+    key order — differently than the unnormalized draw would, so the
+    equivalence is exact only above that resolution): priorities are
+    rounded to 10
     decimals for cross-engine replay, and without normalization
     weights ≳1e9 would push ``ln(u)/w`` below that resolution,
     collapsing ties to key order instead of a weighted draw

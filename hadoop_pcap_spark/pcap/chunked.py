@@ -273,6 +273,12 @@ def index_capture_splits(
         else:
             return None  # compressed / pcapng / junk → serial path
         unpack_u32 = struct.Struct(fmt).unpack_from
+        # Sanity bound on incl_len: a corrupt record header (e.g.
+        # 0xFFFFFFFF) must not make the walk buffer the rest of the
+        # file in memory and emit it as one giant split — beyond any
+        # plausible snaplen we bail to the serial streamed path, which
+        # handles the corrupt tail with bounded memory.
+        max_incl = max(split_bytes, 1 << 26)
         splits = []
         buf = bytearray()
         buf_base = GLOBAL_HEADER_SIZE  # file offset of buf[0]
@@ -284,7 +290,10 @@ def index_capture_splits(
             buf += chunk
             pos, n = 0, len(buf)
             while pos + RECORD_HEADER_SIZE <= n:
-                nxt = pos + RECORD_HEADER_SIZE + unpack_u32(buf, pos + 8)[0]
+                incl = unpack_u32(buf, pos + 8)[0]
+                if incl > max_incl:
+                    return None
+                nxt = pos + RECORD_HEADER_SIZE + incl
                 if nxt > n:
                     break
                 pos = nxt

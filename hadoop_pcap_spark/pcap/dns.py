@@ -164,7 +164,10 @@ def _esc_value(raw: bytes) -> str:
 def _render_svcparam(key: int, val: bytes) -> str:
     """One RFC 9460 SvcParam in presentation form."""
     name = SVC_PARAM_KEYS.get(key, f"key{key}")
-    if key == 0:  # mandatory: list of key names
+    if key == 0 and len(val) % 2 == 0:  # mandatory: list of key names
+        # Odd-length values fall through to the generic escaped form —
+        # iter_unpack would raise struct.error and the caller's broad
+        # except would drop every parsed DNS field for the message.
         keys = [
             SVC_PARAM_KEYS.get(k, f"key{k}")
             for (k,) in struct.iter_unpack(">H", val)
@@ -319,7 +322,11 @@ def _render_rdata(data: bytes, rtype: int, rd_start: int, rd_len: int) -> str:
         end = rd_start + rd_len
         while p + 4 <= end:
             key, vlen = struct.unpack_from(">HH", data, p)
-            parts.append(_render_svcparam(key, data[p + 4 : p + 4 + vlen]))
+            # Clamp the value slice to the rdata boundary: a malformed
+            # vlen must not render bytes from subsequent RRs.
+            parts.append(
+                _render_svcparam(key, data[p + 4 : min(p + 4 + vlen, end)])
+            )
             p += 4 + vlen
         return " ".join(parts)
     if rtype == 45 and rd_len >= 3:  # IPSECKEY (RFC 4025)

@@ -649,6 +649,30 @@ def test_index_splits_refuses_unsplittable(tmp_path):
     assert index_capture_splits(str(j)) is None
 
 
+def test_index_splits_bails_on_corrupt_incl_len(tmp_path):
+    """ADVICE r9: a corrupt record header (incl_len 0xFFFFFFFF) mid-
+    file must not make the walk buffer the rest of the file in memory
+    and emit it as one giant split — the index bails to the serial
+    streamed path (None), which handles the corrupt tail with bounded
+    memory."""
+    from hadoop_pcap_spark.pcap.chunked import index_capture_splits
+
+    data = bytearray(_pcap_many(20))
+    # corrupt the 5th record's incl_len field in place: walk the chain
+    # to its header, then blow up the length
+    pos = 24
+    for _ in range(4):
+        incl = int.from_bytes(data[pos + 8 : pos + 12], "little")
+        pos += 16 + incl
+    data[pos + 8 : pos + 12] = b"\xff\xff\xff\xff"
+    p = tmp_path / "corrupt.pcap"
+    p.write_bytes(bytes(data))
+    assert index_capture_splits(str(p), split_bytes=300) is None
+    # and the split-parallel reader consequently falls back serial:
+    # read_pcap must still produce rows, not raise (exercised in the
+    # read-path test below via the None fallback)
+
+
 def test_split_read_equals_serial(spark, tmp_path):
     """read_pcap(split_single_files=True) is row-identical to the
     serial path — incl. a truncated tail, pkt_no rebasing across

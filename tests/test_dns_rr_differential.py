@@ -481,6 +481,37 @@ def test_svcb_unknown_key_and_escaping():
     assert message_with_rr(64, rdata).endswith("key668")
 
 
+def test_svcb_odd_length_mandatory_falls_back():
+    # ADVICE r9: an odd-length 'mandatory' value must not escape
+    # iter_unpack as struct.error (the caller's broad except would then
+    # null EVERY parsed DNS field for the message); it renders in the
+    # generic escaped form instead, like any other malformed value.
+    rdata = (
+        struct.pack(">H", 1)
+        + wire_name([b"x"])
+        + _svcparam(0, b"\x00\x01\x02")
+    )
+    out = message_with_rr(65, rdata)
+    assert out.endswith("mandatory=\\000\\001\\002")
+    # and a well-formed even-length value still renders as key names
+    rdata = struct.pack(">H", 1) + wire_name([b"x"]) + _svcparam(
+        0, struct.pack(">H", 3)
+    )
+    assert message_with_rr(65, rdata).endswith("mandatory=port")
+
+
+def test_svcb_vlen_clamped_to_rdata_boundary():
+    # ADVICE r9: a malformed vlen pointing past the rdata end must not
+    # render bytes of SUBSEQUENT message content into the param value.
+    inner = struct.pack(">H", 1) + wire_name([b"x"]) + struct.pack(
+        ">HH", 667, 64  # vlen 64 but only 2 value bytes inside rdata
+    ) + b"ab"
+    data = inner + b"FOREIGNBYTES"
+    out = D._render_rdata(data, 64, 0, len(inner))
+    assert out.endswith("key667=ab")
+    assert "FOREIGN" not in out
+
+
 def test_svcb_truncated_params_stop_cleanly():
     # a trailing half-header (2 bytes) after a valid param must not
     # raise; rendering stops at the last whole param
