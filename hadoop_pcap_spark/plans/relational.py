@@ -186,17 +186,40 @@ def q_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("approx_count_distinct")  # no oracle: HLL sketches differ across engines
+@query(
+    "approx_count_distinct",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
 def q_approx_count_distinct(spark: SparkSession, sf: str) -> DataFrame:
-    """approx_count_distinct (HLL++). Sketch values are engine-specific
-    → rows-only driver check; the pytest suite asserts <5% relative
-    error against the exact count instead.
-    Scale: this is THE distinct at 100 TB — constant memory, one pass,
-    mergeable sketches."""
+    """approx_count_distinct (HLL++) as a BOUND CONTRACT (VERDICT r9
+    item 2): the sketch ESTIMATE is engine-specific, so the query emits
+    the deterministic verdict ``|approx − exact| ≤ 5% · exact`` per
+    group instead (2.5× the configured 2% rsd — same margin the pytest
+    error-bound test has asserted since r1).  HLL++ register merges
+    are commutative max-merges, so the estimate — and hence the
+    boolean — is partitioning-independent; oracle = the exact groups,
+    all true.  Hash-checkable, retiring the rows-only residue.
+    Scale: the approx side is THE distinct at 100 TB — constant
+    memory, one pass, mergeable sketches; the exact side here exists
+    only to state the contract."""
     return (
         table(spark, sf, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("_approx"),
+            F.countDistinct("user_id").alias("n_exact"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("_approx") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("within_bound"),
+        )
     )
 
 
@@ -2611,33 +2634,114 @@ def q_time_bucket_gapfill(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("approx_percentiles_sketch")  # rows-only: sketch values are
-# engine-specific by construction; the error bound is pytest-asserted
-# against percentiles_exact (tests/test_operators.py)
+@query(
+    "approx_percentiles_sketch",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           TRUE AS qty_in_bound, TRUE AS price_in_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_approx_percentiles(spark: SparkSession, sf: str) -> DataFrame:
-    """Approximate percentiles per returnflag via percentile_approx
-    (Greenwald-Khanna sketch: bounded memory, mergeable across
-    partitions — the 100 TB default where the exact form needs a
-    per-group sort).  accuracy=1000 ⇒ rank error ≤ 0.1%."""
-    return (
-        table(spark, sf, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.percentile_approx("l_quantity", 0.5, 1000).alias("median_qty"),
-            F.percentile_approx("l_extendedprice", 0.9, 1000).alias("p90_price"),
-        )
-        .orderBy("l_returnflag")
+    """Approximate percentiles (percentile_approx, Greenwald–Khanna
+    sketch: bounded memory, mergeable across partitions — the 100 TB
+    default where the exact form needs a per-group sort) as a BOUND
+    CONTRACT (VERDICT r9 item 2): the sketch VALUE can jitter with
+    partitioning, so the query emits the deterministic rank-error
+    verdict instead — the returned value v must satisfy
+    ``#(x ≤ v) ≥ (p − ε)·n`` and ``#(x < v) ≤ (p + ε)·n`` with
+    ε = 0.005, 5× the accuracy=1000 guarantee of 0.001, so ANY valid
+    sketch (however the merges happened) lands true.  Oracle = the
+    exact groups, all true.
+    Scale: one grouped sketch pass, the 4-row sketch result broadcast
+    back onto the fact scan, one counting agg — no extra shuffle."""
+    eps = 0.005
+    li = table(spark, sf, "lineitem")
+    sk = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, 1000).alias("_q50"),
+        F.percentile_approx("l_extendedprice", 0.9, 1000).alias("_p90"),
+    )
+    j = li.join(F.broadcast(sk), "l_returnflag")
+    agg = j.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("l_quantity") <= F.col("_q50")).cast("long")).alias("_le_q"),
+        F.sum((F.col("l_quantity") < F.col("_q50")).cast("long")).alias("_lt_q"),
+        F.sum(
+            (F.col("l_extendedprice") <= F.col("_p90")).cast("long")
+        ).alias("_le_p"),
+        F.sum(
+            (F.col("l_extendedprice") < F.col("_p90")).cast("long")
+        ).alias("_lt_p"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        (
+            (F.col("_le_q") >= (0.5 - eps) * F.col("n"))
+            & (F.col("_lt_q") <= (0.5 + eps) * F.col("n"))
+        ).alias("qty_in_bound"),
+        (
+            (F.col("_le_p") >= (0.9 - eps) * F.col("n"))
+            & (F.col("_lt_p") <= (0.9 + eps) * F.col("n"))
+        ).alias("price_in_bound"),
     )
 
 
-@query("frequent_items_sketch")  # rows-only: freq counts above the
-# threshold are exact-superset by the space-saving guarantee;
-# pytest asserts true heavy hitters are all present
+@query(
+    "frequent_items_sketch",
+    oracle="""
+    WITH tot AS (SELECT count(*) AS n FROM events)
+    SELECT col, item, TRUE AS present FROM (
+      SELECT 'event_type' AS col, event_type AS item, count(*) AS c
+      FROM events GROUP BY event_type
+      UNION ALL
+      SELECT 'user_id' AS col, CAST(user_id AS VARCHAR) AS item, count(*) AS c
+      FROM events GROUP BY user_id
+    ) h, tot WHERE h.c > 0.05 * tot.n
+    """,
+)
 def q_frequent_items(spark: SparkSession, sf: str) -> DataFrame:
     """Heavy hitters over (event_type, user_id) via the space-saving
     style freqItems sketch — single pass, bounded memory, no exact
-    groupBy of the full key space.  The guarantee is one-sided
-    (superset of everything above the support threshold), which is
-    the right trade for 'which keys would skew my shuffle'."""
+    groupBy of the full key space — as a BOUND CONTRACT (VERDICT r9
+    item 2): the sketch's false-positive SET varies with partitioning,
+    but its one-sided guarantee (every key with true frequency
+    > support·n is present) is deterministic, so the query emits one
+    row per TRUE heavy hitter with its sketch-membership verdict.
+    Oracle = the exact heavy hitters, all present.
+    Scale: the sketch is one pass; the exact side (two small groupBys
+    against a broadcast 1-row total and the broadcast 1-row sketch)
+    exists only to state the contract — 'which keys would skew my
+    shuffle' stays answerable without an exact full-key-space agg."""
     ev = table(spark, sf, "events")
-    return ev.stat.freqItems(["event_type", "user_id"], support=0.05)
+    sk = ev.stat.freqItems(["event_type", "user_id"], support=0.05)
+    tot = ev.agg(F.count("*").alias("_n"))
+    et = (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("_c"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("_c") > 0.05 * F.col("_n"))
+        .crossJoin(F.broadcast(sk))
+        .select(
+            F.lit("event_type").alias("col"),
+            F.col("event_type").alias("item"),
+            F.array_contains(
+                F.col("event_type_freqItems"), F.col("event_type")
+            ).alias("present"),
+        )
+    )
+    uid = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("_c"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("_c") > 0.05 * F.col("_n"))
+        .crossJoin(F.broadcast(sk))
+        .select(
+            F.lit("user_id").alias("col"),
+            F.col("user_id").cast("string").alias("item"),
+            F.array_contains(
+                F.col("user_id_freqItems"), F.col("user_id")
+            ).alias("present"),
+        )
+    )
+    return et.unionByName(uid)

@@ -11,19 +11,17 @@ def test_registry_shape():
     assert len(qs) >= 60
     assert set(os_) <= set(qs), "oracle without a query"
     rows_only = set(qs) - set(os_)
-    # rows-only set is exactly the sketch queries — the inherently
-    # RANDOM residue (error-bound pytest instead).  (Five fixture pcap
-    # queries gained synthesizer-ground-truth oracles in round 5;
-    # TCP-reassembly + enriched-flows and the three template-cyclic
-    # throughput benches followed in round 6; the five deterministic
-    # ANN variants gained generated model-replay oracles in round 9 —
-    # plans/ann_oracles.py — so every DETERMINISTIC query now carries
-    # one.)
-    assert rows_only == {
-        "approx_count_distinct",
-        "approx_percentiles_sketch",
-        "frequent_items_sketch",
-    }, f"unexpected rows-only set: {sorted(rows_only)}"
+    # rows-only residue retired in round 10: the three sketch queries
+    # (whose raw estimates are engine-specific) became deterministic
+    # BOUND CONTRACTS — each emits per-group within-error-bound
+    # verdicts computed against the exact value in the same query, so
+    # every registered query now carries a hash-checkable oracle.
+    # (Five fixture pcap queries gained synthesizer-ground-truth
+    # oracles in round 5; TCP-reassembly + enriched-flows and the
+    # three template-cyclic throughput benches in round 6; the five
+    # deterministic ANN variants via generated model-replay oracles in
+    # round 9 — plans/ann_oracles.py.)
+    assert rows_only == set(), f"unexpected rows-only set: {sorted(rows_only)}"
     for name, fn in qs.items():
         assert callable(fn), name
 
