@@ -611,20 +611,28 @@ def main():
     # moves with suite position and background phase, not host noise
     # alone — which is why per-row cpu is only compared against the
     # SAME row in the SAME suite order across rounds.
-    sentinel = "dedup_minhash_lsh"
-    s_wall, s_cpu, _ = time_query(sentinel)
-    ratio = s_wall / timings[sentinel] if timings[sentinel] else 1.0
-    cpu_ratio = s_cpu / cpu_timings[sentinel] if cpu_timings[sentinel] else 1.0
-    drifted = bool(max(ratio, 1.0 / ratio) > 1.25)
-    extras["drift_sentinel"] = {
-        "query": sentinel,
-        "end_wall_s": s_wall,
-        "end_cpu_s": s_cpu,
-        "ref_wall_s": timings[sentinel],
-        "ref_cpu_s": cpu_timings[sentinel],
-        "wall_ratio": round(ratio, 3),
-        "cpu_ratio": round(cpu_ratio, 3),
-    }
+    # TWO sentinels since r10 (VERDICT r9 item 1): the shuffle-heavy
+    # minhash row and a cheap decode probe — the r9 artifact passed its
+    # single minhash wall gate by 0.024 while the decode rows rose
+    # ~1.9x unadjudicated; a Python-kernel-bound sentinel catches
+    # pressure that a JVM-shuffle sentinel can sit just under.
+    sentinels = ["dedup_minhash_lsh", "pcap_decode_100k"]
+    extras["drift_sentinel"] = []
+    drifted = False
+    for sentinel in sentinels:
+        s_wall, s_cpu, _ = time_query(sentinel)
+        ratio = s_wall / timings[sentinel] if timings[sentinel] else 1.0
+        cpu_ratio = s_cpu / cpu_timings[sentinel] if cpu_timings[sentinel] else 1.0
+        drifted = drifted or bool(max(ratio, 1.0 / ratio) > 1.25)
+        extras["drift_sentinel"].append({
+            "query": sentinel,
+            "end_wall_s": s_wall,
+            "end_cpu_s": s_cpu,
+            "ref_wall_s": timings[sentinel],
+            "ref_cpu_s": cpu_timings[sentinel],
+            "wall_ratio": round(ratio, 3),
+            "cpu_ratio": round(cpu_ratio, 3),
+        })
 
     extras["calib_end"] = calibrate()
     # contended iff the BEST start probe (post-backoff if one ran) or
@@ -657,7 +665,7 @@ def main():
                 # run; do NOT use these numbers as a regression
                 # baseline (compare cpu-seconds, or re-run quiet)
                 "contended": contended,
-                # true ⇒ the end-of-suite sentinel re-time moved >25%
+                # true ⇒ an end-of-suite sentinel re-time moved >25%
                 # vs its own min: contention arrived/left mid-window
                 "drifted": drifted,
                 "runs": runs,
