@@ -1,0 +1,234 @@
+"""Persisted IVF+PQ ANN index: build once, query many times.
+
+The in-line ANN operators (similarity.cosine_topk_ivfpq and friends)
+retrain the bounded model and re-assign/encode the ENTIRE corpus on
+every call — correct, but at 100 TB the corpus assignment+encode pass
+dominates repeated queries (VERDICT r9 item 5).  This module factors
+the index into its classic storage form, the way FAISS/Milvus-style
+deployments and the reference's own Hive-side CLUSTERED BY storage
+(hadoop-pcap-serde/README.md) amortize layout work:
+
+* :func:`write_ann_index` — train centroids + PQ codebooks ONCE on the
+  bounded deterministic sample (the shared similarity.py trainers),
+  encode the corpus ONCE, and store ``(n_id, n_norm, cell, codes)`` as
+  a parquet table BUCKETED BY cell (operators/bucketing.py motif, so
+  the probed-cell scan prunes buckets), plus a 1-row model sidecar
+  table ``<table>__model`` carrying centroids / codebooks / params.
+* :func:`read_ann_index` — load the sidecar into an :class:`AnnIndex`
+  handle.  One O(cells·dim) row read; NO corpus job, NO training.
+* :func:`cosine_topk_indexed` — the IVF+PQ query path over the
+  persisted table: centroid routing of the queries (plan literals),
+  bucket-pruned scan of the probed cells, ADC scoring on the stored
+  codes, exact rerank of the shortlist against the TRUE vector table.
+  Bit-for-bit identical to ``cosine_topk_ivfpq(corpus, queries)`` at
+  the same params — n_norm / cell / codes round-trip parquet exactly
+  (doubles and ints), and the scoring expressions are the same shared
+  code — which is what the registry oracle hash-checks.
+
+Query-path plan properties (CI-asserted, tests/test_plans.py):
+
+* ZERO training jobs — the handle already holds the model; the
+  trainers are never called (poison-pin tested).
+* ZERO shuffles over the index scan — the probe join broadcasts the
+  (tiny) exploded query side; the scored frame's plan has no Exchange
+  at all.  The only shuffles in the full query are the per-query
+  shortlist window and the rerank join, both bounded by
+  queries × rerank_factor·k, invariant in corpus size.
+* Bucket pruning — with ``prune_cells=True`` (default) the scan reads
+  only buckets hosting probed cells (``SelectedBucketsCount`` in the
+  plan), paying one bounded job over the QUERY frame (n_queries ×
+  n_probe cell ids) to learn the probe set — the ANN-training-sample
+  budget class, never a corpus pass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .similarity import (
+    _exact_rerank,
+    _kmeans_centroids,
+    _nearest_cells_expr,
+    _norm,
+    _pq_codebooks,
+    _pq_encode_udf,
+    _pq_recon_dot_expr,
+)
+
+__all__ = ["AnnIndex", "write_ann_index", "read_ann_index", "cosine_topk_indexed"]
+
+_MODEL_SUFFIX = "__model"
+
+
+@dataclass
+class AnnIndex:
+    """Handle over a persisted index: the bucketed codes table name and
+    the driver-side model arrays (numpy, exactly as trained)."""
+
+    spark: SparkSession
+    table: str
+    C: "object"  # (n_cells, dim) float64
+    CB: "object"  # (m_sub, k_codes, sub) float64
+    n_buckets: int
+    id_col: str
+    vec_col: str
+
+    def codes(self) -> DataFrame:
+        return self.spark.table(self.table)
+
+
+def write_ann_index(
+    corpus: DataFrame,
+    table: str,
+    n_cells: int = 32,
+    m_sub: int = 16,
+    k_codes: int = 64,
+    sample_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: Optional[int] = None,
+) -> None:
+    """Train the IVF+PQ model on the bounded deterministic sample and
+    persist the encoded corpus bucketed by cell (+ model sidecar).
+
+    Scale: training collects ``sample_size`` vectors (bounded, the
+    same budget as the in-line operators); the encode is ONE pass over
+    the corpus — a codegen'd routing expression plus the Arrow-batched
+    PQ encoder — and the write shuffles once into ``n_buckets``
+    cell-hashed buckets.  That pass is exactly what the in-line
+    operators pay PER QUERY CALL; here it is paid once."""
+    spark = corpus.sparkSession
+    sample = corpus.orderBy(id_col).limit(sample_size).select(vec_col).collect()
+    vecs = [r[0] for r in sample]
+    C = _kmeans_centroids(vecs, n_cells)
+    CB = _pq_codebooks(vecs, m_sub, k_codes)
+    nb = n_buckets or n_cells
+
+    enc = corpus.select(
+        F.col(id_col).alias("n_id"),
+        _norm(F.col(vec_col)).alias("n_norm"),
+        F.element_at(_nearest_cells_expr(C, F.col(vec_col), 1), 1).alias("cell"),
+        _pq_encode_udf(CB)(F.col(vec_col)).alias("codes"),
+    )
+    (
+        enc.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(nb, "cell")
+        .sortBy("cell")
+        .saveAsTable(table)
+    )
+    # model sidecar: one row, O(cells·dim + m·K·sub) doubles — parquet
+    # round-trips float64 exactly, so read_ann_index reconstructs the
+    # trained arrays bit-for-bit
+    mrow = [
+        (
+            int(n_cells),
+            int(m_sub),
+            int(k_codes),
+            int(CB.shape[2]),
+            int(C.shape[1]),
+            int(nb),
+            id_col,
+            vec_col,
+            [[float(x) for x in row] for row in C],
+            [
+                [[float(x) for x in code] for code in book]
+                for book in CB
+            ],
+        )
+    ]
+    spark.createDataFrame(
+        mrow,
+        "n_cells int, m_sub int, k_codes int, sub int, dim int,"
+        " n_buckets int, id_col string, vec_col string,"
+        " centroids array<array<double>>,"
+        " codebooks array<array<array<double>>>",
+    ).write.format("parquet").mode("overwrite").saveAsTable(table + _MODEL_SUFFIX)
+
+
+def read_ann_index(spark: SparkSession, table: str) -> AnnIndex:
+    """Load the model sidecar into an :class:`AnnIndex` handle.  One
+    1-row read; no corpus job, no training — the query path over the
+    handle must never call the trainers (CI poison-pin assert)."""
+    import numpy as np
+
+    r = spark.table(table + _MODEL_SUFFIX).first()
+    C = np.asarray(r.centroids, dtype=np.float64)
+    CB = np.asarray(r.codebooks, dtype=np.float64)
+    assert C.shape == (r.n_cells, r.dim)
+    assert CB.shape == (r.m_sub, r.k_codes, r.sub)
+    return AnnIndex(
+        spark=spark,
+        table=table,
+        C=C,
+        CB=CB,
+        n_buckets=r.n_buckets,
+        id_col=r.id_col,
+        vec_col=r.vec_col,
+    )
+
+
+def _indexed_approx(
+    index: AnnIndex,
+    queries: DataFrame,
+    n_probe: int,
+    prune_cells: bool,
+) -> DataFrame:
+    """ADC-scored (q_id, q_vec, q_norm, n_id, acos) pairs over the
+    persisted codes — the Exchange-free stage the CI plan test pins:
+    bucket-prunable scan → broadcast probe join → codegen ADC."""
+    id_col, vec_col = index.id_col, index.vec_col
+    q_probes = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+        F.explode_outer(
+            _nearest_cells_expr(index.C, F.col(vec_col), n_probe)
+        ).alias("cell"),
+    )
+    enc = index.codes()
+    if prune_cells:
+        # bounded job over the QUERY frame only (n_queries × n_probe
+        # ints) — lets the bucketed scan skip every bucket hosting no
+        # probed cell (SelectedBucketsCount in the plan).  The filter
+        # cannot change the result: the join key is the same cell.
+        probed = sorted(
+            {r[0] for r in q_probes.select("cell").distinct().collect()}
+        )
+        enc = enc.filter(F.col("cell").isin(probed))
+    return (
+        enc.join(F.broadcast(q_probes), "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "acos",
+            _pq_recon_dot_expr(index.CB)
+            / F.nullif(F.col("q_norm") * F.col("n_norm"), F.lit(0.0)),
+        )
+        .select("q_id", "q_vec", "q_norm", "n_id", "acos")
+    )
+
+
+def cosine_topk_indexed(
+    index: AnnIndex,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_probe: int = 16,
+    rerank_factor: int = 16,
+    prune_cells: bool = True,
+) -> DataFrame:
+    """IVF+PQ top-k over a persisted index — bit-for-bit the result of
+    ``cosine_topk_ivfpq(corpus, queries)`` at the same params, without
+    the per-call training + corpus encode.  ``corpus`` is the TRUE
+    vector table, touched only by the exact rerank join of the
+    ``rerank_factor·k`` shortlist (invariant in corpus size)."""
+    approx = _indexed_approx(index, queries, n_probe, prune_cells)
+    w = Window.partitionBy("q_id").orderBy(F.desc("acos"), F.asc("n_id"))
+    shortlist = approx.withColumn("arank", F.row_number().over(w)).filter(
+        F.col("arank") <= rerank_factor * k
+    )
+    return _exact_rerank(shortlist, corpus, k, index.id_col, index.vec_col)

@@ -497,6 +497,64 @@ def q_similarity_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     ).withColumn("rank", F.col("rank").cast("long"))
 
 
+def _ann_index_table(spark: SparkSession, sf: str) -> str:
+    """Build-once persisted IVF+PQ index over the embeddings table,
+    keyed by the source parquet's identity (path+mtime+size, the
+    join_bucketed_docs convention) so a regenerated dataset re-indexes
+    instead of serving stale codes; stale keys for the same dataset
+    are dropped so the warehouse stays bounded.  The default in-memory
+    catalog is session-local while managed locations persist on disk,
+    so a leftover location without catalog metadata is rebuilt."""
+    import hashlib
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from ..operators.ann_index import write_ann_index
+
+    p = os.path.join(sf, "embeddings.parquet")
+    st = os.stat(p)
+    key = hashlib.md5(
+        f"{os.path.abspath(p)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:10]
+    t = f"ann_ivfpq_{key}"
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    if os.path.isdir(wh):
+        for old in os.listdir(wh):
+            if old.startswith("ann_ivfpq_") and not old.startswith(t):
+                spark.sql(f"DROP TABLE IF EXISTS {old}")
+                shutil.rmtree(os.path.join(wh, old), ignore_errors=True)
+    if not (
+        spark.catalog.tableExists(t)
+        and spark.catalog.tableExists(t + "__model")
+    ):
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+        shutil.rmtree(os.path.join(wh, t + "__model"), ignore_errors=True)
+        write_ann_index(table(spark, sf, "embeddings"), t)
+    return t
+
+
+@query("similarity_ann_index_persisted", oracle=ANN.ivfpq_oracle)
+def q_similarity_ann_persisted(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF+PQ search over a PERSISTED index (operators/ann_index.py):
+    the corpus is encoded once into a cell-bucketed codes table + model
+    sidecar, and the query path runs zero training jobs and zero
+    shuffles over the index scan (bucket-pruned probe join, plan
+    CI-asserted) — the build-once/query-many shape that dominates at
+    100 TB where the in-line variant's per-call corpus encode would.
+    Same params as similarity_ann_ivfpq, and the stored
+    norm/cell/codes round-trip parquet exactly, so the result is
+    bit-for-bit the in-line variant's — hash-checked against the SAME
+    generated model-replay oracle."""
+    emb = table(spark, sf, "embeddings")
+    from ..operators.ann_index import cosine_topk_indexed, read_ann_index
+
+    idx = read_ann_index(spark, _ann_index_table(spark, sf))
+    return cosine_topk_indexed(
+        idx, emb.filter(F.col("vec_id") < 8), emb, k=5
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
 @query("dedup_embedding_cosine_rp", oracle=ANN.rp_neardup_oracle)
 # recall ≥0.9 at threshold 0.9 additionally pytest-asserted on
 # planted near-dups (test_operators.py); hash-checked since r9 — the

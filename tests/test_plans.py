@@ -365,6 +365,127 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_stats")
 
 
+def _drop_table_and_location(spark, table):
+    """Drop a test table AND its managed location: the in-memory
+    catalog is session-local while locations persist on disk, so an
+    interrupted earlier run leaves an orphan dir that fails the next
+    saveAsTable with LOCATION_ALREADY_EXISTS."""
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in (table, table + "__model"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+
+
+def test_ann_index_query_path_no_training_no_corpus_shuffle(spark):
+    """The persisted-ANN-index query path (VERDICT r9 item 5),
+    CI-asserted three ways:
+
+    1. ZERO training jobs — read_ann_index + cosine_topk_indexed must
+       never call the trainers (poison-pinned here);
+    2. ZERO shuffles over the index scan — the ADC-scored stage's plan
+       contains no Exchange at all (scan → filter → broadcast probe
+       join → project);
+    3. bucket pruning — the pruned scan reads only buckets hosting
+       probed cells (SelectedBucketsCount strictly below total)."""
+    import hadoop_pcap_spark.operators.similarity as SIM
+    from hadoop_pcap_spark.operators.ann_index import (
+        _indexed_approx,
+        cosine_topk_indexed,
+        read_ann_index,
+        write_ann_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    _drop_table_and_location(spark, "ann_plan_probe")
+    try:
+        write_ann_index(emb, "ann_plan_probe", n_cells=8, sample_size=256)
+
+        def _poison(*a, **k):  # noqa: ANN002
+            raise AssertionError("query path must not train")
+
+        orig_km, orig_pq = SIM._kmeans_centroids, SIM._pq_codebooks
+        SIM._kmeans_centroids, SIM._pq_codebooks = _poison, _poison
+        try:
+            idx = read_ann_index(spark, "ann_plan_probe")
+            queries = emb.filter(F.col("vec_id") < 4)
+            approx = _indexed_approx(idx, queries, n_probe=2, prune_cells=True)
+            plan = plan_of(approx)
+            # the only Exchange allowed is the BroadcastExchange of the
+            # tiny probe side; a shuffle (hash/range) over the index
+            # scan is the scale-killer this test exists to ban
+            assert "Exchange hashpartitioning" not in plan, plan
+            assert "Exchange rangepartitioning" not in plan, plan
+            assert "BroadcastHashJoin" in plan, plan
+            # default planner: DisableUnnecessaryBucketedScan trades
+            # the bucketed scan for parallelism (nothing downstream
+            # exploits the partitioning), but the probe-cell filter
+            # still pushes into the parquet scan, where the per-bucket
+            # cell SORT makes it row-group-level pruning
+            assert "PushedFilters: [In(cell" in plan, plan
+            # with auto-bucketed-scan pinned on, the same query prunes
+            # whole BUCKETS (the at-scale skip-the-files lever)
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                "false",
+            )
+            try:
+                plan_b = plan_of(
+                    _indexed_approx(idx, queries, n_probe=2, prune_cells=True)
+                )
+            finally:
+                spark.conf.unset(
+                    "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+                )
+            assert "SelectedBucketsCount: " in plan_b, plan_b
+            sel = plan_b.split("SelectedBucketsCount: ")[1].splitlines()[0]
+            n_sel, n_tot = sel.rstrip(")").split(" out of ")
+            assert int(n_sel) < int(n_tot), sel
+            # and the full query still runs + returns ranked rows
+            out = cosine_topk_indexed(
+                idx, queries, emb, k=3, n_probe=2
+            ).collect()
+            assert out and all(1 <= r.rank <= 3 for r in out)
+        finally:
+            SIM._kmeans_centroids, SIM._pq_codebooks = orig_km, orig_pq
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ann_plan_probe")
+        spark.sql("DROP TABLE IF EXISTS ann_plan_probe__model")
+
+
+def test_ann_index_matches_inline_bit_for_bit(spark):
+    """cosine_topk_indexed over the persisted index == the in-line
+    cosine_topk_ivfpq at the same params, row for row — the storage
+    round-trip (norm doubles, cell ints, code arrays) loses nothing."""
+    from hadoop_pcap_spark.operators.ann_index import (
+        cosine_topk_indexed,
+        read_ann_index,
+        write_ann_index,
+    )
+    from hadoop_pcap_spark.operators.similarity import cosine_topk_ivfpq
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    _drop_table_and_location(spark, "ann_parity_probe")
+    try:
+        write_ann_index(emb, "ann_parity_probe")
+        idx = read_ann_index(spark, "ann_parity_probe")
+        got = sorted(
+            cosine_topk_indexed(idx, queries, emb, k=5).collect(),
+            key=lambda r: (r.q_id, r.rank),
+        )
+        want = sorted(
+            cosine_topk_ivfpq(emb, queries, k=5).collect(),
+            key=lambda r: (r.q_id, r.rank),
+        )
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ann_parity_probe")
+        spark.sql("DROP TABLE IF EXISTS ann_parity_probe__model")
+
+
 def test_scd2_history_single_exchange(spark):
     """The whole SCD2 history build — change flag, island numbering,
     per-island aggregate, validity lead — reuses ONE clustering on the
