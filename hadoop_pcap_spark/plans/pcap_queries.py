@@ -950,6 +950,181 @@ def q_streaming_pcap_ingest(spark: SparkSession, sf: str) -> DataFrame:
     return _run_to_memory(agg, "complete", "pcap_ingest")
 
 
+# --- watermarked streaming ingestion (append mode, late packets) ------------
+#
+# Per-file capture timestamps (epoch s) for the watermark fixture:
+# event time mostly advances with arrival order (file mtimes are
+# staged 10 s apart, so micro-batch order is pinned).  The script
+# exercises every append-mode outcome under Spark's DUAL-WATERMARK
+# micro-batch semantics, empirically pinned while building this
+# fixture (recentProgress watermark trace; the SPARK-40925 design):
+# batch j late-FILTERS rows whose window is already finalized under
+# the watermark of batch j−1 (`watermarkForLateEvents` — one batch
+# more lagged than eviction, and per-WINDOW, never per-row ts), then
+# EVICTS/emits windows closed under the watermark of batch j itself
+# (`watermarkForEviction` = max event time of batches < j, − delay —
+# what recentProgress reports; the current batch's own rows move the
+# watermark only for batch j+1, and the trailing no-data batch runs
+# the final eviction over everything):
+#
+# * ts 1030 (batch 1, late-wm −inf): window [1020,1080) open →
+#   ACCEPTED although ts < the eviction watermark 1040 — the
+#   out-of-order-but-in-window acceptance case;
+# * ts 1035 (batch 2, late-wm 1040): window end 1080 > 1040 →
+#   ACCEPTED even though eviction-wm 1100 closes that window in this
+#   same batch — it lands in the (1020,…) row emitted at batch 2;
+# * ts 1005 (batch 3, late-wm 1100): window [960,1020) end 1020 ≤
+#   1100, finalized two batches ago → DROPPED — the hopeless-late
+#   case (were it not dropped, append would re-emit [960,1020) and
+#   the hash check would see 5 rows);
+# * [1240,1300) stays open at stream end (final watermark 1230) →
+#   WITHHELD — the append-mode unemitted tail.
+#
+# Every window end sits ≥20 s from every watermark value, so no
+# boundary (≤ vs <) ambiguity can flip the result.
+_WMARK_FILES = [
+    [1000, 1010, 1050, 1070],
+    [1120, 1130, 1030],
+    [1190, 1115, 1035],
+    [1250, 1260, 1005],
+]
+_WMARK_DELAY_S = 30
+_WMARK_WINDOW_S = 60
+
+
+def _wmark_frame() -> bytes:
+    q = S.dns_query(7, "example.com")
+    return S.ethernet(
+        S.ipv4(S.udp(q, 5353, 53, "10.0.0.1", "10.0.0.2"), 17,
+               "10.0.0.1", "10.0.0.2")
+    )
+
+
+def wmark_dir() -> str:
+    """Four tiny capture files with CONTROLLED mtimes (10 s apart, so
+    the file stream's oldest-first discovery yields one file per
+    micro-batch deterministically) and the _WMARK_FILES capture-time
+    script — the late-packet fixture behind
+    ``streaming_pcap_watermark``."""
+    d = _fixture_subdir("wmark_v3")
+    paths = [os.path.join(d, f"wm{fi}.pcap") for fi in range(len(_WMARK_FILES))]
+    if all(os.path.exists(p) for p in paths):
+        return d
+    frame = _wmark_frame()
+    for fi, tss in enumerate(_WMARK_FILES):
+        data = S.global_header(1) + b"".join(S.record(ts, frame) for ts in tss)
+        _atomic_write(paths[fi], data)
+        t = 1700000000 + fi * 10
+        os.utime(paths[fi], (t, t))
+    return d
+
+
+def wmark_truth_path() -> str:
+    """Expected append-mode output for ``streaming_pcap_watermark``,
+    replayed from the SYNTHESIS INTENT — the decoder and engine never
+    consulted.  The replay encodes Spark's DUAL-WATERMARK micro-batch
+    lifecycle (see the _WMARK_FILES comment; pinned empirically from
+    the recentProgress watermark trace and matching SPARK-40925's
+    watermarkForLateEvents / watermarkForEviction split):
+
+    * batch j drops a row as late iff its WINDOW is already finalized
+      under the watermark of batch j−1 (per-window, never per-row ts
+      — a below-watermark row whose window is still open is ACCEPTED);
+    * batch j then emits and evicts windows whose end is at or below
+      the watermark of batch j itself (max event time of batches ≤ j,
+      minus delay; the trailing no-data batch runs the final one);
+    * when the AvailableNow stream ends, still-open windows are NOT
+      emitted — the withheld tail ([1240,1300) here) is as much a
+      part of append semantics as the late drop."""
+    win, delay = _WMARK_WINDOW_S, _WMARK_DELAY_S
+    plen = len(S.dns_query(7, "example.com"))
+    state: dict = {}
+    emitted = []
+
+    def _evict(wm) -> None:
+        for ws in sorted(w for w in state if wm is not None and w + win <= wm):
+            emitted.append(
+                {
+                    "win_start": ws,
+                    "win_end": ws + win,
+                    "n_pkts": state.pop(ws),
+                }
+            )
+
+    # wm_evict for batch j = max event time of batches < j, − delay
+    # (what recentProgress reports as the batch's watermark); wm_late
+    # lags one batch further.  Both EXCLUDE the current batch's rows.
+    wm_late = wm_evict = None
+    max_seen = None
+    for tss in _WMARK_FILES:
+        for ts in tss:
+            ws = (ts // win) * win
+            if wm_late is not None and ws + win <= wm_late:
+                continue  # late: the window is already finalized
+            state[ws] = state.get(ws, 0) + 1
+        _evict(wm_evict)
+        max_seen = max(tss) if max_seen is None else max(max_seen, max(tss))
+        wm_late, wm_evict = wm_evict, max_seen - delay
+    _evict(wm_evict)  # the trailing no-data batch's final eviction
+    rows = [
+        {**r, "total_len": r["n_pkts"] * plen}
+        for r in sorted(emitted, key=lambda r: r["win_start"])
+    ]
+    return _write_truth_parquet(
+        "wmark_truth_v4",
+        rows,
+        [
+            ("win_start", "int64"),
+            ("win_end", "int64"),
+            ("n_pkts", "int64"),
+            ("total_len", "int64"),
+        ],
+    )
+
+
+@query(
+    "streaming_pcap_watermark",
+    oracle=lambda: f"""
+    SELECT win_start, win_end, n_pkts, total_len FROM '{wmark_truth_path()}'
+    """,
+)
+def q_streaming_pcap_watermark(spark: SparkSession, sf: str) -> DataFrame:
+    """APPEND-mode watermarked window aggregation over capture time
+    (VERDICT r9 item 7): read_pcap_stream with maxFilesPerTrigger=1
+    replays 4 micro-batches of rotated capture files, the watermark
+    rides the packet timestamps (withWatermark on the ts-derived
+    event time), and the tumbling 60 s per-window packet/byte counts
+    are emitted ONLY once the watermark passes the window — the
+    late-packet semantics the complete-mode streaming_pcap_ingest row
+    cannot pin.  The fixture scripts one hopeless-late packet
+    (dropped) and one within-delay late packet (counted); the oracle
+    replays the documented watermark lifecycle from synthesis intent,
+    so the hash check pins drop, accept, emission AND the withheld
+    still-open tail.
+    Scale: state is one row per open window; the watermark bounds it
+    regardless of stream length — the property this query certifies."""
+    from ..sources import read_pcap_stream
+    from .streaming_queries import _run_to_memory
+
+    stream = read_pcap_stream(spark, wmark_dir(), max_files_per_trigger=1)
+    agg = (
+        stream.withColumn("ts_ts", F.timestamp_seconds(F.col("ts")))
+        .withWatermark("ts_ts", f"{_WMARK_DELAY_S} seconds")
+        .groupBy(F.window("ts_ts", f"{_WMARK_WINDOW_S} seconds"))
+        .agg(
+            F.count("*").alias("n_pkts"),
+            F.sum("len").alias("total_len"),
+        )
+    )
+    sink = _run_to_memory(agg, "append", "pcap_wmark")
+    return sink.select(
+        F.unix_seconds(F.col("window.start")).alias("win_start"),
+        F.unix_seconds(F.col("window.end")).alias("win_end"),
+        "n_pkts",
+        "total_len",
+    ).orderBy("win_start")
+
+
 @query(
     "pcap_decode_100k",
     oracle=lambda: f"""
