@@ -58,6 +58,13 @@ HEADLINE = [
     # constraint; the serial same-file reference run and the speedup
     # land in extras["single_file_decode"]
     "pcap_decode_1file_parallel",
+    # round 10: IVF+PQ search over the PERSISTED index — run 1 of the
+    # min-of-3 pays the build (train + corpus encode, warehouse-cached
+    # by source identity thereafter), runs 2-3 measure the query-many
+    # path the index exists for; compare against similarity_ann_ivfpq
+    # below... the in-line twin is not a headline row, so the
+    # amortization evidence is extras["ann_index_amortization"]
+    "similarity_ann_index_persisted",
 ]
 
 
@@ -287,6 +294,27 @@ def main():
         "speedup": round(serial_wall / timings["pcap_decode_1file_parallel"], 2),
     }
     print(f"# single_file_decode: {extras['single_file_decode']}", file=sys.stderr, flush=True)
+
+    # Amortization evidence for the persisted ANN index: one run of
+    # the IN-LINE IVF+PQ twin (which retrains + re-encodes the corpus
+    # every call) against the headline persisted-index row above.
+    # One run, not min-of-N: the in-line cost is per-call BY DESIGN —
+    # there is no warm path to measure.
+    t0 = time.time()
+    plans.QUERIES["similarity_ann_ivfpq"](spark, sf_dir).count()
+    inline_wall = round(time.time() - t0, 3)
+    extras["ann_index_amortization"] = {
+        "inline_ivfpq_wall_s": inline_wall,
+        "indexed_wall_s": timings["similarity_ann_index_persisted"],
+        "speedup": round(
+            inline_wall / timings["similarity_ann_index_persisted"], 2
+        ) if timings["similarity_ann_index_persisted"] else None,
+    }
+    print(
+        f"# ann_index_amortization: {extras['ann_index_amortization']}",
+        file=sys.stderr,
+        flush=True,
+    )
 
     # Layout-rewrite row: write_zordered is a WRITE operator, so the
     # registry query can't gate it (its staging reuses a _SUCCESS'd

@@ -11,10 +11,20 @@ from .layout import (
     write_zordered,
     zorder_key,
 )
+from .ann_index import (
+    AnnIndex,
+    cosine_topk_indexed,
+    read_ann_index,
+    write_ann_index,
+)
 from .cache import register_persisted, release_persisted, released
 from .flows import flow_stats, reassemble_dns_tcp
 
 __all__ = [
+    "AnnIndex",
+    "write_ann_index",
+    "read_ann_index",
+    "cosine_topk_indexed",
     "register_persisted",
     "release_persisted",
     "released",

@@ -486,6 +486,60 @@ def test_ann_index_matches_inline_bit_for_bit(spark):
         spark.sql("DROP TABLE IF EXISTS ann_parity_probe__model")
 
 
+def test_ann_index_append_matches_one_shot(spark):
+    """Incremental maintenance: initial write over a prefix + appends
+    of the rest == the one-shot index over everything, bit-for-bit —
+    PROVIDED the training sample is the same (both train on ORDER BY
+    id LIMIT sample of their initial corpus, so the prefix must cover
+    the sample — it does here).  Query results over both must agree,
+    and the appended table keeps its bucket spec."""
+    from hadoop_pcap_spark.operators.ann_index import (
+        append_ann_index,
+        cosine_topk_indexed,
+        read_ann_index,
+        write_ann_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    cut = max(256, int(n * 0.7))
+    queries = emb.filter(F.col("vec_id") < 8)
+    _drop_table_and_location(spark, "ann_inc_probe")
+    _drop_table_and_location(spark, "ann_one_probe")
+    try:
+        write_ann_index(
+            emb.filter(F.col("vec_id") < cut), "ann_inc_probe",
+            n_cells=8, sample_size=256,
+        )
+        idx = read_ann_index(spark, "ann_inc_probe")
+        # two appends, exercising repeated append mode
+        mid = cut + (n - cut) // 2
+        append_ann_index(
+            idx, emb.filter((F.col("vec_id") >= cut) & (F.col("vec_id") < mid))
+        )
+        append_ann_index(idx, emb.filter(F.col("vec_id") >= mid))
+        write_ann_index(emb, "ann_one_probe", n_cells=8, sample_size=256)
+        one = read_ann_index(spark, "ann_one_probe")
+        key = lambda r: (r.q_id, r.rank)  # noqa: E731
+        got = sorted(
+            cosine_topk_indexed(idx, queries, emb, k=5, n_probe=4).collect(),
+            key=key,
+        )
+        want = sorted(
+            cosine_topk_indexed(one, queries, emb, k=5, n_probe=4).collect(),
+            key=key,
+        )
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+        # same stored rows either way (codes, cells, norms)
+        a = spark.table("ann_inc_probe")
+        b = spark.table("ann_one_probe")
+        assert a.count() == b.count() == n
+        assert a.exceptAll(b).count() == 0
+    finally:
+        _drop_table_and_location(spark, "ann_inc_probe")
+        _drop_table_and_location(spark, "ann_one_probe")
+
+
 def test_scd2_history_single_exchange(spark):
     """The whole SCD2 history build — change flag, island numbering,
     per-island aggregate, validity lead — reuses ONE clustering on the
