@@ -517,11 +517,16 @@ def _ann_index_table(spark: SparkSession, sf: str) -> str:
     key = hashlib.md5(
         f"{os.path.abspath(p)}|{st.st_mtime_ns}|{st.st_size}".encode()
     ).hexdigest()[:10]
-    t = f"ann_ivfpq_{key}"
+    # dataset tag in the name scopes housekeeping: stale keys are
+    # dropped only for the SAME sf dir, so two SFs used in one
+    # session don't evict each other's indexes
+    tag = "".join(c for c in os.path.basename(sf.rstrip("/")) if c.isalnum())
+    prefix = f"ann_ivfpq_{tag}_"
+    t = prefix + key
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     if os.path.isdir(wh):
         for old in os.listdir(wh):
-            if old.startswith("ann_ivfpq_") and not old.startswith(t):
+            if old.startswith(prefix) and not old.startswith(t):
                 spark.sql(f"DROP TABLE IF EXISTS {old}")
                 shutil.rmtree(os.path.join(wh, old), ignore_errors=True)
     if not (
