@@ -293,6 +293,82 @@ def dns_exchange_pcap(ts: int = 1317993942) -> bytes:
     )
 
 
+def analytics_frames(ts: int = 1418000000) -> list:
+    """(frame_bytes, intent) pairs for the security-analytics fixture:
+    a deterministic mixed capture exercising the detection queries a
+    reference user runs over decoded packets (scan detection, DNS
+    tunnel scoring, subnet rollups).  Traffic mix:
+
+    * one *scanner* (``10.0.9.9``) sweeping 128 distinct TCP dst
+      ports on ``10.0.1.1`` — many-ports/one-dst, the port-scan
+      signature;
+    * twelve *normal clients* across four ``10.0.{0..3}.0/24``
+      subnets, each talking TCP to at most two service ports
+      (443/80) on two servers;
+    * DNS queries over UDP/53: each client asks boring qnames, while
+      one *infected host* (``10.0.2.11``) asks 24 tunnel-shaped
+      qnames (a 32-char hex exfil label under a fixed parent — long
+      first label, deep and wide, the iodine/dnscat signature).
+
+    Intent dicts record the synthesis parameters (addresses, ports,
+    protocol, qname/direction, frame size) — the ground truth the
+    decode path is hash-compared against, never derived by running
+    the decoder.  All values are arithmetic in the loop indices (the
+    hex labels come from md5 of the loop counter), so the fixture is
+    bit-reproducible."""
+    import hashlib
+
+    frames: list = []
+
+    def tcp_pkt(src, dst, sp, dp, t_off):
+        f = ethernet(ipv4(tcp(b"", sp, dp), 6, src, dst))
+        frames.append(
+            (f, {"ts": ts + t_off, "ts_usec": (t_off * 137) % 1000000,
+                 "src": src, "dst": dst, "src_port": sp, "dst_port": dp,
+                 "protocol": "TCP", "size": len(f),
+                 "dns_qname": None, "dns_qr": None})
+        )
+
+    def dns_pkt(src, qname, qid, t_off):
+        q = dns_query(qid, qname.rstrip("."), 1)
+        f = ethernet(ipv4(udp(q, 40000 + (qid % 2048), 53, src, "10.0.0.53"),
+                          17, src, "10.0.0.53"))
+        frames.append(
+            (f, {"ts": ts + t_off, "ts_usec": (t_off * 211) % 1000000,
+                 "src": src, "dst": "10.0.0.53",
+                 "src_port": 40000 + (qid % 2048), "dst_port": 53,
+                 "protocol": "UDP", "size": len(f),
+                 "dns_qname": qname, "dns_qr": False})
+        )
+
+    # scanner: 128 distinct dst ports, one src port, one target
+    for i in range(128):
+        tcp_pkt("10.0.9.9", "10.0.1.1", 44321, 1000 + i, i)
+    # normal clients: 3 hosts per /24, bounded port fan-out
+    servers = ("10.0.1.1", "10.0.3.1")
+    for s in range(4):
+        for h in range(3):
+            src = f"10.0.{s}.{10 + h}"
+            for p in range(4 + s + h):
+                tcp_pkt(src, servers[p % 2], 50000 + p,
+                        443 if p % 3 else 80, 200 + s * 40 + h * 10 + p)
+            dns_pkt(src, f"www.site{s}{h}.example.", 100 + s * 16 + h, 400 + s * 8 + h)
+            dns_pkt(src, f"cdn.site{s}{h}.example.", 200 + s * 16 + h, 440 + s * 8 + h)
+    # tunnel: long hex first label under a fixed parent, 24 queries
+    for i in range(24):
+        label = hashlib.md5(f"exfil-{i}".encode()).hexdigest()
+        dns_pkt("10.0.2.11", f"{label}.t{i % 4}.exfil-c2.example.",
+                600 + i, 500 + i)
+    return frames
+
+
+def analytics_pcap(ts: int = 1418000000) -> bytes:
+    frames = analytics_frames(ts)
+    return global_header(1) + b"".join(
+        record(m["ts"], f, ts_usec=m["ts_usec"]) for f, m in frames
+    )
+
+
 # --- alternative capture containers (pcapng / ns / BE) -----------------------
 # built from the public libpcap & pcapng specs; exercised by the
 # non-strict normalization front-end (pcap/formats.py)

@@ -1147,3 +1147,178 @@ def q_pcap_decode_100k(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("len").alias("total_payload_bytes"),
         )
     )
+
+
+# --- security-analytics fixture (scan / tunnel / subnet rollup) --------------
+# The detection queries a reference user layers over decoded packets
+# (the serde README's "analyze PCAPs with SQL" pitch,
+# hadoop-pcap-serde/README.md) — each hash-checked against synthesis
+# intent, never against the decoder's own output.
+
+
+def analytics_dir() -> str:
+    """One plain + one gzipped copy of the analytics capture
+    (synth.analytics_frames): scanner + normal clients + DNS tunnel."""
+    d = _fixture_subdir("analytics_v1")
+    paths = [os.path.join(d, "traffic.pcap"), os.path.join(d, "mirror.pcap.gz")]
+    if all(os.path.exists(p) for p in paths):
+        return d
+    raw = S.analytics_pcap()
+    _atomic_write(paths[0], raw)
+    _atomic_write(paths[1], gzip.compress(raw))
+    return d
+
+
+def analytics_truth_path() -> str:
+    """Ground-truth packet table for :func:`analytics_dir` — one row
+    per (file, pkt_no) straight from the synthesis intent dicts."""
+    frames = S.analytics_frames()
+    rows = []
+    for fname in ("traffic.pcap", "mirror.pcap.gz"):
+        for i, (_frame, meta) in enumerate(frames):
+            r = dict(meta)
+            r["file"] = fname
+            r["pkt_no"] = i + 1
+            rows.append(r)
+    return _write_truth_parquet(
+        "analytics_truth_v1",
+        rows,
+        [
+            ("file", "string"),
+            ("pkt_no", "int64"),
+            ("ts", "int64"),
+            ("ts_usec", "int64"),
+            ("size", "int64"),
+            ("src", "string"),
+            ("dst", "string"),
+            ("src_port", "int64"),
+            ("dst_port", "int64"),
+            ("protocol", "string"),
+            ("dns_qname", "string"),
+            ("dns_qr", "bool_"),
+        ],
+    )
+
+
+@query(
+    "pcap_scan_detect",
+    oracle=lambda: f"""
+    SELECT src,
+           count(*) AS n_pkts,
+           count(DISTINCT dst_port) AS n_ports,
+           count(DISTINCT dst) AS n_dsts,
+           count(DISTINCT dst_port) >= 64 AS is_scanner
+    FROM '{analytics_truth_path()}'
+    WHERE protocol = 'TCP'
+    GROUP BY src
+    """,
+)
+def q_pcap_scan_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """Port-scan detection: per TCP source, packet count and distinct
+    (dst_port, dst) fan-out; a source sweeping ≥64 distinct ports is
+    flagged.  The classic many-ports/one-destination signature over
+    the reference's decoded columns (PcapReader.java src/dst/ports).
+    Scale: one partial-aggregated shuffle on src; distinct counts are
+    per-group hash sets bounded by the port space (64k), so no skew
+    blow-up even for an internet-scale scanner."""
+    return (
+        read_pcap(spark, analytics_dir())
+        .filter(F.col("protocol") == "TCP")
+        .groupBy("src")
+        .agg(
+            F.count("*").alias("n_pkts"),
+            F.countDistinct("dst_port").cast("long").alias("n_ports"),
+            F.countDistinct("dst").cast("long").alias("n_dsts"),
+            (F.countDistinct("dst_port") >= 64).alias("is_scanner"),
+        )
+    )
+
+
+@query(
+    "pcap_dns_tunnel_score",
+    oracle=lambda: f"""
+    WITH q AS (
+      SELECT src, dns_qname,
+             length(dns_qname) AS qlen,
+             list_max(list_transform(string_split(dns_qname, '.'),
+                                     x -> length(x))) AS max_label
+      FROM '{analytics_truth_path()}'
+      WHERE dns_qname IS NOT NULL AND NOT dns_qr
+            AND file = 'traffic.pcap')
+    SELECT src,
+           count(*) AS n_queries,
+           max(qlen) AS max_qname_len,
+           max(max_label) AS max_label_len,
+           sum(CASE WHEN qlen >= 40 AND max_label >= 24 THEN 1 ELSE 0 END)
+               AS n_suspicious,
+           sum(CASE WHEN qlen >= 40 AND max_label >= 24 THEN 1 ELSE 0 END) * 2
+               > count(*) AS is_tunnel
+    FROM q GROUP BY src
+    """,
+)
+def q_pcap_dns_tunnel_score(spark: SparkSession, sf: str) -> DataFrame:
+    """DNS-tunnel scoring: per source, qname shape statistics (name
+    length, longest label) and a suspicious-query count — long first
+    labels under a deep name are the iodine/dnscat exfil signature.
+    Operates on the serde's dns_qname column; one file's worth so
+    per-query counts stay capture-grain (the gz mirror is covered by
+    the other analytics queries).  Scale: map-side shape features →
+    one shuffle on src."""
+    labels = F.split(F.col("dns_qname"), r"\.")
+    qlen = F.length("dns_qname")
+    max_label = F.array_max(F.transform(labels, lambda x: F.length(x)))
+    susp = (qlen >= 40) & (max_label >= 24)
+    return (
+        read_pcap(spark, analytics_dir(), decoder="dns")
+        .filter(
+            F.col("dns_qname").isNotNull()
+            & (F.col("dns_qr") == False)  # noqa: E712
+            & F.col("file").endswith("traffic.pcap")
+        )
+        .select("src", qlen.alias("qlen"), max_label.alias("max_label"))
+        .groupBy("src")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.max("qlen").cast("long").alias("max_qname_len"),
+            F.max("max_label").cast("long").alias("max_label_len"),
+            F.sum(F.when(F.col("qlen") >= 40, 1)
+                   .otherwise(0)
+                   * F.when(F.col("max_label") >= 24, 1).otherwise(0))
+            .alias("n_suspicious"),
+        )
+        .withColumn("is_tunnel", F.col("n_suspicious") * 2 > F.col("n_queries"))
+    )
+
+
+@query(
+    "pcap_subnet_topk",
+    oracle=lambda: f"""
+    SELECT regexp_extract(src, '^(\\d+\\.\\d+\\.\\d+)\\.', 1) AS subnet24,
+           count(*) AS n_pkts,
+           sum(size) AS total_bytes,
+           count(DISTINCT src) AS n_hosts
+    FROM '{analytics_truth_path()}'
+    GROUP BY subnet24
+    ORDER BY total_bytes DESC, subnet24
+    LIMIT 5
+    """,
+)
+def q_pcap_subnet_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-talker /24 rollup: aggregate decoded packets by source
+    subnet (first three octets), rank by bytes.  The standard NetOps
+    hierarchy rollup over the src column.  Scale: one shuffle on the
+    derived subnet key (cardinality ≤ 2^24 — far below row count, so
+    partial aggregation collapses the map side), then
+    TakeOrderedAndProject for the top-k."""
+    subnet = F.regexp_extract("src", r"^(\d+\.\d+\.\d+)\.", 1)
+    return (
+        read_pcap(spark, analytics_dir())
+        .groupBy(subnet.alias("subnet24"))
+        .agg(
+            F.count("*").alias("n_pkts"),
+            F.sum("size").alias("total_bytes"),
+            F.countDistinct("src").cast("long").alias("n_hosts"),
+        )
+        .orderBy(F.desc("total_bytes"), F.asc("subnet24"))
+        .limit(5)
+    )
