@@ -700,6 +700,62 @@ def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _classifier_oracle() -> str:
+    """Model-replay oracle for docs_quality_classifier: retrain the
+    identical logistic model from DuckDB-fetched features of the same
+    bounded sample (operators/classify.py shares trainer + feature
+    definitions), embed the weights as literals, replay the margin
+    scoring + aggregate in SQL."""
+    import os
+
+    from ..operators.classify import feature_sql, margin_sql, oracle_weights
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    w, b = oracle_weights(sf_dir, SQL_TOKENS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source, {SQL_TOKENS} AS T, text FROM documents),
+    feat AS (
+      SELECT doc_id, source, {feature_sql(SQL_TOKENS)} FROM toks),
+    scored AS (
+      SELECT source, {margin_sql(w, b)} AS margin FROM feat)
+    SELECT source,
+           count(*) AS n_docs,
+           sum(CASE WHEN ROUND(margin, 6) > 0 THEN 1 ELSE 0 END) AS n_kept,
+           CAST(sum(CAST(ROUND(margin, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_margin
+    FROM scored GROUP BY source
+    """
+
+
+@query("docs_quality_classifier", oracle=_classifier_oracle)
+def q_docs_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """TRAINED quality filter (operators/classify.py): deterministic
+    logistic regression over six exact-rational text features, seeded
+    from weak rule labels on a bounded sample, scoring the corpus as
+    a shuffle-free codegen margin pass — the CCNet/GPT-3 learned-
+    filter motif next to the rule-based Gopher filter.  Per source:
+    doc count, kept count (margin > 0), decimal-summed margin.
+    Hash-checked end-to-end against a generated oracle that retrains
+    the same weights from DuckDB-computed features (the ANN model-
+    replay pattern)."""
+    from ..operators.classify import quality_classifier_margins
+
+    m = quality_classifier_margins(table(spark, sf, "documents"))
+    # compared values all pass through ROUND(margin, 6): DuckDB
+    # FMA-contracts the scoring chain so unrounded margins differ in
+    # the last ulp (classify.py module docstring)
+    return m.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.round("margin", 6) > 0).cast("int"))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(F.round("margin", 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_margin"),
+    )
+
+
 @query(
     "text_langid",
     oracle=f"""
