@@ -1322,3 +1322,58 @@ def q_pcap_subnet_topk(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("total_bytes"), F.asc("subnet24"))
         .limit(5)
     )
+
+
+# LPM route table for the enrichment query: overlapping prefixes of
+# four lengths (0/8/24/26) so the longest-match hierarchy is actually
+# exercised — /26 beats /24 beats /8 beats the catch-all.
+_LPM_ROUTES = [
+    ("0.0.0.0/0", "internet"),
+    ("10.0.0.0/8", "corp"),
+    ("10.0.1.0/24", "dmz"),
+    ("10.0.2.0/24", "lab"),
+    ("10.0.3.0/26", "iot"),
+    ("10.0.9.0/24", "quarantine"),
+]
+
+
+def _lpm_oracle() -> str:
+    from ..operators.net_enrich import lpm_sql
+
+    truth = analytics_truth_path()
+    values = ", ".join(f"('{c}', '{l}')" for c, l in _LPM_ROUTES)
+    return f"""
+    WITH {lpm_sql(f"'{truth}'", values, "src")}
+    SELECT b.label AS label,
+           count(*) AS n_pkts,
+           count(DISTINCT t.src) AS n_hosts,
+           min(b.plen) AS plen
+    FROM '{truth}' t JOIN best b ON t.src = b.addr
+    GROUP BY b.label
+    """
+
+
+@query("pcap_lpm_route_enrich", oracle=_lpm_oracle)
+def q_pcap_lpm_route_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    """Longest-prefix-match enrichment (operators/net_enrich.py):
+    classify every packet's source by the most specific route in an
+    overlapping CIDR table (/26 ⊂ /24 ⊂ /8 ⊂ /0) — the router-grade
+    join Spark lacks natively, decomposed into per-prefix-length
+    broadcast equi-joins over prefix-truncated keys.  Oracle replays
+    the same route semantics as a sequential theta join in DuckDB.
+    Scale: distinct-address dedup bounds the candidate explode; the
+    route table broadcasts; the verdict joins back on the address."""
+    from ..operators.net_enrich import lpm_lookup
+
+    pk = read_pcap(spark, analytics_dir()).select("src")
+    routes = spark.createDataFrame(_LPM_ROUTES, "cidr string, label string")
+    looked = lpm_lookup(pk.distinct(), routes, ip_col="src")
+    return (
+        pk.join(F.broadcast(looked), "src")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_pkts"),
+            F.countDistinct("src").cast("long").alias("n_hosts"),
+            F.min("plen").cast("long").alias("plen"),
+        )
+    )
