@@ -65,6 +65,11 @@ HEADLINE = [
     # below... the in-line twin is not a headline row, so the
     # amortization evidence is extras["ann_index_amortization"]
     "similarity_ann_index_persisted",
+    # round 10: trained quality classifier — a new compute shape
+    # (bounded-sample logistic training on the driver + a shuffle-free
+    # codegen margin pass over every document), the learned-filter
+    # counterpart of the rule-based text_quality_scores row
+    "docs_quality_classifier",
 ]
 
 

@@ -18,7 +18,9 @@ from .ann_index import (
     write_ann_index,
 )
 from .cache import register_persisted, release_persisted, released
+from .classify import quality_classifier_margins, train_lr
 from .flows import flow_stats, reassemble_dns_tcp
+from .net_enrich import lpm_lookup, parse_routes
 
 __all__ = [
     "AnnIndex",
@@ -30,6 +32,10 @@ __all__ = [
     "released",
     "flow_stats",
     "reassemble_dns_tcp",
+    "quality_classifier_margins",
+    "train_lr",
+    "lpm_lookup",
+    "parse_routes",
     "write_bucketed",
     "bucketed_join",
     "zorder_key",

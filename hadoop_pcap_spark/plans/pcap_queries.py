@@ -1377,3 +1377,83 @@ def q_pcap_lpm_route_enrich(spark: SparkSession, sf: str) -> DataFrame:
             F.min("plen").cast("long").alias("plen"),
         )
     )
+
+
+@query(
+    "pcap_beacon_detect",
+    oracle=lambda: f"""
+    WITH q AS (
+      SELECT src,
+             regexp_extract(dns_qname, '([a-z0-9-]+\\.[a-z0-9-]+\\.)$', 1)
+                 AS parent,
+             ts * 1000 + ts_usec // 1000 AS t_ms
+      FROM '{analytics_truth_path()}'
+      WHERE dns_qname IS NOT NULL AND NOT dns_qr
+            AND file = 'traffic.pcap'),
+    g AS (
+      SELECT src, parent,
+             t_ms - lag(t_ms) OVER (PARTITION BY src, parent
+                                    ORDER BY t_ms) AS gap_ms
+      FROM q),
+    s AS (
+      SELECT src, parent,
+             count(gap_ms) AS n_gaps,
+             coalesce(sum(gap_ms), 0) AS sum_gap_ms,
+             coalesce(sum(gap_ms * gap_ms), 0) AS sum_gap2
+      FROM g GROUP BY src, parent)
+    SELECT src, parent, n_gaps, sum_gap_ms,
+           n_gaps >= 10
+           AND 100 * (n_gaps * sum_gap2 - sum_gap_ms * sum_gap_ms)
+               <= sum_gap_ms * sum_gap_ms AS is_beacon
+    FROM s
+    """,
+)
+def q_pcap_beacon_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """Beaconing detection: per (source, parent domain), the
+    coefficient of variation of DNS query inter-arrival times — a
+    long, near-constant-period query train is the C2/exfil heartbeat
+    signature.  The CV² ≤ 1% test is cross-multiplied into EXACT
+    int64 arithmetic (100·(n·Σg² − (Σg)²) ≤ (Σg)², gaps in ms), so
+    the flag is hash-comparable with no float variance ordering
+    issues between engines.  Scale: one shuffle for the lag window on
+    (src, parent), one partial-aggregated shuffle for the stats —
+    both on the same key, so AQE coalesces them; int64 holds to
+    ~3·10⁵ s gaps."""
+    qn = F.col("dns_qname")
+    base = (
+        read_pcap(spark, analytics_dir(), decoder="dns")
+        .filter(
+            qn.isNotNull()
+            & (F.col("dns_qr") == False)  # noqa: E712
+            & F.col("file").endswith("traffic.pcap")
+        )
+        .select(
+            "src",
+            F.regexp_extract(qn, r"([a-z0-9-]+\.[a-z0-9-]+\.)$", 1).alias(
+                "parent"
+            ),
+            (F.col("ts") * 1000 + F.expr("ts_usec div 1000")).alias("t_ms"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("src", "parent").orderBy("t_ms")
+    g = base.withColumn("gap_ms", F.col("t_ms") - F.lag("t_ms").over(w))
+    s = g.groupBy("src", "parent").agg(
+        F.count("gap_ms").alias("n_gaps"),
+        F.coalesce(F.sum("gap_ms"), F.lit(0)).alias("sum_gap_ms"),
+        F.coalesce(F.sum(F.col("gap_ms") * F.col("gap_ms")), F.lit(0)).alias(
+            "sum_gap2"
+        ),
+    )
+    ss, n = F.col("sum_gap_ms"), F.col("n_gaps")
+    return s.select(
+        "src",
+        "parent",
+        "n_gaps",
+        "sum_gap_ms",
+        (
+            (n >= 10)
+            & (100 * (n * F.col("sum_gap2") - ss * ss) <= ss * ss)
+        ).alias("is_beacon"),
+    )
