@@ -1457,3 +1457,52 @@ def q_pcap_beacon_detect(spark: SparkSession, sf: str) -> DataFrame:
             & (100 * (n * F.col("sum_gap2") - ss * ss) <= ss * ss)
         ).alias("is_beacon"),
     )
+
+
+@query(
+    "streaming_scan_detect",
+    oracle=lambda: f"""
+    SELECT src,
+           count(DISTINCT dst_port) AS n_ports,
+           count(DISTINCT dst_port) >= 64 AS is_scanner
+    FROM '{analytics_truth_path()}'
+    WHERE protocol = 'TCP'
+    GROUP BY src
+    """,
+)
+def q_streaming_scan_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING twin of pcap_scan_detect — security monitoring is a
+    streaming problem in production.  Streaming aggregations cannot
+    express count(DISTINCT), so the distinct-port fan-out is
+    decomposed into Spark's stateful primitives: stream
+    ``dropDuplicates`` on (src, dst_port) — state = the seen key set,
+    which also collapses the mirror capture's duplicate packets
+    arriving in a LATER micro-batch — feeding a complete-mode count
+    per src.  Runs the two analytics capture files as separate
+    micro-batches (maxFilesPerTrigger=1) via AvailableNow; the oracle
+    is the same synthesis-intent ground truth as the batch twin,
+    which is exactly the point: rotated-file streaming ingestion must
+    converge to the batch answer.
+    Scale: dedup state is one entry per distinct (src, port) — at
+    most 2^16 per source; production would bound it with a watermark
+    on capture time (streaming_pcap_watermark pins those
+    semantics)."""
+    from ..sources import read_pcap_stream
+    from .streaming_queries import _run_to_memory
+
+    stream = read_pcap_stream(
+        spark, analytics_dir(), max_files_per_trigger=1
+    )
+    agg = (
+        stream.filter(F.col("protocol") == "TCP")
+        .select("src", "dst_port")
+        .dropDuplicates(["src", "dst_port"])
+        .groupBy("src")
+        .agg(F.count("*").alias("n_ports"))
+    )
+    sink = _run_to_memory(agg, "complete", "scan_stream")
+    return sink.select(
+        "src",
+        F.col("n_ports").cast("long").alias("n_ports"),
+        (F.col("n_ports") >= 64).alias("is_scanner"),
+    )
