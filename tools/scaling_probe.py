@@ -62,6 +62,7 @@ DRIVER_TABLE = {
     "text_bm25_topk": "documents",
     "docs_domain_quota": "documents",
     "docs_dsir_importance": "documents",
+    "docs_quality_classifier": "documents",
 }
 
 
