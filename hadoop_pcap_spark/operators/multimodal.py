@@ -591,6 +591,116 @@ def image_pixel_stats(
     )
 
 
+def dhash64(w: int, h: int, rgb_rows, grid_w: int = 9, grid_h: int = 8):
+    """64-bit difference hash of an RGB raster as 16 lowercase hex
+    chars, or None when the image is smaller than the grid.
+
+    The perceptual-dedup primitive for image corpora (the pHash/dHash
+    family behind LAION-style pipelines): re-encoded copies of the
+    same pixels hash identically — which byte-level md5 dedup misses
+    by construction — and small GLOBAL brightness shifts hash
+    identically too.  Everything is EXACT integer arithmetic so the
+    hash is reproducible across hosts and engines:
+
+    * gray = 299·R + 587·G + 114·B (the ITU-R 601 luma numerators,
+      un-divided — comparisons only ever see the same ×1000 scale);
+    * the raster is partitioned into a 9×8 grid with boundaries
+      floor(i·w/9) / floor(j·h/8) (cells cover the image exactly);
+    * adjacent-cell "avg(left) > avg(right)" is evaluated as
+      sum_l·cnt_r > sum_r·cnt_l — cross-multiplied exact rationals,
+      no float division anywhere.  A +d-per-channel brightness shift
+      adds 1000·d·cnt to each cell sum and cancels exactly in the
+      cross-product, which is what makes the invariance bit-true.
+
+    Shared by the distributed operator (over DECODED rasters) and the
+    fixture's synthesis-intent oracle (over FORMULA rasters) — the
+    model-replay pattern: the decoder is verified independently by
+    the pixel-sum queries; this helper being common is what lets the
+    driver hash-check the dedup decision itself."""
+    if w < grid_w or h < grid_h:
+        return None
+    # per-cell (sum, count) of the ×1000 luma
+    sums = [[0] * grid_w for _ in range(grid_h)]
+    cnts = [[0] * grid_w for _ in range(grid_h)]
+    xcell = [x * grid_w // w for x in range(w)]
+    for y, line in enumerate(rgb_rows):
+        cy = y * grid_h // h
+        srow, crow = sums[cy], cnts[cy]
+        for x in range(w):
+            i = 3 * x
+            g = 299 * line[i] + 587 * line[i + 1] + 114 * line[i + 2]
+            srow[xcell[x]] += g
+            crow[xcell[x]] += 1
+    bits = 0
+    for cy in range(grid_h):
+        for cx in range(grid_w - 1):
+            bits <<= 1
+            if (
+                sums[cy][cx] * cnts[cy][cx + 1]
+                > sums[cy][cx + 1] * cnts[cy][cx]
+            ):
+                bits |= 1
+    return f"{bits:016x}"
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("dhash", T.StringType()),
+    ]
+)
+
+
+def image_dhash(
+    df: DataFrame,
+    id_col: str = "media_id",
+    bytes_col: str = "content",
+) -> DataFrame:
+    """Per-blob perceptual hash: decode the PNG raster (PIL when
+    importable, else the stdlib zlib decoder — lossless, identical
+    pixels either way) and emit :func:`dhash64` of it.  Undecodable
+    or sub-grid blobs yield NULL.  Scale: Arrow-batched pure map, no
+    shuffle; downstream dedup is one group-by on the 64-bit hash."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import io
+
+            import numpy as np
+            import PIL.Image as PILImage
+        except ImportError:
+            PILImage = None
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                data = bytes(data) if data is not None else b""
+                raster = None
+                if PILImage is not None and data[:8] == b"\x89PNG\r\n\x1a\n":
+                    try:
+                        arr = np.asarray(
+                            PILImage.open(io.BytesIO(data)).convert("RGB"),
+                            dtype=np.uint8,
+                        )
+                        raster = (
+                            arr.shape[1],
+                            arr.shape[0],
+                            [bytes(arr[y].reshape(-1)) for y in range(arr.shape[0])],
+                        )
+                    except Exception:
+                        raster = None
+                if raster is None:
+                    raster = _png_decode_rgb(data)
+                dh = dhash64(*raster) if raster is not None else None
+                rows.append(dict(media_id=int(mid), dhash=dh))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DHASH_SCHEMA.fields]
+            )
+
+    return _spread(df.select(id_col, bytes_col), id_col).mapInPandas(
+        fn, DHASH_SCHEMA
+    )
+
+
 PCM_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

@@ -318,12 +318,15 @@ def _px(x: int, y: int, seed: int) -> tuple:
     )
 
 
-def _png_real(w: int, h: int, seed: int) -> bytes:
+def _png_real(w: int, h: int, seed: int, px=None, ftypes=None) -> bytes:
     """A REAL non-interlaced 8-bit RGB PNG of the _px pattern, filter
     type cycling y%5 through the full RFC 2083 set (none/sub/up/
     average/paeth) so the operator's unfilter paths all execute.
     Filtering here is the ENCODE direction — the operator's decoder
-    independently inverts it."""
+    independently inverts it.  ``px(x, y)`` overrides the pixel
+    formula and ``ftypes(y)`` the filter schedule — the dhash fixture
+    uses both to build byte-DISTINCT encodings of pixel-IDENTICAL
+    images."""
     import zlib
 
     def chunk(typ: bytes, body: bytes) -> bytes:
@@ -336,8 +339,12 @@ def _png_real(w: int, h: int, seed: int) -> bytes:
     raw = bytearray()
     prev = bytes(stride)
     for y in range(h):
-        line = bytes(v for x in range(w) for v in _px(x, y, seed))
-        ftype = y % 5
+        line = bytes(
+            v
+            for x in range(w)
+            for v in (px(x, y) if px is not None else _px(x, y, seed))
+        )
+        ftype = ftypes(y) if ftypes is not None else y % 5
         filt = bytearray(stride)
         for i in range(stride):
             a = line[i - 3] if i >= 3 else 0
@@ -584,3 +591,134 @@ def q_media_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     row-explosion UDTF shape; operators/multimodal.py:sample_frames).
     Oracle: sha256 of each synthesis-intent byte window."""
     return sample_frames(_media_df(spark), every_n_bytes=FRAME_BYTES)
+
+
+# ---------------------------------------------------------------------------
+# perceptual image dedup (dHash) — re-encoded / brightness-shifted
+# copies of the same picture must collapse; distinct pictures must not
+# ---------------------------------------------------------------------------
+
+
+def _dhash_families() -> list:
+    """(media_id, px_fn or None, w, h, ftypes, brightness) blob specs.
+
+    Family A (ids 1-3): one 24×16 picture three ways — the cycling
+    filter-type encode, an all-`up`-filter re-encode (byte-distinct,
+    pixel-identical — the re-encoded-copy case md5 dedup misses), and
+    a +3-per-channel brightness lift (pixel-distinct, dhash-identical
+    by the exact-integer invariance).  The base formula is clamped to
+    ≤ 250 so the lift cannot wrap mod 256.
+    Family B (ids 4-5): a 19×12 picture and its +2 lift.
+    Distinct pictures (ids 6-8), a sub-grid 4×4 (dhash NULL), and a
+    corrupt blob (id 10, dhash NULL)."""
+
+    def clamped(seed, delta=0):
+        # base channel ∈ [0, 250] (mod 251 keeps texture, unlike a
+        # min-clamp which saturates whole cells flat), so a lift of
+        # delta ≤ 5 can never wrap mod 256 — the exact-invariance
+        # precondition dhash64 documents
+        def px(x, y):
+            return tuple(v % 251 + delta for v in _px(x, y, seed))
+
+        return px
+
+    cyc = None  # default y%5 schedule
+    up = lambda y: 2 if y else 0  # noqa: E731 - first row can't be `up`
+    return [
+        (1, clamped(21), 24, 16, cyc, 0),
+        (2, clamped(21), 24, 16, up, 0),
+        (3, clamped(21, 3), 24, 16, cyc, 3),
+        (4, clamped(22), 19, 12, cyc, 0),
+        (5, clamped(22, 2), 19, 12, up, 2),
+        (6, clamped(23), 24, 16, cyc, 0),
+        (7, clamped(24), 16, 16, cyc, 0),
+        (8, clamped(25), 31, 9, cyc, 0),
+        (9, clamped(26), 4, 4, cyc, 0),
+    ]
+
+
+def _dhash_blobs() -> list:
+    """(media_id, blob, expected_dhash) — the expected hash comes from
+    the shared :func:`dhash64` over the FORMULA raster (synthesis
+    intent), never from decoding the blob; the decoder side is
+    independently pinned by media_image_pixels."""
+    from ..operators.multimodal import dhash64
+
+    out = []
+    for mid, px, w, h, ftypes, _delta in _dhash_families():
+        blob = _png_real(w, h, 0, px=px, ftypes=ftypes)
+        rows = [
+            bytes(v for x in range(w) for v in px(x, y)) for y in range(h)
+        ]
+        out.append((mid, blob, dhash64(w, h, rows)))
+    corrupt = bytearray(_png_real(8, 8, 0, px=lambda x, y: (1, 2, 3)))
+    corrupt[40] ^= 0xFF
+    out.append((10, bytes(corrupt), None))
+    return out
+
+
+def dhash_fixture_path() -> str:
+    rows = [dict(media_id=m, content=b) for m, b, _ in _dhash_blobs()]
+    return _write_truth_parquet(
+        "media_dhash_input_v2", rows,
+        [("media_id", "int64"), ("content", "binary")],
+    )
+
+
+def dhash_truth_path() -> str:
+    rows = [dict(media_id=m, dhash=d) for m, _, d in _dhash_blobs()]
+    return _write_truth_parquet(
+        "media_dhash_truth_v2", rows,
+        [("media_id", "int64"), ("dhash", "string")],
+    )
+
+
+@query(
+    "media_image_dhash_dedup",
+    oracle=lambda: f"""
+    WITH t AS (SELECT media_id, dhash FROM '{dhash_truth_path()}'),
+    g AS (
+      SELECT dhash, count(*) AS n, min(media_id) AS keeper
+      FROM t WHERE dhash IS NOT NULL GROUP BY dhash)
+    SELECT t.media_id, t.dhash,
+           g.n AS n_copies,
+           CASE WHEN t.dhash IS NULL THEN NULL
+                ELSE t.media_id = g.keeper END AS keep
+    FROM t LEFT JOIN g ON t.dhash = g.dhash
+    """,
+)
+def q_media_image_dhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual image dedup (operators/multimodal.py:image_dhash):
+    decode each PNG raster, 64-bit difference hash in exact integer
+    arithmetic, group by hash, keep the lowest id per group — the
+    pHash-family near-dup pass an image training corpus needs, since
+    re-encoded copies (identical pixels, different filter schedule →
+    different bytes/md5) and global brightness lifts land in the same
+    group while distinct pictures do not; undecodable or sub-grid
+    blobs yield NULL and join no group.  Oracle replays the dedup
+    decision over synthesis-intent hashes (shared dhash64 over the
+    FORMULA raster; the decode itself is pinned independently by
+    media_image_pixels).
+    Scale: Arrow-batched map for the hash, one group-by on a 64-bit
+    key, verdicts join back on the hash — the exact-dedup shuffle
+    shape at image-corpus scale."""
+    from ..operators.multimodal import image_dhash
+
+    d = image_dhash(spark.read.parquet(dhash_fixture_path()))
+    g = (
+        d.filter(F.col("dhash").isNotNull())
+        .groupBy("dhash")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("media_id").alias("keeper"),
+        )
+        .withColumnRenamed("dhash", "ghash")
+    )
+    return d.join(g, d.dhash == F.col("ghash"), "left_outer").select(
+        "media_id",
+        "dhash",
+        F.col("n").alias("n_copies"),
+        F.when(F.col("dhash").isNull(), F.lit(None).cast("boolean"))
+        .otherwise(F.col("media_id") == F.col("keeper"))
+        .alias("keep"),
+    )

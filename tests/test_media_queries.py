@@ -107,3 +107,68 @@ def test_spark_output_matches_truth(spark):
     empties = [r for r in frames if r.media_id == 22]
     assert len(empties) == 1
     assert empties[0].frame_sha == hashlib.sha256(b"").hexdigest()
+
+
+# --- perceptual dedup (dHash) ------------------------------------------------
+
+
+def test_dhash_encoding_and_brightness_invariance():
+    """Same pixels re-encoded, or lifted by a constant ≤ the no-wrap
+    bound, hash identically; distinct pictures do not; byte hashes of
+    the copies all differ (the case md5 dedup misses)."""
+    import hashlib
+
+    from hadoop_pcap_spark.plans.media_queries import _dhash_blobs
+
+    got = {mid: dh for mid, _, dh in _dhash_blobs()}
+    md5s = {mid: hashlib.md5(b).hexdigest() for mid, b, _ in _dhash_blobs()}
+    assert got[1] == got[2] == got[3]              # re-encode + lift
+    assert len({md5s[1], md5s[2], md5s[3]}) == 3   # but bytes all differ
+    assert got[4] == got[5]
+    hashes = [got[i] for i in (1, 4, 6, 7, 8)]
+    assert len(set(hashes)) == 5                   # distinct pictures split
+    assert got[9] is None and got[10] is None      # sub-grid / corrupt
+
+
+def test_dhash_operator_matches_intent(spark):
+    """The decoded-raster hash equals the formula-raster hash for
+    every fixture blob — decoder chain and shared dhash64 agree."""
+    from hadoop_pcap_spark.operators.multimodal import image_dhash
+    from hadoop_pcap_spark.plans.media_queries import (
+        _dhash_blobs,
+        dhash_fixture_path,
+    )
+
+    want = {mid: dh for mid, _, dh in _dhash_blobs()}
+    got = {
+        r["media_id"]: r["dhash"]
+        for r in image_dhash(spark.read.parquet(dhash_fixture_path())).collect()
+    }
+    assert got == want
+
+
+def test_dhash_builtin_equals_pil_path():
+    """When PIL is importable both decode paths feed dhash64 the same
+    raster (PNG is lossless) — hash equality per blob."""
+    import pytest
+
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as np
+
+    from hadoop_pcap_spark.operators.multimodal import (
+        _png_decode_rgb,
+        dhash64,
+    )
+    from hadoop_pcap_spark.plans.media_queries import _dhash_blobs
+
+    for mid, blob, want in _dhash_blobs():
+        built = _png_decode_rgb(blob)
+        if built is None:
+            continue
+        arr = np.asarray(PIL.open(io.BytesIO(blob)).convert("RGB"),
+                         dtype=np.uint8)
+        pil_rows = [bytes(arr[y].reshape(-1)) for y in range(arr.shape[0])]
+        assert dhash64(arr.shape[1], arr.shape[0], pil_rows) == want
+        assert dhash64(*built) == want
