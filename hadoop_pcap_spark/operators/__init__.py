@@ -19,6 +19,7 @@ from .ann_index import (
 )
 from .cache import register_persisted, release_persisted, released
 from .classify import quality_classifier_margins, train_lr
+from .multimodal import dhash64, image_dhash
 from .flows import flow_stats, reassemble_dns_tcp
 from .net_enrich import lpm_lookup, parse_routes
 
@@ -34,6 +35,8 @@ __all__ = [
     "reassemble_dns_tcp",
     "quality_classifier_margins",
     "train_lr",
+    "dhash64",
+    "image_dhash",
     "lpm_lookup",
     "parse_routes",
     "write_bucketed",
