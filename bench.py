@@ -306,8 +306,14 @@ def main():
     # One run, not min-of-N: the in-line cost is per-call BY DESIGN —
     # there is no warm path to measure.
     t0 = time.time()
-    plans.QUERIES["similarity_ann_ivfpq"](spark, sf_dir).count()
+    _inline_df = plans.QUERIES["similarity_ann_ivfpq"](spark, sf_dir)
+    _inline_df.count()
     inline_wall = round(time.time() - t0, 3)
+    # release the encoded-corpus cache the in-line operator persists —
+    # this ad-hoc timing sits OUTSIDE time_query's release discipline,
+    # and leaking it would distort every later measurement up to and
+    # including the end-of-suite drift sentinels (r10 review finding)
+    release_persisted(_inline_df)
     extras["ann_index_amortization"] = {
         "inline_ivfpq_wall_s": inline_wall,
         "indexed_wall_s": timings["similarity_ann_index_persisted"],

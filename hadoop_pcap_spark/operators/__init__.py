@@ -13,6 +13,7 @@ from .layout import (
 )
 from .ann_index import (
     AnnIndex,
+    append_ann_index,
     cosine_topk_indexed,
     read_ann_index,
     write_ann_index,
@@ -26,6 +27,7 @@ from .net_enrich import lpm_lookup, parse_routes
 __all__ = [
     "AnnIndex",
     "write_ann_index",
+    "append_ann_index",
     "read_ann_index",
     "cosine_topk_indexed",
     "register_persisted",

@@ -426,6 +426,70 @@ def resize_images(
 # ---------------------------------------------------------------------------
 
 
+# hard ceiling on the DECLARED raster (pixels) before any inflate —
+# a crafted IHDR must not size an allocation (16 Mpx ≈ 64 MB RGBA raw,
+# far above any fixture and a sane per-task bound for hygiene scans)
+_PNG_MAX_PX = 16 * 1024 * 1024
+
+
+def _png_accepted_ihdr(data: bytes):
+    """Parse IHDR and apply the ACCEPTANCE SET shared by the stdlib
+    decoder and the PIL fast path: non-interlaced 8-bit gray/RGB/RGBA,
+    declared raster ≤ _PNG_MAX_PX.  Returns (w, h, channels) or None.
+
+    This gate exists so both decode paths accept EXACTLY the same
+    blobs: PIL alone would also decode palette / interlaced / 16-bit
+    PNGs (silently downsampling the last), which would make the same
+    corpus hash differently on hosts with and without PIL — breaking
+    the oracle-checkable-on-any-host contract the pixel/dhash
+    operators document."""
+    try:
+        if data[:8] != b"\x89PNG\r\n\x1a\n" or data[12:16] != b"IHDR":
+            return None
+        w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
+            ">IIBBBBB", data[16:29]
+        )
+        if not w or not h or bit_depth != 8 or interlace:
+            return None
+        if w * h > _PNG_MAX_PX:
+            return None
+        ch = {0: 1, 2: 3, 6: 4}.get(color_type)
+        return None if ch is None else (w, h, ch)
+    except struct.error:
+        return None
+
+
+def _decode_png_raster(data: bytes):
+    """Shared raster decode → (w, h, [RGB row bytes]) or None: the one
+    place the PIL-vs-stdlib choice lives, so image_pixel_stats and
+    image_dhash cannot drift apart.  PIL runs only for blobs the
+    stdlib path would also accept (:func:`_png_accepted_ihdr`); PNG is
+    lossless over that set, so both paths produce identical rasters."""
+    if _png_accepted_ihdr(data) is None:
+        return None
+    try:
+        import io
+
+        import numpy as np
+        import PIL.Image as PILImage
+    except ImportError:
+        PILImage = None
+    if PILImage is not None:
+        try:
+            arr = np.asarray(
+                PILImage.open(io.BytesIO(data)).convert("RGB"),
+                dtype=np.uint8,
+            )
+            return (
+                arr.shape[1],
+                arr.shape[0],
+                [bytes(arr[y].reshape(-1)) for y in range(arr.shape[0])],
+            )
+        except Exception:
+            pass  # fall through to the stdlib decoder
+    return _png_decode_rgb(data)
+
+
 def _png_decode_rgb(data: bytes):
     """Pure-stdlib PNG decode → list of per-row RGB byte-triplet rows
     (each row ``bytes`` of length 3·w), or None when the blob is not a
@@ -439,13 +503,13 @@ def _png_decode_rgb(data: bytes):
     (lossless format, pinned by the shared oracle)."""
     import zlib
 
-    _errs = (struct.error, IndexError, ValueError, zlib.error)
+    _errs = (struct.error, IndexError, ValueError, zlib.error, MemoryError)
     try:
-        if data[:8] != b"\x89PNG\r\n\x1a\n":
+        hdr = _png_accepted_ihdr(data)
+        if hdr is None:
             return None
+        w, h, ch = hdr
         pos, n = 8, len(data)
-        w = h = None
-        bit_depth = color_type = interlace = None
         idat = b""
         while pos + 8 <= n:
             clen = struct.unpack(">I", data[pos : pos + 4])[0]
@@ -453,23 +517,20 @@ def _png_decode_rgb(data: bytes):
             body = data[pos + 8 : pos + 8 + clen]
             if len(body) < clen:
                 return None
-            if ctyp == b"IHDR":
-                w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
-                    ">IIBBBBB", body
-                )
-            elif ctyp == b"IDAT":
+            if ctyp == b"IDAT":
                 idat += body
             elif ctyp == b"IEND":
                 break
             pos += 12 + clen  # len + type + body + crc
-        if not w or not h or bit_depth != 8 or interlace:
-            return None
-        ch = {0: 1, 2: 3, 6: 4}.get(color_type)
-        if ch is None:
-            return None
-        raw = zlib.decompress(idat)
         stride = w * ch
-        if len(raw) < h * (stride + 1):
+        # inflate AT MOST the declared raster (+1 so a bomb that
+        # overruns is detectable) — an IHDR/IDAT crafted as a
+        # decompression bomb must yield NULL, not an unbounded
+        # allocation killing the task; _PNG_MAX_PX bounds the declared
+        # raster itself
+        expect = h * (stride + 1)
+        raw = zlib.decompressobj().decompress(idat, expect + 1)
+        if len(raw) < expect:
             return None
         rows, prev = [], bytearray(stride)
         for y in range(h):
@@ -541,42 +602,23 @@ def image_pixel_stats(
     decoded raster at a time."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            import io
+        import numpy as np
 
-            import numpy as np
-            import PIL.Image as PILImage
-        except ImportError:
-            PILImage = None
         for pdf in batches:
             rows = []
             for mid, data in zip(pdf[id_col], pdf[bytes_col]):
                 data = bytes(data) if data is not None else b""
                 w = h = npx = sr = sg = sb = None
-                decoded = None
-                if PILImage is not None and data[:8] == b"\x89PNG\r\n\x1a\n":
-                    try:
-                        arr = np.asarray(
-                            PILImage.open(io.BytesIO(data)).convert("RGB"),
-                            dtype=np.int64,
-                        )
-                        h0, w0 = arr.shape[0], arr.shape[1]
-                        s = arr.reshape(-1, 3).sum(axis=0)
-                        decoded = (w0, h0, int(s[0]), int(s[1]), int(s[2]))
-                    except Exception:
-                        decoded = None
-                if decoded is None:
-                    out = _png_decode_rgb(data)
-                    if out is not None:
-                        w0, h0, rgb_rows = out
-                        sr0 = sg0 = sb0 = 0
-                        for line in rgb_rows:
-                            sr0 += sum(line[0::3])
-                            sg0 += sum(line[1::3])
-                            sb0 += sum(line[2::3])
-                        decoded = (w0, h0, sr0, sg0, sb0)
-                if decoded is not None:
-                    w, h, sr, sg, sb = decoded
+                out = _decode_png_raster(data)
+                if out is not None:
+                    w, h, rgb_rows = out
+                    s = (
+                        np.frombuffer(b"".join(rgb_rows), dtype=np.uint8)
+                        .reshape(-1, 3)
+                        .astype(np.int64)
+                        .sum(axis=0)
+                    )
+                    sr, sg, sb = int(s[0]), int(s[1]), int(s[2])
                     npx = w * h
                 rows.append(
                     dict(media_id=int(mid), width=w, height=h, n_px=npx,
@@ -663,33 +705,11 @@ def image_dhash(
     shuffle; downstream dedup is one group-by on the 64-bit hash."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            import io
-
-            import numpy as np
-            import PIL.Image as PILImage
-        except ImportError:
-            PILImage = None
         for pdf in batches:
             rows = []
             for mid, data in zip(pdf[id_col], pdf[bytes_col]):
                 data = bytes(data) if data is not None else b""
-                raster = None
-                if PILImage is not None and data[:8] == b"\x89PNG\r\n\x1a\n":
-                    try:
-                        arr = np.asarray(
-                            PILImage.open(io.BytesIO(data)).convert("RGB"),
-                            dtype=np.uint8,
-                        )
-                        raster = (
-                            arr.shape[1],
-                            arr.shape[0],
-                            [bytes(arr[y].reshape(-1)) for y in range(arr.shape[0])],
-                        )
-                    except Exception:
-                        raster = None
-                if raster is None:
-                    raster = _png_decode_rgb(data)
+                raster = _decode_png_raster(data)
                 dh = dhash64(*raster) if raster is not None else None
                 rows.append(dict(media_id=int(mid), dhash=dh))
             yield pd.DataFrame(

@@ -65,6 +65,12 @@ def lpm_lookup(
         row[0] for row in r.select("plen").distinct().collect()
     )
     ip_long = ipv4_to_long(F.col(ip_col))
+    # per-row id so the winner window cannot collapse duplicate input
+    # rows (same address twice must yield two output rows); the id is
+    # transient — partition-local, never ordered on across rows, and
+    # dropped before return — so its nondeterminism across runs is
+    # invisible in the result
+    ips = ips.withColumn("_rid", F.monotonically_increasing_id())
     cand = ips.withColumn("_ip_long", ip_long).select(
         "*",
         F.explode(
@@ -100,13 +106,14 @@ def lpm_lookup(
             F.col("_ckey") == F.col("_rkey"),
         ],
     )
-    w = Window.partitionBy(ip_col).orderBy(
+    w = Window.partitionBy("_rid").orderBy(
         F.desc("_cplen"), *[F.asc(c) for c in attr_cols]
     )
+    out_cols = [c for c in ips.columns if c != "_rid"]
     return (
         joined.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select(*ips.columns, *attr_cols, F.col("_cplen").alias("plen"))
+        .select(*out_cols, *attr_cols, F.col("_cplen").alias("plen"))
     )
 
 

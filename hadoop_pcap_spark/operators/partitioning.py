@@ -28,7 +28,15 @@ __all__ = ["spread", "clear_spread_memo"]
 # changes mid-session, which also invalidates Spark's own file-index
 # caching assumptions; bounded size so a long-lived session can't
 # grow it without limit.
-_MEMO: dict = {}
+# WeakKeyDictionary keyed by the LIVE session object: entries die with
+# the session, and a new session can never inherit a dead one's
+# verdicts.  (The previous id(sess) tuple component was unsound —
+# CPython recycles ids after GC, so a fresh session allocated at a
+# dead session's address would silently reuse its stale memo; r10
+# review finding.)
+import weakref
+
+_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 _MEMO_CAP = 512
 
 
@@ -67,13 +75,15 @@ def spread(df: DataFrame, key: str) -> DataFrame:
     try:
         # df.semanticHash() is public API on BOTH classic and Connect
         # sessions (vs the former _jdf reach-in, classic-only); memo
-        # entries are per-session so one session's layout never decides
-        # for another (ADVICE r9).
-        memo_key = (df.semanticHash(), id(sess), par)
+        # entries live in a per-session weak-keyed dict so one
+        # session's layout never decides for another (ADVICE r9) and
+        # entries die with their session.
+        sess_memo = _MEMO.setdefault(sess, {})
+        memo_key = (df.semanticHash(), par)
     except Exception:  # pragma: no cover - defensive: probe uncached
-        memo_key = None
-    if memo_key is not None and memo_key in _MEMO:
-        under = _MEMO[memo_key]
+        sess_memo, memo_key = None, None
+    if memo_key is not None and memo_key in sess_memo:
+        under = sess_memo[memo_key]
     else:
         try:
             under = _n_partitions(df) < par
@@ -83,7 +93,7 @@ def spread(df: DataFrame, key: str) -> DataFrame:
             # plan, not re-probed per call (VERDICT r9 item 6).
             under = True
         if memo_key is not None:
-            if len(_MEMO) >= _MEMO_CAP:
-                _MEMO.clear()
-            _MEMO[memo_key] = under
+            if len(sess_memo) >= _MEMO_CAP:
+                sess_memo.clear()
+            sess_memo[memo_key] = under
     return df.repartition(par, key) if under else df

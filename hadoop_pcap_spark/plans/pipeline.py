@@ -519,8 +519,13 @@ def _ann_index_table(spark: SparkSession, sf: str) -> str:
     ).hexdigest()[:10]
     # dataset tag in the name scopes housekeeping: stale keys are
     # dropped only for the SAME sf dir, so two SFs used in one
-    # session don't evict each other's indexes
-    tag = "".join(c for c in os.path.basename(sf.rstrip("/")) if c.isalnum())
+    # session don't evict each other's indexes.  The tag hashes the
+    # ABSOLUTE path — a basename tag would alias /a/sf0.1 with
+    # /b/sf0.1 and turn build-once into rebuild-per-alternation
+    # (r10 review finding)
+    tag = hashlib.md5(
+        os.path.abspath(sf.rstrip("/")).encode()
+    ).hexdigest()[:8]
     prefix = f"ann_ivfpq_{tag}_"
     t = prefix + key
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path

@@ -172,3 +172,39 @@ def test_dhash_builtin_equals_pil_path():
         pil_rows = [bytes(arr[y].reshape(-1)) for y in range(arr.shape[0])]
         assert dhash64(arr.shape[1], arr.shape[0], pil_rows) == want
         assert dhash64(*built) == want
+
+
+def test_png_bomb_and_acceptance_set_yield_null():
+    """(r10 review findings) a crafted IHDR cannot size an unbounded
+    inflate, and the PIL fast path accepts exactly the stdlib set so
+    hashes cannot be host-dependent."""
+    import struct
+    import zlib
+
+    from hadoop_pcap_spark.operators.multimodal import (
+        _decode_png_raster,
+        _png_accepted_ihdr,
+        _png_decode_rgb,
+    )
+
+    def chunk(typ, body):
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body)))
+
+    # decompression bomb: 60000x60000 declared, tiny IDAT
+    ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0)
+    bomb = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 1024))
+            + chunk(b"IEND", b""))
+    assert _png_accepted_ihdr(bomb) is None      # raster cap rejects
+    assert _png_decode_rgb(bomb) is None
+    assert _decode_png_raster(bomb) is None
+    # interlaced and palette and 16-bit headers are rejected by the
+    # SHARED gate (so PIL can never decode what the stdlib path won't)
+    for depth, ctype, inter in ((8, 2, 1), (8, 3, 0), (16, 2, 0)):
+        ih = struct.pack(">IIBBBBB", 4, 4, depth, ctype, 0, 0, inter)
+        blob = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ih)
+                + chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+                + chunk(b"IEND", b""))
+        assert _png_accepted_ihdr(blob) is None
+        assert _decode_png_raster(blob) is None

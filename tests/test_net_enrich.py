@@ -71,3 +71,18 @@ def test_broadcast_no_nested_loop(spark):
     assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_duplicate_input_rows_each_get_a_verdict(spark):
+    """Two input rows with the same address must yield two output rows
+    (the winner window partitions on a transient row id, not the
+    address — r10 review finding)."""
+    routes = _routes(spark, [("10.0.0.0/8", "corp")])
+    ips = spark.createDataFrame(
+        [("10.0.0.1", 1), ("10.0.0.1", 2), ("10.0.0.2", 3)],
+        "ip string, n int",
+    )
+    rows = lpm_lookup(ips, routes).collect()
+    assert len(rows) == 3
+    assert sorted(r["n"] for r in rows) == [1, 2, 3]
+    assert all(r["label"] == "corp" for r in rows)

@@ -406,8 +406,15 @@ def test_ann_index_query_path_no_training_no_corpus_shuffle(spark):
         def _poison(*a, **k):  # noqa: ANN002
             raise AssertionError("query path must not train")
 
+        # patch BOTH modules: ann_index bound the trainers by
+        # from-import at load, so pinning only similarity's globals
+        # would leave ann_index's references live (dead-pin review
+        # finding, r10)
+        from hadoop_pcap_spark.operators import ann_index as AIX
+
         orig_km, orig_pq = SIM._kmeans_centroids, SIM._pq_codebooks
         SIM._kmeans_centroids, SIM._pq_codebooks = _poison, _poison
+        AIX._kmeans_centroids, AIX._pq_codebooks = _poison, _poison
         try:
             idx = read_ann_index(spark, "ann_plan_probe")
             queries = emb.filter(F.col("vec_id") < 4)
@@ -450,6 +457,7 @@ def test_ann_index_query_path_no_training_no_corpus_shuffle(spark):
             assert out and all(1 <= r.rank <= 3 for r in out)
         finally:
             SIM._kmeans_centroids, SIM._pq_codebooks = orig_km, orig_pq
+            AIX._kmeans_centroids, AIX._pq_codebooks = orig_km, orig_pq
     finally:
         spark.sql("DROP TABLE IF EXISTS ann_plan_probe")
         spark.sql("DROP TABLE IF EXISTS ann_plan_probe__model")
