@@ -20,7 +20,12 @@ from .ann_index import (
 )
 from .cache import register_persisted, release_persisted, released
 from .classify import quality_classifier_margins, train_lr
-from .multimodal import dhash64, image_dhash
+from .multimodal import (
+    audio_fingerprint,
+    audio_fingerprint64,
+    dhash64,
+    image_dhash,
+)
 from .flows import flow_stats, reassemble_dns_tcp
 from .net_enrich import lpm_lookup, parse_routes
 
@@ -39,6 +44,8 @@ __all__ = [
     "train_lr",
     "dhash64",
     "image_dhash",
+    "audio_fingerprint",
+    "audio_fingerprint64",
     "lpm_lookup",
     "parse_routes",
     "write_bucketed",

@@ -380,9 +380,13 @@ def _sample(i: int, c: int, seed: int) -> int:
     return ((i * 7919 + c * 104729 + seed) % 2001) - 1000
 
 
-def _wav_real(rate: int, channels: int, n_frames: int, seed: int) -> bytes:
+def _wav_real(rate: int, channels: int, n_frames: int, seed: int,
+              gain: int = 1) -> bytes:
     """A REAL 16-bit PCM WAV of the _sample pattern via the stdlib
-    `wave` writer — the encode twin of the operator's `wave` reader."""
+    `wave` writer — the encode twin of the operator's `wave` reader.
+    ``gain`` scales every sample exactly (|_sample| ≤ 1000, so gains
+    ≤ 32 cannot clip) — the fingerprint fixture's loudness-lift
+    case."""
     import io
     import wave
 
@@ -393,12 +397,25 @@ def _wav_real(rate: int, channels: int, n_frames: int, seed: int) -> bytes:
         wf.setframerate(rate)
         wf.writeframes(
             b"".join(
-                struct.pack("<h", _sample(i, c, seed))
+                struct.pack("<h", _sample(i, c, seed) * gain)
                 for i in range(n_frames)
                 for c in range(channels)
             )
         )
     return buf.getvalue()
+
+
+def _wav_tagged(raw: bytes) -> bytes:
+    """Splice a LIST/INFO metadata chunk before the data chunk of a
+    canonical `wave`-written file and fix the RIFF size — byte-
+    distinct (different md5), sample-identical: the metadata-tag
+    duplicate that byte-level dedup misses and the fingerprint must
+    collapse."""
+    info = b"INFOIART" + struct.pack("<I", 8) + b"synth\x00\x00\x00"
+    chunk = b"LIST" + struct.pack("<I", len(info)) + info
+    i = raw.index(b"data", 12)
+    out = raw[:i] + chunk + raw[i:]
+    return out[:4] + struct.pack("<I", len(out) - 8) + out[8:]
 
 
 # (media_id, blob, image-intent, audio-intent); intents are dicts of
@@ -719,6 +736,145 @@ def q_media_image_dhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
         "dhash",
         F.col("n").alias("n_copies"),
         F.when(F.col("dhash").isNull(), F.lit(None).cast("boolean"))
+        .otherwise(F.col("media_id") == F.col("keeper"))
+        .alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# perceptual audio dedup (fingerprint) — re-containered / gain-lifted
+# copies of the same recording must collapse; distinct recordings not
+# ---------------------------------------------------------------------------
+
+
+def _afp_blobs() -> list:
+    """(media_id, blob, expected_fp): family A (ids 1-3) is one mono
+    recording three ways — canonical container, LIST-tagged container
+    (byte-distinct, sample-identical), and a ×2 gain lift (sample-
+    distinct, fingerprint-identical by the exact cross-product
+    invariance); family B (ids 4-5) a stereo recording and its tagged
+    copy; ids 6-7 distinct recordings; id 8 sub-65-frame (NULL); id 9
+    a truncated header (NULL).  Expected fingerprints come from the
+    shared :func:`audio_fingerprint64` over FORMULA samples — the
+    decode itself is pinned independently by media_audio_pcm."""
+    import io
+    import wave
+
+    from ..operators.multimodal import audio_fingerprint64
+
+    def formula_fp(channels, n_frames, seed, gain=1):
+        samples = [
+            _sample(i, c, seed) * gain
+            for i in range(n_frames)
+            for c in range(channels)
+        ]
+        return audio_fingerprint64(channels, samples)
+
+    # a recording whose LOUDNESS ENVELOPE differs structurally (the
+    # raw _sample sawtooth has a near-flat envelope, so a different
+    # seed only phase-shifts it and fingerprints identically —
+    # correct behavior for the hash, wrong fixture for "distinct"):
+    # block-wise amplitude modulation gives a genuinely different
+    # shape
+    def _env_sample(i, c):
+        return _sample(i, c, 33) * (1 + (i // 80) % 4) // 2
+
+    def _wav_of(fn, channels, n_frames, rate):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(channels)
+            wf.setsampwidth(2)
+            wf.setframerate(rate)
+            wf.writeframes(
+                b"".join(
+                    struct.pack("<h", fn(i, c))
+                    for i in range(n_frames)
+                    for c in range(channels)
+                )
+            )
+        return buf.getvalue()
+
+    env_fp = audio_fingerprint64(
+        1, [_env_sample(i, 0) for i in range(1300)]
+    )
+    a = _wav_real(8000, 1, 1300, 31)
+    b = _wav_real(16000, 2, 800, 32)
+    out = [
+        (1, a, formula_fp(1, 1300, 31)),
+        (2, _wav_tagged(a), formula_fp(1, 1300, 31)),
+        (3, _wav_real(8000, 1, 1300, 31, gain=2), formula_fp(1, 1300, 31, gain=2)),
+        (4, b, formula_fp(2, 800, 32)),
+        (5, _wav_tagged(b), formula_fp(2, 800, 32)),
+        (6, _wav_of(_env_sample, 1, 1300, 8000), env_fp),
+        (7, _wav_real(22050, 1, 500, 34), formula_fp(1, 500, 34)),
+        (8, _wav_real(8000, 1, 40, 35), None),
+        (9, _wav_real(8000, 1, 100, 36)[:20], None),
+    ]
+    # the gain lift must land in family A's group — assert the
+    # invariance at synthesis so a drift fails fast, not in the oracle
+    assert out[2][2] == out[0][2] and out[1][2] == out[0][2]
+    return out
+
+
+def afp_fixture_path() -> str:
+    rows = [dict(media_id=m, content=b) for m, b, _ in _afp_blobs()]
+    return _write_truth_parquet(
+        "media_afp_input_v1", rows,
+        [("media_id", "int64"), ("content", "binary")],
+    )
+
+
+def afp_truth_path() -> str:
+    rows = [dict(media_id=m, afp=f) for m, _, f in _afp_blobs()]
+    return _write_truth_parquet(
+        "media_afp_truth_v1", rows,
+        [("media_id", "int64"), ("afp", "string")],
+    )
+
+
+@query(
+    "media_audio_fingerprint_dedup",
+    oracle=lambda: f"""
+    WITH t AS (SELECT media_id, afp FROM '{afp_truth_path()}'),
+    g AS (
+      SELECT afp, count(*) AS n, min(media_id) AS keeper
+      FROM t WHERE afp IS NOT NULL GROUP BY afp)
+    SELECT t.media_id, t.afp,
+           g.n AS n_copies,
+           CASE WHEN t.afp IS NULL THEN NULL
+                ELSE t.media_id = g.keeper END AS keep
+    FROM t LEFT JOIN g ON t.afp = g.afp
+    """,
+)
+def q_media_audio_fingerprint_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual audio dedup (operators/multimodal.py:
+    audio_fingerprint): decode each WAV's PCM frames, 64-bit loudness-
+    envelope fingerprint in exact integer arithmetic, group by hash,
+    keep the lowest id — the audio twin of media_image_dhash_dedup.
+    Re-containered copies (same samples, LIST-tagged file → different
+    bytes/md5) and exact gain lifts collapse; distinct recordings
+    split; undecodable or sub-65-frame blobs yield NULL and join no
+    group.  Oracle replays the dedup decision over synthesis-intent
+    fingerprints (shared audio_fingerprint64 over FORMULA samples;
+    the sample decode is pinned independently by media_audio_pcm).
+    Scale: Arrow-batched map + one group-by on the 64-bit key."""
+    from ..operators.multimodal import audio_fingerprint
+
+    d = audio_fingerprint(spark.read.parquet(afp_fixture_path()))
+    g = (
+        d.filter(F.col("afp").isNotNull())
+        .groupBy("afp")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("media_id").alias("keeper"),
+        )
+        .withColumnRenamed("afp", "gafp")
+    )
+    return d.join(g, d.afp == F.col("gafp"), "left_outer").select(
+        "media_id",
+        "afp",
+        F.col("n").alias("n_copies"),
+        F.when(F.col("afp").isNull(), F.lit(None).cast("boolean"))
         .otherwise(F.col("media_id") == F.col("keeper"))
         .alias("keep"),
     )

@@ -208,3 +208,37 @@ def test_png_bomb_and_acceptance_set_yield_null():
                 + chunk(b"IEND", b""))
         assert _png_accepted_ihdr(blob) is None
         assert _decode_png_raster(blob) is None
+
+
+def test_audio_fingerprint_families():
+    """Re-containered and gain-lifted copies collapse; distinct
+    recordings split; sub-65-frame and truncated blobs are NULL; byte
+    hashes of the copies all differ."""
+    import hashlib
+
+    from hadoop_pcap_spark.plans.media_queries import _afp_blobs
+
+    got = {mid: fp for mid, _, fp in _afp_blobs()}
+    md5s = {mid: hashlib.md5(b).hexdigest() for mid, b, _ in _afp_blobs()}
+    assert got[1] == got[2] == got[3]
+    assert len({md5s[1], md5s[2], md5s[3]}) == 3
+    assert got[4] == got[5] and md5s[4] != md5s[5]
+    assert len({got[1], got[4], got[6], got[7]}) == 4
+    assert got[8] is None and got[9] is None
+
+
+def test_audio_fingerprint_operator_matches_intent(spark):
+    from hadoop_pcap_spark.operators.multimodal import audio_fingerprint
+    from hadoop_pcap_spark.plans.media_queries import (
+        _afp_blobs,
+        afp_fixture_path,
+    )
+
+    want = {mid: fp for mid, _, fp in _afp_blobs()}
+    got = {
+        r["media_id"]: r["afp"]
+        for r in audio_fingerprint(
+            spark.read.parquet(afp_fixture_path())
+        ).collect()
+    }
+    assert got == want
