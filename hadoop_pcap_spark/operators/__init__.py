@@ -25,6 +25,8 @@ from .multimodal import (
     audio_fingerprint64,
     dhash64,
     image_dhash,
+    split_png_frames,
+    video_frame_hashes,
 )
 from .flows import flow_stats, reassemble_dns_tcp
 from .net_enrich import lpm_lookup, parse_routes
@@ -46,6 +48,8 @@ __all__ = [
     "image_dhash",
     "audio_fingerprint",
     "audio_fingerprint64",
+    "split_png_frames",
+    "video_frame_hashes",
     "lpm_lookup",
     "parse_routes",
     "write_bucketed",

@@ -820,6 +820,84 @@ def audio_fingerprint(
     )
 
 
+def split_png_frames(data: bytes):
+    """Split a concatenated-PNG-frames 'video' blob into per-frame
+    byte slices by WALKING each frame's chunk structure to its IEND
+    (never by searching for the magic — compressed pixel data can
+    contain those 8 bytes by chance).  Stops at the first byte that
+    is not a PNG signature; returns the (possibly empty) frame
+    list."""
+    frames = []
+    pos, n = 0, len(data)
+    while pos + 8 <= n and data[pos : pos + 8] == b"\x89PNG\r\n\x1a\n":
+        p = pos + 8
+        try:
+            while p + 8 <= n:
+                clen = struct.unpack(">I", data[p : p + 4])[0]
+                ctyp = data[p + 4 : p + 8]
+                p += 12 + clen
+                if p > n:
+                    return frames  # truncated chunk: drop the tail
+                if ctyp == b"IEND":
+                    break
+            else:
+                return frames
+        except struct.error:
+            return frames
+        frames.append(data[pos:p])
+        pos = p
+    return frames
+
+
+VIDEO_FRAME_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("dhash", T.StringType()),
+    ]
+)
+
+
+def video_frame_hashes(
+    df: DataFrame,
+    id_col: str = "media_id",
+    bytes_col: str = "content",
+) -> DataFrame:
+    """Per-frame perceptual hashes of a concatenated-PNG-frames video
+    column: one output row per decodable frame, ``frame_no`` 1-based
+    in stream order.  The scene-segmentation front end — downstream,
+    a lag window over (media, frame_no) turns hamming distance
+    between consecutive hashes into cut flags and scene ids, all in
+    built-in expressions (see plans/media_queries.py's
+    media_video_scene_cuts).  Undecodable frames are skipped (their
+    absence is the hygiene signal); a real deployment's codec decode
+    (H.264 et al.) would slot in behind the same schema.
+    Scale: Arrow-batched pure map; per-task memory is one frame
+    raster at a time."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bytes_col]):
+                data = bytes(data) if data is not None else b""
+                for i, frame in enumerate(split_png_frames(data)):
+                    raster = _decode_png_raster(frame)
+                    if raster is None:
+                        continue
+                    dh = dhash64(*raster)
+                    if dh is not None:
+                        rows.append(
+                            dict(media_id=int(mid), frame_no=i + 1, dhash=dh)
+                        )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_FRAME_HASH_SCHEMA.fields]
+            )
+
+    return _spread(df.select(id_col, bytes_col), id_col).mapInPandas(
+        fn, VIDEO_FRAME_HASH_SCHEMA
+    )
+
+
 def audio_pcm_stats(
     df: DataFrame,
     id_col: str = "media_id",

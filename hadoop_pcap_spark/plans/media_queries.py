@@ -878,3 +878,180 @@ def q_media_audio_fingerprint_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.col("media_id") == F.col("keeper"))
         .alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# video scene segmentation — consecutive-frame perceptual distance
+# ---------------------------------------------------------------------------
+
+SCENE_CUT_HAMMING = 4
+
+
+def _hamming_hex(a: str, b: str) -> int:
+    return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+
+def _video_blobs() -> list:
+    """(media_id, blob, [(frame_no, dhash)]) — 'videos' as
+    concatenated real PNG frames.  Within a scene, frames are
+    brightness lifts of one picture (dhash-identical by the exact
+    invariance); scenes use structurally different pixel formulas.
+    Synthesis asserts every cross-scene hamming ≥ SCENE_CUT_HAMMING
+    and within-scene = 0, so the oracle's cut threshold is exercised,
+    not assumed.  Video 3 ends in a truncated frame that must be
+    dropped by the chunk-walking splitter."""
+    from ..operators.multimodal import dhash64
+
+    # a scene is a linear-gradient picture family; DIFFERENT gradient
+    # coefficient tuples (not just seed shifts, which only translate
+    # the same sawtooth and land within hamming<4) give cross-scene
+    # hamming 8-28 on this grid — measured, then asserted below
+    P = {
+        "base": (3, 7, 5, 11, 1, 13, 21),
+        "diag": (11, 11, 13, 13, 7, 7, 5),
+        "hifx": (29, 3, 31, 5, 37, 2, 9),
+        "stpx": (13, 2, 9, 3, 7, 1, 40),
+        "stpy": (2, 17, 3, 19, 1, 23, 77),
+    }
+
+    def px_of(coeffs, delta):
+        a1, b1, a2, b2, a3, b3, s = coeffs
+        return lambda x, y: (
+            (x * a1 + y * b1 + s) % 251 + delta,
+            (x * a2 + y * b2 + 2 * s) % 251 + delta,
+            (x * a3 + y * b3 + 3 * s) % 251 + delta,
+        )
+
+    def frame(coeffs, delta):
+        return _png_real(16, 16, 0, px=px_of(coeffs, delta))
+
+    def fp(coeffs, delta):
+        rows = [
+            bytes(v for x in range(16) for v in px_of(coeffs, delta)(x, y))
+            for y in range(16)
+        ]
+        return dhash64(16, 16, rows)
+
+    scenes1 = [(P["base"], 5), (P["diag"], 4), (P["hifx"], 3)]
+    h1 = [fp(c, 0) for c, _ in scenes1]
+    for i in range(len(h1)):
+        for j in range(i + 1, len(h1)):
+            assert _hamming_hex(h1[i], h1[j]) >= SCENE_CUT_HAMMING, (
+                h1[i], h1[j])
+        assert fp(scenes1[i][0], 2) == h1[i]  # lift is invariant
+
+    def video(scenes):
+        blob, truth, no = b"", [], 0
+        for coeffs, n in scenes:
+            for d in range(n):
+                no += 1
+                blob += frame(coeffs, d)
+                truth.append((no, fp(coeffs, d)))
+        return blob, truth
+
+    v1, t1 = video(scenes1)
+    v2, t2 = video([(P["stpx"], 6)])
+    v3, t3 = video([(P["stpy"], 2)])
+    v3 = v3 + frame(P["base"], 0)[:40]  # truncated trailing frame: dropped
+    return [(1, v1, t1), (2, v2, t2), (3, v3, t3)]
+
+
+def video_fixture_path() -> str:
+    rows = [dict(media_id=m, content=b) for m, b, _ in _video_blobs()]
+    return _write_truth_parquet(
+        "media_video_input_v1", rows,
+        [("media_id", "int64"), ("content", "binary")],
+    )
+
+
+def video_truth_path() -> str:
+    rows = [
+        dict(media_id=m, frame_no=no, dhash=dh)
+        for m, _, frames in _video_blobs()
+        for no, dh in frames
+    ]
+    return _write_truth_parquet(
+        "media_video_truth_v1", rows,
+        [("media_id", "int64"), ("frame_no", "int64"), ("dhash", "string")],
+    )
+
+
+_HAMMING_SPARK = (
+    "bit_count(cast(conv(substring(dhash, 1, 8), 16, 10) as bigint)"
+    " ^ cast(conv(substring(_prev, 1, 8), 16, 10) as bigint))"
+    " + bit_count(cast(conv(substring(dhash, 9, 8), 16, 10) as bigint)"
+    " ^ cast(conv(substring(_prev, 9, 8), 16, 10) as bigint))"
+)
+
+_HAMMING_DUCK = (
+    "bit_count(xor(('0x' || substr(dhash, 1, 8))::BIGINT,"
+    " ('0x' || substr(prev, 1, 8))::BIGINT))"
+    " + bit_count(xor(('0x' || substr(dhash, 9, 8))::BIGINT,"
+    " ('0x' || substr(prev, 9, 8))::BIGINT))"
+)
+
+
+@query(
+    "media_video_scene_cuts",
+    oracle=lambda: f"""
+    WITH t AS (
+      SELECT media_id, frame_no, dhash,
+             lag(dhash) OVER (PARTITION BY media_id ORDER BY frame_no)
+                 AS prev
+      FROM '{video_truth_path()}'),
+    h AS (
+      SELECT media_id, frame_no,
+             CASE WHEN prev IS NULL THEN NULL
+                  ELSE {_HAMMING_DUCK} END AS hamming
+      FROM t),
+    c AS (
+      SELECT media_id, frame_no, hamming,
+             (hamming IS NULL OR hamming >= {SCENE_CUT_HAMMING}) AS is_cut
+      FROM h)
+    SELECT media_id, frame_no, hamming, is_cut,
+           sum(CASE WHEN is_cut THEN 1 ELSE 0 END)
+               OVER (PARTITION BY media_id ORDER BY frame_no) AS scene_id
+    FROM c
+    """,
+)
+def q_media_video_scene_cuts(spark: SparkSession, sf: str) -> DataFrame:
+    """Video scene segmentation (operators/multimodal.py:
+    video_frame_hashes): hash every frame of a concatenated-PNG
+    'video' column, then one lag window per video turns the hamming
+    distance between consecutive hashes into cut flags and a
+    running-sum scene id — the select-one-frame-per-scene primitive a
+    video training pipeline samples with (frame_no 1 of each scene_id
+    group).  Hamming is computed JVM-side from the hex hash halves
+    (conv/xor/bit_count, whole-stage codegen); the synthesis asserts
+    cross-scene distance ≥ the cut threshold and within-scene = 0, so
+    the threshold is exercised.  A truncated trailing frame is
+    dropped by the chunk-walking splitter (video 3).  Oracle replays
+    the window arithmetic over synthesis-intent hashes.
+    Scale: one Arrow-batched map over blobs, one lag window keyed by
+    video — state is a single hash row per partition stream."""
+    from pyspark.sql.window import Window
+
+    from ..operators.multimodal import video_frame_hashes
+
+    d = video_frame_hashes(spark.read.parquet(video_fixture_path()))
+    w = Window.partitionBy("media_id").orderBy("frame_no")
+    h = d.withColumn("_prev", F.lag("dhash").over(w)).withColumn(
+        "hamming",
+        F.when(F.col("_prev").isNull(), F.lit(None).cast("long")).otherwise(
+            F.expr(_HAMMING_SPARK)
+        ),
+    )
+    c = h.withColumn(
+        "is_cut",
+        F.col("hamming").isNull() | (F.col("hamming") >= SCENE_CUT_HAMMING),
+    )
+    return c.select(
+        "media_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        "hamming",
+        "is_cut",
+        F.sum(F.col("is_cut").cast("int"))
+        .over(w)
+        .cast("long")
+        .alias("scene_id"),
+    )

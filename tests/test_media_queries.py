@@ -242,3 +242,69 @@ def test_audio_fingerprint_operator_matches_intent(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_video_scene_structure():
+    """Scene families: within-scene dhash identical (lift-invariant),
+    cross-scene hamming ≥ the cut threshold; the truncated trailing
+    frame of video 3 is dropped by the chunk-walking splitter."""
+    from hadoop_pcap_spark.plans.media_queries import (
+        SCENE_CUT_HAMMING,
+        _hamming_hex,
+        _video_blobs,
+    )
+
+    vids = {m: frames for m, _, frames in _video_blobs()}
+    h1 = [dh for _, dh in vids[1]]
+    assert len(set(h1[:5])) == 1 and len(set(h1[5:9])) == 1
+    assert _hamming_hex(h1[0], h1[5]) >= SCENE_CUT_HAMMING
+    assert _hamming_hex(h1[5], h1[9]) >= SCENE_CUT_HAMMING
+    assert len(vids[3]) == 2  # truncated 3rd frame not in truth
+
+
+def test_split_png_frames_walks_chunks():
+    """The splitter must walk chunk structure, not search for magic:
+    a frame whose compressed pixels CONTAIN the PNG signature bytes
+    still splits correctly."""
+    import struct
+    import zlib
+
+    from hadoop_pcap_spark.operators.multimodal import split_png_frames
+
+    def chunk(typ, body):
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body)))
+
+    # craft an IDAT whose RAW bytes include the 8-byte PNG signature
+    # (stored uncompressed via zlib level 0 so it survives deflate)
+    w = h = 4
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        raw += (b"\x89PNG\r\n\x1a\n" + bytes(12 * w))[: 3 * w]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    f = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+         + chunk(b"IDAT", zlib.compress(bytes(raw), 0))
+         + chunk(b"IEND", b""))
+    assert f.count(b"\x89PNG\r\n\x1a\n") >= 2  # signature inside IDAT
+    frames = split_png_frames(f + f)
+    assert len(frames) == 2 and frames[0] == f and frames[1] == f
+
+
+def test_video_operator_matches_intent(spark):
+    from hadoop_pcap_spark.operators.multimodal import video_frame_hashes
+    from hadoop_pcap_spark.plans.media_queries import (
+        _video_blobs,
+        video_fixture_path,
+    )
+
+    want = {
+        (m, no): dh for m, _, frames in _video_blobs() for no, dh in frames
+    }
+    got = {
+        (r["media_id"], r["frame_no"]): r["dhash"]
+        for r in video_frame_hashes(
+            spark.read.parquet(video_fixture_path())
+        ).collect()
+    }
+    assert got == want
