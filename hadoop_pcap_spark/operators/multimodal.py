@@ -673,6 +673,19 @@ def dhash64(w: int, h: int, rgb_rows, grid_w: int = 9, grid_h: int = 8):
             g = 299 * line[i] + 587 * line[i + 1] + 114 * line[i + 2]
             srow[xcell[x]] += g
             crow[xcell[x]] += 1
+    # zero-variance guard: a FLAT raster (every cell average equal —
+    # e.g. any solid color) carries no texture signal, and the all-
+    # false comparison hash would collapse DIFFERENT solid-color
+    # images into one dedup group whose keep-verdict then discards a
+    # genuinely distinct picture (r10 review finding).  NULL = "no
+    # dedup decision", the same contract as undecodable input.
+    s0, c0 = sums[0][0], cnts[0][0]
+    if all(
+        sums[cy][cx] * c0 == s0 * cnts[cy][cx]
+        for cy in range(grid_h)
+        for cx in range(grid_w)
+    ):
+        return None
     bits = 0
     for cy in range(grid_h):
         for cx in range(grid_w - 1):
@@ -763,6 +776,12 @@ def audio_fingerprint64(n_channels: int, samples):
     bounds = [i * n // n_win for i in range(n_win + 1)]
     sums = [int(arr[bounds[i]:bounds[i + 1]].sum()) for i in range(n_win)]
     cnts = [bounds[i + 1] - bounds[i] for i in range(n_win)]
+    # zero-variance guard, the dhash64 contract: a FLAT loudness
+    # envelope (constant tone, digital silence) carries no signal and
+    # would collapse different flat recordings into one destructive
+    # dedup group — NULL instead (r10 review finding)
+    if all(sums[i] * cnts[0] == sums[0] * cnts[i] for i in range(n_win)):
+        return None
     bits = 0
     for i in range(n_win - 1):
         bits <<= 1

@@ -381,15 +381,17 @@ def _sample(i: int, c: int, seed: int) -> int:
 
 
 def _wav_real(rate: int, channels: int, n_frames: int, seed: int,
-              gain: int = 1) -> bytes:
-    """A REAL 16-bit PCM WAV of the _sample pattern via the stdlib
-    `wave` writer — the encode twin of the operator's `wave` reader.
-    ``gain`` scales every sample exactly (|_sample| ≤ 1000, so gains
-    ≤ 32 cannot clip) — the fingerprint fixture's loudness-lift
-    case."""
+              gain: int = 1, sample_fn=None) -> bytes:
+    """A REAL 16-bit PCM WAV via the stdlib `wave` writer — the encode
+    twin of the operator's `wave` reader.  Default samples follow the
+    _sample pattern; ``gain`` scales them exactly (|_sample| ≤ 1000,
+    so gains ≤ 32 cannot clip) — the fingerprint fixture's loudness-
+    lift case; ``sample_fn(i, c)`` overrides the formula entirely
+    (one writer for every fixture, the _png_real px= convention)."""
     import io
     import wave
 
+    fn = sample_fn or (lambda i, c: _sample(i, c, seed) * gain)
     buf = io.BytesIO()
     with wave.open(buf, "wb") as wf:
         wf.setnchannels(channels)
@@ -397,7 +399,7 @@ def _wav_real(rate: int, channels: int, n_frames: int, seed: int,
         wf.setframerate(rate)
         wf.writeframes(
             b"".join(
-                struct.pack("<h", _sample(i, c, seed) * gain)
+                struct.pack("<h", fn(i, c))
                 for i in range(n_frames)
                 for c in range(channels)
             )
@@ -719,9 +721,14 @@ def q_media_image_dhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
     Scale: Arrow-batched map for the hash, one group-by on a 64-bit
     key, verdicts join back on the hash — the exact-dedup shuffle
     shape at image-corpus scale."""
+    from ..operators.cache import register_persisted
     from ..operators.multimodal import image_dhash
 
-    d = image_dhash(spark.read.parquet(dhash_fixture_path()))
+    # persist the decode+hash pass: it feeds both the group aggregate
+    # and the verdict join, and without the cache the full corpus
+    # would decode twice (r10 review finding); released by callers
+    # via release_persisted (the bench/cache discipline)
+    d = image_dhash(spark.read.parquet(dhash_fixture_path())).persist()
     g = (
         d.filter(F.col("dhash").isNotNull())
         .groupBy("dhash")
@@ -731,7 +738,7 @@ def q_media_image_dhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
         )
         .withColumnRenamed("dhash", "ghash")
     )
-    return d.join(g, d.dhash == F.col("ghash"), "left_outer").select(
+    out = d.join(g, d.dhash == F.col("ghash"), "left_outer").select(
         "media_id",
         "dhash",
         F.col("n").alias("n_copies"),
@@ -739,6 +746,7 @@ def q_media_image_dhash_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.col("media_id") == F.col("keeper"))
         .alias("keep"),
     )
+    return register_persisted(out, d)
 
 
 # ---------------------------------------------------------------------------
@@ -757,9 +765,6 @@ def _afp_blobs() -> list:
     a truncated header (NULL).  Expected fingerprints come from the
     shared :func:`audio_fingerprint64` over FORMULA samples — the
     decode itself is pinned independently by media_audio_pcm."""
-    import io
-    import wave
-
     from ..operators.multimodal import audio_fingerprint64
 
     def formula_fp(channels, n_frames, seed, gain=1):
@@ -779,21 +784,6 @@ def _afp_blobs() -> list:
     def _env_sample(i, c):
         return _sample(i, c, 33) * (1 + (i // 80) % 4) // 2
 
-    def _wav_of(fn, channels, n_frames, rate):
-        buf = io.BytesIO()
-        with wave.open(buf, "wb") as wf:
-            wf.setnchannels(channels)
-            wf.setsampwidth(2)
-            wf.setframerate(rate)
-            wf.writeframes(
-                b"".join(
-                    struct.pack("<h", fn(i, c))
-                    for i in range(n_frames)
-                    for c in range(channels)
-                )
-            )
-        return buf.getvalue()
-
     env_fp = audio_fingerprint64(
         1, [_env_sample(i, 0) for i in range(1300)]
     )
@@ -805,7 +795,7 @@ def _afp_blobs() -> list:
         (3, _wav_real(8000, 1, 1300, 31, gain=2), formula_fp(1, 1300, 31, gain=2)),
         (4, b, formula_fp(2, 800, 32)),
         (5, _wav_tagged(b), formula_fp(2, 800, 32)),
-        (6, _wav_of(_env_sample, 1, 1300, 8000), env_fp),
+        (6, _wav_real(8000, 1, 1300, 0, sample_fn=_env_sample), env_fp),
         (7, _wav_real(22050, 1, 500, 34), formula_fp(1, 500, 34)),
         (8, _wav_real(8000, 1, 40, 35), None),
         (9, _wav_real(8000, 1, 100, 36)[:20], None),
@@ -858,9 +848,11 @@ def q_media_audio_fingerprint_dedup(spark: SparkSession, sf: str) -> DataFrame:
     fingerprints (shared audio_fingerprint64 over FORMULA samples;
     the sample decode is pinned independently by media_audio_pcm).
     Scale: Arrow-batched map + one group-by on the 64-bit key."""
+    from ..operators.cache import register_persisted
     from ..operators.multimodal import audio_fingerprint
 
-    d = audio_fingerprint(spark.read.parquet(afp_fixture_path()))
+    # persisted for the same two-consumer reason as the dhash twin
+    d = audio_fingerprint(spark.read.parquet(afp_fixture_path())).persist()
     g = (
         d.filter(F.col("afp").isNotNull())
         .groupBy("afp")
@@ -870,7 +862,7 @@ def q_media_audio_fingerprint_dedup(spark: SparkSession, sf: str) -> DataFrame:
         )
         .withColumnRenamed("afp", "gafp")
     )
-    return d.join(g, d.afp == F.col("gafp"), "left_outer").select(
+    out = d.join(g, d.afp == F.col("gafp"), "left_outer").select(
         "media_id",
         "afp",
         F.col("n").alias("n_copies"),
@@ -878,6 +870,7 @@ def q_media_audio_fingerprint_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.col("media_id") == F.col("keeper"))
         .alias("keep"),
     )
+    return register_persisted(out, d)
 
 
 # ---------------------------------------------------------------------------

@@ -1494,7 +1494,16 @@ def q_streaming_scan_detect(spark: SparkSession, sf: str) -> DataFrame:
         spark, analytics_dir(), max_files_per_trigger=1
     )
     agg = (
-        stream.filter(F.col("protocol") == "TCP")
+        stream.filter(
+            (F.col("protocol") == "TCP") & F.col("dst_port").isNotNull()
+        )
+        # the NULL filter matters for batch parity: a caplen-truncated
+        # TCP header decodes with NULL ports, and dropDuplicates would
+        # keep one (src, NULL) row that count(*) counts while the
+        # oracle's count(DISTINCT dst_port) ignores NULLs — one
+        # truncated packet at the threshold would flip is_scanner
+        # (r10 review finding; latent on this fixture, real on real
+        # captures)
         .select("src", "dst_port")
         .dropDuplicates(["src", "dst_port"])
         .groupBy("src")

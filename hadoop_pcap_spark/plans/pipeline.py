@@ -526,12 +526,20 @@ def _ann_index_table(spark: SparkSession, sf: str) -> str:
     tag = hashlib.md5(
         os.path.abspath(sf.rstrip("/")).encode()
     ).hexdigest()[:8]
-    prefix = f"ann_ivfpq_{tag}_"
+    # family prefix VERSIONED with the tag scheme ("annix2" = hashed-
+    # path tags): renaming the tag rule orphans every table built
+    # under the previous rule unless the sweep knows the whole legacy
+    # family — so housekeeping below reclaims any name from a retired
+    # prefix outright (r10 review finding)
+    prefix = f"annix2_{tag}_"
+    legacy_prefixes = ("ann_ivfpq_",)
     t = prefix + key
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     if os.path.isdir(wh):
         for old in os.listdir(wh):
-            if old.startswith(prefix) and not old.startswith(t):
+            stale_same_dataset = old.startswith(prefix) and not old.startswith(t)
+            retired_family = any(old.startswith(p) for p in legacy_prefixes)
+            if stale_same_dataset or retired_family:
                 spark.sql(f"DROP TABLE IF EXISTS {old}")
                 shutil.rmtree(os.path.join(wh, old), ignore_errors=True)
     if not (

@@ -308,3 +308,22 @@ def test_video_operator_matches_intent(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_perceptual_hashes_null_on_zero_variance():
+    """Flat inputs carry no texture/envelope signal: different solid
+    colors (or silences) must NOT collapse into one destructive dedup
+    group — the hash is NULL instead (r10 review finding)."""
+    from hadoop_pcap_spark.operators.multimodal import (
+        audio_fingerprint64,
+        dhash64,
+    )
+
+    red = [b"\xff\x00\x00" * 24] * 16
+    blue = [b"\x00\x00\xff" * 24] * 16
+    assert dhash64(24, 16, red) is None
+    assert dhash64(24, 16, blue) is None
+    assert audio_fingerprint64(1, [0] * 500) is None      # silence
+    assert audio_fingerprint64(1, [250] * 500) is None    # constant tone
+    # near-flat but not flat still hashes
+    assert audio_fingerprint64(1, [250] * 499 + [40000]) is not None
