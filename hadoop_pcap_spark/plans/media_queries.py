@@ -995,15 +995,16 @@ _HAMMING_DUCK = (
     h AS (
       SELECT media_id, frame_no,
              CASE WHEN prev IS NULL THEN NULL
-                  ELSE {_HAMMING_DUCK} END AS hamming
+                  ELSE CAST({_HAMMING_DUCK} AS BIGINT) END AS hamming
       FROM t),
     c AS (
       SELECT media_id, frame_no, hamming,
              (hamming IS NULL OR hamming >= {SCENE_CUT_HAMMING}) AS is_cut
       FROM h)
     SELECT media_id, frame_no, hamming, is_cut,
-           sum(CASE WHEN is_cut THEN 1 ELSE 0 END)
-               OVER (PARTITION BY media_id ORDER BY frame_no) AS scene_id
+           CAST(sum(CASE WHEN is_cut THEN 1 ELSE 0 END)
+                OVER (PARTITION BY media_id ORDER BY frame_no)
+                AS BIGINT) AS scene_id
     FROM c
     """,
 )

@@ -1249,8 +1249,8 @@ def q_pcap_scan_detect(spark: SparkSession, sf: str) -> DataFrame:
            count(*) AS n_queries,
            max(qlen) AS max_qname_len,
            max(max_label) AS max_label_len,
-           sum(CASE WHEN qlen >= 40 AND max_label >= 24 THEN 1 ELSE 0 END)
-               AS n_suspicious,
+           CAST(sum(CASE WHEN qlen >= 40 AND max_label >= 24
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_suspicious,
            sum(CASE WHEN qlen >= 40 AND max_label >= 24 THEN 1 ELSE 0 END) * 2
                > count(*) AS is_tunnel
     FROM q GROUP BY src
@@ -1293,9 +1293,10 @@ def q_pcap_dns_tunnel_score(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "pcap_subnet_topk",
     oracle=lambda: f"""
-    SELECT regexp_extract(src, '^(\\d+\\.\\d+\\.\\d+)\\.', 1) AS subnet24,
+    SELECT coalesce(regexp_extract(src, '^(\\d+\\.\\d+\\.\\d+)\\.', 1), '')
+               AS subnet24,
            count(*) AS n_pkts,
-           sum(size) AS total_bytes,
+           CAST(sum(size) AS BIGINT) AS total_bytes,
            count(DISTINCT src) AS n_hosts
     FROM '{analytics_truth_path()}'
     GROUP BY subnet24
@@ -1310,7 +1311,12 @@ def q_pcap_subnet_topk(spark: SparkSession, sf: str) -> DataFrame:
     derived subnet key (cardinality ≤ 2^24 — far below row count, so
     partial aggregation collapses the map side), then
     TakeOrderedAndProject for the top-k."""
-    subnet = F.regexp_extract("src", r"^(\d+\.\d+\.\d+)\.", 1)
+    # coalesce on both sides: regexp_extract's no-match convention
+    # ('' vs NULL) differs across DuckDB releases, and a NULL src
+    # (non-IP frames) must land in the same group in both engines
+    subnet = F.coalesce(
+        F.regexp_extract("src", r"^(\d+\.\d+\.\d+)\.", 1), F.lit("")
+    )
     return (
         read_pcap(spark, analytics_dir())
         .groupBy(subnet.alias("subnet24"))
@@ -1384,8 +1390,8 @@ def q_pcap_lpm_route_enrich(spark: SparkSession, sf: str) -> DataFrame:
     oracle=lambda: f"""
     WITH q AS (
       SELECT src,
-             regexp_extract(dns_qname, '([a-z0-9-]+\\.[a-z0-9-]+\\.)$', 1)
-                 AS parent,
+             coalesce(regexp_extract(dns_qname,
+                 '([a-z0-9-]+\\.[a-z0-9-]+\\.)$', 1), '') AS parent,
              ts * 1000 + ts_usec // 1000 AS t_ms
       FROM '{analytics_truth_path()}'
       WHERE dns_qname IS NOT NULL AND NOT dns_qr
@@ -1398,8 +1404,8 @@ def q_pcap_lpm_route_enrich(spark: SparkSession, sf: str) -> DataFrame:
     s AS (
       SELECT src, parent,
              count(gap_ms) AS n_gaps,
-             coalesce(sum(gap_ms), 0) AS sum_gap_ms,
-             coalesce(sum(gap_ms * gap_ms), 0) AS sum_gap2
+             CAST(coalesce(sum(gap_ms), 0) AS BIGINT) AS sum_gap_ms,
+             CAST(coalesce(sum(gap_ms * gap_ms), 0) AS BIGINT) AS sum_gap2
       FROM g GROUP BY src, parent)
     SELECT src, parent, n_gaps, sum_gap_ms,
            n_gaps >= 10
@@ -1429,9 +1435,12 @@ def q_pcap_beacon_detect(spark: SparkSession, sf: str) -> DataFrame:
         )
         .select(
             "src",
-            F.regexp_extract(qn, r"([a-z0-9-]+\.[a-z0-9-]+\.)$", 1).alias(
-                "parent"
-            ),
+            # coalesce mirrors the oracle: regexp_extract's no-match
+            # convention ('' vs NULL) drifts across DuckDB releases
+            F.coalesce(
+                F.regexp_extract(qn, r"([a-z0-9-]+\.[a-z0-9-]+\.)$", 1),
+                F.lit(""),
+            ).alias("parent"),
             (F.col("ts") * 1000 + F.expr("ts_usec div 1000")).alias("t_ms"),
         )
     )

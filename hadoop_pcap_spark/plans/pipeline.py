@@ -734,9 +734,10 @@ def _classifier_oracle() -> str:
       SELECT source, {margin_sql(w, b)} AS margin FROM feat)
     SELECT source,
            count(*) AS n_docs,
-           sum(CASE WHEN ROUND(margin, 6) > 0 THEN 1 ELSE 0 END) AS n_kept,
-           CAST(sum(CAST(ROUND(margin, 6) AS DECIMAL(18,6))) AS DOUBLE)
-               AS sum_margin
+           CAST(sum(CASE WHEN ROUND(margin, 6) > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CAST(ROUND(margin, 6) AS DECIMAL(18,6)) * 1000000)
+                AS BIGINT) AS sum_margin_micros
     FROM scored GROUP BY source
     """
 
@@ -748,7 +749,7 @@ def q_docs_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     from weak rule labels on a bounded sample, scoring the corpus as
     a shuffle-free codegen margin pass — the CCNet/GPT-3 learned-
     filter motif next to the rule-based Gopher filter.  Per source:
-    doc count, kept count (margin > 0), decimal-summed margin.
+    doc count, kept count (margin > 0), exact micro-unit margin sum.
     Hash-checked end-to-end against a generated oracle that retrains
     the same weights from DuckDB-computed features (the ANN model-
     replay pattern)."""
@@ -757,15 +758,17 @@ def q_docs_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     m = quality_classifier_margins(table(spark, sf, "documents"))
     # compared values all pass through ROUND(margin, 6): DuckDB
     # FMA-contracts the scoring chain so unrounded margins differ in
-    # the last ulp (classify.py module docstring)
+    # the last ulp (classify.py module docstring).  The margin sum is
+    # emitted as ×10⁶ int64 (decimal arithmetic throughout) so no
+    # engine/fetch-path float rendering can perturb the hash.
     return m.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum((F.round("margin", 6) > 0).cast("int"))
         .cast("long")
         .alias("n_kept"),
-        F.sum(F.round("margin", 6).cast("decimal(18,6)"))
-        .cast("double")
-        .alias("sum_margin"),
+        F.sum(F.round("margin", 6).cast("decimal(18,6)") * F.lit(1000000))
+        .cast("long")
+        .alias("sum_margin_micros"),
     )
 
 

@@ -69,3 +69,41 @@ def test_float_results_never_take_hash_path(spark):
     assert not _spark_exact_types(sdf)
     sdf2 = spark.sql("SELECT array(1, 2) AS a")
     assert not _spark_exact_types(sdf2)
+
+
+def test_strict_renderer_contract():
+    """Pin the paranoid renderer (VERDICT r10 item 2): strict mode
+    must distinguish value TYPES the lenient renderer collides —
+    int 3 vs Decimal('3') vs 3.0 (exactly the classes a driver-side
+    Arrow/pandas fetch of a DuckDB HUGEINT or DOUBLE produces) — and
+    render floats at full precision instead of round-9."""
+    from decimal import Decimal
+
+    from compare_oracle import norm_cell
+
+    # lenient collides these; strict must not
+    assert norm_cell(3) == norm_cell(Decimal("3")) == "3"
+    assert len({norm_cell(v, strict=True)
+                for v in (3, Decimal("3"), 3.0, "3", True)}) == 5
+    # full-precision floats: two doubles differing past 9 digits
+    a, b = 0.1234567890123, 0.1234567890999
+    assert norm_cell(a) == norm_cell(b)
+    assert norm_cell(a, strict=True) != norm_cell(b, strict=True)
+    # bool must not be swallowed by the int branch in strict mode
+    assert norm_cell(True, strict=True) == "bool:true"
+    assert norm_cell(1, strict=True) == "int:1"
+    # nested lists tag recursively
+    assert norm_cell([1, None], strict=True) == "[int:1,<null>]"
+
+
+def test_hazard_type_detection():
+    """oracle_type_hazards must flag the exact bug class that made
+    five r10 queries driver-red: an un-CAST integer SUM (DuckDB
+    HUGEINT — fetchall coerces to int, Arrow renders decimal128)."""
+    from compare_oracle import oracle_type_hazards
+
+    con = duckdb.connect()
+    bad = "SELECT sum(x) AS s FROM (VALUES (1),(2)) t(x)"
+    good = "SELECT CAST(sum(x) AS BIGINT) AS s FROM (VALUES (1),(2)) t(x)"
+    assert oracle_type_hazards(con, bad) == [("s", "HUGEINT")]
+    assert oracle_type_hazards(con, good) == []

@@ -22,25 +22,62 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from hadoop_pcap_spark.plans import WAREHOUSE_TABLES as TABLES  # noqa: E402
 
 
-def norm_cell(v):
+def norm_cell(v, strict=False):
+    """Order-insensitive cell rendering.
+
+    Default mode is the historical tolerant renderer (floats rounded
+    to 9 digits).  ``strict`` renders floats at FULL precision and
+    tags every cell with its Python type class, so replica-green
+    implies driver-green no matter how the driver fetches/renders
+    (repr-based, Arrow-based, pandas-based): any cross-engine
+    difference in value bits OR in value *type* (int vs Decimal vs
+    float vs bool) fails strict even when the lenient rendering
+    collides (VERDICT r10 item 2 — the HUGEINT sum bug class)."""
+    import decimal
+
     if v is None:
         return "<null>"
+    if isinstance(v, bool):  # must precede int (bool subclasses int)
+        return ("bool:" if strict else "") + str(bool(v)).lower()
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        return repr(round(v, 9))
-    if isinstance(v, bool):
-        return str(bool(v)).lower()
+            return ("float:" if strict else "") + "nan"
+        r = repr(v) if strict else repr(round(v, 9))
+        return ("float:" if strict else "") + r
+    if isinstance(v, decimal.Decimal):
+        return ("decimal:" if strict else "") + str(v)
+    if isinstance(v, int):
+        return ("int:" if strict else "") + str(v)
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+        return "[" + ",".join(norm_cell(x, strict) for x in v) + "]"
+    if strict:
+        return f"{type(v).__name__}:{v}"
     return str(v)
 
 
-def normalize(rows, cols):
+def normalize(rows, cols, strict=False):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out = [tuple(norm_cell(r[i], strict) for i in order) for r in rows]
     out.sort()
     return out, [cols[i] for i in order]
+
+
+# DuckDB types whose Python-fetch coercion hides a rendering hazard:
+# fetchall() turns HUGEINT into a plain int (replica matches) while an
+# Arrow/pandas fetch renders decimal128/float64 (driver mismatches).
+# Strict mode bans them from oracle output schemas outright — cast the
+# oracle column (CAST(sum(x) AS BIGINT)) instead.
+HAZARD_DUCK_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def oracle_type_hazards(con, sql):
+    """DESCRIBE the oracle and return [(col, type)] rendering hazards."""
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    return [
+        (d[0], d[1])
+        for d in desc
+        if any(h in str(d[1]).upper() for h in HAZARD_DUCK_TYPES)
+    ]
 
 
 # --- engine-side unordered hash (for results too big to collect) -------------
@@ -107,6 +144,12 @@ def main():
         default=int(os.environ.get("SPARK_GRAFT_AGG_THRESHOLD", "2000000")),
         help="above this many result rows (exact-typed results only), "
         "compare by engine-side unordered hash instead of collecting",
+    )
+    ap.add_argument(
+        "--no-strict", dest="strict", action="store_false", default=True,
+        help="disable the paranoid renderer (full-precision floats, "
+        "type-tagged cells, HUGEINT oracle-schema ban); strict is ON "
+        "by default so replica-green implies driver-green",
     )
     args = ap.parse_args()
 
@@ -209,6 +252,10 @@ def main():
                 msgs.append(f"rowcount spark={s_n} duckdb={d_n}")
             elif not msgs and int(s_hs) != int(d_hs):
                 msgs.append(f"unordered row-hash differs ({s_n} rows)")
+            if args.strict:
+                hz = oracle_type_hazards(con, omap[name])
+                if hz:
+                    msgs.append(f"[strict] oracle hazard types: {hz}")
             if msgs:
                 print(f"FAIL  {name}: " + "; ".join(msgs))
                 n_fail += 1
@@ -252,6 +299,19 @@ def main():
                     (a, b) for a, b in zip(s_norm, d_norm) if a != b
                 ][:3]
                 msgs.append(f"values differ; first diffs: {diffs}")
+        if ok and args.strict:
+            s_norm, _ = normalize(s_rows, s_cols, strict=True)
+            d_norm, _ = normalize(d_rows, d_cols, strict=True)
+            if s_norm != d_norm:
+                ok = False
+                diffs = [
+                    (a, b) for a, b in zip(s_norm, d_norm) if a != b
+                ][:3]
+                msgs.append(f"[strict] renderings differ: {diffs}")
+            hz = oracle_type_hazards(con, omap[name])
+            if hz:
+                ok = False
+                msgs.append(f"[strict] oracle hazard types: {hz}")
         if ok:
             print(
                 f"MATCH {name}: {len(s_rows)} rows  "
