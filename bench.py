@@ -171,20 +171,33 @@ def main():
     # embed that tax.  (Threshold re-derived in round 8 after the
     # probe fix — see calibrate(); the old 450 ms threshold was in
     # spin-wait-polluted process_time units.)
-    # Defense: back off once and re-probe; if the host is STILL noisy,
-    # run anyway but stamp `contended: true` into the JSON so no
-    # downstream regression math anchors on this artifact.
+    # Defense: wait-for-quiet — back off and re-probe on a bounded loop
+    # (default: every 60 s for up to 8 min; r10's committed artifact
+    # was contended because a single 60 s backoff is shorter than the
+    # tail of whatever ran before the bench in the same round).  If the
+    # host never goes quiet within the budget, run anyway and stamp
+    # `contended: true` into the JSON so no downstream regression math
+    # anchors on this artifact.
     MEMBW_QUIET_MS = 45.0
     if extras["calib_start"]["membw_ms"] > MEMBW_QUIET_MS:
         backoff = int(os.environ.get("SPARK_GRAFT_BENCH_BACKOFF_S", "60"))
-        print(
-            f"# membw {extras['calib_start']['membw_ms']} ms > {MEMBW_QUIET_MS}"
-            f" — host contended; backing off {backoff}s and re-probing",
-            file=sys.stderr,
-            flush=True,
-        )
-        time.sleep(backoff)
-        extras["calib_start_retry"] = calibrate()
+        max_wait = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT_S", "480"))
+        waited = 0
+        while waited < max_wait:
+            probe = extras.get("calib_start_retry", extras["calib_start"])
+            print(
+                f"# membw {probe['membw_ms']} ms > {MEMBW_QUIET_MS}"
+                f" — host contended; backing off {backoff}s and re-probing"
+                f" ({waited}/{max_wait}s waited)",
+                file=sys.stderr,
+                flush=True,
+            )
+            time.sleep(backoff)
+            waited += backoff
+            extras["calib_start_retry"] = calibrate()
+            if extras["calib_start_retry"]["membw_ms"] <= MEMBW_QUIET_MS:
+                break
+        extras["quiet_wait_s"] = waited
 
     # DNS kernel speedup: columnar (body-interned) vs scalar kernel on
     # one DNS-heavy capture file, min-of-3 process CPU each.  This is

@@ -53,6 +53,7 @@ from .similarity import (
     _exact_rerank,
     _kmeans_centroids,
     _nearest_cells_expr,
+    _nearest_cells_py,
     _norm,
     _pq_codebooks,
     _pq_encode_udf,
@@ -237,12 +238,23 @@ def _indexed_approx(
     )
     enc = index.codes()
     if prune_cells:
-        # bounded job over the QUERY frame only (n_queries × n_probe
-        # ints) — lets the bucketed scan skip every bucket hosting no
-        # probed cell (SelectedBucketsCount in the plan).  The filter
-        # cannot change the result: the join key is the same cell.
+        # bounded collect of the QUERY frame only (queries broadcast
+        # into the probe join anyway, so pulling them to the driver is
+        # the same size assumption) — lets the bucketed scan skip every
+        # bucket hosting no probed cell (SelectedBucketsCount in the
+        # plan).  Routing replays driver-side bit-exactly
+        # (_nearest_cells_py), so the prune set always covers the cells
+        # the plan expression routes to and the filter cannot change
+        # the result.  Replaces a distinct().collect() Spark job whose
+        # plan carried the full routing expression (2.5 s of analysis
+        # per call, more than the query's execution).
+        qvecs = queries.select(vec_col).collect()
         probed = sorted(
-            {r[0] for r in q_probes.select("cell").distinct().collect()}
+            {
+                c
+                for r in qvecs
+                for c in _nearest_cells_py(index.C, r[0], n_probe)
+            }
         )
         enc = enc.filter(F.col("cell").isin(probed))
     return (

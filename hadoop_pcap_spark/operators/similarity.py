@@ -26,6 +26,30 @@ from pyspark.sql import functions as F
 from .partitioning import spread
 
 
+def _lit_double_array(values) -> "F.Column":
+    """One parsed ``array(…D, …D)`` literal instead of per-element
+    ``F.lit`` calls.
+
+    Model matrices ride the plans as literals (centroids, PQ
+    codebooks: thousands of doubles).  Building them as
+    ``F.array(*[F.lit(x) …])`` costs one py4j round-trip per element —
+    measured ~5 s of DRIVER time per persisted-ANN query call at
+    dim=64 (6k round-trips), which dominated the whole query.  Parsing
+    a single SQL string is one round-trip.  Bit-exact: ``repr(float)``
+    is the shortest IEEE-754 round-trip rendering and Java's
+    ``Double.parseDouble`` of it returns the identical bits, so plans,
+    results, and DuckDB oracle replays are unchanged."""
+    return F.expr(
+        "array(" + ",".join(repr(float(x)).upper() + "D" for x in values) + ")"
+    )
+
+
+def _lit_int_array(values) -> "F.Column":
+    """One parsed ``array(1, 2, …)`` int literal (py4j round-trip
+    economy, same rationale as :func:`_lit_double_array`)."""
+    return F.expr("array(" + ",".join(str(int(x)) for x in values) + ")")
+
+
 def _dot(a, b, dim: Optional[int] = None):
     """Sequential double-precision dot product of two array columns.
 
@@ -336,7 +360,7 @@ def _cell_dists_expr(C, vec_col_expr):
             F.aggregate(
                 F.zip_with(
                     vec_col_expr,
-                    F.array(*[F.lit(float(w)) for w in C[c]]),
+                    _lit_double_array(C[c]),
                     lambda x, w: (x.cast("double") - w) * (x.cast("double") - w),
                 ),
                 F.lit(0.0),
@@ -355,11 +379,35 @@ def _nearest_cells_expr(C, vec_col_expr, n: int):
     dists = _cell_dists_expr(C, vec_col_expr)
     ranked = F.transform(
         F.array_sort(
-            F.arrays_zip(dists, F.array(*[F.lit(c) for c in range(len(C))]))
+            F.arrays_zip(dists, _lit_int_array(range(len(C))))
         ),
         lambda s: s["1"],
     )
     return F.slice(ranked, 1, n)
+
+
+def _nearest_cells_py(C, vec, n: int) -> List[int]:
+    """Driver-side replay of :func:`_nearest_cells_expr`, bit-exact.
+
+    Same arithmetic in the same order as the codegen fold — squared
+    deltas accumulated left-to-right from 0.0 per cell — and the same
+    (distance, cell-id) ranking as array_sort over the zipped structs,
+    so the cell set this returns is IDENTICAL to what the plan
+    expression routes to.  Used to compute bucket-prune sets for a
+    bounded query frame WITHOUT running a Spark job whose plan carries
+    the full routing expression (analysis of 32 aggregate folds over
+    literal arrays cost ~2.5 s per persisted-ANN call — more than the
+    query's actual execution)."""
+    dists = []
+    for c in range(len(C)):
+        row = C[c]
+        acc = 0.0
+        for i in range(len(row)):
+            d = float(vec[i]) - float(row[i])
+            acc = acc + d * d
+        dists.append((acc, c))
+    dists.sort()
+    return [c for _, c in dists[:n]]
 
 
 def kmeans_assign(
@@ -460,7 +508,7 @@ def _pq_recon_dot_expr(CB, q_vec="q_vec", codes="codes"):
     code, so the expression is O(dim) per pair over the compressed
     codes — no unrolled argmin, no raw vectors."""
     m_sub, k_codes, sub = CB.shape
-    cflat = F.array(*[F.lit(float(x)) for x in CB.reshape(-1)])
+    cflat = _lit_double_array(CB.reshape(-1))
     return F.aggregate(
         F.sequence(F.lit(0), F.lit(m_sub - 1)),
         F.lit(0.0),

@@ -15,7 +15,11 @@ observable through its output is preserved behind
   174] (we additionally expose ``ts_usec`` since Spark can carry it; the
   strict column set ignores it)
 * link types NULL(0) / EN10MB(1) / RAW(101) / LOOP(108) only; anything
-  else raises  [PcapReader.java:23,110-112,238-254]
+  else raises  [PcapReader.java:23,110-112,238-254].  Non-strict mode
+  additionally accepts LINUX_SLL(113) — Linux "cooked" any-interface
+  captures, the most common real-capture link type the reference
+  family misses (16-byte pseudo-header, protocol at offset 14, one
+  802.1Q tag skipped)
 * empty file → zero records, no error  [PcapReader.java:94-105]
 * truncated final record → a packet carrying only ``ts``
   [PcapReader.java:177-180]
@@ -79,7 +83,12 @@ LINKTYPE_NULL = 0  # BSD loopback; 4-byte family header
 LINKTYPE_EN10MB = 1  # Ethernet
 LINKTYPE_RAW = 101  # raw IP
 LINKTYPE_LOOP = 108  # OpenBSD loopback
+LINKTYPE_LINUX_SLL = 113  # Linux "cooked" v1; non-strict only
 
+# the reference's four (PcapReader.java:238-254); strict mode rejects
+# anything else for parity, non-strict additionally accepts SLL(113) —
+# the most common real-capture link type the reference family misses
+# (any-interface tcpdump writes cooked captures)
 SUPPORTED_LINK_TYPES = {LINKTYPE_NULL, LINKTYPE_EN10MB, LINKTYPE_RAW, LINKTYPE_LOOP}
 
 ETHERTYPE_NAMES = {
@@ -282,11 +291,40 @@ def _decode_en10mb(packet: dict, data: bytes, opts: DecodeOptions) -> int:
     return -1
 
 
+def _decode_sll(packet: dict, data: bytes) -> int:
+    """Linux cooked (SLL v1) pseudo-header → ether_type + IP offset.
+
+    16 bytes: packet_type(2) ARPHRD(2) addr_len(2) addr(8)
+    protocol(2, network order).  One 802.1Q tag is skipped like
+    EN10MB.  Non-strict only — the reference stops at LOOP
+    [PcapReader.java:238-254] — so the rendered ether_type is always
+    the innermost type (no strict 'vlan' quirk to mirror)."""
+    if len(data) < 16:
+        packet["ether_type"] = ""
+        return -1
+    proto = struct.unpack_from(">H", data, 14)[0]
+    ip_start = 16
+    if proto == 0x8100:  # single VLAN tag skip
+        if len(data) < 20:
+            packet["ether_type"] = ETHERTYPE_NAMES[0x8100]
+            return -1
+        proto = struct.unpack_from(">H", data, 18)[0]
+        ip_start = 20
+    packet["ether_type"] = ETHERTYPE_NAMES.get(proto, "0x%04x" % proto)
+    if proto in (0x0800, 0x86DD):
+        return ip_start
+    return -1
+
+
 def _ip_start(link_type: int, packet: dict, data: bytes, opts: DecodeOptions) -> int:
     """IP header offset per link type (parity [PcapReaderTest offsets
     0/14or18/0/4]); non-EN10MB links leave ether_type ''."""
     if link_type == LINKTYPE_EN10MB:
         return _decode_en10mb(packet, data, opts)
+    if link_type == LINKTYPE_LINUX_SLL:
+        # only reachable in non-strict mode (the accept gate rejects
+        # 113 under strict_reference)
+        return _decode_sll(packet, data)
     packet["ether_type"] = ""
     if link_type == LINKTYPE_NULL or link_type == LINKTYPE_RAW:
         return 0
@@ -564,7 +602,10 @@ def decode_pcap(
             f"{name}: not a (little-endian classic) PCAP file: magic=0x{magic:08x}"
         )
     link_type = struct.unpack_from("<I", data, 20)[0]
-    if link_type not in SUPPORTED_LINK_TYPES:
+    allowed = SUPPORTED_LINK_TYPES if opts.strict_reference else (
+        SUPPORTED_LINK_TYPES | {LINKTYPE_LINUX_SLL}
+    )
+    if link_type not in allowed:
         if opts.mode == "PERMISSIVE":
             return
         raise PcapFormatError(f"{name}: unsupported link type {link_type}")

@@ -41,6 +41,7 @@ _U32 = struct.Struct("<I")
 from .decode import (
     GLOBAL_HEADER_SIZE,
     LINKTYPE_EN10MB,
+    LINKTYPE_LINUX_SLL,
     LINKTYPE_LOOP,
     MAGIC_LE,
     RECORD_HEADER_SIZE,
@@ -438,7 +439,10 @@ def decode_pcap_columnar(
             f"{name}: not a (little-endian classic) PCAP file: magic=0x{magic:08x}"
         )
     link_type = int.from_bytes(data[20:24], "little")
-    if link_type not in SUPPORTED_LINK_TYPES:
+    allowed = SUPPORTED_LINK_TYPES if opts.strict_reference else (
+        SUPPORTED_LINK_TYPES | {LINKTYPE_LINUX_SLL}
+    )
+    if link_type not in allowed:
         if opts.mode == "PERMISSIVE":
             return ColumnarResult(0)
         raise PcapFormatError(f"{name}: unsupported link type {link_type}")
@@ -514,6 +518,27 @@ def decode_pcap_columnar(
         names[~has_eth] = ""
         res.overlay("ether_type", names)
         is_ip = has_eth & ~vlan_short & ((et_in == 0x0800) | (et_in == 0x86DD))
+    elif link_type == LINKTYPE_LINUX_SLL:
+        # Linux cooked v1 (non-strict only — the gate above rejects 113
+        # under strict_reference): protocol at offset 14 of the 16-byte
+        # pseudo-header, one 802.1Q tag skipped, innermost type shown
+        # (scalar twin: decode.py _decode_sll)
+        has_sll = caplen >= 16
+        proto_out = _be16(u, pkt + 14, has_sll)
+        vlan = has_sll & (proto_out == 0x8100)
+        vlan_ok = vlan & (caplen >= 20)
+        vlan_short = vlan & ~vlan_ok
+        proto_in = np.where(vlan_ok, _be16(u, pkt + 18, vlan_ok), proto_out)
+        ip_rel = np.where(vlan_ok, 20, 16)
+        shown = np.where(vlan_short, 0x8100, proto_in)
+        names = _take_names(
+            shown, has_sll, lambda c: ETHERTYPE_NAMES.get(c, "0x%04x" % c)
+        )
+        names[~has_sll] = ""
+        res.overlay("ether_type", names)
+        is_ip = (
+            has_sll & ~vlan_short & ((proto_in == 0x0800) | (proto_in == 0x86DD))
+        )
     else:
         et_col[:m] = ""
         ip_rel = np.full(m, 4 if link_type == LINKTYPE_LOOP else 0, dtype=np.int64)

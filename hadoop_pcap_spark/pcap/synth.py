@@ -30,6 +30,26 @@ def ethernet(payload: bytes, ethertype: int = 0x0800,
     return dst_mac + src_mac + struct.pack(">H", ethertype) + payload
 
 
+def sll(payload: bytes, protocol: int = 0x0800, packet_type: int = 0,
+        arphrd: int = 1, addr: bytes = b"\x02\x00\x00\x00\x00\x01",
+        vlan: Optional[int] = None) -> bytes:
+    """Linux cooked capture (SLL v1) 16-byte pseudo-header:
+    packet_type(2) ARPHRD(2) addr_len(2) addr(8) protocol(2, network
+    order); optional single 802.1Q tag before the protocol field."""
+    hdr = (
+        struct.pack(">HHH", packet_type, arphrd, len(addr))
+        + addr.ljust(8, b"\x00")[:8]
+    )
+    if vlan is not None:
+        return (
+            hdr
+            + struct.pack(">HH", 0x8100, vlan)
+            + struct.pack(">H", protocol)
+            + payload
+        )
+    return hdr + struct.pack(">H", protocol) + payload
+
+
 def _cksum16(data: bytes) -> int:
     if len(data) % 2:
         data += b"\x00"

@@ -7,7 +7,19 @@ reference achieved with ``STORED AS INPUTFORMAT 'net.ripe.hadoop.pcap
 23-44): after ``register_pcap_datasource(spark)`` you can
 
     spark.read.format("pcap").option("decoder", "dns").load("/caps/*.pcap")
-    CREATE TABLE pcaps USING pcap OPTIONS (path '/caps', decoder 'dns')
+
+SQL front doors (the reference's primary documented workflow is Hive
+DDL): ``CREATE TABLE pcaps USING pcap OPTIONS (path …)`` *parses and
+creates the catalog entry* on Spark 4.1 — the schema() call at CREATE
+receives the options — but SELECTing the table fails, because the
+scan-time Python worker instantiates a fresh DataSource with an EMPTY
+options dict (catalog storage properties are not forwarded to Python
+data source scans; verified empirically, see
+tests/test_sql_ddl.py::test_create_table_using_pcap_ddl which pins the
+behavior and will flag the upstream fix).  The supported SQL entry is
+``hadoop_pcap_spark.sql.register_packets_view`` (temp view over the
+same reader — full pushdown/pruning), matching the serde-table
+workflow end to end.
 
 Partitioning: one InputPartition per file — the same parallelism grain
 as the reference (pcap is unsplittable, io/PcapInputFormat.java:72-75).
@@ -123,7 +135,14 @@ class PcapDataSourceReader(DataSourceReader):
     def partitions(self) -> List[InputPartition]:
         path = self._options.get("path")
         if not path:
-            raise ValueError("pcap datasource requires a path")
+            raise ValueError(
+                "pcap datasource requires a 'path' option. If this table "
+                "was created with CREATE TABLE … USING pcap, note that "
+                "Spark does not forward catalog-table OPTIONS to Python "
+                "data source scans — read with spark.read.format('pcap')"
+                ".option('path', …) or register a SQL view via "
+                "hadoop_pcap_spark.sql.register_packets_view instead."
+            )
         return [
             _PcapFilePartition(p)
             for p in _expand_paths(path)

@@ -116,6 +116,48 @@ def test_unknown_ethertype_renders_hex():
     assert p["ether_type"] == "0x88cc"
 
 
+# --- LINKTYPE_LINUX_SLL(113), non-strict only (VERDICT r10 item 6) -------------
+
+
+def test_sll_rejected_in_strict_mode():
+    """Parity: the reference stops at LOOP (PcapReader.java:238-254),
+    so strict mode must keep rejecting cooked captures."""
+    data = S.global_header(D.LINKTYPE_LINUX_SLL) + S.record(5, S.sll(_ipv4_udp_frame()))
+    with pytest.raises(PcapFormatError, match="unsupported link type 113"):
+        rows(data)
+    assert rows(data, mode="PERMISSIVE") == []
+
+
+def test_sll_ipv4_udp_non_strict():
+    data = S.global_header(D.LINKTYPE_LINUX_SLL) + S.record(5, S.sll(_ipv4_udp_frame()))
+    (p,) = rows(data, strict_reference=False)
+    assert p["ether_type"] == "IPv4"
+    assert p["src"] == "10.0.0.1" and p["dst"] == "10.0.0.2"
+    assert p["src_port"] == 1111 and p["dst_port"] == 2222
+
+
+def test_sll_vlan_tag_skipped():
+    data = S.global_header(D.LINKTYPE_LINUX_SLL) + S.record(
+        6, S.sll(_ipv4_udp_frame(), vlan=7)
+    )
+    (p,) = rows(data, strict_reference=False)
+    # SLL is non-strict-only, so no 'vlan' render quirk: inner type shown
+    assert p["ether_type"] == "IPv4" and p["src_port"] == 1111
+
+
+def test_sll_non_ip_and_short_frames():
+    arp = S.sll(b"\x00\x01\x08\x00" + b"\x00" * 24, protocol=0x0806)
+    short = S.sll(b"", protocol=0x0800)[:10]  # truncated pseudo-header
+    data = (
+        S.global_header(D.LINKTYPE_LINUX_SLL)
+        + S.record(7, arp)
+        + S.record(8, short)
+    )
+    p1, p2 = rows(data, strict_reference=False)
+    assert p1["ether_type"] == "arp" and "src" not in p1
+    assert p2["ether_type"] == "" and "src" not in p2
+
+
 # --- L3/L4 field semantics ----------------------------------------------------
 
 def test_ipv4_fields_and_udp_checksum_valid():

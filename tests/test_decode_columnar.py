@@ -115,6 +115,37 @@ def test_vlan_equiv():
     assert_equiv(data, DecodeOptions(strict_reference=False))
 
 
+def test_sll_equiv():
+    """LINKTYPE_LINUX_SLL(113): both kernels over plain / VLAN-tagged /
+    non-IP / truncated cooked frames (non-strict; strict rejects 113
+    identically on both — covered by the degenerate path)."""
+    v4 = S.ipv4(S.udp(b"s", 1, 2, "10.0.0.1", "10.0.0.2"), 17,
+                "10.0.0.1", "10.0.0.2")
+    v6 = S.ipv6(S.udp(b"t", 3, 4), 17, "2001:db8::1", "2001:db8::2")
+    data = S.global_header(113) + b"".join([
+        S.record(1, S.sll(v4)),
+        S.record(2, S.sll(v4, vlan=5)),
+        S.record(3, S.sll(v6, protocol=0x86DD)),
+        S.record(4, S.sll(b"\x00" * 28, protocol=0x0806)),  # arp
+        S.record(5, S.sll(b"", protocol=0x0800)[:10]),      # short
+        S.record(6, S.sll(v4, vlan=5)[:18]),                # short vlan
+    ])
+    assert_equiv(data, DecodeOptions(strict_reference=False))
+    assert_equiv(
+        data, DecodeOptions(strict_reference=False, decoder="dns")
+    )
+    # strict: rejected by both kernels
+    import pytest as _pytest
+
+    from hadoop_pcap_spark.pcap.decode import PcapFormatError
+    from hadoop_pcap_spark.pcap.decode_np import decode_pcap_columnar
+
+    with _pytest.raises(PcapFormatError):
+        list(decode_pcap(data, "t", DecodeOptions()))
+    with _pytest.raises(PcapFormatError):
+        decode_pcap_columnar(data, "t", DecodeOptions())
+
+
 def test_column_pruning_equiv():
     opts = DecodeOptions(wanted={"pkt_no", "ts", "src", "dst_port"},
                          keep_payload=False)
