@@ -165,25 +165,33 @@ def _hyperplanes(n_planes: int, dim: int, tag: str = "plane") -> List[List[float
     return planes
 
 
-def _proj(vec_col, plane: List[float]):
+def _proj(vec_name: str, plane: List[float]):
     """Σ vec[i]·w_i with the plane weights inlined as double literals
     — stays in whole-stage codegen.  The aggregate/zip_with fold it
     replaces is a CodegenFallback expression (interpreted per row +
     a zipped-array allocation per plane).  Sum order matches the
     fold's exactly: the fold starts from 0.0 and 0.0 + x == x in
     IEEE, so signs (all any consumer uses) and values are
-    bit-identical."""
-    t = F.element_at(vec_col, 1).cast("double") * F.lit(plane[0])
-    for i in range(1, len(plane)):
-        t = t + F.element_at(vec_col, i + 1).cast("double") * F.lit(plane[i])
-    return t
+    bit-identical.  Takes the vector column's NAME and builds ONE
+    parsed SQL expression: the old per-term Column arithmetic cost
+    3·dim py4j round-trips per plane (seconds of driver time per
+    16-plane LSH query at dim=64 — see _lit_double_array); SQL's
+    ``+`` is left-associative, so the parsed sum keeps the exact
+    term order and the doubles stay bit-identical."""
+    terms = " + ".join(
+        f"CAST(element_at({vec_name}, {i + 1}) AS DOUBLE)"
+        f" * {repr(float(w)).upper()}D"
+        for i, w in enumerate(plane)
+    )
+    return F.expr(terms)
 
 
-def lsh_bucket(vec_col, planes: List[List[float]]):
-    """Sign-pattern bucket id for a vector column under the planes."""
+def lsh_bucket(vec_name: str, planes: List[List[float]]):
+    """Sign-pattern bucket id for a named vector column under the
+    planes."""
     bucket = F.lit(0)
     for p_idx, plane in enumerate(planes):
-        proj = _proj(vec_col, plane)
+        proj = _proj(vec_name, plane)
         bucket = bucket + F.when(proj > 0, F.lit(1 << p_idx)).otherwise(F.lit(0))
     return bucket
 
@@ -233,7 +241,7 @@ def cosine_topk_lsh(
     c = spread(corpus, id_col).select(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        lsh_bucket(vec_col, planes).alias("bucket"),
     )
     # base bucket computed ONCE per query row; probes are constant XOR
     # masks over it (computing lsh_bucket per mask re-evaluates
@@ -242,7 +250,7 @@ def cosine_topk_lsh(
         queries.select(
             F.col(id_col).alias("q_id"),
             F.col(vec_col).alias("q_vec"),
-            lsh_bucket(F.col(vec_col), planes).alias("base_bucket"),
+            lsh_bucket(vec_col, planes).alias("base_bucket"),
         )
         .select(
             "q_id",
@@ -826,7 +834,7 @@ def rp_sign_bands(
         planes = _hyperplanes(band_planes, dim, tag=f"rp:{seed}:{b}")
         bits = []
         for plane in planes:
-            proj = _proj(F.col(vec_col), plane)
+            proj = _proj(vec_col, plane)
             bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
         key_cols.append(F.concat(*bits).alias(f"_k{b}"))
     staged = vecs.select(F.col(id_col).alias("doc_id"), *key_cols)
