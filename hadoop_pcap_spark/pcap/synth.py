@@ -389,6 +389,56 @@ def analytics_pcap(ts: int = 1418000000) -> bytes:
     )
 
 
+def sll_frames(ts: int = 1430000000) -> list:
+    """(frame_bytes, intent) pairs for the LINUX_SLL fixture: a
+    deterministic cooked (any-interface) capture mixing plain IPv4,
+    VLAN-tagged IPv4, IPv6, ARP and a truncated pseudo-header — every
+    branch of the SLL L2 decode.  Intent dicts hold the synthesis
+    parameters only (never decoder output)."""
+    frames: list = []
+
+    def add(f, t_off, **meta):
+        base = {"ts": ts + t_off, "ts_usec": (t_off * 173) % 1000000,
+                "size": len(f), "ether_type": "", "src": None,
+                "dst": None, "src_port": None, "dst_port": None,
+                "protocol": None}
+        base.update(meta)
+        frames.append((f, base))
+
+    hosts = ["10.5.0.1", "10.5.0.2", "10.5.1.7"]
+    for i in range(18):
+        src = hosts[i % 3]
+        dst = "10.5.9.9"
+        sp, dp = 40000 + i, 443 if i % 2 else 8080
+        seg = tcp(b"", sp, dp) if i % 3 else udp(b"x" * (i + 1), sp, dp,
+                                                 src, dst)
+        proto = (6, "TCP") if i % 3 else (17, "UDP")
+        f = sll(ipv4(seg, proto[0], src, dst),
+                vlan=(7 if i % 5 == 0 else None))
+        add(f, i, ether_type="IPv4", src=src, dst=dst, src_port=sp,
+            dst_port=dp, protocol=proto[1])
+    for i in range(6):
+        src, dst = "2001:db8::11", "2001:db8::99"
+        sp, dp = 52000 + i, 53
+        f = sll(ipv6(udp(b"q" * (i + 2), sp, dp), 17, src, dst),
+                protocol=0x86DD)
+        add(f, 30 + i, ether_type="IPv6", src=src, dst=dst, src_port=sp,
+            dst_port=dp, protocol="UDP")
+    for i in range(3):  # ARP: L2-only rows
+        f = sll(b"\x00\x01\x08\x00\x06\x04\x00\x01" + b"\x00" * 20,
+                protocol=0x0806)
+        add(f, 40 + i, ether_type="arp")
+    add(sll(b"", protocol=0x0800)[:10], 50)  # truncated pseudo-header
+    return frames
+
+
+def sll_pcap(ts: int = 1430000000) -> bytes:
+    frames = sll_frames(ts)
+    return global_header(113) + b"".join(
+        record(m["ts"], f, ts_usec=m["ts_usec"]) for f, m in frames
+    )
+
+
 # --- alternative capture containers (pcapng / ns / BE) -----------------------
 # built from the public libpcap & pcapng specs; exercised by the
 # non-strict normalization front-end (pcap/formats.py)

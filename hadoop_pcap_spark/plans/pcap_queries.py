@@ -1169,6 +1169,82 @@ def analytics_dir() -> str:
     return d
 
 
+def sll_dir() -> str:
+    """One cooked (LINKTYPE_LINUX_SLL) capture — synth.sll_frames:
+    plain/VLAN IPv4, IPv6, ARP, truncated pseudo-header."""
+    d = _fixture_subdir("sll_v1")
+    p = os.path.join(d, "cooked.pcap")
+    if not os.path.exists(p):
+        _atomic_write(p, S.sll_pcap())
+    return d
+
+
+def sll_truth_path() -> str:
+    """Ground-truth packet table for :func:`sll_dir` from the
+    synthesis intent dicts."""
+    rows = []
+    for i, (_frame, meta) in enumerate(S.sll_frames()):
+        r = dict(meta)
+        r["pkt_no"] = i + 1
+        rows.append(r)
+    return _write_truth_parquet(
+        "sll_truth_v1",
+        rows,
+        [
+            ("pkt_no", "int64"),
+            ("ts", "int64"),
+            ("ts_usec", "int64"),
+            ("size", "int64"),
+            ("ether_type", "string"),
+            ("src", "string"),
+            ("dst", "string"),
+            ("src_port", "int64"),
+            ("dst_port", "int64"),
+            ("protocol", "string"),
+        ],
+    )
+
+
+@query(
+    "pcap_sll_decode",
+    oracle=lambda: f"""
+    SELECT ether_type,
+           coalesce(protocol, '') AS protocol,
+           count(*) AS n_pkts,
+           CAST(sum(size) AS BIGINT) AS total_bytes,
+           count(DISTINCT src) AS n_src,
+           CAST(coalesce(max(dst_port), -1) AS BIGINT) AS max_dst_port
+    FROM '{sll_truth_path()}'
+    GROUP BY ether_type, protocol
+    """,
+)
+def q_pcap_sll_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Linux cooked-capture (LINKTYPE_LINUX_SLL, the any-interface
+    tcpdump container the reference family rejects —
+    PcapReader.java:238-254 stops at LOOP) decoded through the full
+    Spark surface in non-strict mode: per (ether_type, protocol)
+    rollup over a fixture mixing plain IPv4, VLAN-tagged IPv4, IPv6,
+    ARP and a truncated pseudo-header.  Hash-checked against
+    synthesis intent (never the decoder's own output).  Scale: scan +
+    map-side partial agg into a tiny shuffle, same as every decode
+    rollup."""
+    return (
+        read_pcap(spark, sll_dir(), strict_reference=False)
+        .groupBy(
+            "ether_type",
+            F.coalesce("protocol", F.lit("")).alias("protocol"),
+        )
+        .agg(
+            F.count("*").alias("n_pkts"),
+            F.sum("size").cast("long").alias("total_bytes"),
+            F.countDistinct("src").cast("long").alias("n_src"),
+            F.coalesce(F.max("dst_port"), F.lit(-1))
+            .cast("long")
+            .alias("max_dst_port"),
+        )
+    )
+
+
 def analytics_truth_path() -> str:
     """Ground-truth packet table for :func:`analytics_dir` — one row
     per (file, pkt_no) straight from the synthesis intent dicts."""

@@ -106,14 +106,15 @@ def test_never_green_queries_head_rotation():
         f"rotation head {names[:len(never_green)]} != never-green "
         f"{never_green}"
     )
-    # as of r10 the never-green set is exactly the five hash-red
-    # queries; drop this pin once CORRECTNESS_r11+ shows them green
+    # as of r10 the five hash-red queries have no green row, so they
+    # must head the rotation (alongside any r11-new queries); drop
+    # this pin once CORRECTNESS_r11+ shows them green
     expected_r10_red = {
         "docs_quality_classifier", "media_video_scene_cuts",
         "pcap_beacon_detect", "pcap_dns_tunnel_score", "pcap_subnet_topk",
     }
     if not (green & expected_r10_red):
-        assert set(never_green) == expected_r10_red
+        assert expected_r10_red <= set(never_green)
 
 
 def test_entry_flagship(spark):
