@@ -263,7 +263,7 @@ def main():
             frames.append(df)
             n = df.count()
             dt = time.time() - t0
-            dc = proc_tree_cpu() - c0
+            dc = max(0.0, proc_tree_cpu() - c0)  # a worker dying mid-run drops its accumulated utime from the tree; a negative delta is a sampling artifact, not negative work
             best = dt if best is None else min(best, dt)
             best_cpu = dc if best_cpu is None else min(best_cpu, dc)
         # release the query's persisted intermediates AFTER its
@@ -365,7 +365,7 @@ def main():
                     li, zdir, ["l_partkey", "l_suppkey"], bits=8, n_files=16
                 )
                 dt = time.time() - t0
-                dc = proc_tree_cpu() - c0
+                dc = max(0.0, proc_tree_cpu() - c0)  # a worker dying mid-run drops its accumulated utime from the tree; a negative delta is a sampling artifact, not negative work
                 best = dt if best is None else min(best, dt)
                 best_cpu = dc if best_cpu is None else min(best_cpu, dc)
         finally:
@@ -482,7 +482,7 @@ def main():
                 q.processAllAvailable()
                 q.stop()
                 dt = time.time() - t0
-                dc = proc_tree_cpu() - c0
+                dc = max(0.0, proc_tree_cpu() - c0)  # a worker dying mid-run drops its accumulated utime from the tree; a negative delta is a sampling artifact, not negative work
                 shutil.rmtree(ckpt, ignore_errors=True)
                 best = dt if best is None else min(best, dt)
                 best_cpu = dc if best_cpu is None else min(best_cpu, dc)
@@ -579,7 +579,7 @@ def main():
                 q.processAllAvailable()
                 q.stop()
                 dt = time.time() - t0
-                dc = proc_tree_cpu() - c0
+                dc = max(0.0, proc_tree_cpu() - c0)  # a worker dying mid-run drops its accumulated utime from the tree; a negative delta is a sampling artifact, not negative work
                 shutil.rmtree(ckpt, ignore_errors=True)
                 shutil.rmtree(snap, ignore_errors=True)
                 best = dt if best is None else min(best, dt)

@@ -73,6 +73,23 @@ def _dot(a, b, dim: Optional[int] = None):
     the threshold filter.
     """
     if dim is not None:
+        if isinstance(a, str) and isinstance(b, str):
+            # named columns: ONE parsed SQL expression instead of
+            # ~6·dim py4j round-trips (same economy as _proj /
+            # _lit_double_array); SQL + is left-associative so the
+            # sum order and doubles are unchanged
+            terms = " + ".join(
+                f"CAST(element_at({a}, {i}) AS DOUBLE)"
+                f" * CAST(element_at({b}, {i}) AS DOUBLE)"
+                for i in range(1, dim + 1)
+            )
+            guard = (
+                f"coalesce(CAST(assert_true(({a} IS NULL) OR ({b} IS NULL)"
+                f" OR (size({a}) = {dim} AND size({b}) = {dim}),"
+                f" '_dot: embedding array is not the contracted dim={dim}')"
+                f" AS DOUBLE), 0.0D)"
+            )
+            return F.expr(f"{terms} + {guard}")
         t = F.element_at(a, 1).cast("double") * F.element_at(b, 1).cast("double")
         for i in range(2, dim + 1):
             t = t + (
@@ -947,7 +964,7 @@ def embedding_near_dup_rp(
         .withColumn(
             "cos",
             F.round(
-                _dot(F.col("vec_a"), F.col("vec_b"), dim)
+                _dot("vec_a", "vec_b", dim)
                 / F.nullif(F.col("nrm_a") * F.col("nrm_b"), F.lit(0.0)),
                 6,
             ),
@@ -1019,7 +1036,7 @@ def embedding_near_dup(
         .withColumn(
             "cos",
             F.round(
-                _dot(F.col("vec_a"), F.col("vec_b"), dim)
+                _dot("vec_a", "vec_b", dim)
                 / F.nullif(F.col("nrm_a") * F.col("nrm_b"), F.lit(0.0)),
                 6,
             ),
