@@ -383,6 +383,96 @@ def rp_neardup_oracle() -> str:
     """
 
 
+# streaming ANN screen (r11): planted incoming stream vs the persisted
+# index — twins of vec_id < N_TWINS perturbed ±2% (near-dups), the next
+# N_NOVEL vectors negated (novel); threshold on the exact reranked cos
+NEARDUP_THRESHOLD = 0.99
+NEARDUP_K = 1
+N_TWINS = 16
+N_NOVEL = 16
+
+
+def streaming_neardup_oracle() -> str:
+    """Replay streaming_ann_neardup: the registered query streams a
+    planted incoming batch (±2% twins of vec_id < 16 at id+2M, negated
+    copies of vec_id 16..31 at id+3M) through
+    streaming/stream.py::streaming_ann_screen, which per micro-batch
+    runs the SAME IVF+PQ search as cosine_topk_indexed over the
+    persisted index.  This oracle trains the identical model, plants
+    the identical incoming vectors, and replays routing → ADC
+    shortlist → exact rerank → threshold verdict in DuckDB."""
+    C, CB = _models(_sf_dir())
+    cbf_cte, adc = _adc_expr(CB)
+    qdist = (
+        "list_sum(list_transform(list_zip(q.embedding, c.w),"
+        " t -> (t[1] - t[2]) * (t[1] - t[2])))"
+    )
+    return f"""
+    WITH {_cells_ctes(C, IVFPQ_N_PROBE)},
+    {_codes_ctes(CB)},
+    {cbf_cte},
+    {_NORM_CTE},
+    qv AS (
+      SELECT vec_id + 2000000 AS vec_id,
+             list_transform(generate_series(1, {DIM}),
+               j -> CAST(embedding[j] AS DOUBLE)
+                    * (1.0 + 0.02 * sin((j - 1) + vec_id + 2000000)))
+                 AS embedding
+      FROM embeddings WHERE vec_id < {N_TWINS}
+      UNION ALL
+      SELECT vec_id + 3000000 AS vec_id,
+             list_transform(embedding, x -> -CAST(x AS DOUBLE)) AS embedding
+      FROM embeddings
+      WHERE vec_id >= {N_TWINS} AND vec_id < {N_TWINS + N_NOVEL}),
+    qnorms AS (
+      SELECT vec_id,
+             sqrt(list_sum(list_transform(embedding, x -> x * x))) AS nrm
+      FROM qv),
+    qdists AS (
+      SELECT q.vec_id, c.c, {qdist} AS d FROM qv q CROSS JOIN cents c),
+    qprobes AS (
+      SELECT vec_id AS q_id, c FROM (
+        SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+        FROM qdists)
+      WHERE rn <= {IVFPQ_N_PROBE}),
+    approx AS (
+      SELECT p.q_id, a.vec_id AS n_id,
+             {adc} / nullif(nq.nrm * nn.nrm, 0.0) AS acos
+      FROM qprobes p
+      JOIN assign a ON a.c = p.c
+      JOIN codes t ON t.vec_id = a.vec_id
+      JOIN qv q ON q.vec_id = p.q_id
+      CROSS JOIN cbf
+      JOIN qnorms nq ON nq.vec_id = p.q_id
+      JOIN norms nn ON nn.vec_id = a.vec_id),
+    shortlist AS (
+      SELECT q_id, n_id FROM (
+        SELECT q_id, n_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY acos DESC, n_id)
+                   AS arank
+        FROM approx)
+      WHERE arank <= {IVFPQ_RERANK * NEARDUP_K}),
+    exact AS (
+      SELECT s.q_id, s.n_id,
+             ROUND(list_sum(list_transform(list_zip(q.embedding, n.embedding),
+                   t -> t[1] * CAST(t[2] AS DOUBLE)))
+                   / nullif(nq.nrm * nn.nrm, 0.0), 6) AS cos
+      FROM shortlist s
+      JOIN qv q ON q.vec_id = s.q_id
+      JOIN embeddings n ON n.vec_id = s.n_id
+      JOIN qnorms nq ON nq.vec_id = s.q_id
+      JOIN norms nn ON nn.vec_id = s.n_id)
+    SELECT q_id AS vec_id, n_id AS best_id, cos AS best_cos,
+           cos >= {NEARDUP_THRESHOLD} AS is_neardup
+    FROM (SELECT q_id, n_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
+                     AS rank
+          FROM exact)
+    WHERE rank <= {NEARDUP_K}
+    """
+
+
 def ivfpq_oracle() -> str:
     """Replay cosine_topk_ivfpq: cell routing bounds WHICH rows, codes
     bound the BYTES, unrolled ADC shortlists inside probed cells,

@@ -318,3 +318,110 @@ def q_streaming_enrich_static(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# --- streaming ANN near-dup screen (r11) ---------------------------------------
+
+
+def _stage_incoming_vectors(spark: SparkSession, sf: str) -> str:
+    """Stage the planted incoming batch (twins + negated novels, the
+    ann_oracles.streaming_neardup_oracle contract) as parquet for the
+    file streaming source, keyed by the embeddings table's identity."""
+    from . import ann_oracles as ANN
+    from ..staging import ensure_staged
+
+    src = os.path.join(sf, "embeddings.parquet")
+
+    def _build(tmp: str) -> None:
+        emb = table(spark, sf, "embeddings")
+        # two-step select so the transform's vec_id unambiguously
+        # binds to the PLANTED id (no lateral-column-alias subtlety —
+        # the rp oracle's hard-won lesson, ann_oracles.py)
+        twins = (
+            emb.filter(F.col("vec_id") < ANN.N_TWINS)
+            .select(
+                (F.col("vec_id") + F.lit(2_000_000)).alias("vec_id"),
+                "embedding",
+            )
+            .select(
+                "vec_id",
+                F.transform(
+                    "embedding",
+                    lambda x, i: x.cast("double")
+                    * (F.lit(1.0) + F.lit(0.02) * F.sin(i + F.col("vec_id"))),
+                ).alias("embedding"),
+            )
+        )
+        novel = (
+            emb.filter(
+                (F.col("vec_id") >= ANN.N_TWINS)
+                & (F.col("vec_id") < ANN.N_TWINS + ANN.N_NOVEL)
+            )
+            .select(
+                (F.col("vec_id") + F.lit(3_000_000)).alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x: -x.cast("double")
+                ).alias("embedding"),
+            )
+        )
+        twins.unionByName(novel).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+
+    return ensure_staged(
+        f"squery_annstream_{os.path.basename(sf)}_", src, _build
+    )
+
+
+from . import ann_oracles as _ANN_ORACLES  # noqa: E402
+
+
+@query("streaming_ann_neardup", oracle=_ANN_ORACLES.streaming_neardup_oracle)
+def q_streaming_ann_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING near-dup screen against the PERSISTED ANN index — the
+    online arm of crawl ingest: each incoming vector is IVF+PQ-routed
+    through the frozen model, ADC-shortlisted against the
+    cell-bucketed codes table, exactly reranked, and flagged
+    is_neardup by threshold on the true cosine
+    (streaming/stream.py::streaming_ann_screen, foreachBatch).  The
+    incoming batch plants ground truth: ±2% twins of 16 corpus
+    vectors (near-dups) and 16 negated vectors (novel).  Oracle
+    retrains the identical model and replays the full search for the
+    same planted queries in DuckDB (ann_oracles.py).  Scale: per-batch
+    cost is O(batch × probed cells) — independent of corpus size,
+    which is exactly why the index is persisted; state lives in the
+    index table, not the stream."""
+    import tempfile
+
+    from . import ann_oracles as ANN
+    from .pipeline import _ann_index_table
+    from ..operators.ann_index import read_ann_index
+    from ..staging import keyed_tmp_dir
+    from ..streaming.stream import streaming_ann_screen
+
+    d = _stage_incoming_vectors(spark, sf)
+    idx = read_ann_index(spark, _ann_index_table(spark, sf))
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(d)
+    sink = keyed_tmp_dir(
+        "squery_annscreen_",
+        f"{os.path.abspath(sf)}|{spark.sparkContext.applicationId}"
+        f"|{uuid.uuid4().hex}",
+    )
+    ckpt = tempfile.mkdtemp(prefix="squery_annscreen_ckpt_")
+    q = (
+        streaming_ann_screen(
+            stream,
+            idx,
+            table(spark, sf, "embeddings"),
+            sink,
+            threshold=ANN.NEARDUP_THRESHOLD,
+            k=ANN.NEARDUP_K,
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink)

@@ -464,6 +464,55 @@ def streaming_incremental_dedup(
     return docs.writeStream.foreachBatch(_process)
 
 
+def streaming_ann_screen(
+    incoming: DataFrame,
+    index,
+    corpus: DataFrame,
+    sink_dir: str,
+    threshold: float = 0.99,
+    k: int = 1,
+):
+    """Screen a stream of NEW embedding vectors against a PERSISTED
+    ANN index — the online arm of the crawl-ingest near-dup problem:
+    "is this incoming document semantically already in the indexed
+    corpus?".
+
+    foreachBatch wiring (per-query top-k ranking is not expressible
+    as a streaming aggregation): each micro-batch runs the SAME
+    IVF+PQ search the batch path runs
+    (operators/ann_index.py::cosine_topk_indexed) — zero training
+    jobs, zero corpus re-encode; the frozen model routes the batch,
+    the cell-bucketed codes table bounds the candidate bytes, the
+    exact rerank touches only the shortlist — and appends one verdict
+    row per incoming vector to ``sink_dir``:
+    (vec_id, best_id, best_cos, is_neardup).
+
+    Returns a ``DataStreamWriter``; the caller sets
+    ``checkpointLocation`` and calls ``start()``.  Parquet-append +
+    the foreachBatch epoch contract give the standard
+    idempotent-per-epoch story; at 100 TB the per-batch cost is
+    O(batch × probed cells), independent of corpus size — exactly why
+    the index is persisted."""
+    from ..operators.ann_index import cosine_topk_indexed
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        (
+            cosine_topk_indexed(index, batch_df, corpus, k=k)
+            .select(
+                F.col("q_id").alias("vec_id"),
+                F.col("n_id").alias("best_id"),
+                F.col("cos").alias("best_cos"),
+                (F.col("cos") >= threshold).alias("is_neardup"),
+            )
+            .write.mode("append")
+            .parquet(sink_dir)
+        )
+
+    return incoming.writeStream.foreachBatch(_process)
+
+
 def compact_fingerprint_snapshot(spark, snapshot_dir: str, fp_col: str = "fp") -> int:
     """Offline snapshot housekeeping: fold every fingerprint epoch
     directory EXCEPT the newest into one ``epoch=<max-1>c<gen>``

@@ -918,3 +918,59 @@ def test_stream_stream_join_left_outer_emits_after_watermark(spark, tmp_path):
         q.stop()
 
     assert got == {(101, 201), (110, 210), (102, None)}
+
+
+def test_streaming_ann_screen_verdicts_and_multibatch(spark, tmp_path):
+    """The streaming ANN screen (r11): planted ±2% twins must come
+    back is_neardup=True with their own original as best match,
+    negated vectors is_neardup=False; and processing the same
+    incoming set in MULTIPLE micro-batches (maxFilesPerTrigger=1)
+    must produce exactly the single-batch result — the per-batch
+    search holds no cross-batch state (it lives in the index)."""
+    from hadoop_pcap_spark.operators.ann_index import read_ann_index
+    from hadoop_pcap_spark.plans import load_all, table
+    from hadoop_pcap_spark.plans.pipeline import _ann_index_table
+    from hadoop_pcap_spark.plans.streaming_queries import (
+        _stage_incoming_vectors,
+        q_streaming_ann_neardup,
+    )
+
+    load_all()
+    single = q_streaming_ann_neardup(spark, SF)
+    rows = {r.vec_id: r for r in single.collect()}
+    assert len(rows) == 32
+    twins = [r for k, r in rows.items() if k < 3_000_000]
+    novel = [r for k, r in rows.items() if k >= 3_000_000]
+    assert len(twins) == 16 and len(novel) == 16
+    for r in twins:
+        assert r.is_neardup, r
+        assert r.best_id == r.vec_id - 2_000_000, r
+        assert r.best_cos > 0.999, r
+    for r in novel:
+        assert not r.is_neardup, r
+        assert r.best_cos < 0.5, r
+
+    # multi-batch: one file per trigger over the same staged vectors
+    d = _stage_incoming_vectors(spark, SF)
+    idx = read_ann_index(spark, _ann_index_table(spark, SF))
+    sink = str(tmp_path / "sink")
+    q = (
+        STRM.streaming_ann_screen(
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d),
+            idx,
+            table(spark, SF, "embeddings"),
+            sink,
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    multi = {r.vec_id: r for r in spark.read.parquet(sink).collect()}
+    assert multi.keys() == rows.keys()
+    for k, r in rows.items():
+        m = multi[k]
+        assert (m.best_id, m.best_cos, m.is_neardup) == (
+            r.best_id, r.best_cos, r.is_neardup), k
