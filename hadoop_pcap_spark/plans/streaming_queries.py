@@ -410,18 +410,27 @@ def q_streaming_ann_neardup(spark: SparkSession, sf: str) -> DataFrame:
         f"|{uuid.uuid4().hex}",
     )
     ckpt = tempfile.mkdtemp(prefix="squery_annscreen_ckpt_")
-    q = (
-        streaming_ann_screen(
-            stream,
-            idx,
-            table(spark, sf, "embeddings"),
-            sink,
-            threshold=ANN.NEARDUP_THRESHOLD,
-            k=ANN.NEARDUP_K,
+    try:
+        q = (
+            streaming_ann_screen(
+                stream,
+                idx,
+                table(spark, sf, "embeddings"),
+                sink,
+                threshold=ANN.NEARDUP_THRESHOLD,
+                k=ANN.NEARDUP_K,
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
+    finally:
+        # one-shot AvailableNow run: the checkpoint has no restart
+        # value once the sink parquet is written, and the driver
+        # re-runs this query every correctness window — without the
+        # cleanup /tmp accumulates a checkpoint tree per invocation
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(sink)
