@@ -180,7 +180,11 @@ def main():
     # anchors on this artifact.
     MEMBW_QUIET_MS = 45.0
     if extras["calib_start"]["membw_ms"] > MEMBW_QUIET_MS:
-        backoff = int(os.environ.get("SPARK_GRAFT_BENCH_BACKOFF_S", "60"))
+        # clamp ≥1: backoff=0 would make `waited += backoff` spin the
+        # loop forever against max_wait (review r11 finding)
+        backoff = max(
+            1, int(os.environ.get("SPARK_GRAFT_BENCH_BACKOFF_S", "60"))
+        )
         max_wait = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT_S", "480"))
         waited = 0
         while waited < max_wait:

@@ -40,8 +40,32 @@ def _lit_double_array(values) -> "F.Column":
     ``Double.parseDouble`` of it returns the identical bits, so plans,
     results, and DuckDB oracle replays are unchanged."""
     return F.expr(
-        "array(" + ",".join(repr(float(x)).upper() + "D" for x in values) + ")"
+        "array(" + ",".join(_dlit(x) for x in values) + ")"
     )
+
+
+def _dlit(x) -> str:
+    """Render one finite double as a parseable SQL literal.  Non-finite
+    values would render as unparseable 'NAND'/'INFD' tokens — and a
+    NaN inside a trained model matrix means the training data was
+    broken, so fail loudly at plan-build time instead."""
+    import math
+
+    v = float(x)
+    if not math.isfinite(v):
+        raise ValueError(
+            f"non-finite model value {v!r} cannot ride the plan as a "
+            "literal — check the training corpus for NaN/Inf embeddings"
+        )
+    return repr(v).upper() + "D"
+
+
+def _qcol(name: str) -> str:
+    """Render a column name for safe interpolation into an F.expr
+    string, matching F.col's dotted-path semantics: each dot-separated
+    segment is backtick-quoted, so reserved words and names with
+    spaces parse, and 'a.b' still means field b of column a."""
+    return ".".join(f"`{seg}`" for seg in str(name).split("."))
 
 
 def _lit_int_array(values) -> "F.Column":
@@ -78,14 +102,15 @@ def _dot(a, b, dim: Optional[int] = None):
             # ~6·dim py4j round-trips (same economy as _proj /
             # _lit_double_array); SQL + is left-associative so the
             # sum order and doubles are unchanged
+            qa, qb = _qcol(a), _qcol(b)
             terms = " + ".join(
-                f"CAST(element_at({a}, {i}) AS DOUBLE)"
-                f" * CAST(element_at({b}, {i}) AS DOUBLE)"
+                f"CAST(element_at({qa}, {i}) AS DOUBLE)"
+                f" * CAST(element_at({qb}, {i}) AS DOUBLE)"
                 for i in range(1, dim + 1)
             )
             guard = (
-                f"coalesce(CAST(assert_true(({a} IS NULL) OR ({b} IS NULL)"
-                f" OR (size({a}) = {dim} AND size({b}) = {dim}),"
+                f"coalesce(CAST(assert_true(({qa} IS NULL) OR ({qb} IS NULL)"
+                f" OR (size({qa}) = {dim} AND size({qb}) = {dim}),"
                 f" '_dot: embedding array is not the contracted dim={dim}')"
                 f" AS DOUBLE), 0.0D)"
             )
@@ -195,9 +220,9 @@ def _proj(vec_name: str, plane: List[float]):
     16-plane LSH query at dim=64 — see _lit_double_array); SQL's
     ``+`` is left-associative, so the parsed sum keeps the exact
     term order and the doubles stay bit-identical."""
+    q = _qcol(vec_name)
     terms = " + ".join(
-        f"CAST(element_at({vec_name}, {i + 1}) AS DOUBLE)"
-        f" * {repr(float(w)).upper()}D"
+        f"CAST(element_at({q}, {i + 1}) AS DOUBLE) * {_dlit(w)}"
         for i, w in enumerate(plane)
     )
     return F.expr(terms)

@@ -392,13 +392,73 @@ N_TWINS = 16
 N_NOVEL = 16
 
 
+def incoming_vectors_path(sf_dir: str) -> str:
+    """Stage the planted incoming batch ONCE, in pure Python, as
+    float64 parquet — the single source both engines read.
+
+    Review r11 finding: the first cut had Spark compute the
+    perturbation with Java ``Math.sin`` while the oracle recomputed it
+    with DuckDB's libm ``sin`` — two implementations that agree only
+    to ~1 ulp, a silent violation of the bit-exact replay contract
+    every other oracle keeps by inlining Python-computed constants on
+    both sides.  Now CPython's ``math.sin`` computes each vector once
+    and parquet round-trips the doubles exactly; Spark streams the
+    file, the oracle ``read_parquet``s it.  The staging prefix encodes
+    the planting recipe (twin/novel counts + formula version) so
+    editing the recipe re-stages instead of silently serving stale
+    vectors (same review)."""
+    import math
+
+    import duckdb
+
+    from ..staging import ensure_staged
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+
+    def _build(tmp: str) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = duckdb.sql(
+            f"SELECT vec_id, embedding FROM read_parquet('{src}')"
+            f" WHERE vec_id < {N_TWINS + N_NOVEL} ORDER BY vec_id"
+        ).fetchall()
+        ids, vecs = [], []
+        for vid, emb in rows:
+            if vid < N_TWINS:
+                pid = vid + 2_000_000
+                vec = [
+                    float(x) * (1.0 + 0.02 * math.sin(j + pid))
+                    for j, x in enumerate(emb)
+                ]
+            else:
+                pid = vid + 3_000_000
+                vec = [-float(x) for x in emb]
+            ids.append(pid)
+            vecs.append(vec)
+        os.makedirs(tmp, exist_ok=True)
+        t = pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float64())),
+            }
+        )
+        pq.write_table(t, os.path.join(tmp, "part-00000.parquet"))
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    return ensure_staged(
+        f"annstream_v1_{N_TWINS}t{N_NOVEL}n_", src, _build
+    )
+
+
 def streaming_neardup_oracle() -> str:
-    """Replay streaming_ann_neardup: the registered query streams a
-    planted incoming batch (±2% twins of vec_id < 16 at id+2M, negated
-    copies of vec_id 16..31 at id+3M) through
+    """Replay streaming_ann_neardup: the registered query streams the
+    staged planted batch (±2% twins of vec_id < 16 at id+2M, negated
+    copies of vec_id 16..31 at id+3M — incoming_vectors_path, one
+    Python-computed parquet both engines read) through
     streaming/stream.py::streaming_ann_screen, which per micro-batch
     runs the SAME IVF+PQ search as cosine_topk_indexed over the
-    persisted index.  This oracle trains the identical model, plants
+    persisted index.  This oracle trains the identical model, reads
     the identical incoming vectors, and replays routing → ADC
     shortlist → exact rerank → threshold verdict in DuckDB."""
     C, CB = _models(_sf_dir())
@@ -407,23 +467,14 @@ def streaming_neardup_oracle() -> str:
         "list_sum(list_transform(list_zip(q.embedding, c.w),"
         " t -> (t[1] - t[2]) * (t[1] - t[2])))"
     )
+    qv_path = incoming_vectors_path(_sf_dir())
     return f"""
     WITH {_cells_ctes(C, IVFPQ_N_PROBE)},
     {_codes_ctes(CB)},
     {cbf_cte},
     {_NORM_CTE},
     qv AS (
-      SELECT vec_id + 2000000 AS vec_id,
-             list_transform(generate_series(1, {DIM}),
-               j -> CAST(embedding[j] AS DOUBLE)
-                    * (1.0 + 0.02 * sin((j - 1) + vec_id + 2000000)))
-                 AS embedding
-      FROM embeddings WHERE vec_id < {N_TWINS}
-      UNION ALL
-      SELECT vec_id + 3000000 AS vec_id,
-             list_transform(embedding, x -> -CAST(x AS DOUBLE)) AS embedding
-      FROM embeddings
-      WHERE vec_id >= {N_TWINS} AND vec_id < {N_TWINS + N_NOVEL}),
+      SELECT vec_id, embedding FROM read_parquet('{qv_path}/*.parquet')),
     qnorms AS (
       SELECT vec_id,
              sqrt(list_sum(list_transform(embedding, x -> x * x))) AS nrm

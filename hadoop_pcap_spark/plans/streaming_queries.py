@@ -323,56 +323,6 @@ def q_streaming_enrich_static(spark: SparkSession, sf: str) -> DataFrame:
 # --- streaming ANN near-dup screen (r11) ---------------------------------------
 
 
-def _stage_incoming_vectors(spark: SparkSession, sf: str) -> str:
-    """Stage the planted incoming batch (twins + negated novels, the
-    ann_oracles.streaming_neardup_oracle contract) as parquet for the
-    file streaming source, keyed by the embeddings table's identity."""
-    from . import ann_oracles as ANN
-    from ..staging import ensure_staged
-
-    src = os.path.join(sf, "embeddings.parquet")
-
-    def _build(tmp: str) -> None:
-        emb = table(spark, sf, "embeddings")
-        # two-step select so the transform's vec_id unambiguously
-        # binds to the PLANTED id (no lateral-column-alias subtlety —
-        # the rp oracle's hard-won lesson, ann_oracles.py)
-        twins = (
-            emb.filter(F.col("vec_id") < ANN.N_TWINS)
-            .select(
-                (F.col("vec_id") + F.lit(2_000_000)).alias("vec_id"),
-                "embedding",
-            )
-            .select(
-                "vec_id",
-                F.transform(
-                    "embedding",
-                    lambda x, i: x.cast("double")
-                    * (F.lit(1.0) + F.lit(0.02) * F.sin(i + F.col("vec_id"))),
-                ).alias("embedding"),
-            )
-        )
-        novel = (
-            emb.filter(
-                (F.col("vec_id") >= ANN.N_TWINS)
-                & (F.col("vec_id") < ANN.N_TWINS + ANN.N_NOVEL)
-            )
-            .select(
-                (F.col("vec_id") + F.lit(3_000_000)).alias("vec_id"),
-                F.transform(
-                    "embedding", lambda x: -x.cast("double")
-                ).alias("embedding"),
-            )
-        )
-        twins.unionByName(novel).repartition(4).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-
-    return ensure_staged(
-        f"squery_annstream_{os.path.basename(sf)}_", src, _build
-    )
-
-
 from . import ann_oracles as _ANN_ORACLES  # noqa: E402
 
 
@@ -385,9 +335,12 @@ def q_streaming_ann_neardup(spark: SparkSession, sf: str) -> DataFrame:
     is_neardup by threshold on the true cosine
     (streaming/stream.py::streaming_ann_screen, foreachBatch).  The
     incoming batch plants ground truth: ±2% twins of 16 corpus
-    vectors (near-dups) and 16 negated vectors (novel).  Oracle
-    retrains the identical model and replays the full search for the
-    same planted queries in DuckDB (ann_oracles.py).  Scale: per-batch
+    vectors (near-dups) and 16 negated vectors (novel), generated
+    ONCE in pure Python and staged as float64 parquet that BOTH
+    engines read (ann_oracles.incoming_vectors_path — no per-engine
+    sin() recomputation).  Oracle retrains the identical model and
+    replays the full search for the same staged queries in DuckDB
+    (ann_oracles.py).  Scale: per-batch
     cost is O(batch × probed cells) — independent of corpus size,
     which is exactly why the index is persisted; state lives in the
     index table, not the stream."""
@@ -399,7 +352,7 @@ def q_streaming_ann_neardup(spark: SparkSession, sf: str) -> DataFrame:
     from ..staging import keyed_tmp_dir
     from ..streaming.stream import streaming_ann_screen
 
-    d = _stage_incoming_vectors(spark, sf)
+    d = ANN.incoming_vectors_path(sf)
     idx = read_ann_index(spark, _ann_index_table(spark, sf))
     stream = spark.readStream.schema(
         "vec_id long, embedding array<double>"
@@ -433,4 +386,8 @@ def q_streaming_ann_neardup(spark: SparkSession, sf: str) -> DataFrame:
         import shutil
 
         shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.read.parquet(sink)
+    # the sink is epoch-partitioned for replay idempotency; the
+    # verdict columns are the compared result
+    return spark.read.parquet(sink).select(
+        "vec_id", "best_id", "best_cos", "is_neardup"
+    )

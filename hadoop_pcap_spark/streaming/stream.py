@@ -488,11 +488,19 @@ def streaming_ann_screen(
     (vec_id, best_id, best_cos, is_neardup).
 
     Returns a ``DataStreamWriter``; the caller sets
-    ``checkpointLocation`` and calls ``start()``.  Parquet-append +
-    the foreachBatch epoch contract give the standard
-    idempotent-per-epoch story; at 100 TB the per-batch cost is
+    ``checkpointLocation`` and calls ``start()``.  Verdicts land in
+    ``sink_dir/epoch=<id>/`` with per-epoch OVERWRITE, so a replayed
+    epoch (crash after the write job committed but before the
+    checkpoint commit) rewrites its own partition instead of
+    appending duplicates — the idempotent-per-epoch contract
+    foreachBatch requires of its sink (review r11 finding: a plain
+    append would double rows on replay).  Readers of the sink root
+    see an extra ``epoch`` partition column; select it away when only
+    the verdicts matter.  At 100 TB the per-batch cost is
     O(batch × probed cells), independent of corpus size — exactly why
     the index is persisted."""
+    import os
+
     from ..operators.ann_index import cosine_topk_indexed
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
@@ -506,8 +514,8 @@ def streaming_ann_screen(
                 F.col("cos").alias("best_cos"),
                 (F.col("cos") >= threshold).alias("is_neardup"),
             )
-            .write.mode("append")
-            .parquet(sink_dir)
+            .write.mode("overwrite")
+            .parquet(os.path.join(sink_dir, f"epoch={int(epoch_id)}"))
         )
 
     return incoming.writeStream.foreachBatch(_process)

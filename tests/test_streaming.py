@@ -930,8 +930,8 @@ def test_streaming_ann_screen_verdicts_and_multibatch(spark, tmp_path):
     from hadoop_pcap_spark.operators.ann_index import read_ann_index
     from hadoop_pcap_spark.plans import load_all, table
     from hadoop_pcap_spark.plans.pipeline import _ann_index_table
+    from hadoop_pcap_spark.plans import ann_oracles as ANN
     from hadoop_pcap_spark.plans.streaming_queries import (
-        _stage_incoming_vectors,
         q_streaming_ann_neardup,
     )
 
@@ -950,8 +950,12 @@ def test_streaming_ann_screen_verdicts_and_multibatch(spark, tmp_path):
         assert not r.is_neardup, r
         assert r.best_cos < 0.5, r
 
-    # multi-batch: one file per trigger over the same staged vectors
-    d = _stage_incoming_vectors(spark, SF)
+    # multi-batch: one file per trigger — split the staged vectors
+    # into several files first (the stage itself is a single parquet)
+    d = str(tmp_path / "incoming4")
+    spark.read.parquet(ANN.incoming_vectors_path(SF)).repartition(
+        4
+    ).write.parquet(d)
     idx = read_ann_index(spark, _ann_index_table(spark, SF))
     sink = str(tmp_path / "sink")
     q = (
@@ -968,7 +972,11 @@ def test_streaming_ann_screen_verdicts_and_multibatch(spark, tmp_path):
     )
     q.processAllAvailable()
     q.stop()
-    multi = {r.vec_id: r for r in spark.read.parquet(sink).collect()}
+    out = spark.read.parquet(sink)
+    # one epoch partition per incoming file, no duplicate verdicts
+    assert out.select("epoch").distinct().count() > 1
+    multi = {r.vec_id: r for r in out.collect()}
+    assert out.count() == len(multi)
     assert multi.keys() == rows.keys()
     for k, r in rows.items():
         m = multi[k]
