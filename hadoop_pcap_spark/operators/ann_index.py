@@ -248,7 +248,27 @@ def _indexed_approx(
         # the result.  Replaces a distinct().collect() Spark job whose
         # plan carried the full routing expression (2.5 s of analysis
         # per call, more than the query's execution).
+        import math
+
         qvecs = queries.select(vec_col).collect()
+        # Validate each collected vector before the driver-side routing
+        # replay (ADVICE r11): _nearest_cells_py is bit-exact only for
+        # well-formed inputs — a short vector would IndexError, a long
+        # or NaN one could compute a prune set diverging from the plan
+        # expression's routing and silently drop candidates.  Mirror
+        # the _dot size guard: fail loudly on any dim-contract breach.
+        dim = index.C.shape[1]
+        for r in qvecs:
+            v = r[0]
+            if v is None or len(v) != dim or not all(
+                x is not None and math.isfinite(x) for x in v
+            ):
+                raise ValueError(
+                    f"query {vec_col} violates the index dim contract "
+                    f"(need {dim} finite non-null floats, got "
+                    f"{'NULL' if v is None else f'len={len(v)}'}) — "
+                    "fix the query frame or pass prune_cells=False"
+                )
         probed = sorted(
             {
                 c

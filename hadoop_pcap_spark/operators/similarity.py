@@ -64,8 +64,13 @@ def _qcol(name: str) -> str:
     """Render a column name for safe interpolation into an F.expr
     string, matching F.col's dotted-path semantics: each dot-separated
     segment is backtick-quoted, so reserved words and names with
-    spaces parse, and 'a.b' still means field b of column a."""
-    return ".".join(f"`{seg}`" for seg in str(name).split("."))
+    spaces parse, and 'a.b' still means field b of column a.  Literal
+    backticks inside a segment are escaped by doubling (the SQL quoted-
+    identifier rule), so a name containing ` cannot break out of the
+    quoting and misparse the surrounding F.expr (ADVICE r11)."""
+    return ".".join(
+        "`" + seg.replace("`", "``") + "`" for seg in str(name).split(".")
+    )
 
 
 def _lit_int_array(values) -> "F.Column":

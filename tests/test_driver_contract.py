@@ -2,7 +2,26 @@
 registry must stay structurally sound — every oracle belongs to a
 query, names are stable, the flagship entry works."""
 
+import os
+
+import pytest
+
 import __spark_entry__ as e
+
+# same env knob as tests/conftest.py's SF_SMOKE (ADVICE r11: the
+# hardcoded absolute path made these tests fail with a confusing
+# DuckDB IO error on relocated checkouts)
+SF_SMOKE = os.environ.get("SPARK_GRAFT_SF_SMOKE", "/root/testdata/sf0.001")
+
+
+def _smoke_dir() -> str:
+    """The smallest fixture corpus, env-overridable, skip-if-absent."""
+    if not os.path.isdir(SF_SMOKE):
+        pytest.skip(
+            f"fixture corpus not found at {SF_SMOKE} "
+            "(set SPARK_GRAFT_SF_SMOKE to its location)"
+        )
+    return SF_SMOKE
 
 
 def test_registry_shape():
@@ -31,13 +50,14 @@ def test_oracles_are_valid_duckdb_sql():
     catches SQL typos without the full value comparison."""
     import duckdb
 
+    sf = _smoke_dir()
     con = duckdb.connect()
     for t in [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ]:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.001/{t}.parquet'"
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
         )
     for name, sql in e.oracle_sql().items():
         con.execute(sql).fetchall()
@@ -64,13 +84,14 @@ def test_oracle_schemas_have_no_hazard_types():
     )
     from compare_oracle import oracle_type_hazards
 
+    sf = _smoke_dir()
     con = duckdb.connect()
     for t in [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ]:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/sf0.001/{t}.parquet'"
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
         )
     bad = {
         name: hz
@@ -115,6 +136,54 @@ def test_never_green_queries_head_rotation():
     }
     if not (green & expected_r10_red):
         assert expected_r10_red <= set(never_green)
+
+
+def test_rotation_staleness_bounded():
+    """VERDICT r11 item 8: with 160 queries and a ~50-row driver
+    window, worst-case staleness is a full window cycle — verify (a)
+    queries() ordering is monotone nondecreasing in last-green round
+    (the structural guarantee that freshly-green queries, e.g. the
+    r11-new pair, can never shadow staler ones two rounds running) and
+    (b) the empirical max staleness across committed CORRECTNESS files
+    stays within the cycle bound ceil(N_oracle / window)."""
+    import glob
+    import json
+    import math
+    import re
+
+    root = os.path.dirname(os.path.abspath(e.__file__))
+    last_green: dict[str, int] = {}
+    latest_round = 0
+    window_sizes = []
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", path).group(1))
+        latest_round = max(latest_round, rnd)
+        with open(path) as f:
+            data = json.load(f)
+        window_sizes.append(len(data))
+        for name, row in data.items():
+            if e._green_row(row):
+                last_green[name] = max(last_green.get(name, 0), rnd)
+
+    oracles = set(e.oracle_sql())
+    ordered = [n for n in e.queries() if n in oracles]
+    # (a) monotone: a query green in round r must never precede one
+    # whose last green round is < r
+    rounds_in_order = [last_green.get(n, 0) for n in ordered]
+    assert rounds_in_order == sorted(rounds_in_order), (
+        "queries() rotation is not stalest-first"
+    )
+    # (b) empirical bound — only meaningful once every query has been
+    # green at least once (true since r11) and using the SMALLEST
+    # committed window as the conservative cycle denominator
+    greened = {n: r for n, r in last_green.items() if n in oracles}
+    if len(greened) == len(oracles) and window_sizes:
+        cycle = math.ceil(len(oracles) / min(window_sizes))
+        max_stale = max(latest_round - r for r in greened.values())
+        assert max_stale <= cycle, (
+            f"max staleness {max_stale} rounds exceeds the "
+            f"{cycle}-round window cycle — rotation is shadowing"
+        )
 
 
 def test_entry_flagship(spark):

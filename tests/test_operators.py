@@ -1449,3 +1449,67 @@ def test_rp_band_params_scaling_law():
     for n in (60050, 1_000_000):
         planes, _ = rp_band_params(n)
         assert n / 2 ** planes <= 64
+
+
+def test_qcol_escapes_backticks(spark):
+    """ADVICE r11: a column name containing a literal backtick must
+    render into F.expr strings without breaking out of the quoting —
+    doubled-backtick escape, matching SQL quoted-identifier rules."""
+    from hadoop_pcap_spark.operators.similarity import _dot, _qcol
+
+    assert _qcol("a`b") == "`a``b`"
+    assert _qcol("plain.nested") == "`plain`.`nested`"
+    df = spark.createDataFrame(
+        [([1.0, 2.0], [3.0, 4.0])], ["wei`rd", "normal"]
+    )
+    row = df.select(
+        _dot("wei`rd", "normal", dim=2).alias("d")
+    ).first()
+    assert row.d == 1.0 * 3.0 + 2.0 * 4.0
+
+
+def test_ann_index_prune_rejects_malformed_query_vectors(spark, emb):
+    """ADVICE r11: the driver-side routing replay must fail loudly on
+    a query vector violating the index dim contract (NULL / wrong
+    length / non-finite) instead of IndexError-ing or silently pruning
+    a diverging cell set."""
+    import pytest
+
+    from hadoop_pcap_spark.operators.ann_index import (
+        cosine_topk_indexed,
+        read_ann_index,
+        write_ann_index,
+    )
+
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("ann_dimguard_probe", "ann_dimguard_probe__model"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    try:
+        write_ann_index(emb, "ann_dimguard_probe", n_cells=4, sample_size=128)
+        idx = read_ann_index(spark, "ann_dimguard_probe")
+        short = emb.limit(1).select(
+            "vec_id", F.slice("embedding", 1, 3).alias("embedding")
+        )
+        with pytest.raises(ValueError, match="dim contract"):
+            cosine_topk_indexed(idx, short, emb, k=2, n_probe=2).collect()
+        null_vec = emb.limit(1).select(
+            "vec_id",
+            F.lit(None).cast(emb.schema["embedding"].dataType).alias("embedding"),
+        )
+        with pytest.raises(ValueError, match="dim contract"):
+            cosine_topk_indexed(idx, null_vec, emb, k=2, n_probe=2).collect()
+        nan_vec = emb.limit(1).select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: F.lit(float("nan"))
+            ).alias("embedding"),
+        )
+        with pytest.raises(ValueError, match="dim contract"):
+            cosine_topk_indexed(idx, nan_vec, emb, k=2, n_probe=2).collect()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ann_dimguard_probe")
+        spark.sql("DROP TABLE IF EXISTS ann_dimguard_probe__model")
