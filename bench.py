@@ -13,11 +13,16 @@ Noise model: the host is a shared VM with severe neighbor CPU steal
   MIN wall time is reported — min-of-N measures the engine, not the
   neighbors;
 * alongside wall we report *process-tree CPU seconds* (utime+stime of
-  the driver, the Spark JVM and every live python worker, sampled
-  from /proc before/after each run).  CPU-seconds are nearly
-  steal-invariant — contention stretches wall but barely changes the
-  work done — so `value_cpu` / `queries_cpu` is the stable
-  regression signal; `value` stays the wall headline.
+  the driver, the Spark JVM and every live python worker, tracked
+  per-pid at 5 Hz by CpuTracker so exiting workers' time is banked,
+  not lost).  CPU-seconds are nearly steal-invariant — contention
+  stretches wall but barely changes the work done — so `value_cpu` /
+  `queries_cpu` is the stable regression signal; `value` stays the
+  wall headline;
+* the JSON additionally carries `normalized` (per-row cpu ÷ same-run
+  fixed-work calibration — dimensionless, gateable even when
+  `contended: true`) and `ratios` (same-run speedup comparisons,
+  contention-robust by construction).
 """
 
 from __future__ import annotations
@@ -123,35 +128,107 @@ def calibrate() -> dict:
     return {"cpu_ms": round(best_cpu, 1), "membw_ms": round(best_bw, 1)}
 
 
+class CpuTracker:
+    """Monotone cumulative utime+stime (seconds) of this process and
+    all descendants, surviving worker death (VERDICT r11 item 2).
+
+    The old two-sample scheme (`after_total - before_total`) lost a
+    worker's ENTIRE accumulated cpu when it exited between samples —
+    the delta went negative and the r11 clamp-at-0 hid the loss
+    instead of recovering it (observed: similarity_ann_index_persisted
+    3.1 s wall / 0.0 cpu on a quiet host).  This tracker:
+
+    * samples the process tree per-pid on a background thread (default
+      5 Hz — one /proc walk, ~100 small reads, negligible self-cost),
+      keyed by ``(pid, starttime)`` so pid reuse can't alias;
+    * when a pid vanishes from the tree, BANKS its last-seen reading
+      into a monotone accumulator — the loss window shrinks from
+      "the whole run" to "since the last 200 ms sample";
+    * ``read()`` = banked + Σ live per-pid cpu, after a fresh sample —
+      monotone nondecreasing by construction, so per-query deltas are
+      always ≥ 0 with no clamp and no silent signal loss.
+    """
+
+    def __init__(self, interval_s: float = 0.2, root_pid: int | None = None):
+        import threading
+
+        self._tick = os.sysconf("SC_CLK_TCK")
+        self._root = root_pid if root_pid is not None else os.getpid()
+        self._lock = threading.Lock()
+        self._banked = 0.0
+        self._live: dict = {}  # (pid, starttime) -> cpu seconds
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._loop, args=(interval_s,), daemon=True
+        )
+        self._thread.start()
+
+    def _sample_tree(self) -> dict:
+        """One /proc walk: {(pid, starttime): cpu_s} for the root and
+        every live descendant."""
+        info = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat", "rb") as f:
+                    s = f.read().decode("ascii", "replace")
+            except OSError:
+                continue
+            rp = s.rindex(")")  # comm may contain spaces
+            fields = s[rp + 2 :].split()
+            info[int(d)] = (
+                int(fields[1]),  # ppid
+                (int(fields[11]) + int(fields[12])) / self._tick,
+                int(fields[19]),  # starttime: pid-reuse disambiguator
+            )
+        kids: dict = {}
+        for pid, (ppid, _, _) in info.items():
+            kids.setdefault(ppid, []).append(pid)
+        out, stack = {}, [self._root]
+        while stack:
+            p = stack.pop()
+            if p in info:
+                _, cpu, st = info[p]
+                out[(p, st)] = cpu
+                stack.extend(kids.get(p, []))
+        return out
+
+    def _update(self) -> float:
+        cur = self._sample_tree()
+        with self._lock:
+            for key, v in self._live.items():
+                if key not in cur:
+                    self._banked += v  # bank the exiting pid's last reading
+            # max() guards against /proc read jitter; per-pid cpu is
+            # monotone in the kernel
+            self._live = {
+                k: max(v, self._live.get(k, 0.0)) for k, v in cur.items()
+            }
+            return self._banked + sum(self._live.values())
+
+    def _loop(self, interval_s: float) -> None:
+        while not self._stop.wait(interval_s):
+            self._update()
+
+    def read(self) -> float:
+        """Fresh-sample cumulative cpu; monotone across calls."""
+        return self._update()
+
+    def close(self) -> None:
+        self._stop.set()
+
+
+_TRACKER: "CpuTracker | None" = None
+
+
 def proc_tree_cpu() -> float:
-    """Total utime+stime (seconds) of this process and all live
-    descendants via /proc — covers the Python driver, the Spark JVM
-    and the python.daemon workers in one number.  Workers that die
-    between samples lose their time; Spark reuses workers, so the
-    error is negligible within a run."""
-    tick = os.sysconf("SC_CLK_TCK")
-    info = {}
-    for d in os.listdir("/proc"):
-        if not d.isdigit():
-            continue
-        try:
-            with open(f"/proc/{d}/stat", "rb") as f:
-                s = f.read().decode("ascii", "replace")
-        except OSError:
-            continue
-        rp = s.rindex(")")  # comm may contain spaces
-        fields = s[rp + 2 :].split()
-        info[int(d)] = (int(fields[1]), (int(fields[11]) + int(fields[12])) / tick)
-    kids: dict = {}
-    for pid, (ppid, _) in info.items():
-        kids.setdefault(ppid, []).append(pid)
-    total, stack = 0.0, [os.getpid()]
-    while stack:
-        p = stack.pop()
-        if p in info:
-            total += info[p][1]
-            stack.extend(kids.get(p, []))
-    return total
+    """Cumulative process-tree cpu via the shared CpuTracker; deltas
+    between two calls are per-query cpu, worker-death-proof."""
+    global _TRACKER
+    if _TRACKER is None:
+        _TRACKER = CpuTracker()
+    return _TRACKER.read()
 
 
 def main():
@@ -267,7 +344,7 @@ def main():
             frames.append(df)
             n = df.count()
             dt = time.time() - t0
-            dc = max(0.0, proc_tree_cpu() - c0)  # a worker dying mid-run drops its accumulated utime from the tree; a negative delta is a sampling artifact, not negative work
+            dc = proc_tree_cpu() - c0  # CpuTracker banks exiting workers, so the delta is monotone-true cpu (no clamp needed)
             best = dt if best is None else min(best, dt)
             best_cpu = dc if best_cpu is None else min(best_cpu, dc)
         # release the query's persisted intermediates AFTER its
@@ -369,7 +446,7 @@ def main():
                     li, zdir, ["l_partkey", "l_suppkey"], bits=8, n_files=16
                 )
                 dt = time.time() - t0
-                dc = max(0.0, proc_tree_cpu() - c0)  # a worker dying mid-run drops its accumulated utime from the tree; a negative delta is a sampling artifact, not negative work
+                dc = proc_tree_cpu() - c0  # CpuTracker banks exiting workers, so the delta is monotone-true cpu (no clamp needed)
                 best = dt if best is None else min(best, dt)
                 best_cpu = dc if best_cpu is None else min(best_cpu, dc)
         finally:
@@ -486,7 +563,7 @@ def main():
                 q.processAllAvailable()
                 q.stop()
                 dt = time.time() - t0
-                dc = max(0.0, proc_tree_cpu() - c0)  # a worker dying mid-run drops its accumulated utime from the tree; a negative delta is a sampling artifact, not negative work
+                dc = proc_tree_cpu() - c0  # CpuTracker banks exiting workers, so the delta is monotone-true cpu (no clamp needed)
                 shutil.rmtree(ckpt, ignore_errors=True)
                 best = dt if best is None else min(best, dt)
                 best_cpu = dc if best_cpu is None else min(best_cpu, dc)
@@ -583,7 +660,7 @@ def main():
                 q.processAllAvailable()
                 q.stop()
                 dt = time.time() - t0
-                dc = max(0.0, proc_tree_cpu() - c0)  # a worker dying mid-run drops its accumulated utime from the tree; a negative delta is a sampling artifact, not negative work
+                dc = proc_tree_cpu() - c0  # CpuTracker banks exiting workers, so the delta is monotone-true cpu (no clamp needed)
                 shutil.rmtree(ckpt, ignore_errors=True)
                 shutil.rmtree(snap, ignore_errors=True)
                 best = dt if best is None else min(best, dt)
@@ -706,6 +783,45 @@ def main():
     )
     print(f"# extras: {extras}", file=sys.stderr, flush=True)
 
+    # Calibration-normalized per-row ratios (VERDICT r11 item 1): the
+    # committed artifact was contention-stamped two rounds running
+    # (r10, r11), forcing a judge re-run for the 2x perf gate each
+    # time.  Dividing each row's cpu-seconds by the SAME run's
+    # fixed-work calibration probes yields dimensionless host-speed-
+    # normalized numbers — neighbor pressure inflates the row and the
+    # probe together, so the ratio stays a gateable relative signal
+    # even on a run stamped `contended: true`.  Both normalizers are
+    # recorded (ALU-bound cpu probe; membw-bound wall probe) because
+    # contention moves them differently and the row mix spans both
+    # regimes; the denominator is the mean of the effective-start
+    # (post-backoff) and end probes, bracketing the whole window.
+    eff_start = extras.get("calib_start_retry", extras["calib_start"])
+    calib_cpu_s = (eff_start["cpu_ms"] + extras["calib_end"]["cpu_ms"]) / 2000.0
+    calib_membw_s = (
+        eff_start["membw_ms"] + extras["calib_end"]["membw_ms"]
+    ) / 2000.0
+    normalized = {
+        "calib_cpu_s": round(calib_cpu_s, 4),
+        "calib_membw_s": round(calib_membw_s, 4),
+        "queries_cpu_over_calib": {
+            k: round(v / calib_cpu_s, 1) for k, v in cpu_timings.items()
+        },
+        "queries_cpu_over_membw": {
+            k: round(v / calib_membw_s, 1) for k, v in cpu_timings.items()
+        },
+    }
+    # same-run ratios promoted to first-class (they compare two
+    # measurements taken under identical host conditions, so they are
+    # contention-robust by construction)
+    ratios = {
+        "dns_kernel_speedup": extras["dns_kernel_speedup"],
+        "single_file_decode_speedup": extras["single_file_decode"]["speedup"],
+        "ann_index_amortization": extras["ann_index_amortization"]["speedup"],
+        "drift_sentinel_wall": {
+            s["query"]: s["wall_ratio"] for s in extras["drift_sentinel"]
+        },
+    }
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -716,6 +832,11 @@ def main():
                 "queries": timings,
                 "queries_cpu": cpu_timings,
                 "value_cpu": round(sum(cpu_timings.values()), 3),
+                # host-speed-normalized per-row cpu (dimensionless):
+                # gate regressions on THESE when contended=true
+                "normalized": normalized,
+                # same-run contention-robust speedup ratios
+                "ratios": ratios,
                 "extras": extras,
                 # true ⇒ neighbor membw pressure measured during this
                 # run; do NOT use these numbers as a regression
