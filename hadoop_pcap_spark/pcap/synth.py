@@ -439,6 +439,125 @@ def sll_pcap(ts: int = 1430000000) -> bytes:
     )
 
 
+def v4frag_frames(ts: int = 1450000000) -> list:
+    """(frame_bytes, intent) pairs for the IPv4-fragmentation fixture
+    (VERDICT r11 item 4): unfragmented UDP datagrams plus datagrams
+    split into a first fragment (MF set, offset 0 — L4 header present,
+    ports parseable) and a non-first fragment (offset ≠ 0 — NO L4
+    header on the wire; non-strict decode must flag it and surface the
+    raw fragment bytes instead of garbage ports).  Intent dicts hold
+    synthesis parameters only."""
+    frames: list = []
+
+    def add(f, t_off, **meta):
+        base = {"ts": ts + t_off, "ts_usec": (t_off * 131) % 1000000,
+                "size": len(f), "src": None, "dst": None,
+                "src_port": None, "dst_port": None, "protocol": None,
+                "frag": False, "plen": None}
+        base.update(meta)
+        frames.append((f, base))
+
+    hosts = ["172.16.0.1", "172.16.0.2", "172.16.0.3"]
+    dst = "172.16.9.9"
+    for i in range(12):  # unfragmented control traffic from all hosts
+        src = hosts[i % 3]
+        sp, dp = 20000 + i, 53
+        pay = b"u" * (10 + i)
+        f = ethernet(ipv4(udp(pay, sp, dp, src, dst), 17, src, dst))
+        add(f, i, src=src, dst=dst, src_port=sp, dst_port=dp,
+            protocol="UDP", plen=len(pay))
+    first_piece = 32  # bytes of UDP payload in the first fragment
+    for i in range(6):  # hosts 0 and 2 emit fragmented datagrams
+        src = hosts[0] if i % 2 == 0 else hosts[2]
+        sp, dp = 30000 + i, 4433
+        whole = b"F" * (64 + i * 8)
+        seg = udp(whole, sp, dp, src, dst)  # header covers the WHOLE datagram
+        head_l4 = seg[: 8 + first_piece]
+        tail_l4 = seg[8 + first_piece :]
+        # first fragment: MF=1, offset 0 — ports parse normally
+        add(ethernet(ipv4(head_l4, 17, src, dst,
+                          flags_frag=0x2000, ident=100 + i)),
+            20 + 2 * i, src=src, dst=dst, src_port=sp, dst_port=dp,
+            protocol="UDP", frag=True, plen=first_piece)
+        # non-first fragment: offset = (8 + first_piece) / 8 units,
+        # MF=0 (last) — no L4 header; whole fragment body is payload
+        add(ethernet(ipv4(tail_l4, 17, src, dst,
+                          flags_frag=(8 + first_piece) // 8,
+                          ident=100 + i)),
+            21 + 2 * i, src=src, dst=dst, protocol="UDP", frag=True,
+            plen=len(tail_l4))
+    return frames
+
+
+def v4frag_pcap(ts: int = 1450000000) -> bytes:
+    frames = v4frag_frames(ts)
+    return global_header(1) + b"".join(
+        record(m["ts"], f, ts_usec=m["ts_usec"]) for f, m in frames
+    )
+
+
+def mixed_link_frames(ts: int = 1440000000) -> list:
+    """(if_id, frame_bytes, intent) triples for the mixed-link pcapng
+    fixture: interface 0 is EN10MB, interface 1 is LINUX_SLL(113) —
+    the ``tcpdump -i any`` merge shape where a single capture carries
+    packets of BOTH link types interleaved in time (VERDICT r11
+    item 3).  Intent dicts hold the synthesis parameters only."""
+    frames: list = []
+
+    def add(if_id, f, t_off, **meta):
+        base = {"ts": ts + t_off, "ts_usec": (t_off * 211) % 1000000,
+                "size": len(f), "link": 1 if if_id == 0 else 113,
+                "ether_type": "", "src": None, "dst": None,
+                "src_port": None, "dst_port": None, "protocol": None}
+        base.update(meta)
+        frames.append((if_id, f, base))
+
+    eth_hosts = ["192.168.7.%d" % (10 + i) for i in range(3)]
+    sll_hosts = ["10.44.0.%d" % (1 + i) for i in range(3)]
+    for i in range(24):
+        t = i * 2
+        if i % 2 == 0:  # even slots: ethernet interface
+            src, dst = eth_hosts[i % 3], "192.168.7.1"
+            sp, dp = 30000 + i, 443 if i % 4 else 53
+            seg = (udp(b"e" * (i + 1), sp, dp, src, dst)
+                   if i % 4 == 0 else tcp(b"", sp, dp))
+            proto = "UDP" if i % 4 == 0 else "TCP"
+            f = ethernet(ipv4(seg, 17 if proto == "UDP" else 6, src, dst))
+            add(0, f, t, ether_type="IPv4", src=src, dst=dst,
+                src_port=sp, dst_port=dp, protocol=proto)
+        else:  # odd slots: cooked interface
+            src, dst = sll_hosts[i % 3], "10.44.9.9"
+            sp, dp = 41000 + i, 8080
+            f = sll(ipv4(udp(b"s" * (i + 1), sp, dp, src, dst), 17,
+                         src, dst),
+                    vlan=(9 if i % 7 == 0 else None))
+            add(1, f, t, ether_type="IPv4", src=src, dst=dst,
+                src_port=sp, dst_port=dp, protocol="UDP")
+    # one IPv6 flow per interface
+    f = ethernet(ipv6(udp(b"66", 52001, 53), 17,
+                      "2001:db8:1::a", "2001:db8:1::b"), ethertype=0x86DD)
+    add(0, f, 60, ether_type="IPv6", src="2001:db8:1::a",
+        dst="2001:db8:1::b", src_port=52001, dst_port=53, protocol="UDP")
+    f = sll(ipv6(udp(b"67", 52002, 53), 17,
+                 "2001:db8:2::a", "2001:db8:2::b"), protocol=0x86DD)
+    add(1, f, 62, ether_type="IPv6", src="2001:db8:2::a",
+        dst="2001:db8:2::b", src_port=52002, dst_port=53, protocol="UDP")
+    # L2-only rows on both interfaces (ARP)
+    arp = b"\x00\x01\x08\x00\x06\x04\x00\x01" + b"\x00" * 20
+    add(0, ethernet(arp, ethertype=0x0806), 64, ether_type="arp")
+    add(1, sll(arp, protocol=0x0806), 66, ether_type="arp")
+    return frames
+
+
+def mixed_link_pcapng(ts: int = 1440000000) -> bytes:
+    """pcapng bytes for :func:`mixed_link_frames` — one section, two
+    IDBs (EN10MB then SLL), EPBs interleaved in capture order."""
+    out = [pcapng_shb(), pcapng_idb(link_type=1), pcapng_idb(link_type=113)]
+    for if_id, f, m in mixed_link_frames(ts):
+        out.append(pcapng_epb(if_id, m["ts"] * 10**6 + m["ts_usec"], f))
+    return b"".join(out)
+
+
 # --- alternative capture containers (pcapng / ns / BE) -----------------------
 # built from the public libpcap & pcapng specs; exercised by the
 # non-strict normalization front-end (pcap/formats.py)

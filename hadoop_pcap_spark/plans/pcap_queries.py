@@ -1245,6 +1245,153 @@ def q_pcap_sll_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def v4frag_dir() -> str:
+    """One capture of fragmented + unfragmented IPv4 UDP traffic
+    (synth.v4frag_frames — VERDICT r11 item 4)."""
+    d = _fixture_subdir("v4frag_v1")
+    p = os.path.join(d, "frags.pcap")
+    if not os.path.exists(p):
+        _atomic_write(p, S.v4frag_pcap())
+    return d
+
+
+def v4frag_truth_path() -> str:
+    """Per-src expected rollup for :func:`v4frag_dir`, computed from
+    the synthesis intent dicts (never the decoder): packet count,
+    fragment count, rows carrying a parseable L4 header, and the
+    payload-byte sum under the non-strict fragment contract (first
+    fragment: bytes after the L4 header in THAT fragment; non-first:
+    the raw fragment body, since there is no L4 header on the wire)."""
+    per_src: dict = {}
+    for _f, m in S.v4frag_frames():
+        r = per_src.setdefault(
+            m["src"],
+            {"src": m["src"], "n_pkts": 0, "n_frag": 0, "n_l4": 0,
+             "total_payload_bytes": 0},
+        )
+        r["n_pkts"] += 1
+        r["n_frag"] += 1 if m["frag"] else 0
+        r["n_l4"] += 1 if m["src_port"] is not None else 0
+        r["total_payload_bytes"] += m["plen"] or 0
+    return _write_truth_parquet(
+        "v4frag_truth_v1",
+        list(per_src.values()),
+        [
+            ("src", "string"),
+            ("n_pkts", "int64"),
+            ("n_frag", "int64"),
+            ("n_l4", "int64"),
+            ("total_payload_bytes", "int64"),
+        ],
+    )
+
+
+@query(
+    "pcap_v4frag_rate",
+    oracle=lambda: f"""
+    SELECT src, n_pkts, n_frag, n_l4, total_payload_bytes
+    FROM '{v4frag_truth_path()}'
+    """,
+)
+def q_pcap_v4frag_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """IPv4 fragmentation rate by source — the ops question behind
+    fragment-based evasion/path-MTU triage.  Exercises the non-strict
+    v4 fragment contract end to end (SURVEY §1.4; VERDICT r11 item 4):
+    every fragment is flagged (``frag``), ports parse ONLY where an L4
+    header exists on the wire (first fragments), and non-first
+    fragments surface their raw body as payload instead of garbage
+    ports — hash-checked against synthesis intent.  Scale: scan +
+    map-side partial agg, one tiny shuffle."""
+    return (
+        read_pcap(spark, v4frag_dir(), strict_reference=False)
+        .groupBy("src")
+        .agg(
+            F.count("*").alias("n_pkts"),
+            F.count("frag").cast("long").alias("n_frag"),
+            F.count("src_port").cast("long").alias("n_l4"),
+            F.sum("len").cast("long").alias("total_payload_bytes"),
+        )
+    )
+
+
+def mixed_link_dir() -> str:
+    """One mixed-link pcapng capture (synth.mixed_link_pcapng):
+    interface 0 EN10MB, interface 1 LINUX_SLL — the ``tcpdump -i any``
+    merge case (VERDICT r11 item 3)."""
+    d = _fixture_subdir("mixed_link_v1")
+    p = os.path.join(d, "anyif.pcapng")
+    if not os.path.exists(p):
+        _atomic_write(p, S.mixed_link_pcapng())
+    return d
+
+
+def mixed_link_truth_path() -> str:
+    """Ground-truth packet table for :func:`mixed_link_dir` from the
+    synthesis intent dicts (includes each packet's link type)."""
+    rows = []
+    for i, (_if_id, _frame, meta) in enumerate(S.mixed_link_frames()):
+        r = dict(meta)
+        r["pkt_no"] = i + 1
+        rows.append(r)
+    return _write_truth_parquet(
+        "mixed_link_truth_v1",
+        rows,
+        [
+            ("pkt_no", "int64"),
+            ("ts", "int64"),
+            ("ts_usec", "int64"),
+            ("size", "int64"),
+            ("link", "int64"),
+            ("ether_type", "string"),
+            ("src", "string"),
+            ("dst", "string"),
+            ("src_port", "int64"),
+            ("dst_port", "int64"),
+            ("protocol", "string"),
+        ],
+    )
+
+
+@query(
+    "pcap_mixed_link_decode",
+    oracle=lambda: f"""
+    SELECT ether_type,
+           coalesce(protocol, '') AS protocol,
+           count(*) AS n_pkts,
+           CAST(sum(size) AS BIGINT) AS total_bytes,
+           count(DISTINCT src) AS n_src,
+           CAST(coalesce(min(ts), -1) AS BIGINT) AS first_ts,
+           CAST(coalesce(max(ts), -1) AS BIGINT) AS last_ts
+    FROM '{mixed_link_truth_path()}'
+    GROUP BY ether_type, protocol
+    """,
+)
+def q_pcap_mixed_link_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixed-link pcapng (EN10MB + LINUX_SLL interfaces in ONE
+    capture — the ``tcpdump -i any`` merge every incident responder
+    produces) decoded through the full Spark surface in non-strict
+    mode: per (ether_type, protocol) rollup with first/last-seen
+    timestamps.  Before round 12 packets on the non-first link type
+    were silently dropped at normalization (formats.py); the oracle's
+    ground truth covers EVERY synthesized packet on BOTH interfaces,
+    so the hash check certifies the per-packet link dispatch end to
+    end.  Scale: scan + map-side partial agg, one tiny shuffle."""
+    return (
+        read_pcap(spark, mixed_link_dir(), strict_reference=False)
+        .groupBy(
+            "ether_type",
+            F.coalesce("protocol", F.lit("")).alias("protocol"),
+        )
+        .agg(
+            F.count("*").alias("n_pkts"),
+            F.sum("size").cast("long").alias("total_bytes"),
+            F.countDistinct("src").cast("long").alias("n_src"),
+            F.coalesce(F.min("ts"), F.lit(-1)).cast("long").alias("first_ts"),
+            F.coalesce(F.max("ts"), F.lit(-1)).cast("long").alias("last_ts"),
+        )
+    )
+
+
 def analytics_truth_path() -> str:
     """Ground-truth packet table for :func:`analytics_dir` — one row
     per (file, pkt_no) straight from the synthesis intent dicts."""

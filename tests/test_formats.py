@@ -101,15 +101,76 @@ def test_pcapng_spb():
     assert p["ts"] == 0 and p["src"] == "10.0.0.1"
 
 
-def test_pcapng_multi_interface_drops_other_linktype():
-    # iface 0: ethernet; iface 1: LINKTYPE_RAW(101) — classic pcap can
-    # carry one link type, so the raw-IP packet is dropped
+def test_pcapng_multi_interface_decodes_every_linktype():
+    """VERDICT r11 item 3: a mixed-link pcapng (tcpdump -i any merge)
+    must decode ALL rows via per-packet link dispatch — no silent
+    drops.  iface 0: ethernet; iface 1: LINKTYPE_RAW(101)."""
     raw_ip = S.ipv4(S.udp(b"x", 1, 2), 17, "1.1.1.1", "2.2.2.2")
     data = (S.pcapng_shb() + S.pcapng_idb(link_type=1) + S.pcapng_idb(link_type=101)
             + S.pcapng_epb(0, 10**6, frame())
             + S.pcapng_epb(1, 2 * 10**6, raw_ip))
     got = rows(data)
+    assert [r["ts"] for r in got] == [1, 2]
+    assert got[0]["src"] == "10.0.0.1" and got[0]["ether_type"] == "IPv4"
+    assert got[1]["src"] == "1.1.1.1" and got[1]["dst"] == "2.2.2.2"
+    assert got[1]["ether_type"] == ""  # non-EN10MB links render ''
+    # pkt_no stays 1-based in CAPTURE order across interfaces
+    assert [r["pkt_no"] for r in got] == [1, 2]
+
+
+def _sll_frame(payload=b"yo", sport=7, dport=53):
+    """Linux cooked v1 pseudo-header wrapping a UDP/IPv4 packet."""
+    import struct
+
+    ip = S.ipv4(S.udp(payload, sport, dport, "10.9.9.1", "10.9.9.2"),
+                17, "10.9.9.1", "10.9.9.2")
+    return struct.pack(">HHH8sH", 0, 1, 6, b"\xaa" * 8, 0x0800) + ip
+
+
+def test_pcapng_mixed_en10mb_sll_both_kernels():
+    """The verdict's named fixture: mixed EN10MB + LINUX_SLL(113)
+    pcapng decodes all rows, scalar and columnar kernels agreeing
+    row-for-row."""
+    data = (S.pcapng_shb()
+            + S.pcapng_idb(link_type=1) + S.pcapng_idb(link_type=113)
+            + S.pcapng_epb(0, 10**6, frame())
+            + S.pcapng_epb(1, 2 * 10**6, _sll_frame())
+            + S.pcapng_epb(0, 3 * 10**6, frame())
+            + S.pcapng_epb(1, 4 * 10**6, _sll_frame()))
+    scalar = [{k: v for k, v in p.items() if not k.startswith("_")}
+              for p in decode_pcap(data, "t", NS)]
+    columnar = decode_pcap_columnar(data, "t", NS).rows()
+    assert scalar == columnar
+    assert [r["ts"] for r in scalar] == [1, 2, 3, 4]
+    assert [r["src"] for r in scalar] == [
+        "10.0.0.1", "10.9.9.1", "10.0.0.1", "10.9.9.1"]
+    assert all(r["dst_port"] == 53 for r in scalar)
+    assert [r["ether_type"] for r in scalar] == ["IPv4"] * 4
+
+
+def test_normalize_capture_bytes_only_still_drops():
+    """The legacy bytes-only front door keeps the documented lossy
+    behavior (a caller without the side-channel would mis-decode
+    other-link packets); the _ex variant keeps everything."""
+    from hadoop_pcap_spark.pcap.formats import (
+        normalize_capture,
+        normalize_capture_ex,
+    )
+
+    raw_ip = S.ipv4(S.udp(b"x", 1, 2), 17, "1.1.1.1", "2.2.2.2")
+    data = (S.pcapng_shb() + S.pcapng_idb(link_type=1) + S.pcapng_idb(link_type=101)
+            + S.pcapng_epb(0, 10**6, frame())
+            + S.pcapng_epb(1, 2 * 10**6, raw_ip))
+    legacy = normalize_capture(data, "t")
+    got = list(decode_pcap(legacy, "t", NS))
     assert len(got) == 1 and got[0]["ts"] == 1
+    ex_bytes, links = normalize_capture_ex(data, "t")
+    assert links == [1, 101]
+    # uniform capture: no side-channel, bytes identical to legacy
+    uni = (S.pcapng_shb() + S.pcapng_idb(link_type=1)
+           + S.pcapng_epb(0, 10**6, frame()))
+    b1, l1 = normalize_capture_ex(uni, "t")
+    assert l1 is None and normalize_capture(uni, "t") == b1
 
 
 def test_pcapng_skips_unknown_blocks():
@@ -189,7 +250,9 @@ def test_pcapng_fuzz_no_crash():
     from hadoop_pcap_spark.pcap.decode import PcapFormatError
 
     base = (S.pcapng_shb() + S.pcapng_idb(tsresol=9)
+            + S.pcapng_idb(link_type=113)  # mixed-link dispatch path
             + S.pcapng_epb(0, 10**9, frame())
+            + S.pcapng_epb(1, 10**9 + 500, _sll_frame())
             + S.pcapng_spb(frame())
             + S.pcapng_shb(e=">") + S.pcapng_idb(e=">")
             + S.pcapng_epb(0, 2 * 10**6, frame(), e=">"))
