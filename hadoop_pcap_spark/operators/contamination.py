@@ -15,7 +15,7 @@ the shingle overlap used by dedup).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .partitioning import spread
@@ -79,6 +79,103 @@ def ngram_contamination(
         "n_hit_shingles",
         "n_bench_docs",
         F.round(F.col("n_hit_shingles") / F.col("sz"), 6).alias("contamination"),
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sub-document exact-substring dedup MATERIALIZATION (VERDICT r11
+    item 5 — the suffix-array dedup motif of Lee et al.'s
+    "Deduplicating Training Data Makes Language Models Better"):
+    instead of a dup-rate metric, emit the removable duplicate SPANS.
+
+    A position-carrying k-token shingle is *duplicated* when its text
+    occurs in ≥ ``min_docs`` distinct documents; per document, runs of
+    duplicated shingles whose [pos, pos+k) token intervals overlap or
+    touch are merged into maximal spans (gaps-and-islands over a
+    window).  Output, one row per span:
+
+      ``doc_id``      — document carrying the span
+      ``start_tok``   — 1-based index into ``tokens(text)`` (the SAME
+                        tokenizer as the whole shingle family, so a
+                        caller removes the span by re-tokenizing and
+                        cutting [start_tok, start_tok + n_toks))
+      ``n_toks``      — span length in tokens (≥ k)
+      ``cluster``     — md5 of the span's first duplicated shingle:
+                        identical duplicated passages land in the same
+                        cluster across documents
+      ``n_shingles``  — duplicated shingles merged into this span
+
+    Token (word) coordinates, not characters: word-aligned shingles
+    make detection robust to the copies sitting at different char
+    offsets (a strided char-gram fingerprint only matches when the
+    copies align mod the stride), and natural-text duplication is
+    word-structured.  Docs shorter than k tokens host no span at this
+    grain and emit nothing.
+
+    Scale at 100 TB — everything linear, bucketed by shingle hash:
+    the shingle explode is map-side; the duplicate test is one
+    shuffle of md5(shingle) 16-byte keys with map-side partial
+    aggregation; the hit join reuses that hash partitioning; the
+    island merge shuffles once on doc_id and the span aggregate
+    reuses it (grouping keys ⊇ partition keys).  Never all-pairs,
+    never a driver collect."""
+    from ..functions.text import tokens
+
+    # token array materialized as its own projection first (no CSE
+    # inside lambdas — doc_shingle_arrays precedent)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    ).filter(F.size("_toks") >= k)
+    t = F.col("_toks")
+    parts = lambda i: [F.element_at(t, i + j + 1) for j in range(k)]
+    shingle_arr = F.transform(
+        F.sequence(F.lit(0), F.size(t) - k),
+        lambda i: F.concat_ws(" ", *parts(i)),
+    )
+    # posexplode_outer: the outer variant infers no size-filter (see
+    # functions.explode_computed), and the array is non-empty by the
+    # size(_toks) >= k filter above, so no all-NULL rows can appear
+    pos = (
+        base.select("doc_id", F.posexplode_outer(shingle_arr).alias("i", "s"))
+        .select(
+            "doc_id",
+            (F.col("i") + 1).alias("pos"),  # 1-based token coordinate
+            F.md5("s").alias("h"),
+        )
+    )
+    dup = (
+        pos.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    hits = pos.join(dup, "h")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(k)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = hits.withColumn(
+        "new_isl",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("start_tok"),
+            (F.max("pos") + k - F.min("pos")).cast("long").alias("n_toks"),
+            F.min_by("h", "pos").alias("cluster"),
+            F.count("*").alias("n_shingles"),
+        )
+        .select("doc_id", "start_tok", "n_toks", "cluster", "n_shingles")
     )
 
 

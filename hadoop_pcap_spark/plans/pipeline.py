@@ -1998,6 +1998,55 @@ def q_docs_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, {SQL_TOKENS} AS w FROM documents
+      WHERE len({SQL_TOKENS}) >= 8),
+    pos AS (
+      SELECT doc_id, u.i AS pos,
+             md5(array_to_string(list_slice(w, u.i, u.i + 7), ' ')) AS h
+      FROM toks, unnest(generate_series(1, len(w) - 7)) AS u(i)),
+    dup AS (
+      SELECT h FROM pos GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT p.* FROM pos p JOIN dup d USING (h)),
+    isl AS (
+      SELECT doc_id, pos, h,
+             CASE WHEN max(pos + 8) OVER w_prev IS NULL
+                    OR pos > max(pos + 8) OVER w_prev
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM hits
+      WINDOW w_prev AS (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    isl2 AS (
+      SELECT *, SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl)
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS start_tok,
+           CAST(max(pos) + 8 - min(pos) AS BIGINT) AS n_toks,
+           arg_min(h, pos) AS cluster,
+           count(*) AS n_shingles
+    FROM isl2 GROUP BY doc_id, island
+    """,
+)
+def q_dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Sub-document exact-substring dedup MATERIALIZATION (VERDICT r11
+    item 5, the suffix-array motif): emit the removable duplicate
+    spans themselves — (doc_id, start_tok, n_toks, cluster,
+    n_shingles), maximal merged runs of position-carrying 8-token
+    shingles whose text occurs in ≥2 distinct documents — instead of
+    the text_char_ngram_dup_rate metric or docs_boilerplate_shingles'
+    per-doc counts.  Scale: shingle-hash-bucketed duplicate test (one
+    md5-key shuffle), hit join reuses the partitioning, island merge
+    is one doc_id window — all linear, never all-pairs
+    (operators/contamination.py::duplicate_spans)."""
+    from ..operators.contamination import duplicate_spans
+
+    return duplicate_spans(table(spark, sf, "documents"), k=8, min_docs=2)
+
+
+@query(
     "corpus_vocab_topk",
     oracle=f"""
     WITH tok AS (
