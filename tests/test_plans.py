@@ -548,6 +548,116 @@ def test_ann_index_append_matches_one_shot(spark):
         _drop_table_and_location(spark, "ann_one_probe")
 
 
+def test_ann_index_compaction_preserves_buckets_and_results(spark):
+    """VERDICT r11 item 7a: repeated appends fragment the bucketed
+    codes table (one file per task × bucket per batch); compaction
+    must (1) cut the file count back to ~one per bucket, (2) keep the
+    bucket spec so pruning + the Exchange-free probe join survive,
+    (3) return bit-identical query results."""
+    from hadoop_pcap_spark.operators.ann_index import (
+        _indexed_approx,
+        append_ann_index,
+        compact_ann_index,
+        cosine_topk_indexed,
+        read_ann_index,
+        write_ann_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    cut = max(256, int(n * 0.4))
+    queries = emb.filter(F.col("vec_id") < 6)
+    _drop_table_and_location(spark, "ann_compact_probe")
+    spark.sql("DROP TABLE IF EXISTS ann_compact_probe__compacting")
+    try:
+        write_ann_index(
+            emb.filter(F.col("vec_id") < cut), "ann_compact_probe",
+            n_cells=8, sample_size=256,
+        )
+        idx = read_ann_index(spark, "ann_compact_probe")
+        step = max(1, (n - cut) // 4)
+        for lo in range(cut, n, step):  # four fragmenting append batches
+            append_ann_index(
+                idx,
+                emb.filter(
+                    (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + step)
+                ),
+            )
+        key = lambda r: (r.q_id, r.rank)  # noqa: E731
+        before = sorted(
+            cosine_topk_indexed(idx, queries, emb, k=5, n_probe=4).collect(),
+            key=key,
+        )
+        stats = compact_ann_index(idx)
+        assert stats["files_out"] < stats["files_in"], stats
+        assert stats["files_out"] <= idx.n_buckets, stats
+        assert spark.table("ann_compact_probe").count() == stats["rows"] == n
+        idx2 = read_ann_index(spark, "ann_compact_probe")
+        after = sorted(
+            cosine_topk_indexed(idx2, queries, emb, k=5, n_probe=4).collect(),
+            key=key,
+        )
+        assert [tuple(r) for r in before] == [tuple(r) for r in after]
+        # bucket spec survived the swap: pruned bucketed scan still
+        # reports SelectedBucketsCount under the pinned planner flag
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        try:
+            plan = plan_of(
+                _indexed_approx(idx2, queries, n_probe=2, prune_cells=True)
+            )
+        finally:
+            spark.conf.unset(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+            )
+        assert "SelectedBucketsCount: " in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        _drop_table_and_location(spark, "ann_compact_probe")
+        spark.sql("DROP TABLE IF EXISTS ann_compact_probe__compacting")
+
+
+def test_ann_recall_probe_flags_distribution_drift(spark):
+    """VERDICT r11 item 7b: the frozen-model recall probe must read
+    high on training-era data and visibly degrade when probed WHERE
+    drifted (here: appended vectors from a disjoint orthant the
+    training sample never saw), giving the rebuild trigger a
+    measurable signal."""
+    from hadoop_pcap_spark.operators.ann_index import (
+        ann_recall_probe,
+        append_ann_index,
+        read_ann_index,
+        write_ann_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    _drop_table_and_location(spark, "ann_drift_probe")
+    try:
+        write_ann_index(emb, "ann_drift_probe", n_cells=16, sample_size=512)
+        idx = read_ann_index(spark, "ann_drift_probe")
+        base = ann_recall_probe(idx, emb, n_queries=32, k=5)
+        assert base["recall"] >= 0.8, base
+        assert base["n_queries"] == 32
+        # drifted ingest: shifted + sign-flipped copies far outside
+        # the trained centroid space, appended under the frozen model
+        maxid = emb.agg(F.max("vec_id")).first()[0]
+        drift = emb.limit(512).select(
+            (F.col("vec_id") + maxid + 1).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: F.lit(9.0) - x * 3.0
+            ).alias("embedding"),
+        )
+        append_ann_index(idx, drift)
+        full = emb.select("vec_id", "embedding").unionByName(drift)
+        drifted = ann_recall_probe(
+            idx, full, n_queries=32, k=5, queries=drift
+        )
+        assert drifted["recall"] < base["recall"], (base, drifted)
+    finally:
+        _drop_table_and_location(spark, "ann_drift_probe")
+
+
 def test_scd2_history_single_exchange(spark):
     """The whole SCD2 history build — change flag, island numbering,
     per-island aggregate, validity lead — reuses ONE clustering on the
