@@ -471,6 +471,8 @@ def streaming_ann_screen(
     sink_dir: str,
     threshold: float = 0.99,
     k: int = 1,
+    n_probe: int = 16,
+    rerank_factor: int = 16,
 ):
     """Screen a stream of NEW embedding vectors against a PERSISTED
     ANN index — the online arm of the crawl-ingest near-dup problem:
@@ -497,8 +499,12 @@ def streaming_ann_screen(
     append would double rows on replay).  Readers of the sink root
     see an extra ``epoch`` partition column; select it away when only
     the verdicts matter.  At 100 TB the per-batch cost is
-    O(batch × probed cells), independent of corpus size — exactly why
-    the index is persisted."""
+    O(batch × n_probe × corpus/n_cells) — batch times the probed
+    CANDIDATE budget, with no training or corpus re-encode on the
+    path; the budget is held flat as the corpus grows by scaling the
+    index's n_cells with it (measured: tools/profile_state_scale.py
+    --with-ann; at n_probe=16 of n_cells=32 the probed fraction is
+    1/2 and per-query cost tracks the corpus — the knob matters)."""
     import os
 
     from ..operators.ann_index import cosine_topk_indexed
@@ -507,7 +513,10 @@ def streaming_ann_screen(
         if not batch_df.head(1):
             return
         (
-            cosine_topk_indexed(index, batch_df, corpus, k=k)
+            cosine_topk_indexed(
+                index, batch_df, corpus, k=k,
+                n_probe=n_probe, rerank_factor=rerank_factor,
+            )
             .select(
                 F.col("q_id").alias("vec_id"),
                 F.col("n_id").alias("best_id"),
