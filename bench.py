@@ -78,6 +78,38 @@ HEADLINE = [
 ]
 
 
+def _openblas_threads(n: "int | None") -> "int | None":
+    """Best-effort get/set of OpenBLAS's runtime thread count via the
+    already-loaded library (this image ships no threadpoolctl).
+    Returns the previous value, or None when the library or its
+    symbols can't be found (the probe then runs threaded, as before).
+    """
+    import ctypes
+
+    try:
+        path = None
+        with open("/proc/self/maps") as f:
+            for line in f:
+                if "openblas" in line:
+                    path = line.rsplit(None, 1)[-1]
+                    break
+        if not path:
+            return None
+        lib = ctypes.CDLL(path)
+        for suffix in ("64_", "", "_"):
+            get = getattr(lib, f"openblas_get_num_threads{suffix}", None)
+            set_ = getattr(lib, f"openblas_set_num_threads{suffix}", None)
+            if get is None or set_ is None:
+                continue
+            prev = int(get())
+            if n is not None:
+                set_(ctypes.c_int(n))
+            return prev
+    except OSError:
+        pass
+    return None
+
+
 def calibrate() -> dict:
     """Fixed-work host-speed probe, run single-threaded with numpy.
 
@@ -96,9 +128,12 @@ def calibrate() -> dict:
       band — is in those polluted units and is NOT comparable).
       Min-of-3 dodges descheduling blips, so sustained neighbor
       bandwidth pressure is the only thing that moves this number.
-    * ``cpu_ms``  — ``process_time`` of 5 float64 matmuls of 256x256
-      (ALU/FPU bound; process_time makes it a total-work measure even
-      if BLAS threads the kernel).
+    * ``cpu_ms``  — ``process_time`` of 5 float64 matmuls of 256x256,
+      SINGLE-THREADED since round 12 (ALU/FPU bound).  Quiet band
+      ~10-13 ms.  Values recorded before round 12 ran with OpenBLAS's
+      default pool and are in spin-wait-polluted units (50-100 ms
+      steady with 1.5-5 s outliers) — NOT comparable to the new band,
+      same caveat class as the pre-r8 membw fix.
 
     The suite's CPU-seconds inflate up to 4-5x under neighbor
     memory-bandwidth pressure even when loadavg looks idle (observed
@@ -115,16 +150,30 @@ def calibrate() -> dict:
         float(arr.sum())
         dt = (time.perf_counter() - c0) * 1e3
         best_bw = dt if best_bw is None else min(best_bw, dt)
-    rng = np.random.default_rng(42)
-    m = rng.random((256, 256))
-    best_cpu = None
-    for _ in range(3):
-        c0 = time.process_time()
-        for _ in range(5):
-            m = m @ m
-            m /= np.abs(m).max() + 1.0
-        dt = (time.process_time() - c0) * 1e3
-        best_cpu = dt if best_cpu is None else min(best_cpu, dt)
+    # the matmul probe runs SINGLE-THREADED: with OpenBLAS's default
+    # pool, process_time charges every spin-waiting worker thread and
+    # the reading explodes non-deterministically (observed 1591 ms /
+    # 4907 ms against a 10-60 ms steady band on r11/r12 artifacts —
+    # unusable as a normalization denominator).  One thread makes it
+    # a fixed-work scalar probe: ~12.5 ms quiet, inflating only with
+    # genuine neighbor pressure.  Restored afterwards so nothing else
+    # in the process changes.
+    prev_threads = _openblas_threads(1)
+    try:
+        rng = np.random.default_rng(42)
+        m = rng.random((256, 256))
+        _ = m @ m  # warm-up: first-call setup outside the timed window
+        best_cpu = None
+        for _ in range(3):
+            c0 = time.process_time()
+            for _ in range(5):
+                m = m @ m
+                m /= np.abs(m).max() + 1.0
+            dt = (time.process_time() - c0) * 1e3
+            best_cpu = dt if best_cpu is None else min(best_cpu, dt)
+    finally:
+        if prev_threads:
+            _openblas_threads(prev_threads)
     return {"cpu_ms": round(best_cpu, 1), "membw_ms": round(best_bw, 1)}
 
 
@@ -795,11 +844,18 @@ def main():
     # contention moves them differently and the row mix spans both
     # regimes; the denominator is the mean of the effective-start
     # (post-backoff) and end probes, bracketing the whole window.
-    eff_start = extras.get("calib_start_retry", extras["calib_start"])
-    calib_cpu_s = (eff_start["cpu_ms"] + extras["calib_end"]["cpu_ms"]) / 2000.0
-    calib_membw_s = (
-        eff_start["membw_ms"] + extras["calib_end"]["membw_ms"]
-    ) / 2000.0
+    # MIN over the window's probes, not the mean: probe readings are
+    # only ever inflated (neighbor pressure, descheduling, the BLAS
+    # spin-up the warm-up now mostly removes), never deflated, so min
+    # is the same estimator the probes use internally (min-of-3) and
+    # a single polluted edge probe cannot poison the denominator
+    probes = [
+        extras["calib_start"],
+        extras.get("calib_start_retry", extras["calib_start"]),
+        extras["calib_end"],
+    ]
+    calib_cpu_s = min(p["cpu_ms"] for p in probes) / 1000.0
+    calib_membw_s = min(p["membw_ms"] for p in probes) / 1000.0
     normalized = {
         "calib_cpu_s": round(calib_cpu_s, 4),
         "calib_membw_s": round(calib_membw_s, 4),

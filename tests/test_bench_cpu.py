@@ -86,18 +86,21 @@ def test_bench_json_normalized_block_shape():
     of the main() block so CI catches contract drift without a 25-row
     Spark run."""
     extras = {
-        "calib_start": {"cpu_ms": 20.0, "membw_ms": 60.0},
+        # start cpu probe polluted by BLAS spin-up (the r11/r12
+        # outlier mode): min-of-probes must shrug it off
+        "calib_start": {"cpu_ms": 4907.3, "membw_ms": 60.0},
         "calib_start_retry": {"cpu_ms": 10.0, "membw_ms": 15.0},
         "calib_end": {"cpu_ms": 12.0, "membw_ms": 17.0},
     }
     cpu_timings = {"q1": 2.2, "q2": 0.0}
-    eff_start = extras.get("calib_start_retry", extras["calib_start"])
-    calib_cpu_s = (eff_start["cpu_ms"] + extras["calib_end"]["cpu_ms"]) / 2000.0
-    calib_membw_s = (
-        eff_start["membw_ms"] + extras["calib_end"]["membw_ms"]
-    ) / 2000.0
-    # the POST-BACKOFF probe is the start bracket, not the contended one
-    assert calib_cpu_s == (10.0 + 12.0) / 2000.0
-    assert calib_membw_s == (15.0 + 17.0) / 2000.0
+    probes = [
+        extras["calib_start"],
+        extras.get("calib_start_retry", extras["calib_start"]),
+        extras["calib_end"],
+    ]
+    calib_cpu_s = min(p["cpu_ms"] for p in probes) / 1000.0
+    calib_membw_s = min(p["membw_ms"] for p in probes) / 1000.0
+    assert calib_cpu_s == 10.0 / 1000.0
+    assert calib_membw_s == 15.0 / 1000.0
     norm = {k: round(v / calib_cpu_s, 1) for k, v in cpu_timings.items()}
-    assert norm["q1"] == 200.0 and norm["q2"] == 0.0
+    assert norm["q1"] == 220.0 and norm["q2"] == 0.0
