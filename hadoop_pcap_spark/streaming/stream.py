@@ -510,22 +510,32 @@ def streaming_ann_screen(
     from ..operators.ann_index import cosine_topk_indexed
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
-        if not batch_df.head(1):
-            return
-        (
-            cosine_topk_indexed(
-                index, batch_df, corpus, k=k,
-                n_probe=n_probe, rerank_factor=rerank_factor,
+        # persist the (batch-sized) query frame: _process executes it
+        # three times — the emptiness probe, the bucket-prune replay's
+        # collect, and the search plan itself — and without the cache
+        # each execution re-reads the batch source (observed as
+        # numInputRows over-counting in StreamingQueryProgress; for an
+        # expensive upstream the re-read is real per-batch cost)
+        batch_df = batch_df.persist()
+        try:
+            if not batch_df.head(1):
+                return
+            (
+                cosine_topk_indexed(
+                    index, batch_df, corpus, k=k,
+                    n_probe=n_probe, rerank_factor=rerank_factor,
+                )
+                .select(
+                    F.col("q_id").alias("vec_id"),
+                    F.col("n_id").alias("best_id"),
+                    F.col("cos").alias("best_cos"),
+                    (F.col("cos") >= threshold).alias("is_neardup"),
+                )
+                .write.mode("overwrite")
+                .parquet(os.path.join(sink_dir, f"epoch={int(epoch_id)}"))
             )
-            .select(
-                F.col("q_id").alias("vec_id"),
-                F.col("n_id").alias("best_id"),
-                F.col("cos").alias("best_cos"),
-                (F.col("cos") >= threshold).alias("is_neardup"),
-            )
-            .write.mode("overwrite")
-            .parquet(os.path.join(sink_dir, f"epoch={int(epoch_id)}"))
-        )
+        finally:
+            batch_df.unpersist()
 
     return incoming.writeStream.foreachBatch(_process)
 
