@@ -179,6 +179,81 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply :func:`duplicate_spans`: CUT the duplicate spans out of
+    each document — the suffix-array dedup motif end to end, metric →
+    spans → removal.
+
+    Per document (≥1 token): ``(doc_id, n_toks, n_removed,
+    clean_md5)`` where ``clean_md5`` fingerprints the cleaned
+    TOKENIZED text (kept tokens in order, single-space joined — the
+    same normalization the span coordinates live in, so removal and
+    verification share one coordinate system).  Docs without spans
+    pass through with ``n_removed = 0``.
+
+    Scale: the span pass is :func:`duplicate_spans` (linear,
+    shingle-hash bucketed); removal adds one positioned-token explode
+    (map-side), an anti join on doc_id with the span-range predicate
+    as the secondary filter (spans per doc are few), and one doc_id
+    aggregate for the reconstruction — every stage keyed on doc_id so
+    the partitioning is reusable.  Never all-pairs."""
+    from ..functions.text import tokens
+
+    spans = duplicate_spans(
+        docs, k=k, min_docs=min_docs, id_col=id_col, text_col=text_col
+    ).select(
+        F.col("doc_id").alias("s_doc"), "start_tok", "n_toks"
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    ).filter(F.size("_toks") >= 1)
+    toks = base.select(
+        "doc_id",
+        F.posexplode_outer("_toks").alias("i", "tok"),
+    ).select("doc_id", (F.col("i") + 1).alias("pos"), "tok")
+    kept = toks.join(
+        spans,
+        (toks.doc_id == spans.s_doc)
+        & (toks.pos >= spans.start_tok)
+        & (toks.pos < spans.start_tok + spans.n_toks),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+    sizes = base.select("doc_id", F.size("_toks").cast("long").alias("n_toks"))
+    # inner join: a doc whose EVERY token sits in spans would drop out
+    # of `kept` — emit it with an empty-string fingerprint instead
+    return (
+        sizes.join(rebuilt, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            "n_toks",
+            (F.col("n_toks") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias(
+                "clean_md5"
+            ),
+        )
+    )
+
+
 def corpus_boilerplate(
     docs: DataFrame,
     k: int = 8,

@@ -2047,6 +2047,69 @@ def q_dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "docs_remove_dup_spans",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, {SQL_TOKENS} AS w FROM documents
+      WHERE len({SQL_TOKENS}) >= 1),
+    pos AS (
+      SELECT doc_id, u.i AS pos,
+             md5(array_to_string(list_slice(w, u.i, u.i + 7), ' ')) AS h
+      FROM toks, unnest(generate_series(1, len(w) - 7)) AS u(i)
+      WHERE len(w) >= 8),
+    dup AS (
+      SELECT h FROM pos GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT p.* FROM pos p JOIN dup d USING (h)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN max(pos + 8) OVER w_prev IS NULL
+                    OR pos > max(pos + 8) OVER w_prev
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM hits
+      WINDOW w_prev AS (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    isl2 AS (
+      SELECT *, SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 8 - min(pos) AS n
+      FROM isl2 GROUP BY doc_id, island),
+    tokpos AS (
+      SELECT doc_id, u.i AS pos, w[u.i] AS tok
+      FROM toks, unnest(generate_series(1, len(w))) AS u(i)),
+    kept AS (
+      SELECT t.* FROM tokpos t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = t.doc_id AND t.pos >= s.s AND t.pos < s.s + s.n)),
+    rebuilt AS (
+      SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.w) AS BIGINT) AS n_toks,
+           CAST(len(t.w) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.clean_md5, md5('')) AS clean_md5
+    FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def q_docs_remove_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """The suffix-array dedup motif END TO END: find the cross-doc
+    duplicate spans (dedup_substring_spans) and CUT them, emitting per
+    doc the token count, removed-token count and an md5 fingerprint of
+    the cleaned tokenized text — metric → spans → removal in one
+    dataflow, hash-checked against a full DuckDB replica
+    (operators/contamination.py::remove_duplicate_spans).  Scale: the
+    span pass plus one positioned-token explode, a doc_id anti join
+    with the range predicate as secondary filter, and one doc_id
+    aggregate — all keyed on doc_id, never all-pairs."""
+    from ..operators.contamination import remove_duplicate_spans
+
+    return remove_duplicate_spans(table(spark, sf, "documents"), k=8, min_docs=2)
+
+
+@query(
     "corpus_vocab_topk",
     oracle=f"""
     WITH tok AS (

@@ -1613,3 +1613,36 @@ def test_duplicate_spans_planted_at_sf1(spark):
     assert (got[10**12 + 1].start_tok, got[10**12 + 1].n_toks) == (3, 24)
     assert (got[10**12 + 2].start_tok, got[10**12 + 2].n_toks) == (8, 24)
     assert got[10**12 + 1].cluster == got[10**12 + 2].cluster
+
+
+def test_remove_duplicate_spans_planted(spark):
+    """End-to-end span REMOVAL: two docs sharing a passage keep only
+    their unique filler; a doc that IS the passage empties out
+    (n_removed == n_toks, md5('') fingerprint); a doc with no spans
+    passes through untouched."""
+    import hashlib
+
+    from hadoop_pcap_spark.operators.contamination import (
+        remove_duplicate_spans,
+    )
+
+    passage = " ".join(f"shared{i}" for i in range(20))
+    filler_a = " ".join(f"a{i}" for i in range(6))
+    filler_b = " ".join(f"b{i}" for i in range(7))
+    clean = " ".join(f"c{i}" for i in range(30))
+    docs = _span_docs(spark, [
+        (1, filler_a + " " + passage),
+        (2, passage + " " + filler_b),
+        (3, passage),
+        (4, clean),
+    ])
+    got = {r.doc_id: r for r in remove_duplicate_spans(docs, k=8).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert (got[1].n_toks, got[1].n_removed) == (26, 20)
+    assert got[1].clean_md5 == md5(filler_a)
+    assert (got[2].n_toks, got[2].n_removed) == (27, 20)
+    assert got[2].clean_md5 == md5(filler_b)
+    assert (got[3].n_toks, got[3].n_removed) == (20, 20)
+    assert got[3].clean_md5 == md5("")
+    assert (got[4].n_toks, got[4].n_removed) == (30, 0)
+    assert got[4].clean_md5 == md5(clean)
