@@ -63,6 +63,8 @@ DRIVER_TABLE = {
     "docs_domain_quota": "documents",
     "docs_dsir_importance": "documents",
     "docs_quality_classifier": "documents",
+    "dedup_substring_spans": "documents",
+    "docs_remove_dup_spans": "documents",
 }
 
 
