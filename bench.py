@@ -244,8 +244,16 @@ class CpuTracker:
         return out
 
     def _update(self) -> float:
-        cur = self._sample_tree()
+        # the /proc walk happens INSIDE the lock: sampling outside it
+        # would let a stale sample merge after a fresher one — a
+        # worker that exited between the two samples gets banked by
+        # the fresh merge, resurrected into _live by the stale one,
+        # and banked AGAIN on the next tick, double-counting its whole
+        # accumulated cpu (review r12 finding).  Serializing the walk
+        # costs the reader a few ms at 5 Hz — irrelevant next to the
+        # queries being measured.
         with self._lock:
+            cur = self._sample_tree()
             for key, v in self._live.items():
                 if key not in cur:
                     self._banked += v  # bank the exiting pid's last reading
@@ -278,6 +286,47 @@ def proc_tree_cpu() -> float:
     if _TRACKER is None:
         _TRACKER = CpuTracker()
     return _TRACKER.read()
+
+
+def normalized_block(extras: dict, cpu_timings: dict) -> dict:
+    """Calibration-normalized per-row ratios (VERDICT r11 item 1): the
+    committed artifact was contention-stamped two rounds running (r10,
+    r11), forcing a judge re-run for the 2x perf gate each time.
+    Dividing each row's cpu-seconds by the SAME run's fixed-work
+    calibration probes yields dimensionless host-speed-normalized
+    numbers — neighbor pressure inflates the row and the probe
+    together, so the ratio stays a gateable relative signal even on a
+    run stamped ``contended: true``.  Both normalizers are recorded
+    (ALU-bound cpu probe; membw-bound wall probe) because contention
+    moves them differently and the row mix spans both regimes.
+
+    The denominator is the MIN over the window's probes (pre-backoff
+    start, post-backoff start if one ran, end): probe readings are
+    only ever inflated (neighbor pressure, descheduling, residual
+    BLAS setup), never deflated, so min is the same estimator the
+    probes use internally (min-of-3) and a single polluted edge probe
+    cannot poison the denominator.
+
+    A module-level function, not inline in main(), so the unit test
+    pins THIS code rather than a copy of the math
+    (tests/test_bench_cpu.py — review r12 finding)."""
+    probes = [
+        extras["calib_start"],
+        extras.get("calib_start_retry", extras["calib_start"]),
+        extras["calib_end"],
+    ]
+    calib_cpu_s = min(p["cpu_ms"] for p in probes) / 1000.0
+    calib_membw_s = min(p["membw_ms"] for p in probes) / 1000.0
+    return {
+        "calib_cpu_s": round(calib_cpu_s, 4),
+        "calib_membw_s": round(calib_membw_s, 4),
+        "queries_cpu_over_calib": {
+            k: round(v / calib_cpu_s, 1) for k, v in cpu_timings.items()
+        },
+        "queries_cpu_over_membw": {
+            k: round(v / calib_membw_s, 1) for k, v in cpu_timings.items()
+        },
+    }
 
 
 def main():
@@ -832,40 +881,7 @@ def main():
     )
     print(f"# extras: {extras}", file=sys.stderr, flush=True)
 
-    # Calibration-normalized per-row ratios (VERDICT r11 item 1): the
-    # committed artifact was contention-stamped two rounds running
-    # (r10, r11), forcing a judge re-run for the 2x perf gate each
-    # time.  Dividing each row's cpu-seconds by the SAME run's
-    # fixed-work calibration probes yields dimensionless host-speed-
-    # normalized numbers — neighbor pressure inflates the row and the
-    # probe together, so the ratio stays a gateable relative signal
-    # even on a run stamped `contended: true`.  Both normalizers are
-    # recorded (ALU-bound cpu probe; membw-bound wall probe) because
-    # contention moves them differently and the row mix spans both
-    # regimes; the denominator is the mean of the effective-start
-    # (post-backoff) and end probes, bracketing the whole window.
-    # MIN over the window's probes, not the mean: probe readings are
-    # only ever inflated (neighbor pressure, descheduling, the BLAS
-    # spin-up the warm-up now mostly removes), never deflated, so min
-    # is the same estimator the probes use internally (min-of-3) and
-    # a single polluted edge probe cannot poison the denominator
-    probes = [
-        extras["calib_start"],
-        extras.get("calib_start_retry", extras["calib_start"]),
-        extras["calib_end"],
-    ]
-    calib_cpu_s = min(p["cpu_ms"] for p in probes) / 1000.0
-    calib_membw_s = min(p["membw_ms"] for p in probes) / 1000.0
-    normalized = {
-        "calib_cpu_s": round(calib_cpu_s, 4),
-        "calib_membw_s": round(calib_membw_s, 4),
-        "queries_cpu_over_calib": {
-            k: round(v / calib_cpu_s, 1) for k, v in cpu_timings.items()
-        },
-        "queries_cpu_over_membw": {
-            k: round(v / calib_membw_s, 1) for k, v in cpu_timings.items()
-        },
-    }
+    normalized = normalized_block(extras, cpu_timings)
     # same-run ratios promoted to first-class (they compare two
     # measurements taken under identical host conditions, so they are
     # contention-robust by construction)

@@ -314,20 +314,20 @@ def cosine_topk_indexed(
 
 
 def _table_location(spark: SparkSession, table: str) -> str:
-    """Filesystem path of a (managed) table's data directory."""
-    from urllib.parse import urlparse
-
+    """The table's data-directory URI, scheme and authority intact —
+    stripping to a bare path would re-resolve against the default
+    filesystem and break on any non-local warehouse (hdfs://, s3a://;
+    review r12 finding)."""
     for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
         if r.col_name.strip() == "Location":
-            return urlparse(r.data_type.strip()).path
+            return r.data_type.strip()
     raise ValueError(f"no Location row for table {table!r}")
 
 
-def _count_parquet_files(path: str) -> int:
-    import glob
-    import os
-
-    return len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+def _count_table_files(spark: SparkSession, table: str) -> int:
+    """Data-file count via the scan's own listing (works on every
+    Hadoop filesystem, unlike a driver-local glob)."""
+    return len(spark.table(table).inputFiles())
 
 
 def compact_ann_index(index: AnnIndex) -> dict:
@@ -356,7 +356,7 @@ def compact_ann_index(index: AnnIndex) -> dict:
     logging."""
     spark = index.spark
     location = _table_location(spark, index.table)
-    files_in = _count_parquet_files(location)
+    files_in = _count_table_files(spark, index.table)
     rows = spark.table(index.table).count()
     staging = index.table + "__compacting"
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
@@ -380,7 +380,7 @@ def compact_ann_index(index: AnnIndex) -> dict:
     )
     spark.sql(f"DROP TABLE {index.table}")
     spark.sql(f"ALTER TABLE {staging} RENAME TO {index.table}")
-    files_out = _count_parquet_files(_table_location(spark, index.table))
+    files_out = _count_table_files(spark, index.table)
     return {"files_in": files_in, "files_out": files_out, "rows": rows}
 
 
@@ -412,10 +412,11 @@ def ann_recall_probe(
     the most recent ingest batch) to probe recall WHERE the drift is —
     the default first-by-id sliver measures the training-era region
     and will under-report drift concentrated in new arrivals."""
-    if queries is None:
-        queries = corpus.orderBy(index.id_col).limit(n_queries)
-    else:
-        queries = queries.orderBy(index.id_col).limit(n_queries)
+    queries = (
+        (corpus if queries is None else queries)
+        .orderBy(index.id_col)
+        .limit(n_queries)
+    )
     approx = cosine_topk_indexed(
         index, queries, corpus, k=k, n_probe=n_probe,
         rerank_factor=rerank_factor,

@@ -79,28 +79,24 @@ def test_tracker_counts_own_process_work():
 
 
 def test_bench_json_normalized_block_shape():
-    """The normalized/ratios computation in bench.py must keep its
-    contract: dimensionless per-row cpu ÷ same-run calibration, both
-    normalizers present (VERDICT r11 item 1 — a contended artifact
-    must still carry a gateable relative signal).  Pure-math replica
-    of the main() block so CI catches contract drift without a 25-row
-    Spark run."""
+    """bench.normalized_block (the code main() actually calls — not a
+    copy of its math) must keep its contract: dimensionless per-row
+    cpu ÷ MIN same-run calibration probe, both normalizers present
+    (VERDICT r11 item 1 — a contended artifact must still carry a
+    gateable relative signal), with a polluted edge probe (the
+    r11/r12 BLAS spin-up outlier mode) shrugged off by the min."""
     extras = {
-        # start cpu probe polluted by BLAS spin-up (the r11/r12
-        # outlier mode): min-of-probes must shrug it off
         "calib_start": {"cpu_ms": 4907.3, "membw_ms": 60.0},
         "calib_start_retry": {"cpu_ms": 10.0, "membw_ms": 15.0},
         "calib_end": {"cpu_ms": 12.0, "membw_ms": 17.0},
     }
     cpu_timings = {"q1": 2.2, "q2": 0.0}
-    probes = [
-        extras["calib_start"],
-        extras.get("calib_start_retry", extras["calib_start"]),
-        extras["calib_end"],
-    ]
-    calib_cpu_s = min(p["cpu_ms"] for p in probes) / 1000.0
-    calib_membw_s = min(p["membw_ms"] for p in probes) / 1000.0
-    assert calib_cpu_s == 10.0 / 1000.0
-    assert calib_membw_s == 15.0 / 1000.0
-    norm = {k: round(v / calib_cpu_s, 1) for k, v in cpu_timings.items()}
-    assert norm["q1"] == 220.0 and norm["q2"] == 0.0
+    n = bench.normalized_block(extras, cpu_timings)
+    assert n["calib_cpu_s"] == 0.01
+    assert n["calib_membw_s"] == 0.015
+    assert n["queries_cpu_over_calib"] == {"q1": 220.0, "q2": 0.0}
+    assert n["queries_cpu_over_membw"]["q1"] == round(2.2 / 0.015, 1)
+    # no retry probe ⇒ start counts twice, harmlessly
+    del extras["calib_start_retry"]
+    n2 = bench.normalized_block(extras, cpu_timings)
+    assert n2["calib_cpu_s"] == 0.012

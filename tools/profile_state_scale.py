@@ -150,14 +150,20 @@ def run_ann_screen(spark, n_vecs: int, partitions: str,
     table = f"state_scale_ann_{n_vecs}_{n_cells}"
     for t in (table, table + "__model", table + "__compacting"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-    cut = max(2048, int(n_vecs * 0.9))
+    # clamp to the corpus: without min(), small --keys values would
+    # index MORE vectors than the corpus holds (phantom ids silently
+    # dropping at the rerank join, skewing the reported cost law —
+    # review r12 finding); the append is skipped when the initial
+    # write already covered everything
+    cut = min(n_vecs, max(2048, int(n_vecs * 0.9)))
     t0 = time.time()
     write_ann_index(
         vecs(0, cut), table, n_cells=n_cells,
         sample_size=max(1024, 4 * n_cells),
     )
     idx = read_ann_index(spark, table)
-    append_ann_index(idx, vecs(cut, n_vecs))
+    if cut < n_vecs:
+        append_ann_index(idx, vecs(cut, n_vecs))
     build_s = round(time.time() - t0, 3)
 
     qdir = tempfile.mkdtemp(prefix="state_scale_annq_")
