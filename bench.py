@@ -75,6 +75,11 @@ HEADLINE = [
     # codegen margin pass over every document), the learned-filter
     # counterpart of the rule-based text_quality_scores row
     "docs_quality_classifier",
+    # round 12: sub-document duplicate-span materialization — a new
+    # compute shape (positioned-shingle explode, md5-key duplicate
+    # shuffle, gaps-and-islands interval merge on a doc window), the
+    # suffix-array-dedup counterpart of the whole-doc minhash row
+    "dedup_substring_spans",
 ]
 
 
