@@ -354,3 +354,39 @@ def test_read_pcap_stream_argument_guards(spark, tmp_path):
         read_pcap_stream(spark, str(tmp_path), engine="pandas")
     with pytest.raises(ValueError, match="streamed chunked path"):
         read_pcap_stream(spark, str(tmp_path), chunk_bytes=0)
+
+
+def test_dsv2_mixed_link_pcapng_nonstrict(spark, tmp_path):
+    """The format('pcap') front door decodes a mixed-link pcapng
+    (EN10MB + SLL interfaces, the tcpdump -i any merge) completely in
+    non-strict mode — per-packet link dispatch reaches the DSv2 path,
+    not just the read_pcap helper (r12)."""
+    import os
+
+    from hadoop_pcap_spark.pcap import synth as S
+    from hadoop_pcap_spark.sources import register_pcap_datasource
+
+    register_pcap_datasource(spark)
+    (tmp_path / "m.pcapng").write_bytes(S.mixed_link_pcapng())
+    df = (
+        spark.read.format("pcap")
+        .option("strictReference", "false")
+        .load(str(tmp_path))
+    )
+    rows = df.select("pkt_no", "src", "ether_type").orderBy("pkt_no").collect()
+    intents = [m for _ifid, _f, m in S.mixed_link_frames()]
+    assert len(rows) == len(intents)
+    assert [r.src for r in rows] == [m["src"] for m in intents]
+    assert [r.ether_type for r in rows] == [m["ether_type"] for m in intents]
+    # strict mode keeps the reference's reject-pcapng parity:
+    # FAILFAST (the default) raises; PERMISSIVE yields zero rows
+    from pyspark.errors import PythonException
+
+    with pytest.raises(PythonException, match="PCAP"):
+        spark.read.format("pcap").load(str(tmp_path)).count()
+    permissive = (
+        spark.read.format("pcap")
+        .option("mode", "PERMISSIVE")
+        .load(str(tmp_path))
+    )
+    assert permissive.count() == 0
