@@ -1,0 +1,126 @@
+"""Within-document repetition signals — the Gopher quality criteria
+the per-row rule set (functions/text.py: word-count band, mean word
+length, stopword mass) does not cover.
+
+Gopher (Rae et al. 2021, Table A1) additionally filters on
+*repetition*: the fraction of a document's characters covered by its
+most frequent word n-gram (n = 2..4) and by duplicated longer n-grams
+(n = 5..10).  This corpus has no line structure (flat token streams),
+so the line/paragraph-grain variants degenerate and the n-gram-grain
+family is the operative one.
+
+Definitions (deterministic, shared with the DuckDB oracle):
+
+* ``top{n}_gram_char_frac`` — max over this doc's n-grams ``g`` of
+  ``count(g) × chars(g) / total_chars``: the maximal character
+  coverage any single n-gram achieves (ties resolve themselves — the
+  metric is the max of the product, not an argmax of the gram).
+* ``dup{n}_gram_char_frac`` — Σ over n-grams with ``count ≥ 2`` of
+  ``(count − 1) × chars(g) / total_chars``: characters spent on
+  repeated occurrences beyond each gram's first (overlapping
+  occurrences are counted per occurrence — the standard fast
+  approximation; an exact union-of-positions needs the span
+  machinery in operators/contamination.py).
+
+``chars(g)`` is the length of the single-space-joined gram text and
+``total_chars`` the length of the single-space-joined token stream —
+both measured in the SAME normalized coordinate system as the rest
+of the shingle family (functions.text.tokens).
+
+Scale at 100 TB: ONE map-side explode emits (n, gram) pairs for all
+configured n (≈ Σn rows per token), one shuffle on
+(doc_id, n, md5-free gram) with map-side partial counting, one
+per-doc aggregate — linear, no driver state, no all-pairs.  The
+per-row O(tokens²) expression alternative was rejected: a 100k-token
+document would cost 10¹⁰ comparisons in interpreted fallback.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+__all__ = ["repetition_signals"]
+
+
+def repetition_signals(
+    docs: DataFrame,
+    top_ns: Sequence[int] = (2, 3, 4),
+    dup_n: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document repetition fractions: one ``top{n}_gram_char_frac``
+    column per ``n`` in ``top_ns`` plus ``dup{dup_n}_gram_char_frac``
+    (see module docstring for definitions).  Docs shorter than ``n``
+    tokens score 0.0 for that n; docs with no tokens emit nothing."""
+    from ..functions import explode_tokens
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    ).filter(F.size("_toks") >= 1)
+    base = base.withColumn(
+        "total_chars", F.length(F.concat_ws(" ", F.col("_toks")))
+    )
+    t = F.col("_toks")
+
+    def grams_for(n: int):
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.concat_ws(
+                        " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+                    ).alias("g"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
+
+    all_ns = list(dict.fromkeys(list(top_ns) + [dup_n]))
+    all_grams = F.concat(*[grams_for(n) for n in all_ns])
+    pairs = explode_tokens(
+        base, all_grams, "s", "doc_id", "total_chars"
+    ).select(
+        "doc_id",
+        "total_chars",
+        F.col("s.n").alias("n"),
+        F.col("s.g").alias("g"),
+    )
+    counts = pairs.groupBy("doc_id", "total_chars", "n", "g").agg(
+        F.count("*").alias("c")
+    )
+    aggs = [
+        F.max(
+            F.when(F.col("n") == n, F.col("c") * F.length("g"))
+        ).alias(f"_top{n}")
+        for n in top_ns
+    ] + [
+        F.sum(
+            F.when(
+                (F.col("n") == dup_n) & (F.col("c") >= 2),
+                (F.col("c") - 1) * F.length("g"),
+            )
+        ).alias("_dup")
+    ]
+    per = counts.groupBy("doc_id", "total_chars").agg(*aggs)
+    out_cols = [
+        F.round(
+            F.coalesce(F.col(f"_top{n}"), F.lit(0))
+            / F.nullif(F.col("total_chars"), F.lit(0)),
+            6,
+        ).alias(f"top{n}_gram_char_frac")
+        for n in top_ns
+    ] + [
+        F.round(
+            F.coalesce(F.col("_dup"), F.lit(0))
+            / F.nullif(F.col("total_chars"), F.lit(0)),
+            6,
+        ).alias(f"dup{dup_n}_gram_char_frac")
+    ]
+    return per.select("doc_id", *out_cols)

@@ -2110,6 +2110,58 @@ def q_docs_remove_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "docs_repetition_signals",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, {SQL_TOKENS} AS w FROM documents
+      WHERE len({SQL_TOKENS}) >= 1),
+    base AS (
+      SELECT doc_id, w, length(array_to_string(w, ' ')) AS total_chars
+      FROM toks),
+    grams AS (
+      SELECT doc_id, total_chars, ns.n,
+             array_to_string(list_slice(w, u.i, u.i + ns.n - 1), ' ') AS g
+      FROM base, (VALUES (2), (3), (4), (6)) AS ns(n),
+           unnest(generate_series(1, len(w) - ns.n + 1)) AS u(i)
+      WHERE len(w) >= ns.n),
+    counts AS (
+      SELECT doc_id, total_chars, n, g, count(*) AS c
+      FROM grams GROUP BY ALL),
+    per AS (
+      SELECT doc_id, total_chars,
+             max(CASE WHEN n = 2 THEN c * length(g) END) AS t2,
+             max(CASE WHEN n = 3 THEN c * length(g) END) AS t3,
+             max(CASE WHEN n = 4 THEN c * length(g) END) AS t4,
+             sum(CASE WHEN n = 6 AND c >= 2 THEN (c - 1) * length(g) END)
+                 AS d6
+      FROM counts GROUP BY 1, 2)
+    SELECT doc_id,
+           ROUND(COALESCE(t2, 0) * 1.0 / NULLIF(total_chars, 0), 6)
+               AS top2_gram_char_frac,
+           ROUND(COALESCE(t3, 0) * 1.0 / NULLIF(total_chars, 0), 6)
+               AS top3_gram_char_frac,
+           ROUND(COALESCE(t4, 0) * 1.0 / NULLIF(total_chars, 0), 6)
+               AS top4_gram_char_frac,
+           ROUND(COALESCE(d6, 0) * 1.0 / NULLIF(total_chars, 0), 6)
+               AS dup6_gram_char_frac
+    FROM per
+    """,
+)
+def q_docs_repetition_signals(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document repetition fractions — the Gopher §A1 criteria
+    the per-row rule set doesn't cover (operators/repetition.py): per
+    doc, the char coverage of its most frequent 2/3/4-gram and of
+    duplicated 6-grams beyond their first occurrence; removal is a
+    threshold filter downstream.  Scale: one map-side (n, gram)
+    explode, one (doc_id, n, gram) count shuffle with partial
+    aggregation, one per-doc aggregate — linear, never per-row
+    O(tokens²)."""
+    from ..operators.repetition import repetition_signals
+
+    return repetition_signals(table(spark, sf, "documents"))
+
+
+@query(
     "corpus_vocab_topk",
     oracle=f"""
     WITH tok AS (

@@ -1646,3 +1646,30 @@ def test_remove_duplicate_spans_planted(spark):
     assert got[3].clean_md5 == md5("")
     assert (got[4].n_toks, got[4].n_removed) == (30, 0)
     assert got[4].clean_md5 == md5(clean)
+
+
+def test_repetition_signals_hand_computed(spark):
+    """Gopher repetition fractions against hand-computed values:
+    'a b a b a b' — top 2-gram 'a b' covers 3×3=9 of 11 chars; the
+    overlap approximation lets top4 exceed 1.0 (documented); a
+    distinct-token doc scores the 1-occurrence floor; a doc repeating
+    a 6-gram pays (count-1)×chars in dup6."""
+    from hadoop_pcap_spark.operators.repetition import repetition_signals
+
+    docs = _span_docs(spark, [
+        (1, "a b a b a b"),
+        (2, " ".join(f"x{i}" for i in range(8))),
+        (3, "p q r s t u p q r s t u"),
+    ])
+    got = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    assert got[1].top2_gram_char_frac == round(9 / 11, 6)
+    assert got[1].top3_gram_char_frac == round(10 / 11, 6)
+    assert got[1].top4_gram_char_frac == round(14 / 11, 6)
+    assert got[1].dup6_gram_char_frac == 0.0
+    assert got[2].top2_gram_char_frac == round(5 / 23, 6)
+    assert got[2].top3_gram_char_frac == round(8 / 23, 6)
+    assert got[2].top4_gram_char_frac == round(11 / 23, 6)
+    assert got[2].dup6_gram_char_frac == 0.0
+    assert got[3].top2_gram_char_frac == round(6 / 23, 6)
+    assert got[3].top4_gram_char_frac == round(14 / 23, 6)
+    assert got[3].dup6_gram_char_frac == round(11 / 23, 6)
