@@ -56,8 +56,12 @@ def repetition_signals(
 ) -> DataFrame:
     """Per-document repetition fractions: one ``top{n}_gram_char_frac``
     column per ``n`` in ``top_ns`` plus ``dup{dup_n}_gram_char_frac``
-    (see module docstring for definitions).  Docs shorter than ``n``
-    tokens score 0.0 for that n; docs with no tokens emit nothing."""
+    (see module docstring for definitions).  A doc shorter than a
+    given ``n`` (but long enough for another) scores 0.0 for the
+    missing n; a doc too short for EVERY configured n (e.g. a
+    single-token doc) emits NO row at all — left-join these signals
+    back onto the corpus if every doc must appear.  The DuckDB oracle
+    shares both behaviors."""
     from ..functions import explode_tokens
 
     base = docs.select(

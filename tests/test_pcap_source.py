@@ -361,8 +361,6 @@ def test_dsv2_mixed_link_pcapng_nonstrict(spark, tmp_path):
     (EN10MB + SLL interfaces, the tcpdump -i any merge) completely in
     non-strict mode — per-packet link dispatch reaches the DSv2 path,
     not just the read_pcap helper (r12)."""
-    import os
-
     from hadoop_pcap_spark.pcap import synth as S
     from hadoop_pcap_spark.sources import register_pcap_datasource
 

@@ -120,8 +120,10 @@ def run_ann_screen(spark, n_vecs: int, partitions: str,
                    batch_size: int = 200, dim: int = 16,
                    n_cells: int = 32, n_probe: int = 4) -> dict:
     """The streaming ANN screen over an index of ``n_vecs`` codes
-    (initial write + one append — the appended-index case): two query
-    micro-batches of ``batch_size`` vectors each.  The quantity under
+    (initial write + one append covering the last ~10% — the
+    appended-index case; corpora at or below the 2048-vector training
+    floor fit entirely in the initial write and skip the append):
+    two query micro-batches of ``batch_size`` vectors each.  The quantity under
     test is the screen's cost law, per-batch ≈
     O(batch × n_probe × n_vecs / n_cells) — the probed CANDIDATE
     budget: runs at the same corpus with different n_probe must scale
