@@ -210,6 +210,11 @@ class CpuTracker:
         self._root = root_pid if root_pid is not None else os.getpid()
         self._lock = threading.Lock()
         self._banked = 0.0
+        # (pid, starttime) -> cpu already banked for that key, so a pid
+        # that transiently vanishes from one /proc sample (failed stat
+        # read) and reappears is only counted for cpu accrued BEYOND
+        # the banked amount, never re-added in full (review r12)
+        self._banked_per_key: dict = {}
         self._live: dict = {}  # (pid, starttime) -> cpu seconds
         self._stop = threading.Event()
         self._thread = threading.Thread(
@@ -261,11 +266,21 @@ class CpuTracker:
             cur = self._sample_tree()
             for key, v in self._live.items():
                 if key not in cur:
-                    self._banked += v  # bank the exiting pid's last reading
+                    # bank the exiting pid's last reading — per-key, so
+                    # a transient /proc miss that reappears next sample
+                    # only adds cpu accrued beyond the banked amount
+                    self._banked += v
+                    self._banked_per_key[key] = (
+                        self._banked_per_key.get(key, 0.0) + v
+                    )
             # max() guards against /proc read jitter; per-pid cpu is
             # monotone in the kernel
             self._live = {
-                k: max(v, self._live.get(k, 0.0)) for k, v in cur.items()
+                k: max(
+                    max(0.0, v - self._banked_per_key.get(k, 0.0)),
+                    self._live.get(k, 0.0),
+                )
+                for k, v in cur.items()
             }
             return self._banked + sum(self._live.values())
 

@@ -201,9 +201,15 @@ def append_ann_index(index: AnnIndex, delta: DataFrame) -> None:
 def read_ann_index(spark: SparkSession, table: str) -> AnnIndex:
     """Load the model sidecar into an :class:`AnnIndex` handle.  One
     1-row read; no corpus job, no training — the query path over the
-    handle must never call the trainers (CI poison-pin assert)."""
+    handle must never call the trainers (CI poison-pin assert).
+
+    Also repairs an interrupted compaction swap before reading
+    (:func:`_recover_half_swap`) — a reader arriving after a crash
+    mid-swap finds the codes table under its staging name and renames
+    it back rather than failing on a missing table."""
     import numpy as np
 
+    _recover_half_swap(spark, table)
     r = spark.table(table + _MODEL_SUFFIX).first()
     C = np.asarray(r.centroids, dtype=np.float64)
     CB = np.asarray(r.codebooks, dtype=np.float64)
@@ -317,11 +323,47 @@ def _table_location(spark: SparkSession, table: str) -> str:
     """The table's data-directory URI, scheme and authority intact —
     stripping to a bare path would re-resolve against the default
     filesystem and break on any non-local warehouse (hdfs://, s3a://;
-    review r12 finding)."""
+    review r12 finding).
+
+    Primary resolution is the scan's own file listing
+    (``inputFiles()`` — catalog- and Spark-version-independent): index
+    tables always hold ≥1 data file (write_ann_index writes the
+    encoded corpus before any compaction runs), and bucketed-table
+    files live directly in the table directory, so the dirname of any
+    listed file IS the location.  The DESCRIBE FORMATTED scrape
+    survives only as the empty-table fallback (ADVICE r12: that output
+    is human-oriented and catalog-sensitive)."""
+    files = spark.table(table).inputFiles()
+    if files:
+        return files[0].rsplit("/", 1)[0]
     for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
         if r.col_name.strip() == "Location":
             return r.data_type.strip()
     raise ValueError(f"no Location row for table {table!r}")
+
+
+def _recover_half_swap(spark: SparkSession, table: str) -> bool:
+    """Complete an interrupted compaction swap (ADVICE r12).
+
+    :func:`compact_ann_index` swaps staging → live via DROP TABLE +
+    ALTER TABLE RENAME; a crash between the two statements leaves the
+    live name missing and the full compacted data under
+    ``<table>__compacting``.  This detects exactly that state — live
+    absent AND staging present — and finishes the rename, making the
+    swap effectively resumable.  Called on entry by both
+    :func:`read_ann_index` and :func:`compact_ann_index`.
+
+    Compaction must NOT run concurrently with queries or other
+    compactions against the same index (plain parquet tables have no
+    commit protocol — a lakehouse table format would); this recovery
+    closes the crash window, not the concurrency one."""
+    staging = table + "__compacting"
+    if not spark.catalog.tableExists(table) and spark.catalog.tableExists(
+        staging
+    ):
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+        return True
+    return False
 
 
 def _count_table_files(spark: SparkSession, table: str) -> int:
@@ -355,6 +397,7 @@ def compact_ann_index(index: AnnIndex) -> dict:
     Returns ``{files_in, files_out, rows}`` for compaction-ratio
     logging."""
     spark = index.spark
+    _recover_half_swap(spark, index.table)  # finish any interrupted swap
     location = _table_location(spark, index.table)
     files_in = _count_table_files(spark, index.table)
     rows = spark.table(index.table).count()

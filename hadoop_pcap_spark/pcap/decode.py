@@ -646,11 +646,17 @@ def decode_pcap(
         if opts.calculate_md5 and _want(opts, "md5"):
             # uppercase hex, parity with convertToHexString [D16]
             packet["md5"] = hashlib.md5(pkt_data).hexdigest().upper()
-        lt = (
-            per_links[pkt_no - 1]
-            if per_links is not None and pkt_no - 1 < len(per_links)
-            else link_type
-        )
+        if per_links is not None and pkt_no - 1 >= len(per_links):
+            # same loud contract breach as the columnar kernel
+            # (decode_np raises before its masked passes): the
+            # normalizer emits records and links in lockstep, so a
+            # short side-channel is a framing bug, not a fallback case
+            raise ValueError(
+                f"per_links side-channel has {len(per_links)} entries "
+                f"but record {pkt_no} was framed — normalizer "
+                "contract breach"
+            )
+        lt = per_links[pkt_no - 1] if per_links is not None else link_type
         ip_start = _ip_start(lt, packet, pkt_data, opts)
         _decode_l3_l4(packet, pkt_data, ip_start, opts)
         if dns_mode:

@@ -514,7 +514,17 @@ def decode_pcap_columnar(
     # mis-decoded (VERDICT r11 item 3).
     strict = opts.strict_reference
     if per_links is not None:
-        links_arr = np.asarray(per_links[:m], dtype=np.int64)
+        # the normalizer emits records and per-record links in lockstep;
+        # a length mismatch means a framing bug upstream and would
+        # otherwise surface as a short boolean mask silently mis-indexing
+        # (scalar kernel guards the same contract at pkt_no-1 —
+        # review r12: both kernels must fail loudly and identically)
+        if len(per_links) != m:
+            raise ValueError(
+                f"per_links side-channel has {len(per_links)} entries "
+                f"for {m} framed records — normalizer contract breach"
+            )
+        links_arr = np.asarray(per_links, dtype=np.int64)
         distinct_links = [int(v) for v in np.unique(links_arr)]
     else:
         links_arr = None

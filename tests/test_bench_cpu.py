@@ -78,6 +78,31 @@ def test_tracker_counts_own_process_work():
         tracker.close()
 
 
+def test_tracker_transient_proc_miss_no_double_count():
+    """A pid that vanishes from ONE sample (failed /proc stat read)
+    and reappears with the SAME (pid, starttime) key must not have its
+    accumulated cpu counted twice — only cpu accrued beyond the banked
+    amount may re-enter the live sum (ADVICE r12).  Simulated by
+    scripting _sample_tree."""
+    tracker = bench.CpuTracker(interval_s=3600)  # no background ticks
+    try:
+        key = (99999, 12345)
+        samples = [
+            {key: 5.0},   # live at 5 cpu-s
+            {},           # transient miss → 5.0 banked
+            {key: 5.4},   # reappears, same key, 0.4s newer
+            {},           # exits for real → bank only the 0.4 excess
+        ]
+        it = iter(samples)
+        tracker._sample_tree = lambda: next(it)
+        assert tracker.read() == 5.0
+        assert tracker.read() == 5.0          # banked, not lost
+        assert abs(tracker.read() - 5.4) < 1e-9   # +0.4, NOT +5.4
+        assert abs(tracker.read() - 5.4) < 1e-9   # final exit adds nothing new
+    finally:
+        tracker.close()
+
+
 def test_bench_json_normalized_block_shape():
     """bench.normalized_block (the code main() actually calls — not a
     copy of its math) must keep its contract: dimensionless per-row

@@ -618,6 +618,50 @@ def test_ann_index_compaction_preserves_buckets_and_results(spark):
         spark.sql("DROP TABLE IF EXISTS ann_compact_probe__compacting")
 
 
+def test_ann_index_half_swap_recovery(spark):
+    """ADVICE r12: a crash between compaction's DROP TABLE and
+    RENAME leaves the live name missing and the full data under
+    ``<table>__compacting``.  read_ann_index must detect and finish
+    the rename (and a follow-up compaction must also enter cleanly),
+    with query results identical to pre-crash."""
+    from hadoop_pcap_spark.operators.ann_index import (
+        cosine_topk_indexed,
+        read_ann_index,
+        write_ann_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 4)
+    _drop_table_and_location(spark, "ann_halfswap_probe")
+    spark.sql("DROP TABLE IF EXISTS ann_halfswap_probe__compacting")
+    try:
+        write_ann_index(emb, "ann_halfswap_probe", n_cells=8, sample_size=256)
+        idx = read_ann_index(spark, "ann_halfswap_probe")
+        key = lambda r: (r.q_id, r.rank)  # noqa: E731
+        before = sorted(
+            cosine_topk_indexed(idx, queries, emb, k=3, n_probe=4).collect(),
+            key=key,
+        )
+        # simulate the crash window: live table renamed away exactly as
+        # if compaction died after DROP + staging write, before RENAME
+        spark.sql(
+            "ALTER TABLE ann_halfswap_probe RENAME TO"
+            " ann_halfswap_probe__compacting"
+        )
+        assert not spark.catalog.tableExists("ann_halfswap_probe")
+        idx2 = read_ann_index(spark, "ann_halfswap_probe")  # repairs
+        assert spark.catalog.tableExists("ann_halfswap_probe")
+        assert not spark.catalog.tableExists("ann_halfswap_probe__compacting")
+        after = sorted(
+            cosine_topk_indexed(idx2, queries, emb, k=3, n_probe=4).collect(),
+            key=key,
+        )
+        assert [tuple(r) for r in before] == [tuple(r) for r in after]
+    finally:
+        _drop_table_and_location(spark, "ann_halfswap_probe")
+        spark.sql("DROP TABLE IF EXISTS ann_halfswap_probe__compacting")
+
+
 def test_ann_recall_probe_flags_distribution_drift(spark):
     """VERDICT r11 item 7b: the frozen-model recall probe must read
     high on training-era data and visibly degrade when probed WHERE
