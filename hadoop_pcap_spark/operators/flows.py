@@ -256,6 +256,127 @@ def reassemble_tcp_streams(
     return segments.groupBy(*_FLOW_KEY).applyInPandas(apply_fn, TCP_STREAM_SCHEMA)
 
 
+IPV4_REASSEMBLED_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType(), True),
+        T.StructField("src", T.StringType(), True),
+        T.StructField("dst", T.StringType(), True),
+        T.StructField("protocol", T.StringType(), True),
+        T.StructField("ip_ident", T.IntegerType(), True),
+        T.StructField("src_port", T.IntegerType(), True),
+        T.StructField("dst_port", T.IntegerType(), True),
+        T.StructField("n_fragments", T.IntegerType(), True),
+        T.StructField("complete", T.BooleanType(), True),
+        T.StructField("payload_len", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def reassemble_ipv4_fragments(
+    packets: DataFrame,
+    max_datagram_bytes: int = 64 * 1024 * 1024,
+) -> DataFrame:
+    """Reassemble fragmented IPv4 datagrams at flow grain (VERDICT r12
+    item 3): one row per (src, dst, protocol, ip_ident) datagram with
+    the recovered L4 ports and payload — the bytes the reference
+    garbles (it ignores the flags/offset word and parses "ports" out
+    of mid-datagram bytes on non-first fragments, PcapReader.java:322
+    region; SURVEY §1.4).
+
+    Needs the non-strict decode's fragment metadata columns
+    (``frag frag_offset frag_mf frag_body ip_ident``; strict mode
+    keeps the reference quirk and emits none).  Per datagram:
+
+    * fragments order by body byte offset (``frag_offset``; capture
+      order ``pkt_no`` breaks duplicate-offset ties — first retransmit
+      wins, later duplicates drop);
+    * ``complete`` = offset 0 present, offsets contiguous
+      (each fragment starts where the previous body ended), and the
+      last fragment has MF clear;
+    * the concatenated body re-parses as UDP (8-byte header) or TCP
+      (data-offset × 4) to recover src/dst ports and the true L4
+      payload; other protocols (or a missing first fragment) surface
+      the raw reassembled bytes with NULL ports.
+
+    Scale notes (100 TB): only FRAGMENT rows shuffle (tiny slice of a
+    capture — fragmentation is rare on modern paths), projected to
+    the datagram key + offset + body before the exchange.  Per-group
+    state is one datagram, capped at ``max_datagram_bytes``
+    (complete=false rather than an OOM).  For endless captures bucket
+    the key by a time window upstream — ident is only 16 bits, so
+    long captures can reuse (src,dst,ident); within a window the
+    (src,dst,proto,ident,offset) tie-break keeps reuse from
+    corrupting output (duplicate offsets drop deterministically)."""
+    frags = packets.filter(
+        F.col("frag") & F.col("frag_body").isNotNull()
+    ).select(
+        "file", "src", "dst", "protocol", "ip_ident",
+        "pkt_no", "frag_offset", "frag_mf", "frag_body",
+    )
+
+    def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["frag_offset", "pkt_no"], kind="stable")
+        pdf = pdf.drop_duplicates(subset=["frag_offset"], keep="first")
+        key = pdf.iloc[0]
+        chunks: List[bytes] = []
+        expect = 0
+        total = 0
+        contiguous = True
+        truncated = False
+        last_mf = True
+        for _, r in pdf.iterrows():
+            off = int(r["frag_offset"])
+            body = bytes(r["frag_body"])
+            if off != expect:
+                contiguous = False
+            if total + len(body) > max_datagram_bytes:
+                body = body[: max_datagram_bytes - total]
+                truncated = True
+            chunks.append(body)
+            total += len(body)
+            expect = off + len(body)  # next fragment must start here
+            last_mf = bool(r["frag_mf"])
+            if truncated:
+                break
+        datagram = b"".join(chunks)
+        complete = contiguous and not last_mf and not truncated
+        proto = key["protocol"]
+        sp = dp = None
+        payload = datagram
+        first_present = int(pdf["frag_offset"].iloc[0]) == 0
+        if first_present and proto == "UDP" and len(datagram) >= 8:
+            sp = int.from_bytes(datagram[0:2], "big")
+            dp = int.from_bytes(datagram[2:4], "big")
+            payload = datagram[8:]
+        elif first_present and proto == "TCP" and len(datagram) >= 20:
+            sp = int.from_bytes(datagram[0:2], "big")
+            dp = int.from_bytes(datagram[2:4], "big")
+            doff = (datagram[12] >> 4) * 4
+            payload = datagram[doff:] if doff >= 20 else datagram[20:]
+        return pd.DataFrame(
+            [
+                {
+                    "file": key["file"],
+                    "src": key["src"],
+                    "dst": key["dst"],
+                    "protocol": proto,
+                    "ip_ident": None if pd.isna(key["ip_ident"]) else int(key["ip_ident"]),
+                    "src_port": sp,
+                    "dst_port": dp,
+                    "n_fragments": int(len(pdf)),
+                    "complete": complete,
+                    "payload_len": len(payload),
+                    "payload": payload,
+                }
+            ]
+        )
+
+    return frags.groupBy("file", "src", "dst", "protocol", "ip_ident").applyInPandas(
+        apply_fn, IPV4_REASSEMBLED_SCHEMA
+    )
+
+
 def flow_stats(packets: DataFrame, bidirectional: bool = True) -> DataFrame:
     """NetFlow-style flow export: one row per flow with packet/byte
     counts, time bounds and per-direction splits — the other weekly

@@ -75,10 +75,12 @@ NUMERIC_COLS = {
     "payload_len": np.int64,
     "ext_count": np.int64,
     "orig_len": np.int64,
+    "ip_ident": np.int64,
+    "frag_offset": np.int64,
 }
 OBJECT_COLS = [
     "md5", "ether_type", "protocol", "src", "dst", "ext_headers", "payload",
-    "frag",
+    "frag", "frag_mf", "frag_body",
     "dns_queryid", "dns_flags", "dns_qr", "dns_opcode", "dns_rcode",
     "dns_qname", "dns_qtype", "dns_qtype_str",
     "dns_answer", "dns_authority", "dns_additional",
@@ -639,6 +641,24 @@ def decode_pcap_columnar(
                 fr = np.full(m, None, dtype=object)
                 fr[fragd] = True
                 res.overlay("frag", fr)
+                # reassembly metadata, vectorized twin of the scalar
+                # branch (VERDICT r12 item 3): datagram ident, body
+                # byte offset, MF bit, raw body bytes — fragment rows
+                # only (rare), so the body slice loop is per-fragment
+                res.set_num("ip_ident", fragd, _be16(u, ip + 4, fragd)[fragd])
+                res.set_num(
+                    "frag_offset", fragd, ((ff & 0x1FFF) * 8)[fragd]
+                )
+                mf = np.full(m, None, dtype=object)
+                mfbits = (ff & 0x2000) != 0
+                for i in np.nonzero(fragd)[0].tolist():
+                    mf[i] = bool(mfbits[i])
+                res.overlay("frag_mf", mf)
+                l4_abs = pkt + l4_rel
+                end_abs = pkt + caplen
+                fb = res.objects["frag_body"]
+                for i in np.nonzero(fragd & (l4_rel <= caplen))[0].tolist():
+                    fb[i] = data[l4_abs[i] : end_abs[i]]
 
     # --- IPv6 ----------------------------------------------------------------
     if v6.any():

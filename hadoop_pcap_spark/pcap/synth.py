@@ -657,8 +657,8 @@ def v4frag_frames(ts: int = 1450000000) -> list:
         base.update(meta)
         frames.append((f, base))
 
-    hosts = ["172.16.0.1", "172.16.0.2", "172.16.0.3"]
-    dst = "172.16.9.9"
+    hosts = _V4FRAG_HOSTS
+    dst = _V4FRAG_DST
     for i in range(12):  # unfragmented control traffic from all hosts
         src = hosts[i % 3]
         sp, dp = 20000 + i, 53
@@ -667,26 +667,71 @@ def v4frag_frames(ts: int = 1450000000) -> list:
         add(f, i, src=src, dst=dst, src_port=sp, dst_port=dp,
             protocol="UDP", plen=len(pay))
     first_piece = 32  # bytes of UDP payload in the first fragment
-    for i in range(6):  # hosts 0 and 2 emit fragmented datagrams
-        src = hosts[0] if i % 2 == 0 else hosts[2]
-        sp, dp = 30000 + i, 4433
-        whole = b"F" * (64 + i * 8)
+    for i, (src, sp, dp, whole, ident) in enumerate(_v4frag_datagrams()):
         seg = udp(whole, sp, dp, src, dst)  # header covers the WHOLE datagram
         head_l4 = seg[: 8 + first_piece]
         tail_l4 = seg[8 + first_piece :]
         # first fragment: MF=1, offset 0 — ports parse normally
         add(ethernet(ipv4(head_l4, 17, src, dst,
-                          flags_frag=0x2000, ident=100 + i)),
+                          flags_frag=0x2000, ident=ident)),
             20 + 2 * i, src=src, dst=dst, src_port=sp, dst_port=dp,
             protocol="UDP", frag=True, plen=first_piece)
         # non-first fragment: offset = (8 + first_piece) / 8 units,
         # MF=0 (last) — no L4 header; whole fragment body is payload
         add(ethernet(ipv4(tail_l4, 17, src, dst,
                           flags_frag=(8 + first_piece) // 8,
-                          ident=100 + i)),
+                          ident=ident)),
             21 + 2 * i, src=src, dst=dst, protocol="UDP", frag=True,
             plen=len(tail_l4))
     return frames
+
+
+_V4FRAG_HOSTS = ["172.16.0.1", "172.16.0.2", "172.16.0.3"]
+_V4FRAG_DST = "172.16.9.9"
+
+
+def _v4frag_datagrams() -> list:
+    """(src, src_port, dst_port, whole_udp_payload, ip_ident) per
+    fragmented datagram — the synthesis parameters shared by the
+    capture builder (:func:`v4frag_frames`) and the reassembly ground
+    truth (:func:`v4frag_reassembled_truth`), so the truth never
+    derives from the reassembler."""
+    return [
+        (
+            _V4FRAG_HOSTS[0] if i % 2 == 0 else _V4FRAG_HOSTS[2],
+            30000 + i,
+            4433,
+            b"F" * (64 + i * 8),
+            100 + i,
+        )
+        for i in range(6)
+    ]
+
+
+def v4frag_reassembled_truth() -> list:
+    """Expected reassembled-datagram rows for :func:`v4frag_pcap` —
+    one per fragmented datagram, straight from the synthesis
+    parameters: the recovered UDP payload is the WHOLE datagram body
+    the synthesizer split (``_v4frag_datagrams``), ports come from the
+    UDP header the first fragment carries, and both fragments arrive
+    (complete=True)."""
+    import hashlib
+
+    return [
+        {
+            "src": src,
+            "dst": _V4FRAG_DST,
+            "protocol": "UDP",
+            "ip_ident": ident,
+            "src_port": sp,
+            "dst_port": dp,
+            "n_fragments": 2,
+            "complete": True,
+            "payload_len": len(whole),
+            "payload_md5": hashlib.md5(whole).hexdigest(),
+        }
+        for src, sp, dp, whole, ident in _v4frag_datagrams()
+    ]
 
 
 def v4frag_pcap(ts: int = 1450000000) -> bytes:

@@ -62,6 +62,12 @@ BASE_FIELDS: List[T.StructField] = [
     T.StructField("udpsum", T.IntegerType(), True),
     T.StructField("payload_len", T.IntegerType(), True),
     T.StructField("frag", T.BooleanType(), True),
+    # v4-fragment reassembly metadata (non-strict decode; NULL off
+    # fragments): datagram ident, body byte offset, MF bit, raw body
+    T.StructField("ip_ident", T.IntegerType(), True),
+    T.StructField("frag_offset", T.IntegerType(), True),
+    T.StructField("frag_mf", T.BooleanType(), True),
+    T.StructField("frag_body", T.BinaryType(), True),
     T.StructField("ext_count", T.IntegerType(), True),
     T.StructField("ext_headers", T.StringType(), True),
     T.StructField("payload", T.BinaryType(), True),
@@ -288,7 +294,8 @@ def _batch_ranges(res, batch_rows: int, np, limit: int | None = None):
     multiple batches instead of crashing the from_arrays path."""
     limit = PAYLOAD_BATCH_LIMIT if limit is None else limit
     emit_frame = res.emit_frame and res.frame_spans is not None
-    if not res.emit_payload and not emit_frame:
+    has_frag_body = (res.objects["frag_body"] != None).any()  # noqa: E711
+    if not res.emit_payload and not emit_frame and not has_frag_body:
         for s0 in range(0, res.n, batch_rows):
             yield s0, min(s0 + batch_rows, res.n)
         return
@@ -299,6 +306,10 @@ def _batch_ranges(res, batch_rows: int, np, limit: int | None = None):
         lens = _payload_lens(res, np)
     if emit_frame:
         lens = np.maximum(lens, _binary_lens(res, res.frame_spans, None, np))
+    if has_frag_body:
+        lens = np.maximum(
+            lens, _binary_lens(res, None, res.objects["frag_body"], np)
+        )
     s0 = 0
     while s0 < res.n:
         s1 = min(s0 + batch_rows, res.n)

@@ -173,6 +173,51 @@ def test_reassemble_tcp_streams_generic(spark, tmp_path):
     assert bytes(trunc.stream) == b"alpha-br" and trunc.truncated
 
 
+def test_reassemble_ipv4_fragments_golden(spark, tmp_path):
+    """Reassembled datagrams == synthesis intent (VERDICT r12 item 3):
+    ports recovered from the first fragment's L4 header, payload is
+    the WHOLE pre-split datagram body, completeness certified."""
+    import hashlib
+
+    from hadoop_pcap_spark.operators.flows import reassemble_ipv4_fragments
+
+    (tmp_path / "frags.pcap").write_bytes(S.v4frag_pcap())
+    pkts = read_pcap(spark, str(tmp_path), strict_reference=False)
+    got = {
+        (r.src, r.ip_ident): r
+        for r in reassemble_ipv4_fragments(pkts).collect()
+    }
+    truth = S.v4frag_reassembled_truth()
+    assert len(got) == len(truth)
+    for t in truth:
+        r = got[(t["src"], t["ip_ident"])]
+        assert (r.src_port, r.dst_port) == (t["src_port"], t["dst_port"]), t
+        assert r.n_fragments == t["n_fragments"] and r.complete, t
+        assert r.payload_len == t["payload_len"], t
+        assert hashlib.md5(bytes(r.payload)).hexdigest() == t["payload_md5"], t
+
+
+def test_reassemble_ipv4_missing_fragment_flags_incomplete(spark, tmp_path):
+    """Drop the LAST fragment of one datagram: the reassembler must
+    mark it incomplete (MF still set on the tail it has) while
+    reassembling its neighbors fully."""
+    from hadoop_pcap_spark.operators.flows import reassemble_ipv4_fragments
+
+    frames = [f for f, m in S.v4frag_frames()]
+    # frames 12..23 are the fragment pairs; drop the non-first
+    # fragment of the first datagram (index 13)
+    del frames[13]
+    raw = S.global_header(1) + b"".join(
+        S.record(1450000000 + i, f) for i, f in enumerate(frames))
+    (tmp_path / "gap.pcap").write_bytes(raw)
+    pkts = read_pcap(spark, str(tmp_path), strict_reference=False)
+    rows = {r.ip_ident: r for r in reassemble_ipv4_fragments(pkts).collect()}
+    assert not rows[100].complete and rows[100].n_fragments == 1
+    # ports still recover from the surviving first fragment
+    assert rows[100].src_port == 30000
+    assert all(rows[100 + i].complete for i in range(1, 6))
+
+
 def test_driver_query_registered(spark):
     from hadoop_pcap_spark.plans import QUERIES, load_all
 
