@@ -68,6 +68,7 @@ __all__ = [
     "cosine_topk_indexed",
     "compact_ann_index",
     "ann_recall_probe",
+    "maintain_ann_index",
 ]
 
 _MODEL_SUFFIX = "__model"
@@ -85,6 +86,10 @@ class AnnIndex:
     n_buckets: int
     id_col: str
     vec_col: str
+    # training-sample budget + strategy, persisted so maintenance can
+    # retrain with the SAME contract the index was built under
+    sample_size: int = 2048
+    sample_by: str = "id"
 
     def codes(self) -> DataFrame:
         return self.spark.table(self.table)
@@ -100,9 +105,17 @@ def write_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_buckets: Optional[int] = None,
+    sample_by: str = "id",
 ) -> None:
     """Train the IVF+PQ model on the bounded deterministic sample and
     persist the encoded corpus bucketed by cell (+ model sidecar).
+
+    ``sample_by`` picks the deterministic training sample: ``"id"``
+    (default — first rows by id, the replayable contract the
+    generated oracles pin) or ``"hash"`` (first rows by md5(id) — a
+    corpus-wide pseudo-random mix, so a RETRAIN after appends sees the
+    drifted region too; :func:`maintain_ann_index` retrains with
+    this).  Both are pure functions of the data — no RNG.
 
     Scale: training collects ``sample_size`` vectors (bounded, the
     same budget as the in-line operators); the encode is ONE pass over
@@ -111,7 +124,11 @@ def write_ann_index(
     cell-hashed buckets.  That pass is exactly what the in-line
     operators pay PER QUERY CALL; here it is paid once."""
     spark = corpus.sparkSession
-    sample = corpus.orderBy(id_col).limit(sample_size).select(vec_col).collect()
+    if sample_by == "hash":
+        order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    else:
+        order = [F.col(id_col)]
+    sample = corpus.orderBy(*order).limit(sample_size).select(vec_col).collect()
     vecs = [r[0] for r in sample]
     C = _kmeans_centroids(vecs, n_cells)
     CB = _pq_codebooks(vecs, m_sub, k_codes)
@@ -138,6 +155,8 @@ def write_ann_index(
             int(nb),
             id_col,
             vec_col,
+            int(sample_size),
+            sample_by,
             [[float(x) for x in row] for row in C],
             [
                 [[float(x) for x in code] for code in book]
@@ -149,6 +168,7 @@ def write_ann_index(
         mrow,
         "n_cells int, m_sub int, k_codes int, sub int, dim int,"
         " n_buckets int, id_col string, vec_col string,"
+        " sample_size int, sample_by string,"
         " centroids array<array<double>>,"
         " codebooks array<array<array<double>>>",
     ).write.format("parquet").mode("overwrite").saveAsTable(table + _MODEL_SUFFIX)
@@ -215,6 +235,7 @@ def read_ann_index(spark: SparkSession, table: str) -> AnnIndex:
     CB = np.asarray(r.codebooks, dtype=np.float64)
     assert C.shape == (r.n_cells, r.dim)
     assert CB.shape == (r.m_sub, r.k_codes, r.sub)
+    rd = r.asDict()
     return AnnIndex(
         spark=spark,
         table=table,
@@ -223,6 +244,11 @@ def read_ann_index(spark: SparkSession, table: str) -> AnnIndex:
         n_buckets=r.n_buckets,
         id_col=r.id_col,
         vec_col=r.vec_col,
+        # sidecars written before these columns existed (same-session
+        # tables only — the warehouse housekeeping rebuilds any table
+        # a fresh catalog doesn't know) fall back to the old defaults
+        sample_size=int(rd.get("sample_size") or 2048),
+        sample_by=rd.get("sample_by") or "id",
     )
 
 
@@ -485,3 +511,70 @@ def ann_recall_probe(
         "n_queries": len(per_q),
         "k": k,
     }
+
+
+def maintain_ann_index(
+    index: AnnIndex,
+    corpus: DataFrame,
+    recall_threshold: float = 0.8,
+    queries: Optional[DataFrame] = None,
+    n_queries: int = 64,
+    k: int = 5,
+    n_probe: int = 16,
+    rerank_factor: int = 16,
+    max_files_per_bucket: float = 4.0,
+) -> dict:
+    """The maintenance policy :func:`ann_recall_probe` only measured
+    (VERDICT r12 item 5 — 'the probe detects drift but nothing acts
+    on it'): probe recall@k against brute force on a bounded query
+    sliver, and
+
+    * recall < ``recall_threshold`` → RETRAIN: rebuild the index over
+      the CURRENT corpus with the persisted model params but a
+      hash-ordered training sample (``sample_by="hash"`` — a
+      corpus-wide deterministic mix, so vectors appended after the
+      original id-prefix sample inform the new centroids/codebooks;
+      the first-by-id sample that defined the original model cannot
+      see drift concentrated in new arrivals).
+    * recall fine but the codes table fragmented past
+      ``max_files_per_bucket`` (append_ann_index adds one file per
+      task × bucket per batch) → COMPACT (bucket-preserving rewrite).
+    * otherwise → no action.
+
+    Pass ``queries`` = the most recent ingest batch to probe recall
+    WHERE the drift is (the probe docstring's caveat); the streaming
+    screen does exactly that per maintenance epoch.
+
+    Returns ``{"actions": [...], "recall": float, "index": AnnIndex}``
+    — the handle is REPLACED after a retrain (new model arrays);
+    callers must continue with the returned one.  Cost: one bounded
+    probe (n_queries × corpus brute-force pass — the classic periodic
+    job, never on the ingest path) plus, only when triggered, the
+    one-pass rebuild or compaction."""
+    probe = ann_recall_probe(
+        index, corpus, n_queries=n_queries, k=k, n_probe=n_probe,
+        rerank_factor=rerank_factor, queries=queries,
+    )
+    actions = []
+    if probe["recall"] < recall_threshold:
+        write_ann_index(
+            corpus,
+            index.table,
+            n_cells=int(index.C.shape[0]),
+            m_sub=int(index.CB.shape[0]),
+            k_codes=int(index.CB.shape[1]),
+            sample_size=index.sample_size,
+            id_col=index.id_col,
+            vec_col=index.vec_col,
+            n_buckets=index.n_buckets,
+            sample_by="hash",
+        )
+        index = read_ann_index(index.spark, index.table)
+        actions.append("retrained")
+    elif (
+        _count_table_files(index.spark, index.table)
+        > max_files_per_bucket * index.n_buckets
+    ):
+        compact_ann_index(index)
+        actions.append("compacted")
+    return {"actions": actions, "recall": probe["recall"], "index": index}

@@ -429,6 +429,85 @@ def q_pcap_http_objects(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "pcap_http_objects_sql",
+    oracle=lambda: f"""
+    SELECT client, server, server_port, obj_no, method, url, status,
+           coalesce(content_type, '') AS content_type, body_len, body_md5
+    FROM '{http_truth_path()}'
+    ORDER BY client, server_port, obj_no
+    """,
+)
+def q_pcap_http_objects_sql(spark: SparkSession, sf: str) -> DataFrame:
+    """The SAME HTTP extraction through the SQL-ONLY front door
+    (VERDICT r12 item 7 — SURVEY §2.4's literal ``@udtf`` row):
+    reassembled per-connection streams registered as a view, then one
+    ``spark.sql`` with a LATERAL call of the registered
+    ``http_objects`` UDTF explodes payload→rows.  Same synthesis-
+    intent oracle as pcap_http_objects, so the UDTF path is held to
+    the identical hash.  Scale: the lateral join runs the stateless
+    eval per connection row wherever that row lives — same
+    parallelism grain as the applyInPandas operator."""
+    from ..operators.flows import reassemble_tcp_streams
+    from ..sql import register_pcap_udtfs
+
+    register_pcap_udtfs(spark)
+    pkts = read_pcap(
+        spark,
+        http_fixture_dir(),
+        columns=["file", "src", "dst", "src_port", "dst_port",
+                 "protocol", "pkt_no", "payload"],
+        strict_reference=False,
+    )
+    streams = reassemble_tcp_streams(pkts)
+    a_first = (F.col("src") < F.col("dst")) | (
+        (F.col("src") == F.col("dst"))
+        & (F.coalesce(F.col("src_port"), F.lit(-1))
+           <= F.coalesce(F.col("dst_port"), F.lit(-1)))
+    )
+    is_resp = F.expr("substring(stream, 1, 7)") == F.lit(b"HTTP/1.")
+    src_ep = F.struct(F.col("src").alias("ip"), F.col("src_port").alias("port"))
+    dst_ep = F.struct(F.col("dst").alias("ip"), F.col("dst_port").alias("port"))
+    conns = (
+        streams.select(
+            "file",
+            F.when(a_first, src_ep).otherwise(dst_ep).alias("_a"),
+            F.when(a_first, dst_ep).otherwise(src_ep).alias("_b"),
+            is_resp.alias("_is_resp"),
+            "src", "src_port", "stream",
+        )
+        .groupBy("file", "_a", "_b")
+        .agg(
+            F.first(F.when(~F.col("_is_resp"), F.col("src")), ignorenulls=True)
+            .alias("client"),
+            F.first(F.when(F.col("_is_resp"), F.col("src")), ignorenulls=True)
+            .alias("server"),
+            F.first(
+                F.when(F.col("_is_resp"), F.col("src_port")), ignorenulls=True
+            ).alias("server_port"),
+            F.first(F.when(~F.col("_is_resp"), F.col("stream")), ignorenulls=True)
+            .alias("req"),
+            F.first(F.when(F.col("_is_resp"), F.col("stream")), ignorenulls=True)
+            .alias("resp"),
+        )
+        .filter(F.col("req").isNotNull() & F.col("resp").isNotNull())
+    )
+    conns.createOrReplaceTempView("_http_conns")
+    return spark.sql(
+        """
+        SELECT c.client, c.server,
+               CAST(c.server_port AS BIGINT) AS server_port,
+               CAST(t.obj_no AS BIGINT) AS obj_no, t.method, t.url,
+               CAST(t.status AS BIGINT) AS status,
+               coalesce(t.content_type, '') AS content_type,
+               CAST(t.body_len AS BIGINT) AS body_len,
+               md5(coalesce(t.body, X'')) AS body_md5
+        FROM _http_conns c, LATERAL http_objects(c.req, c.resp) t
+        ORDER BY c.client, c.server_port, t.obj_no
+        """
+    )
+
+
 def _flow_cte_sql() -> str:
     """The DuckDB replay of flow_stats' bidirectional 5-tuple
     canonicalization over the ground-truth packet table, as a WITH

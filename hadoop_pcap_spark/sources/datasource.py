@@ -368,9 +368,112 @@ class PcapSimpleStreamReader(SimpleDataSourceStreamReader):
         return iter(self._decode_files(delta))
 
 
+DDL_OPTIONS_ENV = "SPARK_PCAP_DDL_OPTIONS"
+DDL_OPTIONS_PATH_ENV = "SPARK_PCAP_DDL_OPTIONS_PATH"
+
+
+def _ddl_options_path() -> str:
+    return os.environ.get(
+        DDL_OPTIONS_PATH_ENV,
+        os.path.join(
+            os.path.expanduser("~"), ".config", "hadoop_pcap_spark",
+            "ddl_options.json",
+        ),
+    )
+
+
+def _ddl_default_options() -> dict:
+    """Session-default pcap options — the bridge for the pinned Spark
+    4.1 gap (module docstring): scan over a ``CREATE TABLE … USING
+    pcap`` table instantiates the DataSource with an EMPTY options
+    dict in a separate Python worker, so without a side channel the
+    path/decoder can never reach the scan.  Two channels, both read
+    by the worker because this class is imported by reference there:
+
+    * the ``SPARK_PCAP_DDL_OPTIONS`` env var (JSON) — static: workers
+      inherit the JVM's env, which is fixed at JVM LAUNCH, so it only
+      helps when exported before the session starts (and on clusters
+      via ``spark.executorEnv.``);
+    * the defaults FILE (:func:`set_pcap_ddl_options`) — dynamic: a
+      driver can set it mid-session; local mode and shared-home
+      clusters see it immediately, other clusters ship it with
+      ``--files`` + ``SPARK_PCAP_DDL_OPTIONS_PATH``.
+
+    Precedence: explicit reader/DDL options > file > env."""
+    import json
+
+    out: dict = {}
+    raw = os.environ.get(DDL_OPTIONS_ENV)
+    if raw:
+        try:
+            d = json.loads(raw)
+            if isinstance(d, dict):
+                out.update({str(k).lower(): str(v) for k, v in d.items()})
+        except ValueError:
+            pass
+    try:
+        with open(_ddl_options_path()) as f:
+            d = json.load(f)
+        if isinstance(d, dict):
+            out.update({str(k).lower(): str(v) for k, v in d.items()})
+    except (OSError, ValueError):
+        pass
+    return out
+
+
+def set_pcap_ddl_options(**options) -> None:
+    """Set session-wide default options for the ``pcap`` data source —
+    what makes ``SELECT … FROM <table created with USING pcap>`` work
+    on Spark 4.1 (VERDICT r12 item 8), where catalog OPTIONS are not
+    forwarded to Python data source scans (pinned:
+    tests/test_sql_ddl.py).
+
+    ``set_pcap_ddl_options(path="/caps/*.pcap", decoder="dns")`` then
+    ``CREATE TABLE pcaps USING pcap OPTIONS (path …, decoder 'dns')``
+    (the DDL options still shape the CREATE-time schema; the defaults
+    supply the SAME values at scan time — keep them in agreement) and
+    plain ``SELECT`` works.  Pass no options to clear.
+
+    Defaults are one-per-user-per-host (a JSON file under
+    ``~/.config``, atomically replaced); multiple pcap tables with
+    DIFFERENT options should use the fully-supported
+    ``hadoop_pcap_spark.sql.register_packets_view`` front door.  On a
+    multi-host cluster ship the file with ``--files`` and point
+    ``SPARK_PCAP_DDL_OPTIONS_PATH`` (executor env) at it."""
+    import json
+    import tempfile
+
+    path = _ddl_options_path()
+    if not options:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+        return
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path))
+    with os.fdopen(fd, "w") as f:
+        json.dump({str(k).lower(): str(v) for k, v in options.items()}, f)
+    os.replace(tmp, path)
+
+
 class PcapDataSource(DataSource):
     """``format("pcap")`` — typed packet rows straight from capture
-    files; batch (`spark.read`) and streaming (`spark.readStream`)."""
+    files; batch (`spark.read`) and streaming (`spark.readStream`).
+
+    Options resolve as explicit reader/DDL options over
+    :func:`set_pcap_ddl_options` session defaults — the latter exist
+    so catalog tables (``USING pcap``) survive Spark 4.1's
+    empty-options scan instantiation."""
+
+    def __init__(self, options):
+        # enrich (not replace) the provided mapping: the API hands a
+        # case-insensitive dict and warns against overriding __init__,
+        # so defaults are folded in only where no explicit key exists
+        super().__init__(options)
+        for k, v in _ddl_default_options().items():
+            if k not in self.options:
+                self.options[k] = v
 
     @classmethod
     def name(cls) -> str:

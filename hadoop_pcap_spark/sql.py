@@ -49,3 +49,82 @@ def register_packets_view(
     df = read_pcap(spark, path, **read_pcap_kwargs)
     df.createOrReplaceTempView(name)
     return df
+
+
+def register_pcap_udtfs(spark: SparkSession) -> None:
+    """SQL-callable table functions for payload→rows explosion —
+    SURVEY §2.4's literal ``@udtf`` row (VERDICT r12 item 7): SQL-only
+    users get the L7 extractors without the Python API, via LATERAL:
+
+    ``SELECT c.client, t.* FROM conns c, LATERAL http_objects(
+    c.req_stream, c.resp_stream) t`` — one row per HTTP
+    request/response pair (the operators/http.py parsers, same
+    framing/decoding semantics, RFC 9112).
+
+    ``SELECT s.src, t.* FROM streams s, LATERAL dns_messages(
+    s.stream) t`` — one row per DNS message in a reassembled
+    DNS-over-TCP stream (RFC 1035 §4.2.2 framing + the package's own
+    RFC 1035 parser — per-message rows the reference's per-packet
+    hook can never produce).
+
+    Each input row is processed independently (stateless eval), so
+    Spark parallelizes the lateral join across partitions exactly
+    like the applyInPandas operators; idempotent to re-register."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="obj_no int, method string, url string, status int,"
+        " content_type string, content_encoding string, chunked boolean,"
+        " body_len int, body_truncated boolean, body binary"
+    )
+    class HttpObjectsUdtf:
+        def eval(self, req_stream, resp_stream):
+            from hadoop_pcap_spark.operators.http import (
+                parse_requests,
+                parse_responses,
+            )
+
+            if req_stream is None or resp_stream is None:
+                return
+            reqs = parse_requests(bytes(req_stream))
+            resps = parse_responses(
+                bytes(resp_stream), methods=[r["method"] for r in reqs]
+            )
+            for i, (rq, rs) in enumerate(zip(reqs, resps), start=1):
+                target = rq["target"]
+                if target.startswith(("http://", "https://")):
+                    url = target
+                else:
+                    url = f"http://{rq['host'] or ''}{target}"
+                yield (
+                    i, rq["method"], url, rs["status"], rs["content_type"],
+                    rs["content_encoding"], rs["chunked"], len(rs["body"]),
+                    rs["truncated"], rs["body"],
+                )
+
+    @udtf(
+        returnType="msg_no int, dns_queryid int, dns_qr boolean,"
+        " dns_qname string, dns_qtype int, dns_rcode string,"
+        " n_answers int"
+    )
+    class DnsMessagesUdtf:
+        def eval(self, stream):
+            from hadoop_pcap_spark.operators.flows import _frame_messages
+            from hadoop_pcap_spark.pcap import dns as _dns
+
+            if stream is None:
+                return
+            for i, msg_bytes in enumerate(
+                _frame_messages(bytes(stream)), start=1
+            ):
+                try:
+                    msg = _dns.parse_message(msg_bytes)
+                except Exception:
+                    continue  # silent-skip parity with the packet path
+                yield (
+                    i, msg.query_id, msg.qr, msg.qname, msg.qtype,
+                    msg.rcode_text, len(msg.answers),
+                )
+
+    spark.udtf.register("http_objects", HttpObjectsUdtf)
+    spark.udtf.register("dns_messages", DnsMessagesUdtf)

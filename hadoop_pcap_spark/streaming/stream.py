@@ -473,6 +473,8 @@ def streaming_ann_screen(
     k: int = 1,
     n_probe: int = 16,
     rerank_factor: int = 16,
+    maintain_every: int = 0,
+    recall_threshold: float = 0.8,
 ):
     """Screen a stream of NEW embedding vectors against a PERSISTED
     ANN index — the online arm of the crawl-ingest near-dup problem:
@@ -504,10 +506,24 @@ def streaming_ann_screen(
     path; the budget is held flat as the corpus grows by scaling the
     index's n_cells with it (measured: tools/profile_state_scale.py
     --with-ann; at n_probe=16 of n_cells=32 the probed fraction is
-    1/2 and per-query cost tracks the corpus — the knob matters)."""
+    1/2 and per-query cost tracks the corpus — the knob matters).
+
+    ``maintain_every=N`` (0 = off, the default) runs
+    :func:`..operators.ann_index.maintain_ann_index` every N epochs
+    with the EPOCH'S OWN batch as the recall probe — drift is measured
+    exactly where it arrives (VERDICT r12 item 5): a degraded model
+    retrains on a corpus-wide hash sample (so the drifted region
+    informs the new centroids) and the screen continues on the
+    replaced handle; a healthy-but-fragmented codes table compacts.
+    The maintenance job is bounded (probe = n-queries × corpus
+    brute pass; rebuild = the one encode pass appends amortize) and
+    runs INSIDE the foreachBatch epoch, so the sink's idempotent
+    per-epoch overwrite contract still holds on replay."""
     import os
 
-    from ..operators.ann_index import cosine_topk_indexed
+    from ..operators.ann_index import cosine_topk_indexed, maintain_ann_index
+
+    state = {"index": index, "epochs": 0}
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         # persist the (batch-sized) query frame: _process executes it
@@ -520,9 +536,18 @@ def streaming_ann_screen(
         try:
             if not batch_df.head(1):
                 return
+            state["epochs"] += 1
+            if maintain_every and state["epochs"] % maintain_every == 0:
+                out = maintain_ann_index(
+                    state["index"], corpus,
+                    recall_threshold=recall_threshold,
+                    queries=batch_df, k=k, n_probe=n_probe,
+                    rerank_factor=rerank_factor,
+                )
+                state["index"] = out["index"]
             (
                 cosine_topk_indexed(
-                    index, batch_df, corpus, k=k,
+                    state["index"], batch_df, corpus, k=k,
                     n_probe=n_probe, rerank_factor=rerank_factor,
                 )
                 .select(

@@ -158,3 +158,39 @@ def test_http_objects_flow_filter_pushes_down(spark, http_capture_dir):
         pkts, flow_filter=(F.col("dst_port") == 80) | (F.col("src_port") == 80)
     )
     assert {r.server_port for r in only80.collect()} == {80}
+
+
+def test_dns_messages_udtf_sql(spark, tmp_path):
+    """The dns_messages UDTF (SQL payload→rows explosion — SURVEY
+    §2.4's @udtf row): LATERAL over reassembled DNS-over-TCP streams
+    yields the same per-message rows the flow operator produces."""
+    from hadoop_pcap_spark.operators.flows import reassemble_tcp_streams
+    from hadoop_pcap_spark.sql import register_pcap_udtfs
+
+    register_pcap_udtfs(spark)
+    (tmp_path / "tcpdns.pcap").write_bytes(S.dns_tcp_exchange_pcap())
+    pkts = read_pcap(
+        spark, str(tmp_path),
+        columns=["file", "src", "dst", "src_port", "dst_port",
+                 "protocol", "pkt_no", "payload"],
+        strict_reference=False,
+    )
+    reassemble_tcp_streams(pkts).createOrReplaceTempView("_dns_streams")
+    rows = spark.sql(
+        """
+        SELECT s.src, t.msg_no, t.dns_queryid, t.dns_qname, t.dns_qr,
+               t.n_answers
+        FROM _dns_streams s, LATERAL dns_messages(s.stream) t
+        ORDER BY s.src, t.msg_no
+        """
+    ).collect()
+    truth = S.dns_tcp_exchange_truth()
+    assert len(rows) == len(truth)
+    by_key = {(t["src"], t["msg_no"]): t for t in truth}
+    for r in rows:
+        t = by_key[(r.src, r.msg_no)]
+        assert r.dns_queryid == t["dns_queryid"]
+        assert r.dns_qname == t["dns_qname"]
+        assert r.dns_qr == t["dns_qr"]
+        assert r.n_answers == t["n_answers"]
+    spark.catalog.dropTempView("_dns_streams")

@@ -16,6 +16,12 @@ This module pins exactly what the Spark twin supports:
   updated to bless the DDL path.
 * ``register_packets_view`` — the supported SQL entry: a temp view
   over the same reader, full SQL including pushdown.
+* ``set_pcap_ddl_options`` — the r13 bridge for the pinned gap: a
+  session-defaults side channel (file read by the scan worker, which
+  imports the DataSource class by reference) that makes SELECT over a
+  ``USING pcap`` table work end to end despite the empty options
+  dict.  Explicit options still win; the bridge never leaks into
+  suites that don't set it (the pinned-failure test requires that).
 """
 
 import pytest
@@ -57,6 +63,43 @@ def test_create_table_using_pcap_ddl(spark, tmp_path):
             )
     finally:
         spark.sql("DROP TABLE IF EXISTS _ddl_pcaps_smoke")
+
+
+def test_ddl_options_bridge_end_to_end(spark):
+    """VERDICT r12 item 8: with session defaults set, CREATE TABLE …
+    USING pcap + plain SELECT works end to end — decoder option
+    included (dns_qname only exists because the 'dns' decoder reached
+    the scan).  Uses the REAL default path (the scan worker's env is
+    frozen at JVM launch, so an env-redirected path would not reach
+    it); the finally clears the defaults so nothing leaks into other
+    tests (the pinned-failure test depends on the bridge being
+    absent)."""
+    from hadoop_pcap_spark.sources.datasource import (
+        register_pcap_datasource,
+        set_pcap_ddl_options,
+    )
+
+    register_pcap_datasource(spark)
+    spark.sql("DROP TABLE IF EXISTS _ddl_bridge_smoke")
+    set_pcap_ddl_options(path=REF_PCAP, decoder="dns")
+    try:
+        spark.sql(
+            f"CREATE TABLE _ddl_bridge_smoke USING pcap "
+            f"OPTIONS (path '{REF_PCAP}', decoder 'dns')"
+        )
+        rows = spark.sql(
+            "SELECT src, dns_qname FROM _ddl_bridge_smoke "
+            "WHERE dns_qname IS NOT NULL ORDER BY pkt_no"
+        ).collect()
+        assert [r.src for r in rows] == ["193.0.10.82", "193.0.14.129"]
+        assert {r.dns_qname for r in rows} == {"ripe.net."}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS _ddl_bridge_smoke")
+        set_pcap_ddl_options()  # clear
+    # cleared: a fresh scan-time lookup sees no defaults again
+    from hadoop_pcap_spark.sources.datasource import _ddl_default_options
+
+    assert _ddl_default_options() == {}
 
 
 def test_register_packets_view_sql_front_door(spark):
