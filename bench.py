@@ -494,21 +494,36 @@ def main():
     # index — one task, the reference's whole-file constraint.  One
     # run (it is the slow case by design); the ratio is the
     # near-linear-speedup evidence for pcap_decode_1file_parallel.
+    # Pruned to the SAME column set as the parallel query (r13: the
+    # query pushes its projection into the decode), so the speedup
+    # and cpu-amplification ratios compare like for like.
     from hadoop_pcap_spark.plans.pcap_queries import giant_dir
     from hadoop_pcap_spark.sources import read_pcap as _read_pcap
 
     t0 = time.time()
+    c0 = proc_tree_cpu()
     (
-        _read_pcap(spark, giant_dir())
+        _read_pcap(
+            spark, giant_dir(),
+            columns=["file", "pkt_no", "protocol", "src", "len"],
+        )
         .groupBy("protocol")
         .agg(F.count("*").alias("n"))
         .count()
     )
     serial_wall = round(time.time() - t0, 3)
+    serial_cpu = round(proc_tree_cpu() - c0, 3)
     extras["single_file_decode"] = {
         "serial_wall_s": serial_wall,
+        "serial_cpu_s": serial_cpu,
         "parallel_wall_s": timings["pcap_decode_1file_parallel"],
+        "parallel_cpu_s": cpu_timings["pcap_decode_1file_parallel"],
         "speedup": round(serial_wall / timings["pcap_decode_1file_parallel"], 2),
+        "cpu_amplification": round(
+            cpu_timings["pcap_decode_1file_parallel"] / serial_cpu, 2
+        )
+        if serial_cpu
+        else None,
     }
     print(f"# single_file_decode: {extras['single_file_decode']}", file=sys.stderr, flush=True)
 

@@ -982,3 +982,70 @@ def test_streaming_ann_screen_verdicts_and_multibatch(spark, tmp_path):
         m = multi[k]
         assert (m.best_id, m.best_cos, m.is_neardup) == (
             r.best_id, r.best_cos, r.is_neardup), k
+
+
+def test_streaming_ann_screen_maintenance_epochs(spark, tmp_path):
+    """maintain_every wiring (VERDICT r12 item 5): an OOD batch stream
+    with a high recall threshold must trigger an in-stream retrain —
+    visible as the sidecar's sample_by flipping to 'hash' — while
+    verdicts keep flowing for every batch (the screen continues on the
+    replaced handle)."""
+    import shutil as _sh
+    import os as _os
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+
+    from hadoop_pcap_spark.operators.ann_index import (
+        read_ann_index,
+        write_ann_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("ann_stream_maint", "ann_stream_maint__model"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        _sh.rmtree(_os.path.join(wh, t), ignore_errors=True)
+    try:
+        write_ann_index(emb, "ann_stream_maint", n_cells=8, sample_size=256)
+        idx = read_ann_index(spark, "ann_stream_maint")
+        assert idx.sample_by == "id"
+        # two files of OOD vectors => two micro-batches
+        ood = emb.filter(F.col("vec_id") < 64).select(
+            (F.col("vec_id") + 5_000_000).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) -> -x * (1.0 + 0.1 * i))"
+            ).alias("embedding"),
+        )
+        d = str(tmp_path / "incoming")
+        ood.repartition(2).write.parquet(d)
+        sink = str(tmp_path / "sink")
+        q = (
+            STRM.streaming_ann_screen(
+                spark.readStream.schema("vec_id long, embedding array<double>")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(d),
+                idx,
+                emb,
+                sink,
+                maintain_every=1,
+                recall_threshold=0.95,
+                n_probe=4,
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.read.parquet(sink)
+        assert out.count() == 64  # every incoming vector got a verdict
+        # the in-stream retrain happened: sidecar now carries the
+        # maintenance trainer's hash-sample stamp
+        after = read_ann_index(spark, "ann_stream_maint")
+        assert after.sample_by == "hash"
+    finally:
+        for t in ("ann_stream_maint", "ann_stream_maint__model"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            _sh.rmtree(_os.path.join(wh, t), ignore_errors=True)
