@@ -870,3 +870,241 @@ def pcapng_spb(data: bytes, orig_len: Optional[int] = None, e: str = "<") -> byt
     if orig_len is None:
         orig_len = len(data)
     return _png_block(0x00000003, struct.pack(e + "I", orig_len) + data, e)
+
+
+# ---- TLS handshake fixture (operators/tls.py) ----------------------
+#
+# Four connections covering the extractor's branches: a classic
+# TLS 1.2 hello/hello pair, a TLS 1.3 pair with RFC 8701 GREASE
+# values and the ClientHello record split mid-record across TCP
+# segments, a ClientHello-only flow whose handshake message itself
+# spans two TLS records, and a non-TLS flow on 443 that must yield
+# no row.  All truth rows derive from these spec dicts only.
+
+_TLS_FLOWS = [
+    {
+        "client": "203.0.113.10", "cport": 50001,
+        "server": "198.51.100.44", "sport": 443,
+        "ch": {
+            "version": 0x0303, "sni": "www.example.org",
+            "ciphers": [0xC02F, 0xC030, 0x009E],
+            "alpn": ["h2", "http/1.1"],
+            "groups": [29, 23, 24], "point_formats": [0],
+            # ext order on the wire: sni, groups, pf, alpn, ems
+            "ext_order": [0, 10, 11, 16, 23],
+            "supported_versions": None,
+        },
+        "sh": {
+            "version": 0x0303, "cipher": 0xC02F,
+            "alpn": "h2", "supported_version": None,
+            "ext_order": [16],
+        },
+        "split": None,
+    },
+    {
+        "client": "203.0.113.11", "cport": 50002,
+        "server": "198.51.100.44", "sport": 8443,
+        "ch": {
+            "version": 0x0303, "sni": "data.example.net",
+            "ciphers": [0x1A1A, 0x1301, 0x1302, 0x1303],  # GREASE first
+            "alpn": ["h2"],
+            "groups": [0x3A3A, 29, 23],                   # GREASE first
+            "point_formats": [0],
+            "ext_order": [0x2A2A, 0, 10, 11, 16, 43],     # GREASE first
+            "supported_versions": [0x7A7A, 0x0304],       # GREASE first
+        },
+        "sh": {
+            "version": 0x0303, "cipher": 0x1301,
+            "alpn": "h2", "supported_version": 0x0304,
+            "ext_order": [43, 16],
+        },
+        "split": [40, 33],  # TCP-segment the ClientHello mid-record
+    },
+    {
+        "client": "203.0.113.12", "cport": 50003,
+        "server": "198.51.100.45", "sport": 443,
+        "ch": {
+            "version": 0x0303, "sni": "lonely.example.com",
+            "ciphers": [0x009C], "alpn": [],
+            "groups": [23], "point_formats": [0],
+            "ext_order": [0, 10, 11],
+            "supported_versions": None,
+        },
+        "sh": None,            # no server response at all
+        "split": "records",    # handshake message spans two TLS records
+    },
+    {
+        "client": "203.0.113.13", "cport": 50004,
+        "server": "198.51.100.46", "sport": 443,
+        "ch": None,            # not TLS: raw bytes on 443
+        "sh": None,
+        "split": None,
+        "raw": b"\x00NOT A TLS STREAM AT ALL, JUST BYTES\xff\xfe",
+    },
+]
+
+
+def _tls_ext(etype: int, data: bytes) -> bytes:
+    return struct.pack(">HH", etype, len(data)) + data
+
+
+def _tls_client_hello_body(ch: dict) -> bytes:
+    exts = b""
+    for etype in ch["ext_order"]:
+        if etype == 0:
+            host = ch["sni"].encode("ascii")
+            entry = b"\x00" + struct.pack(">H", len(host)) + host
+            exts += _tls_ext(0, struct.pack(">H", len(entry)) + entry)
+        elif etype == 10:
+            lst = b"".join(struct.pack(">H", g) for g in ch["groups"])
+            exts += _tls_ext(10, struct.pack(">H", len(lst)) + lst)
+        elif etype == 11:
+            pf = bytes(ch["point_formats"])
+            exts += _tls_ext(11, bytes([len(pf)]) + pf)
+        elif etype == 16:
+            lst = b"".join(
+                bytes([len(p)]) + p.encode("ascii") for p in ch["alpn"]
+            )
+            exts += _tls_ext(16, struct.pack(">H", len(lst)) + lst)
+        elif etype == 43:
+            lst = b"".join(struct.pack(">H", v) for v in ch["supported_versions"])
+            exts += _tls_ext(43, bytes([len(lst)]) + lst)
+        else:  # GREASE / opaque extensions: empty payload
+            exts += _tls_ext(etype, b"")
+    random = bytes(range(32))
+    cs = b"".join(struct.pack(">H", c) for c in ch["ciphers"])
+    body = (
+        struct.pack(">H", ch["version"]) + random + b"\x00"
+        + struct.pack(">H", len(cs)) + cs
+        + b"\x01\x00"
+        + struct.pack(">H", len(exts)) + exts
+    )
+    return b"\x01" + len(body).to_bytes(3, "big") + body
+
+
+def _tls_server_hello_body(sh: dict) -> bytes:
+    exts = b""
+    for etype in sh["ext_order"]:
+        if etype == 16:
+            p = sh["alpn"].encode("ascii")
+            lst = bytes([len(p)]) + p
+            exts += _tls_ext(16, struct.pack(">H", len(lst)) + lst)
+        elif etype == 43:
+            exts += _tls_ext(43, struct.pack(">H", sh["supported_version"]))
+        else:
+            exts += _tls_ext(etype, b"")
+    random = bytes(range(32, 64))
+    body = (
+        struct.pack(">H", sh["version"]) + random + b"\x00"
+        + struct.pack(">H", sh["cipher"]) + b"\x00"
+        + struct.pack(">H", len(exts)) + exts
+    )
+    return b"\x02" + len(body).to_bytes(3, "big") + body
+
+
+def _tls_records(msg: bytes, split_records: bool) -> bytes:
+    """Wrap one handshake message in the record layer — one record, or
+    two records splitting the message mid-body."""
+    if not split_records:
+        return b"\x16\x03\x01" + struct.pack(">H", len(msg)) + msg
+    cut = len(msg) // 2
+    return (
+        b"\x16\x03\x01" + struct.pack(">H", cut) + msg[:cut]
+        + b"\x16\x03\x03" + struct.pack(">H", len(msg) - cut) + msg[cut:]
+    )
+
+
+def tls_exchange_frames(ts: int = 1480000000) -> list:
+    """(frame_bytes, meta) pairs for the TLS handshake fixture."""
+    frames: list = []
+    t = [ts]
+
+    def emit(src, dst, sp, dp, seg):
+        f = ethernet(ipv4(tcp(seg, sp, dp), 6, src, dst))
+        frames.append((f, {"ts": t[0], "ts_usec": (len(frames) * 211) % 1000000}))
+        t[0] += 1
+
+    for fl in _TLS_FLOWS:
+        cli, cport, srv, sport = fl["client"], fl["cport"], fl["server"], fl["sport"]
+        if fl["ch"] is None:
+            emit(cli, srv, cport, sport, fl["raw"])
+            continue
+        stream = _tls_records(
+            _tls_client_hello_body(fl["ch"]), fl["split"] == "records"
+        )
+        segs = (
+            split_stream(stream, fl["split"])
+            if isinstance(fl["split"], list)
+            else [stream]
+        )
+        for seg in segs:
+            emit(cli, srv, cport, sport, seg)
+        if fl["sh"] is not None:
+            emit(srv, cli, sport, cport,
+                 _tls_records(_tls_server_hello_body(fl["sh"]), False))
+    return frames
+
+
+def tls_exchange_pcap(ts: int = 1480000000) -> bytes:
+    frames = tls_exchange_frames(ts)
+    return global_header(1) + b"".join(
+        record(m["ts"], f, ts_usec=m["ts_usec"]) for f, m in frames
+    )
+
+
+def _ja3_from_spec(ch: dict) -> str:
+    """The JA3 string the spec's ClientHello must fingerprint to —
+    computed from the spec fields alone (GREASE 0x?A?A dropped, decimal
+    dash-joined lists, comma-joined fields)."""
+    def keep(vals):
+        return "-".join(
+            str(v) for v in vals
+            if not ((v & 0x0F0F) == 0x0A0A and (v >> 8) == (v & 0xFF))
+        )
+    return ",".join([
+        str(ch["version"]), keep(ch["ciphers"]), keep(ch["ext_order"]),
+        keep(ch["groups"]),
+        "-".join(str(v) for v in ch["point_formats"]),
+    ])
+
+
+def _ja3s_from_spec(sh: dict) -> str:
+    return ",".join([
+        str(sh["supported_version"] and sh["version"] or sh["version"]),
+        str(sh["cipher"]),
+        "-".join(str(t) for t in sh["ext_order"]),
+    ])
+
+
+def tls_exchange_truth() -> list:
+    """Expected tls_handshakes rows for :func:`tls_exchange_pcap`,
+    from the synthesis spec only."""
+    import hashlib as _hl
+
+    names = {0x0303: "TLS 1.2", 0x0304: "TLS 1.3"}
+    rows = []
+    for fl in _TLS_FLOWS:
+        ch, sh = fl["ch"], fl["sh"]
+        if ch is None:
+            continue  # non-TLS flow: no row
+        ja3 = _ja3_from_spec(ch)
+        ja3s = _ja3s_from_spec(sh) if sh else None
+        negotiated = (
+            (sh["supported_version"] or sh["version"]) if sh else None
+        )
+        rows.append({
+            "client": fl["client"],
+            "server": fl["server"],
+            "server_port": fl["sport"],
+            "sni": ch["sni"],
+            "alpn": ",".join(ch["alpn"]) if ch["alpn"] else None,
+            "alpn_chosen": sh["alpn"] if sh else None,
+            "tls_version": names.get(negotiated),
+            "cipher_suite": sh["cipher"] if sh else None,
+            "ja3": ja3,
+            "ja3_md5": _hl.md5(ja3.encode()).hexdigest(),
+            "ja3s": ja3s,
+            "ja3s_md5": _hl.md5(ja3s.encode()).hexdigest() if ja3s else None,
+            "server_hello_seen": sh is not None,
+        })
+    return rows

@@ -508,6 +508,92 @@ def q_pcap_http_objects_sql(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def tls_fixture_dir() -> str:
+    """TLS handshake capture (four connections: plain TLS 1.2 pair,
+    GREASE'd TLS 1.3 pair with the ClientHello TCP-segmented
+    mid-record, ClientHello-only flow whose handshake message spans
+    two TLS records, and a non-TLS flow on 443).  Placement contract:
+    module docstring."""
+    d = _fixture_subdir("tls_v1")
+    p = os.path.join(d, "tls.pcap")
+    if not os.path.exists(p):
+        _atomic_write(p, S.tls_exchange_pcap())
+    return d
+
+
+def tls_truth_path() -> str:
+    """Ground-truth TLS session table for :func:`tls_fixture_dir` —
+    one row per ClientHello-bearing connection, from
+    synth.tls_exchange_truth (spec dicts only; the extractor is never
+    consulted — the JA3 strings are re-derived from the spec's
+    cipher/extension lists by independent arithmetic)."""
+    return _write_truth_parquet(
+        "tls_truth_v1",
+        S.tls_exchange_truth(),
+        [
+            ("client", "string"),
+            ("server", "string"),
+            ("server_port", "int64"),
+            ("sni", "string"),
+            ("alpn", "string"),
+            ("alpn_chosen", "string"),
+            ("tls_version", "string"),
+            ("cipher_suite", "int64"),
+            ("ja3", "string"),
+            ("ja3_md5", "string"),
+            ("ja3s", "string"),
+            ("ja3s_md5", "string"),
+            ("server_hello_seen", "bool_"),
+        ],
+    )
+
+
+@query(
+    "pcap_tls_sessions",
+    oracle=lambda: f"""
+    SELECT client, server, server_port, sni, alpn, alpn_chosen,
+           tls_version, cipher_suite, ja3, ja3_md5, ja3s, ja3s_md5,
+           server_hello_seen
+    FROM '{tls_truth_path()}'
+    ORDER BY client
+    """,
+)
+def q_pcap_tls_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """TLS handshake extraction (operators/tls.py): SNI / ALPN /
+    negotiated version / chosen cipher plus JA3 and JA3S fingerprints
+    (the public Salesforce ja3 algorithm — GREASE-stripped decimal
+    renderings of the hello's cipher/extension/curve lists, md5'd),
+    one row per ClientHello-bearing TCP connection.  The SNI is the
+    only cleartext record of which site an encrypted connection went
+    to — the L7 surface a capture-analytics user asks for right after
+    HTTP.  The reference's per-packet payload hook
+    (DnsPcapReader.java:29-57) cannot parse a hello that spans
+    segments; flow grain can, and the fixture makes it prove that
+    (mid-record TCP split + a message spanning two TLS records).
+    Oracle: synthesis-intent truth (synth.tls_exchange_truth).
+    Units in tests/test_tls.py."""
+    from ..operators.tls import tls_handshakes
+
+    pkts = read_pcap(
+        spark,
+        tls_fixture_dir(),
+        columns=["file", "src", "dst", "src_port", "dst_port",
+                 "protocol", "pkt_no", "payload"],
+        strict_reference=False,
+    )
+    return (
+        tls_handshakes(pkts)
+        .select(
+            "client", "server",
+            F.col("server_port").cast("long").alias("server_port"),
+            "sni", "alpn", "alpn_chosen", "tls_version",
+            F.col("cipher_suite").cast("long").alias("cipher_suite"),
+            "ja3", "ja3_md5", "ja3s", "ja3s_md5", "server_hello_seen",
+        )
+        .orderBy("client")
+    )
+
+
 def _flow_cte_sql() -> str:
     """The DuckDB replay of flow_stats' bidirectional 5-tuple
     canonicalization over the ground-truth packet table, as a WITH
