@@ -333,12 +333,19 @@ def _http_objects_spec() -> list:
          "host": "api.example", "status": 200, "reason": "OK",
          "ctype": "text/plain", "body": tail_txt,
          "framing": "close"},  # no CL, body runs to stream end
+        # flow 3: a mirror host re-serving big.txt — the cross-URL
+        # duplicate body the captures→corpus dedup bridge must catch
+        {"flow": 2, "method": "GET", "target": "/mirror/big.txt",
+         "host": "mirror.example", "status": 200, "reason": "OK",
+         "ctype": "text/plain", "body": text_big,
+         "framing": "length"},
     ]
 
 
 _HTTP_FLOWS = [
     ("198.51.100.7", 40101, "192.0.2.80", 80),
     ("198.51.100.9", 40202, "192.0.2.80", 8080),
+    ("198.51.100.11", 40303, "192.0.2.81", 80),
 ]
 
 
@@ -1107,4 +1114,27 @@ def tls_exchange_truth() -> list:
             "ja3s_md5": _hl.md5(ja3s.encode()).hexdigest() if ja3s else None,
             "server_hello_seen": sh is not None,
         })
+    return rows
+
+
+def http_corpus_truth() -> list:
+    """The captures→corpus bridge's document table for
+    :func:`http_exchange_pcap`: one (url, text) row per status-200
+    ``text/*`` object that actually transferred a body (HEAD's
+    advertised-only body excluded) — from the synthesis spec only."""
+    rows = []
+    flows = {i: f for i, f in enumerate(_HTTP_FLOWS)}
+    for o in _http_objects_spec():
+        ct = o["ctype"] or ""
+        if o["status"] != 200 or not ct.startswith("text/"):
+            continue
+        if o["framing"] in ("head", "nobody"):
+            continue
+        rows.append(
+            {
+                "url": f"http://{o['host']}{o['target']}",
+                "client": flows[o["flow"]][0],
+                "text": o["body"].decode("utf-8"),
+            }
+        )
     return rows

@@ -353,7 +353,7 @@ def http_fixture_dir() -> str:
     framing branch — Content-Length, chunked+trailer, gzip, HEAD,
     204, close-delimited; bodies split across segments).  Placement
     contract: module docstring."""
-    d = _fixture_subdir("http_v1")
+    d = _fixture_subdir("http_v2")
     p = os.path.join(d, "web.pcap")
     if not os.path.exists(p):
         _atomic_write(p, S.http_exchange_pcap())
@@ -365,7 +365,7 @@ def http_truth_path() -> str:
     one row per request/response pair, from synth.http_exchange_truth
     (the synthesis spec dicts; the extractor is never consulted)."""
     return _write_truth_parquet(
-        "http_truth_v1",
+        "http_truth_v2",
         S.http_exchange_truth(),
         [
             ("client", "string"),
@@ -505,6 +505,103 @@ def q_pcap_http_objects_sql(spark: SparkSession, sf: str) -> DataFrame:
         FROM _http_conns c, LATERAL http_objects(c.req, c.resp) t
         ORDER BY c.client, c.server_port, t.obj_no
         """
+    )
+
+
+def http_corpus_truth_path() -> str:
+    """Ground-truth (url, client, text) document table for the
+    captures→corpus bridge — the status-200 ``text/*`` bodies the
+    HTTP fixture transfers, from synth.http_corpus_truth (spec dicts
+    only)."""
+    return _write_truth_parquet(
+        "http_corpus_truth_v1",
+        S.http_corpus_truth(),
+        [
+            ("url", "string"),
+            ("client", "string"),
+            ("text", "string"),
+        ],
+    )
+
+
+def _corpus_bridge_oracle() -> str:
+    from .pipeline import SQL_TOKENS
+
+    return f"""
+    WITH feats AS (
+      SELECT url, text,
+             len({SQL_TOKENS}) AS n_tokens,
+             ROUND(list_sum(list_transform({SQL_TOKENS}, t -> CAST(length(t) AS DOUBLE)))
+                   / NULLIF(len({SQL_TOKENS}), 0), 4) AS atl,
+             ROUND(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) * 1.0
+                   / NULLIF(length(text), 0), 6) AS punct_ratio,
+             ROUND(len(list_filter({SQL_TOKENS},
+                   t -> list_contains(['the','a','an','of','and','to','in','is','on','for'], t))) * 1.0
+                   / NULLIF(len({SQL_TOKENS}), 0), 6) AS stopword_ratio
+      FROM '{http_corpus_truth_path()}'
+    )
+    SELECT url, n_tokens,
+           ROUND(
+             0.4 * LEAST(n_tokens / 50.0, 1.0)
+           + 0.2 * (CASE WHEN atl BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
+           + 0.2 * (CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.6 END)
+           + 0.2 * (CASE WHEN punct_ratio <= 0.1 THEN 1.0 ELSE 0.5 END), 6) AS quality,
+           md5(text) AS fingerprint,
+           (row_number() OVER (PARTITION BY md5(text) ORDER BY url)) > 1 AS is_dup
+    FROM feats
+    ORDER BY url
+    """
+
+
+@query("pcap_http_corpus", oracle=_corpus_bridge_oracle)
+def q_pcap_http_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The captures→corpus bridge END TO END in one dataflow: decode
+    the capture, reassemble TCP connections, extract HTTP objects
+    (operators/http.py), keep the status-200 ``text/*`` documents,
+    and run them straight through the training-data operators — token
+    counting and quality scoring (functions/text.py, the same
+    expressions the documents-table queries use) and exact dedup
+    (md5 fingerprint + first-keeper window), catching the mirror
+    host's cross-URL duplicate body.  This is the motif the whole
+    repo exists for — "build a training corpus from crawl captures" —
+    expressed as one Catalyst plan from packet bytes to corpus-ready
+    rows, no intermediate materialization.  Oracle: the same metrics
+    recomputed by DuckDB over the synthesis-intent document table
+    (synth.http_corpus_truth)."""
+    from ..functions import text as TXT
+    from ..operators.http import http_objects
+    from pyspark.sql import Window
+
+    pkts = read_pcap(
+        spark,
+        http_fixture_dir(),
+        columns=["file", "src", "dst", "src_port", "dst_port",
+                 "protocol", "pkt_no", "payload"],
+        strict_reference=False,
+    )
+    docs = (
+        http_objects(pkts)
+        .filter(
+            (F.col("status") == 200)
+            & F.col("content_type").startswith("text/")
+            & (F.col("body_len") > 0)
+        )
+        .select("url", F.decode(F.col("body"), "UTF-8").alias("text"))
+    )
+    fp = F.md5(F.encode(F.col("text"), "UTF-8"))
+    return (
+        docs.select(
+            "url",
+            TXT.token_count(F.col("text")).alias("n_tokens"),
+            TXT.quality_score(F.col("text")).alias("quality"),
+            fp.alias("fingerprint"),
+            (
+                F.row_number().over(
+                    Window.partitionBy(fp).orderBy("url")
+                ) > 1
+            ).alias("is_dup"),
+        )
+        .orderBy("url")
     )
 
 

@@ -194,3 +194,23 @@ def test_dns_messages_udtf_sql(spark, tmp_path):
         assert r.dns_qr == t["dns_qr"]
         assert r.n_answers == t["n_answers"]
     spark.catalog.dropTempView("_dns_streams")
+
+
+def test_http_corpus_bridge_flags_mirror_duplicate(spark, http_capture_dir):
+    """The captures→corpus bridge end to end: text/* 200 bodies become
+    corpus docs and the mirror host's byte-identical re-serving of
+    big.txt — and only it — is flagged as the duplicate."""
+    import os
+
+    os.environ.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    from hadoop_pcap_spark.plans import pcap_queries as PQ
+
+    rows = {r.url: r for r in PQ.q_pcap_http_corpus(spark, "").collect()}
+    truth = {t["url"] for t in S.http_corpus_truth()}
+    assert set(rows) == truth
+    dups = {u for u, r in rows.items() if r.is_dup}
+    # first-keeper is lexicographic by url: api.example < mirror.example
+    assert dups == {"http://mirror.example/mirror/big.txt"}
+    assert rows["http://api.example/api/big.txt"].n_tokens == rows[
+        "http://mirror.example/mirror/big.txt"
+    ].n_tokens
