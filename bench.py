@@ -80,6 +80,11 @@ HEADLINE = [
     # shuffle, gaps-and-islands interval merge on a doc window), the
     # suffix-array-dedup counterpart of the whole-doc minhash row
     "dedup_substring_spans",
+    # round 13: L7 extraction throughput — 2000 HTTP connections from
+    # one capture through decode → connection collect_list → batched
+    # mapInPandas parse, every body md5-pinned; the captures→documents
+    # bridge's scale shape (cost ∝ connections, not packets)
+    "pcap_http_extract_2k",
 ]
 
 

@@ -70,6 +70,79 @@ REASSEMBLED_SCHEMA = T.StructType(
 _FLOW_KEY = ["file", "src", "dst", "src_port", "dst_port"]
 
 
+def connection_segments(packets: DataFrame, flow_filter=None) -> DataFrame:
+    """Payload-bearing TCP segments grouped to CONNECTION grain: one
+    row per canonical (unordered) endpoint pair with the connection's
+    segments collected as ``segs: array<struct<src, src_port, pkt_no,
+    payload>>`` — the shared substrate of the L7 extractors
+    (:mod:`.http`, :mod:`.tls`).
+
+    Shape matters at scale: the ``collect_list`` aggregation happens
+    JVM-side (one shuffle on the pair key, whole-stage codegen), and
+    downstream extractors consume the result with ``mapInPandas`` so
+    ONE Python invocation parses a whole Arrow batch of connections —
+    per-connection Python overhead is amortized across the batch,
+    unlike per-group ``applyInPandas`` whose fixed cost (pandas frame
+    construction per group) dominates when connections are small and
+    numerous (measured ~5 ms/group → it WAS the runtime of the 2000-
+    connection fixture).  ``flow_filter`` applies before the shuffle."""
+    segments = packets.filter(
+        (F.col("protocol") == "TCP")
+        & F.col("payload").isNotNull()
+        & (F.length("payload") > 0)
+    )
+    if flow_filter is not None:
+        segments = segments.filter(flow_filter)
+    src_ep = F.struct(F.col("src").alias("ip"), F.col("src_port").alias("port"))
+    dst_ep = F.struct(F.col("dst").alias("ip"), F.col("dst_port").alias("port"))
+    a_first = (F.col("src") < F.col("dst")) | (
+        (F.col("src") == F.col("dst"))
+        & (F.coalesce(F.col("src_port"), F.lit(-1))
+           <= F.coalesce(F.col("dst_port"), F.lit(-1)))
+    )
+    return (
+        segments.select(
+            "file",
+            F.when(a_first, src_ep).otherwise(dst_ep).alias("_a"),
+            F.when(a_first, dst_ep).otherwise(src_ep).alias("_b"),
+            "src", "src_port", "pkt_no", "payload",
+        )
+        .groupBy("file", "_a", "_b")
+        .agg(
+            F.collect_list(
+                F.struct("src", "src_port", "pkt_no", "payload")
+            ).alias("segs")
+        )
+    )
+
+
+def directional_streams(segs, max_bytes: int) -> list:
+    """Pure helper for the L7 extractors: a connection's collected
+    segments (dicts with ``src src_port pkt_no payload``) → list of
+    ``((src, src_port), stream_bytes, truncated)`` per direction,
+    segments concatenated in capture (``pkt_no``) order, each
+    direction capped at ``max_bytes``."""
+    out: dict = {}
+    sizes: dict = {}
+    trunc: dict = {}
+    for s in sorted(segs, key=lambda s: s["pkt_no"]):
+        port = s["src_port"]
+        dkey = (s["src"], None if port is None else int(port))
+        have = sizes.get(dkey, 0)
+        if have >= max_bytes:
+            trunc[dkey] = True
+            continue
+        b = bytes(s["payload"])
+        if have + len(b) > max_bytes:
+            b = b[: max_bytes - have]
+            trunc[dkey] = True
+        out.setdefault(dkey, []).append(b)
+        sizes[dkey] = have + len(b)
+    return [
+        (k, b"".join(v), trunc.get(k, False)) for k, v in out.items()
+    ]
+
+
 def _frame_messages(stream: bytes) -> List[bytes]:
     """Walk RFC 1035 §4.2.2 2-byte length-prefix framing; an incomplete
     trailing message (capture cut mid-flow) is dropped, not an error."""

@@ -288,47 +288,27 @@ def http_objects(
 
     The connection key is the CANONICAL (unordered) endpoint pair, so
     one shuffle co-locates both directions; request vs response
-    direction is decided by stream content, not port numbers."""
-    segments = packets.filter(
-        (F.col("protocol") == "TCP")
-        & F.col("payload").isNotNull()
-        & (F.length("payload") > 0)
-    )
-    if flow_filter is not None:
-        segments = segments.filter(flow_filter)
-    src_ep = F.struct(F.col("src").alias("ip"), F.col("src_port").alias("port"))
-    dst_ep = F.struct(F.col("dst").alias("ip"), F.col("dst_port").alias("port"))
-    a_first = (F.col("src") < F.col("dst")) | (
-        (F.col("src") == F.col("dst"))
-        & (F.coalesce(F.col("src_port"), F.lit(-1))
-           <= F.coalesce(F.col("dst_port"), F.lit(-1)))
-    )
-    segments = segments.select(
-        "file",
-        F.when(a_first, src_ep).otherwise(dst_ep).alias("_a"),
-        F.when(a_first, dst_ep).otherwise(src_ep).alias("_b"),
-        "src", "src_port", "pkt_no", "payload",
-    )
+    direction is decided by stream content, not port numbers.
 
-    def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("pkt_no", kind="stable")
-        streams: dict = {}
-        sizes: dict = {}
-        for _, row in pdf.iterrows():
-            dkey = (row["src"], None if pd.isna(row["src_port"]) else int(row["src_port"]))
-            b = bytes(row["payload"])
-            have = sizes.get(dkey, 0)
-            if have >= max_flow_bytes:
-                continue
-            if have + len(b) > max_flow_bytes:
-                b = b[: max_flow_bytes - have]
-            streams.setdefault(dkey, []).append(b)
-            sizes[dkey] = have + len(b)
-        joined = [(k, b"".join(v)) for k, v in streams.items()]
+    Execution shape: JVM-side ``collect_list`` to connection grain
+    (:func:`..operators.flows.connection_segments`), then ONE
+    ``mapInPandas`` whose each invocation parses a whole Arrow batch
+    of connections — per-connection Python overhead amortizes across
+    the batch (the per-group ``applyInPandas`` form measured ~5 ms of
+    fixed cost per connection, dominating small-object workloads)."""
+    from .flows import connection_segments, directional_streams
+
+    conns = connection_segments(packets, flow_filter)
+    names = [f.name for f in HTTP_OBJECT_SCHEMA.fields]
+
+    def _parse_connection(fname, segs, rows):
+        joined = [
+            (k, stream)
+            for k, stream, _tr in directional_streams(segs, max_flow_bytes)
+        ]
         req, resp = _classify_streams(joined)
-        empty = pd.DataFrame(columns=[f.name for f in HTTP_OBJECT_SCHEMA.fields])
         if req is None or resp is None:
-            return empty
+            return
         (client, _cport), req_stream = req
         (server, sport), resp_stream = resp
         requests = parse_requests(req_stream)
@@ -337,8 +317,6 @@ def http_objects(
             methods=[r["method"] for r in requests],
             decode_content=decode_content,
         )
-        rows = []
-        fname = pdf["file"].iloc[0]
         for i, (rq, rs) in enumerate(zip(requests, responses), start=1):
             target = rq["target"]
             if target.startswith("http://") or target.startswith("https://"):
@@ -366,8 +344,16 @@ def http_objects(
                     "body": rs["body"],
                 }
             )
-        return pd.DataFrame(rows) if rows else empty
 
-    return segments.groupBy("file", "_a", "_b").applyInPandas(
-        apply_fn, HTTP_OBJECT_SCHEMA
-    )
+    def batch_fn(batches):
+        for pdf in batches:
+            rows: list = []
+            for fname, segs in zip(pdf["file"], pdf["segs"]):
+                _parse_connection(fname, segs, rows)
+            yield (
+                pd.DataFrame(rows, columns=names)
+                if rows
+                else pd.DataFrame(columns=names)
+            )
+
+    return conns.mapInPandas(batch_fn, HTTP_OBJECT_SCHEMA)

@@ -291,72 +291,42 @@ def tls_handshakes(
     protocol pkt_no payload`` (pass ``columns=[...]`` for a pruned
     decode).  Connections with no parseable ClientHello produce no
     row; a missing/unparseable ServerHello leaves the server-side
-    columns NULL with ``server_hello_seen=false``."""
-    segments = packets.filter(
-        (F.col("protocol") == "TCP")
-        & F.col("payload").isNotNull()
-        & (F.length("payload") > 0)
-    )
-    if flow_filter is not None:
-        segments = segments.filter(flow_filter)
-    src_ep = F.struct(F.col("src").alias("ip"), F.col("src_port").alias("port"))
-    dst_ep = F.struct(F.col("dst").alias("ip"), F.col("dst_port").alias("port"))
-    a_first = (F.col("src") < F.col("dst")) | (
-        (F.col("src") == F.col("dst"))
-        & (F.coalesce(F.col("src_port"), F.lit(-1))
-           <= F.coalesce(F.col("dst_port"), F.lit(-1)))
-    )
-    segments = segments.select(
-        "file",
-        F.when(a_first, src_ep).otherwise(dst_ep).alias("_a"),
-        F.when(a_first, dst_ep).otherwise(src_ep).alias("_b"),
-        "src", "src_port", "pkt_no", "payload",
-    )
+    columns NULL with ``server_hello_seen=false``.
 
-    def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("pkt_no", kind="stable")
-        streams: dict = {}
-        sizes: dict = {}
-        for _, row in pdf.iterrows():
-            dkey = (
-                row["src"],
-                None if pd.isna(row["src_port"]) else int(row["src_port"]),
-            )
-            have = sizes.get(dkey, 0)
-            if have >= max_handshake_bytes:
-                continue  # handshake prefix only — drop app data early
-            b = bytes(row["payload"])
-            if have + len(b) > max_handshake_bytes:
-                b = b[: max_handshake_bytes - have]
-            streams.setdefault(dkey, []).append(b)
-            sizes[dkey] = have + len(b)
-        empty = pd.DataFrame(columns=[f.name for f in TLS_SESSION_SCHEMA.fields])
+    Execution shape: JVM-side ``collect_list`` to connection grain
+    (:func:`..operators.flows.connection_segments`) + ONE
+    ``mapInPandas`` parsing a whole Arrow batch of connections per
+    invocation — the same amortized form as ``http_objects``."""
+    from .flows import connection_segments, directional_streams
+
+    conns = connection_segments(packets, flow_filter)
+    names = [f.name for f in TLS_SESSION_SCHEMA.fields]
+
+    def _parse_connection(fname, a, b, segs):
         ch = sh = None
         ch_key = sh_key = None
-        for key, chunks in streams.items():
-            stream = b"".join(chunks)
+        for key, stream, _tr in directional_streams(segs, max_handshake_bytes):
             for msg_type, body in handshake_messages(stream):
                 if msg_type == _CLIENT_HELLO and ch is None:
                     ch, ch_key = parse_client_hello(body), key
                 elif msg_type == _SERVER_HELLO and sh is None:
                     sh, sh_key = parse_server_hello(body), key
-                break  # only the first handshake message classifies a direction
+                break  # the first handshake message classifies a direction
         if ch is None or ch_key is None:
-            return empty
+            return None
         client, _cport = ch_key
         if sh is not None and sh_key is not None:
             server, sport = sh_key
         else:
             # no ServerHello: the other endpoint of the pair is the server
-            a, b = pdf.iloc[0]["_a"], pdf.iloc[0]["_b"]
             other = b if (a["ip"], a["port"]) == (client, _cport) else a
             server, sport = other["ip"], other["port"]
         ja3 = ja3_string(ch)
         negotiated = None
         if sh is not None:
             negotiated = sh["supported_version"] or sh["version"]
-        row = {
-            "file": pdf["file"].iloc[0],
+        return {
+            "file": fname,
             "client": client,
             "server": server,
             "server_port": None if sport is None else int(sport),
@@ -371,8 +341,20 @@ def tls_handshakes(
             "ja3s_md5": _md5(ja3s_string(sh)) if sh else None,
             "server_hello_seen": sh is not None,
         }
-        return pd.DataFrame([row])
 
-    return segments.groupBy("file", "_a", "_b").applyInPandas(
-        apply_fn, TLS_SESSION_SCHEMA
-    )
+    def batch_fn(batches):
+        for pdf in batches:
+            rows = []
+            for fname, a, b, segs in zip(
+                pdf["file"], pdf["_a"], pdf["_b"], pdf["segs"]
+            ):
+                row = _parse_connection(fname, a, b, segs)
+                if row is not None:
+                    rows.append(row)
+            yield (
+                pd.DataFrame(rows, columns=names)
+                if rows
+                else pd.DataFrame(columns=names)
+            )
+
+    return conns.mapInPandas(batch_fn, TLS_SESSION_SCHEMA)

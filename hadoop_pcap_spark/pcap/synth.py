@@ -1138,3 +1138,88 @@ def http_corpus_truth() -> list:
             }
         )
     return rows
+
+
+# ---- scaled HTTP fixture (bench + oracle; extraction throughput) ----
+
+def _http_tput_spec(n_conns: int = 2000) -> list:
+    """Deterministic per-connection specs for the scaled HTTP
+    extraction fixture: one GET per connection, bodies and framing
+    varying by connection index — all truth derives from these
+    parameters."""
+    specs = []
+    base = (
+        b"the quick brown fox jumps over the lazy dog while the "
+        b"corpus collector watches packet %d go by. "
+    )
+    for c in range(n_conns):
+        body = b"".join(base % (c * 31 + i) for i in range(8 + c % 23))
+        framing = ("length", "length", "length", "length", "length",
+                   "length", "length", "chunked", "chunked", "close")[c % 10]
+        specs.append(
+            {
+                "client": f"10.{(c >> 16) & 255}.{(c >> 8) & 255}.{c & 255}",
+                "cport": 40000 + (c % 20000),
+                "server": f"192.0.2.{c % 200}",
+                "sport": 80 if c % 2 == 0 else 8080,
+                "host": f"h{c % 97}.example",
+                "target": f"/doc/{c}",
+                "body": body,
+                "framing": framing,
+            }
+        )
+    return specs
+
+
+def http_tput_frames(n_conns: int = 2000, ts: int = 1490000000) -> list:
+    """(frame_bytes, meta) for the scaled HTTP fixture: request and
+    response streams per connection, responses segmented at
+    index-varying sizes so bodies span TCP segments."""
+    frames: list = []
+    t = [ts]
+
+    def emit(src, dst, sp, dp, seg):
+        f = ethernet(ipv4(tcp(seg, sp, dp), 6, src, dst))
+        frames.append((f, {"ts": t[0], "ts_usec": (len(frames) * 61) % 1000000}))
+        t[0] += 1
+
+    for c, sp in enumerate(_http_tput_spec(n_conns)):
+        o = {
+            "method": "GET", "target": sp["target"], "host": sp["host"],
+            "status": 200, "reason": "OK", "ctype": "text/plain",
+            "body": sp["body"], "framing": sp["framing"],
+        }
+        req = _http_request_bytes(o)
+        resp = _http_response_bytes(o)
+        emit(sp["client"], sp["server"], sp["cport"], sp["sport"], req)
+        for seg in split_stream(resp, [200 + (c % 7) * 151]):
+            emit(sp["server"], sp["client"], sp["sport"], sp["cport"], seg)
+    return frames
+
+
+def http_tput_pcap(n_conns: int = 2000, ts: int = 1490000000) -> bytes:
+    frames = http_tput_frames(n_conns, ts)
+    return global_header(1) + b"".join(
+        record(m["ts"], f, ts_usec=m["ts_usec"]) for f, m in frames
+    )
+
+
+def http_tput_truth(n_conns: int = 2000) -> list:
+    """Expected http_objects rows for :func:`http_tput_pcap` — one per
+    connection, from the spec parameters only."""
+    import hashlib as _hl
+
+    rows = []
+    for sp in _http_tput_spec(n_conns):
+        rows.append(
+            {
+                "client": sp["client"],
+                "server": sp["server"],
+                "server_port": sp["sport"],
+                "url": f"http://{sp['host']}{sp['target']}",
+                "status": 200,
+                "body_len": len(sp["body"]),
+                "body_md5": _hl.md5(sp["body"]).hexdigest(),
+            }
+        )
+    return rows

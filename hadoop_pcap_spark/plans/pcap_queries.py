@@ -605,6 +605,74 @@ def q_pcap_http_corpus(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def http_tput_dir(n_conns: int = 2000) -> str:
+    """ONE capture with 2000 HTTP/1.x connections (~4.4 MiB, ~6k
+    packets; bodies span segments; length/chunked/close framings mixed
+    by index) — the scaled fixture behind the L7-extraction bench row.
+    Placement contract: module docstring."""
+    d = _fixture_subdir("http_tput_v1")
+    p = os.path.join(d, "crawl.pcap")
+    if not os.path.exists(p):
+        _atomic_write(p, S.http_tput_pcap(n_conns))
+    return d
+
+
+def http_tput_truth_path(n_conns: int = 2000) -> str:
+    return _write_truth_parquet(
+        "http_tput_truth_v1",
+        S.http_tput_truth(n_conns),
+        [
+            ("client", "string"),
+            ("server", "string"),
+            ("server_port", "int64"),
+            ("url", "string"),
+            ("status", "int64"),
+            ("body_len", "int64"),
+            ("body_md5", "string"),
+        ],
+    )
+
+
+@query(
+    "pcap_http_extract_2k",
+    oracle=lambda: f"""
+    SELECT client, server, server_port, url, status, body_len, body_md5
+    FROM '{http_tput_truth_path()}'
+    ORDER BY url
+    """,
+)
+def q_pcap_http_extract_2k(spark: SparkSession, sf: str) -> DataFrame:
+    """HTTP object extraction AT SCALE: 2000 connections from one
+    capture file, decoded split-parallel, reassembled and parsed in
+    one pass — every body md5-pinned against synthesis intent.  The
+    scale shape the 3-connection branch fixture can't measure: group
+    count (connections) × applyInPandas dominates, which is exactly
+    the 100 TB cost model (work ∝ connections, not packets).  Also a
+    bench headline row (L7-extraction throughput)."""
+    from ..operators.http import http_objects
+
+    pkts = read_pcap(
+        spark,
+        http_tput_dir(),
+        split_single_files=True,
+        columns=["file", "src", "dst", "src_port", "dst_port",
+                 "protocol", "pkt_no", "payload"],
+        strict_reference=False,
+    )
+    return (
+        http_objects(pkts)
+        .select(
+            "client", "server",
+            F.col("server_port").cast("long").alias("server_port"),
+            "url",
+            F.col("status").cast("long").alias("status"),
+            F.col("body_len").cast("long").alias("body_len"),
+            F.md5(F.coalesce(F.col("body"), F.lit(b""))).alias("body_md5"),
+        )
+        .orderBy("url")
+    )
+
+
 def tls_fixture_dir() -> str:
     """TLS handshake capture (four connections: plain TLS 1.2 pair,
     GREASE'd TLS 1.3 pair with the ClientHello TCP-segmented
