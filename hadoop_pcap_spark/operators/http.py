@@ -49,7 +49,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["HTTP_OBJECT_SCHEMA", "http_objects", "parse_requests", "parse_responses"]
+__all__ = [
+    "HTTP_OBJECT_SCHEMA",
+    "http_objects",
+    "parse_requests",
+    "parse_responses",
+    "parse_requests_incremental",
+    "parse_responses_incremental",
+]
 
 HTTP_OBJECT_SCHEMA = T.StructType(
     [
@@ -253,6 +260,114 @@ def parse_responses(
         )
         i += 1
     return out
+
+
+def parse_requests_incremental(stream: bytes) -> Tuple[List[dict], int]:
+    """Streaming twin of :func:`parse_requests`: parse only requests
+    that are COMPLETE in ``stream`` (head and body fully present) and
+    return ``(requests, consumed)`` where ``consumed`` is the byte
+    offset of the first incomplete request — the caller carries
+    ``stream[consumed:]`` as state into the next micro-batch, so a
+    request split across batches is parsed exactly once, when its
+    last byte arrives."""
+    out: List[dict] = []
+    pos = 0
+    n = len(stream)
+    while True:
+        start_pos = pos
+        block, pos = _split_head(stream, pos)
+        if block is None:
+            return out, start_pos
+        start, hdrs = _headers(block)
+        parts = start.split(b" ")
+        if len(parts) < 3 or not start.startswith(_METHODS):
+            return out, start_pos  # desynchronized: stop, don't consume
+        cl = _content_length(hdrs)
+        if "chunked" in hdrs.get("transfer-encoding", "").lower():
+            _, pos, ok = _read_chunked(stream, pos)
+            if not ok:
+                return out, start_pos  # body incomplete: wait for more
+        elif cl:
+            if pos + cl > n:
+                return out, start_pos
+            pos += cl
+        out.append(
+            {
+                "method": parts[0].decode("latin-1"),
+                "target": parts[1].decode("latin-1"),
+                "host": hdrs.get("host"),
+            }
+        )
+
+
+def parse_responses_incremental(
+    stream: bytes,
+    methods: Optional[List[str]] = None,
+    decode_content: bool = True,
+) -> Tuple[List[dict], int]:
+    """Streaming twin of :func:`parse_responses`: emit only responses
+    whose framing COMPLETED in ``stream``; returns ``(responses,
+    consumed)``.  A close-delimited response (no Content-Length, not
+    chunked) has no knowable end on a live stream — parsing stops at
+    its start and it is never emitted (documented streaming
+    limitation; the batch operator handles it at flow end)."""
+    out: List[dict] = []
+    pos = 0
+    i = 0
+    n = len(stream)
+    while True:
+        start_pos = pos
+        block, pos = _split_head(stream, pos)
+        if block is None:
+            return out, start_pos
+        start, hdrs = _headers(block)
+        if not start.startswith(b"HTTP/1."):
+            return out, start_pos
+        parts = start.split(b" ")
+        try:
+            status = int(parts[1])
+        except (IndexError, ValueError):
+            return out, start_pos
+        method = methods[i] if methods and i < len(methods) else None
+        chunked = "chunked" in hdrs.get("transfer-encoding", "").lower()
+        cl = _content_length(hdrs)
+        if method == "HEAD" or status in _NO_BODY_STATUS or 100 <= status < 200:
+            body = b""
+        elif chunked:
+            body, pos, ok = _read_chunked(stream, pos)
+            if not ok:
+                return out, start_pos
+        elif cl is not None:
+            if pos + cl > n:
+                return out, start_pos
+            body = stream[pos : pos + cl]
+            pos += cl
+        else:
+            return out, start_pos  # close-delimited: end unknowable live
+        enc = hdrs.get("content-encoding", "").lower() or None
+        if decode_content and enc in ("gzip", "x-gzip", "deflate") and body:
+            try:
+                if enc == "deflate":
+                    try:
+                        body = zlib.decompress(body)
+                    except zlib.error:
+                        body = zlib.decompress(body, -zlib.MAX_WBITS)
+                else:
+                    body = gzip.decompress(body)
+                enc = enc + ";decoded"
+            except (OSError, zlib.error, EOFError):
+                pass  # keep raw bytes; enc stays undecoded
+        out.append(
+            {
+                "status": status,
+                "content_type": hdrs.get("content-type"),
+                "content_encoding": enc,
+                "chunked": chunked,
+                "body": body,
+                "truncated": False,  # incremental form never emits partial
+            }
+        )
+        i += 1
 
 
 def _classify_streams(streams: List[Tuple[tuple, bytes]]):

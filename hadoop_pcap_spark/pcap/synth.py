@@ -1223,3 +1223,57 @@ def http_tput_truth(n_conns: int = 2000) -> list:
             }
         )
     return rows
+
+
+def http_rotated_pcaps(n_files: int = 3, ts: int = 1470000000) -> list:
+    """The HTTP-exchange capture ROTATED into ``n_files`` pcap byte
+    blobs, cut at frame boundaries that fall MID-CONNECTION — the
+    live-rotation shape: a connection's bytes span capture files, so a
+    streaming consumer must carry reassembly state across
+    micro-batches.  Frame order (and the global ts sequence) is the
+    same as :func:`http_exchange_pcap`."""
+    frames = http_exchange_frames(ts)
+    n = len(frames)
+    cuts = [round(n * (i + 1) / n_files) for i in range(n_files - 1)]
+    chunks, prev = [], 0
+    for c in cuts + [n]:
+        chunks.append(frames[prev:c])
+        prev = c
+    return [
+        global_header(1)
+        + b"".join(record(m["ts"], f, ts_usec=m["ts_usec"]) for f, m in ch)
+        for ch in chunks
+    ]
+
+
+def http_streaming_truth() -> list:
+    """Expected streaming_http_objects rows for the rotated capture:
+    :func:`http_exchange_truth` minus close-delimited objects (no
+    knowable end on a live stream — documented limitation; framing
+    'close' is last on its connection, so obj_no numbering is
+    unchanged for the emitted rows)."""
+    import hashlib
+
+    rows = []
+    for fi, (cli, _cport, srv, sport) in enumerate(_HTTP_FLOWS):
+        i = 0
+        for o in [o for o in _http_objects_spec() if o["flow"] == fi]:
+            if o["framing"] == "close":
+                continue
+            i += 1
+            body = b"" if o["framing"] in ("head", "nobody") else o["body"]
+            rows.append(
+                {
+                    "client": cli,
+                    "server": srv,
+                    "server_port": sport,
+                    "obj_no": i,
+                    "method": o["method"],
+                    "url": f"http://{o['host']}{o['target']}",
+                    "status": o["status"],
+                    "content_type": o["ctype"],
+                    "body_len": len(body),
+                    "body_md5": hashlib.md5(body).hexdigest(),
+                }
+            )
+    return rows

@@ -673,6 +673,93 @@ def q_pcap_http_extract_2k(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def http_rotated_dir() -> str:
+    """The HTTP exchange rotated across 3 capture files with staged
+    mtimes (10 s apart, so binaryFile stream batch order is pinned) —
+    connections span files, so a streaming consumer must carry
+    reassembly state across micro-batches."""
+    d = _fixture_subdir("http_rot_v1")
+    blobs = None
+    for fi in range(3):
+        p = os.path.join(d, f"rot{fi}.pcap")
+        if not os.path.exists(p):
+            if blobs is None:
+                blobs = S.http_rotated_pcaps(3)
+            _atomic_write(p, blobs[fi])
+            t = 1700000000 + fi * 10
+            os.utime(p, (t, t))
+    return d
+
+
+def http_streaming_truth_path() -> str:
+    return _write_truth_parquet(
+        "http_stream_truth_v1",
+        S.http_streaming_truth(),
+        [
+            ("client", "string"),
+            ("server", "string"),
+            ("server_port", "int64"),
+            ("obj_no", "int64"),
+            ("method", "string"),
+            ("url", "string"),
+            ("status", "int64"),
+            ("content_type", "string"),
+            ("body_len", "int64"),
+            ("body_md5", "string"),
+        ],
+    )
+
+
+@query(
+    "streaming_http_objects",
+    oracle=lambda: f"""
+    SELECT client, server, server_port, obj_no, method, url, status,
+           coalesce(content_type, '') AS content_type, body_len, body_md5
+    FROM '{http_streaming_truth_path()}'
+    ORDER BY client, server_port, obj_no
+    """,
+)
+def q_streaming_http_objects(spark: SparkSession, sf: str) -> DataFrame:
+    """HTTP object extraction as a LIVE stateful streaming operator
+    (streaming/stream.py::streaming_http_objects,
+    applyInPandasWithState): the rotated 3-file capture arrives one
+    file per micro-batch, connections span files, and per-connection
+    state (directional byte residuals + the pipelined request queue)
+    carries across batches so every object emits exactly once when its
+    response framing completes.  The close-delimited tail object never
+    emits (documented live-stream limitation) — the oracle's truth
+    excludes it by synthesis intent.  The live twin of
+    pcap_http_objects; same md5-pinned bodies."""
+    from ..sources import read_pcap_stream
+    from ..streaming.stream import streaming_http_objects
+    from .streaming_queries import _run_to_memory
+
+    pkts = read_pcap_stream(
+        spark,
+        http_rotated_dir(),
+        strict_reference=False,
+        max_files_per_trigger=1,
+        columns=["file", "src", "dst", "src_port", "dst_port",
+                 "protocol", "ts", "pkt_no", "payload"],
+    )
+    out = _run_to_memory(
+        streaming_http_objects(pkts), "append", "http_stream"
+    )
+    return (
+        out.select(
+            "client", "server",
+            F.col("server_port").cast("long").alias("server_port"),
+            F.col("obj_no").cast("long").alias("obj_no"),
+            "method", "url",
+            F.col("status").cast("long").alias("status"),
+            F.coalesce("content_type", F.lit("")).alias("content_type"),
+            F.col("body_len").cast("long").alias("body_len"),
+            F.md5(F.coalesce(F.col("body"), F.lit(b""))).alias("body_md5"),
+        )
+        .orderBy("client", "server_port", "obj_no")
+    )
+
+
 def tls_fixture_dir() -> str:
     """TLS handshake capture (four connections: plain TLS 1.2 pair,
     GREASE'd TLS 1.3 pair with the ClientHello TCP-segmented

@@ -75,7 +75,8 @@ def register_pcap_udtfs(spark: SparkSession) -> None:
     @udtf(
         returnType="obj_no int, method string, url string, status int,"
         " content_type string, content_encoding string, chunked boolean,"
-        " body_len int, body_truncated boolean, body binary"
+        " body_len int, body_truncated boolean, body binary",
+        useArrow=True,  # ArrowEvalPythonUDTF, not row-serde BatchEvalPython
     )
     class HttpObjectsUdtf:
         def eval(self, req_stream, resp_stream):
@@ -105,7 +106,8 @@ def register_pcap_udtfs(spark: SparkSession) -> None:
     @udtf(
         returnType="msg_no int, dns_queryid int, dns_qr boolean,"
         " dns_qname string, dns_qtype int, dns_rcode string,"
-        " n_answers int"
+        " n_answers int",
+        useArrow=True,
     )
     class DnsMessagesUdtf:
         def eval(self, stream):

@@ -201,6 +201,177 @@ DNS_TCP_OUTPUT = (
 )
 DNS_TCP_STATE = "residual BINARY, n_msgs BIGINT, n_segments BIGINT"
 
+HTTP_STREAM_OUTPUT = (
+    "client STRING, server STRING, server_port INT, obj_no INT, "
+    "method STRING, url STRING, status INT, content_type STRING, "
+    "content_encoding STRING, chunked BOOLEAN, body_len INT, body BINARY"
+)
+HTTP_STREAM_STATE = (
+    "a_resid BINARY, b_resid BINARY, client_is_a INT, n_objs BIGINT, "
+    "pending STRING"
+)
+
+
+def streaming_http_objects(
+    packets: DataFrame,
+    max_flow_bytes: int = 64 * 1024 * 1024,
+    max_pending: int = 1024,
+) -> DataFrame:
+    """HTTP/1.x object extraction as a custom stateful streaming
+    operator (applyInPandasWithState) — the live twin of
+    :func:`..operators.http.http_objects`, for tailing rotated
+    capture directories: a CONNECTION that spans capture files (and
+    therefore micro-batches) still yields each object exactly once,
+    when its response framing completes.
+
+    Per-connection state: the two directional byte RESIDUALS (bytes
+    not yet consumed by a complete message), the request/response
+    direction assignment once classified by content, the emitted
+    object counter, and the parsed-but-unanswered request queue
+    (method+url, JSON-encoded, capped at ``max_pending``) that pairs
+    pipelined responses arriving in later batches.
+
+    Documented streaming limitation: a CLOSE-DELIMITED response (no
+    Content-Length, not chunked) has no knowable end on a live stream
+    — it is never emitted here (the batch operator recovers it at
+    flow end); ``parse_responses_incremental`` stops at its start.
+    Hot-flow guard: a residual beyond ``max_flow_bytes`` resets that
+    direction (dropping buffered bytes) rather than growing state.
+
+    Input: a streaming packet DataFrame with at least
+    src/dst/src_port/dst_port/protocol/ts/pkt_no/payload."""
+    import json as _json
+
+    import pandas as pd
+
+    from ..operators.http import (
+        _METHODS,
+        parse_requests_incremental,
+        parse_responses_incremental,
+    )
+
+    a_first = (F.col("src") < F.col("dst")) | (
+        (F.col("src") == F.col("dst"))
+        & (F.coalesce(F.col("src_port"), F.lit(-1))
+           <= F.coalesce(F.col("dst_port"), F.lit(-1)))
+    )
+    segments = (
+        packets.filter(
+            (F.col("protocol") == "TCP")
+            & F.col("payload").isNotNull()
+            & (F.length("payload") > 0)
+        )
+        .select(
+            F.when(a_first, F.col("src")).otherwise(F.col("dst")).alias("a_ip"),
+            F.when(a_first, F.col("src_port")).otherwise(F.col("dst_port"))
+            .alias("a_port"),
+            F.when(a_first, F.col("dst")).otherwise(F.col("src")).alias("b_ip"),
+            F.when(a_first, F.col("dst_port")).otherwise(F.col("src_port"))
+            .alias("b_port"),
+            "src", "src_port", "ts", "pkt_no", "payload",
+        )
+    )
+
+    def _classify(res: bytes):
+        if res.startswith(_METHODS):
+            return "req"
+        if res.startswith(b"HTTP/1."):
+            return "resp"
+        return None
+
+    def update(key, pdfs, state):
+        a_ip, a_port, b_ip, b_port = key
+        a_res, b_res, client_is_a, n_objs, pending_json = (
+            state.get if state.exists else (b"", b"", 0, 0, "[]")
+        )
+        a_res, b_res = bytes(a_res or b""), bytes(b_res or b"")
+        pending = _json.loads(pending_json or "[]")
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(["ts", "pkt_no"], kind="stable")
+            for _, row in batch.iterrows():
+                p = row["payload"]
+                if p is None:
+                    continue
+                sp = None if pd.isna(row["src_port"]) else int(row["src_port"])
+                if (row["src"], sp) == (a_ip, a_port):
+                    a_res += bytes(p)
+                else:
+                    b_res += bytes(p)
+        if client_is_a == 0:
+            ka, kb = _classify(a_res), _classify(b_res)
+            if ka == "req" or kb == "resp":
+                client_is_a = 1
+            elif kb == "req" or ka == "resp":
+                client_is_a = 2
+        rows = []
+        if client_is_a:
+            if client_is_a == 1:
+                req_res, resp_res = a_res, b_res
+                client, server, sport = a_ip, b_ip, b_port
+            else:
+                req_res, resp_res = b_res, a_res
+                client, server, sport = b_ip, a_ip, a_port
+            reqs, used = parse_requests_incremental(req_res)
+            req_res = req_res[used:]
+            for rq in reqs:
+                target = rq["target"]
+                if target.startswith(("http://", "https://")):
+                    url = target
+                else:
+                    host = rq["host"] or (
+                        server if sport is None else f"{server}:{sport}"
+                    )
+                    url = f"http://{host}{target}"
+                pending.append({"method": rq["method"], "url": url})
+            pending = pending[:max_pending]
+            resps, used = parse_responses_incremental(
+                resp_res, methods=[p["method"] for p in pending]
+            )
+            resp_res = resp_res[used:]
+            for rs in resps:
+                rq = pending.pop(0) if pending else {"method": None, "url": None}
+                n_objs += 1
+                rows.append(
+                    {
+                        "client": client,
+                        "server": server,
+                        "server_port": sport,
+                        "obj_no": n_objs,
+                        "method": rq["method"],
+                        "url": rq["url"],
+                        "status": rs["status"],
+                        "content_type": rs["content_type"],
+                        "content_encoding": rs["content_encoding"],
+                        "chunked": rs["chunked"],
+                        "body_len": len(rs["body"]),
+                        "body": rs["body"],
+                    }
+                )
+            if client_is_a == 1:
+                a_res, b_res = req_res, resp_res
+            else:
+                b_res, a_res = req_res, resp_res
+        if len(a_res) > max_flow_bytes:
+            a_res = b""  # hot-flow guard: reset, resync later
+        if len(b_res) > max_flow_bytes:
+            b_res = b""
+        state.update(
+            (a_res, b_res, client_is_a, n_objs, _json.dumps(pending))
+        )
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return segments.groupBy(
+        "a_ip", "a_port", "b_ip", "b_port"
+    ).applyInPandasWithState(
+        update,
+        outputStructType=HTTP_STREAM_OUTPUT,
+        stateStructType=HTTP_STREAM_STATE,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
 
 def streaming_dns_tcp_reassembly(
     packets: DataFrame,

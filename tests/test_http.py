@@ -214,3 +214,35 @@ def test_http_corpus_bridge_flags_mirror_duplicate(spark, http_capture_dir):
     assert rows["http://api.example/api/big.txt"].n_tokens == rows[
         "http://mirror.example/mirror/big.txt"
     ].n_tokens
+
+
+def test_parse_requests_incremental_carries_partial():
+    from hadoop_pcap_spark.operators.http import parse_requests_incremental
+
+    full = (
+        b"GET /a HTTP/1.1\r\nHost: h\r\n\r\n"
+        b"POST /b HTTP/1.1\r\nHost: h\r\nContent-Length: 5\r\n\r\nhello"
+    )
+    # cut mid-body of the POST: only GET emits; consumed points at POST
+    cut = full[:-3]
+    reqs, used = parse_requests_incremental(cut)
+    assert [r["target"] for r in reqs] == ["/a"]
+    assert cut[used:].startswith(b"POST ")
+    # feeding the carried residual + the rest completes the POST
+    reqs2, used2 = parse_requests_incremental(cut[used:] + full[-3:])
+    assert [r["target"] for r in reqs2] == ["/b"]
+
+
+def test_parse_responses_incremental_never_truncates_and_blocks_close():
+    from hadoop_pcap_spark.operators.http import parse_responses_incremental
+
+    body = b"y" * 30
+    r1 = b"HTTP/1.1 200 OK\r\nContent-Length: 30\r\n\r\n" + body
+    close = b"HTTP/1.1 200 OK\r\nConnection: close\r\n\r\ntail..."
+    # mid-body cut: nothing emits (no truncated ghosts), nothing consumed
+    resps, used = parse_responses_incremental(r1[:-10])
+    assert resps == [] and used == 0
+    # complete + close-delimited: first emits, close never does
+    resps, used = parse_responses_incremental(r1 + close)
+    assert len(resps) == 1 and resps[0]["body"] == body
+    assert (r1 + close)[used:] == close

@@ -1049,3 +1049,52 @@ def test_streaming_ann_screen_maintenance_epochs(spark, tmp_path):
         for t in ("ann_stream_maint", "ann_stream_maint__model"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
             _sh.rmtree(_os.path.join(wh, t), ignore_errors=True)
+
+
+def test_streaming_http_objects_cross_batch_exactly_once(spark, tmp_path):
+    """streaming_http_objects: the rotated 3-file capture (one file per
+    micro-batch, connections spanning files) yields every non-close-
+    delimited object exactly once with batch-identical content; the
+    close-delimited tail never emits (documented live limitation)."""
+    import hashlib
+    import os as _os
+
+    from hadoop_pcap_spark.pcap import synth as S
+    from hadoop_pcap_spark.sources import read_pcap_stream
+    from hadoop_pcap_spark.streaming.stream import streaming_http_objects
+
+    d = tmp_path / "rot"
+    d.mkdir()
+    for fi, blob in enumerate(S.http_rotated_pcaps(3)):
+        p = d / f"rot{fi}.pcap"
+        p.write_bytes(blob)
+        t = 1700000000 + fi * 10
+        _os.utime(p, (t, t))
+    pkts = read_pcap_stream(
+        spark, str(d), strict_reference=False, max_files_per_trigger=1,
+        columns=["file", "src", "dst", "src_port", "dst_port",
+                 "protocol", "ts", "pkt_no", "payload"],
+    )
+    sink = str(tmp_path / "sink")
+    q = (
+        streaming_http_objects(pkts)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(sink).collect()
+    truth = S.http_streaming_truth()
+    assert len(rows) == len(truth)  # exactly once, close-delimited absent
+    got = {(r.client, r.server_port, r.obj_no): r for r in rows}
+    for t in truth:
+        r = got[(t["client"], t["server_port"], t["obj_no"])]
+        assert (r.method, r.url, r.status) == (
+            t["method"], t["url"], t["status"]), t
+        assert r.body_len == t["body_len"], t
+        assert hashlib.md5(
+            bytes(r.body) if r.body is not None else b""
+        ).hexdigest() == t["body_md5"], t
