@@ -846,6 +846,208 @@ def q_pcap_tls_sessions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "pcap_tls_sessions_sql",
+    oracle=lambda: f"""
+    SELECT client, server, server_port, sni, alpn, alpn_chosen,
+           tls_version, cipher_suite, ja3, ja3_md5, ja3s, ja3s_md5,
+           server_hello_seen
+    FROM '{tls_truth_path()}'
+    ORDER BY client
+    """,
+)
+def q_pcap_tls_sessions_sql(spark: SparkSession, sf: str) -> DataFrame:
+    """The SAME TLS extraction through the SQL-ONLY front door: the
+    registered ``tls_session`` UDTF (Arrow-optimized) over reassembled
+    per-connection streams via LATERAL — held to the identical
+    synthesis-intent hash as pcap_tls_sessions.  The client endpoint
+    is identified in SQL by handshake content (record type 0x16 +
+    handshake type 0x01 at offset 6), never by port convention; a
+    ClientHello-only connection infers the server from the other
+    endpoint of the canonical pair."""
+    from ..operators.flows import reassemble_tcp_streams
+    from ..sql import register_pcap_udtfs
+
+    register_pcap_udtfs(spark)
+    pkts = read_pcap(
+        spark,
+        tls_fixture_dir(),
+        columns=["file", "src", "dst", "src_port", "dst_port",
+                 "protocol", "pkt_no", "payload"],
+        strict_reference=False,
+    )
+    streams = reassemble_tcp_streams(pkts)
+    a_first = (F.col("src") < F.col("dst")) | (
+        (F.col("src") == F.col("dst"))
+        & (F.coalesce(F.col("src_port"), F.lit(-1))
+           <= F.coalesce(F.col("dst_port"), F.lit(-1)))
+    )
+    is_ch = (
+        (F.expr("substring(stream, 1, 1)") == F.lit(b"\x16"))
+        & (F.expr("substring(stream, 6, 1)") == F.lit(b"\x01"))
+    )
+    src_ep = F.struct(F.col("src").alias("ip"), F.col("src_port").alias("port"))
+    dst_ep = F.struct(F.col("dst").alias("ip"), F.col("dst_port").alias("port"))
+    conns = (
+        streams.select(
+            "file",
+            F.when(a_first, src_ep).otherwise(dst_ep).alias("_a"),
+            F.when(a_first, dst_ep).otherwise(src_ep).alias("_b"),
+            is_ch.alias("_is_ch"),
+            "src", "src_port", "stream",
+        )
+        .groupBy("file", "_a", "_b")
+        .agg(
+            F.first(F.when(F.col("_is_ch"), F.col("src")), ignorenulls=True)
+            .alias("client"),
+            F.first(
+                F.when(F.col("_is_ch"), F.col("src_port")), ignorenulls=True
+            ).alias("client_port"),
+            F.first(F.when(F.col("_is_ch"), F.col("stream")), ignorenulls=True)
+            .alias("stream_a"),
+            F.first(
+                F.when(~F.col("_is_ch"), F.col("stream")), ignorenulls=True
+            ).alias("stream_b"),
+        )
+        .filter(F.col("client").isNotNull())
+        .select(
+            "client", "stream_a", "stream_b",
+            F.when(
+                (F.col("_a.ip") == F.col("client"))
+                & (F.col("_a.port").eqNullSafe(F.col("client_port"))),
+                F.col("_b.ip"),
+            ).otherwise(F.col("_a.ip")).alias("server"),
+            F.when(
+                (F.col("_a.ip") == F.col("client"))
+                & (F.col("_a.port").eqNullSafe(F.col("client_port"))),
+                F.col("_b.port"),
+            ).otherwise(F.col("_a.port")).alias("server_port"),
+        )
+    )
+    conns.createOrReplaceTempView("_tls_conns")
+    return spark.sql(
+        """
+        SELECT c.client, c.server,
+               CAST(c.server_port AS BIGINT) AS server_port,
+               t.sni, t.alpn, t.alpn_chosen, t.tls_version,
+               CAST(t.cipher_suite AS BIGINT) AS cipher_suite,
+               t.ja3, t.ja3_md5, t.ja3s, t.ja3s_md5, t.server_hello_seen
+        FROM _tls_conns c, LATERAL tls_session(c.stream_a, c.stream_b) t
+        ORDER BY c.client
+        """
+    )
+
+
+def l7_mix_dir() -> str:
+    """Mixed-protocol capture dir: the HTTP exchange (3 connections),
+    the TLS fixture (3 TLS connections + 1 non-TLS flow on 443), and
+    the DNS-over-TCP exchange (1 connection) as separate files — the
+    what's-in-this-capture triage input."""
+    d = _fixture_subdir("l7_mix_v1")
+    parts = [
+        ("web.pcap", S.http_exchange_pcap),
+        ("tls.pcap", S.tls_exchange_pcap),
+        ("dnstcp.pcap", S.dns_tcp_exchange_pcap),
+    ]
+    for name, build in parts:
+        p = os.path.join(d, name)
+        if not os.path.exists(p):
+            _atomic_write(p, build())
+    return d
+
+
+def l7_mix_truth_path() -> str:
+    """Closed-form connection counts per L7 class for
+    :func:`l7_mix_dir`, from the synthesis specs only."""
+    n_http = len(S._HTTP_FLOWS)
+    n_tls = sum(1 for fl in S._TLS_FLOWS if fl["ch"] is not None)
+    n_other = sum(1 for fl in S._TLS_FLOWS if fl["ch"] is None)
+    n_dns = 1  # dns_tcp_exchange synthesizes one connection
+    return _write_truth_parquet(
+        "l7_mix_truth_v1",
+        [
+            {"l7_protocol": "dns", "n_connections": n_dns},
+            {"l7_protocol": "http", "n_connections": n_http},
+            {"l7_protocol": "other", "n_connections": n_other},
+            {"l7_protocol": "tls", "n_connections": n_tls},
+        ],
+        [("l7_protocol", "string"), ("n_connections", "int64")],
+    )
+
+
+@query(
+    "pcap_l7_mix",
+    oracle=lambda: f"""
+    SELECT l7_protocol, n_connections
+    FROM '{l7_mix_truth_path()}'
+    ORDER BY l7_protocol
+    """,
+)
+def q_pcap_l7_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Capture triage: classify every payload-bearing TCP connection
+    as http / tls / dns / other — the what-is-in-this-capture query a
+    user runs FIRST, before reaching for the protocol-specific
+    extractor.  Classification is entirely JVM-side (codegen'd byte
+    probes on the reassembled directional streams — HTTP start-line
+    token, TLS record prefix 0x16 0x03, port 53), no Python in the
+    plan beyond the decode and reassembly it already shares with every
+    flow query.  Oracle: closed-form connection counts from the three
+    fixtures' synthesis specs."""
+    from ..operators.flows import reassemble_tcp_streams
+
+    pkts = read_pcap(
+        spark,
+        l7_mix_dir(),
+        columns=["file", "src", "dst", "src_port", "dst_port",
+                 "protocol", "pkt_no", "payload"],
+        strict_reference=False,
+    )
+    streams = reassemble_tcp_streams(pkts)
+    head = F.expr("substring(stream, 1, 8)")
+    is_http = F.lit(False)
+    for tok in (b"GET ", b"POST ", b"PUT ", b"HEAD ", b"DELETE ",
+                b"OPTIONS ", b"PATCH ", b"HTTP/1."):
+        is_http = is_http | (
+            F.expr(f"substring(stream, 1, {len(tok)})") == F.lit(tok)
+        )
+    is_tls = (
+        (F.expr("substring(stream, 1, 1)") == F.lit(b"\x16"))
+        & (F.expr("substring(stream, 2, 1)") == F.lit(b"\x03"))
+    )
+    is_dns = (F.col("src_port") == 53) | (F.col("dst_port") == 53)
+    a_first = (F.col("src") < F.col("dst")) | (
+        (F.col("src") == F.col("dst"))
+        & (F.coalesce(F.col("src_port"), F.lit(-1))
+           <= F.coalesce(F.col("dst_port"), F.lit(-1)))
+    )
+    src_ep = F.struct(F.col("src").alias("ip"), F.col("src_port").alias("port"))
+    dst_ep = F.struct(F.col("dst").alias("ip"), F.col("dst_port").alias("port"))
+    return (
+        streams.select(
+            "file",
+            F.when(a_first, src_ep).otherwise(dst_ep).alias("_a"),
+            F.when(a_first, dst_ep).otherwise(src_ep).alias("_b"),
+            is_http.alias("_http"), is_tls.alias("_tls"), is_dns.alias("_dns"),
+        )
+        .groupBy("file", "_a", "_b")
+        .agg(
+            F.max("_http").alias("http"),
+            F.max("_tls").alias("tls"),
+            F.max("_dns").alias("dns"),
+        )
+        .select(
+            F.when(F.col("http"), "http")
+            .when(F.col("tls"), "tls")
+            .when(F.col("dns"), "dns")
+            .otherwise("other")
+            .alias("l7_protocol")
+        )
+        .groupBy("l7_protocol")
+        .agg(F.count("*").alias("n_connections"))
+        .orderBy("l7_protocol")
+    )
+
+
 def _flow_cte_sql() -> str:
     """The DuckDB replay of flow_stats' bidirectional 5-tuple
     canonicalization over the ground-truth packet table, as a WITH

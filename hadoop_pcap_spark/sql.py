@@ -67,6 +67,12 @@ def register_pcap_udtfs(spark: SparkSession) -> None:
     RFC 1035 parser — per-message rows the reference's per-packet
     hook can never produce).
 
+    ``SELECT c.client, t.* FROM conns c, LATERAL tls_session(
+    c.stream_a, c.stream_b) t`` — at most one row per connection:
+    SNI / ALPN / negotiated version / cipher / JA3(S) from the
+    handshake (operators/tls.py parsers; direction classified by
+    content, argument order irrelevant).
+
     Each input row is processed independently (stateless eval), so
     Spark parallelizes the lateral join across partitions exactly
     like the applyInPandas operators; idempotent to re-register."""
@@ -128,5 +134,47 @@ def register_pcap_udtfs(spark: SparkSession) -> None:
                     msg.rcode_text, len(msg.answers),
                 )
 
+    @udtf(
+        returnType="sni string, alpn string, alpn_chosen string,"
+        " tls_version string, cipher_suite int, ja3 string,"
+        " ja3_md5 string, ja3s string, ja3s_md5 string,"
+        " server_hello_seen boolean",
+        useArrow=True,
+    )
+    class TlsSessionUdtf:
+        def eval(self, stream_a, stream_b):
+            from hadoop_pcap_spark.operators import tls as _tls
+
+            ch = sh = None
+            for s in (stream_a, stream_b):
+                if s is None:
+                    continue
+                for msg_type, body in _tls.handshake_messages(bytes(s)):
+                    if msg_type == 1 and ch is None:
+                        ch = _tls.parse_client_hello(body)
+                    elif msg_type == 2 and sh is None:
+                        sh = _tls.parse_server_hello(body)
+                    break  # first handshake message classifies a direction
+            if ch is None:
+                return
+            ja3 = _tls.ja3_string(ch)
+            negotiated = (
+                (sh["supported_version"] or sh["version"]) if sh else None
+            )
+            ja3s = _tls.ja3s_string(sh) if sh else None
+            yield (
+                ch["sni"],
+                ",".join(ch["alpn"]) if ch["alpn"] else None,
+                sh["alpn"] if sh else None,
+                _tls._version_name(negotiated),
+                sh["cipher"] if sh else None,
+                ja3,
+                _tls._md5(ja3),
+                ja3s,
+                _tls._md5(ja3s) if ja3s else None,
+                sh is not None,
+            )
+
     spark.udtf.register("http_objects", HttpObjectsUdtf)
     spark.udtf.register("dns_messages", DnsMessagesUdtf)
+    spark.udtf.register("tls_session", TlsSessionUdtf)
