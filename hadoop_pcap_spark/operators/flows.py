@@ -9,11 +9,13 @@ may carry several messages (RFC 1035 §4.2.2 framing).
 
 ``reassemble_dns_tcp`` is the flow-grain operator: it keeps only
 port-53 TCP segments that carry bytes, shuffles ONCE on the directional
-flow 5-tuple, and per flow (``applyInPandas``) orders the segments,
-concatenates their payloads, walks the 2-byte big-endian length-prefix
-framing, and re-parses each complete message with the same pure-Python
-RFC 1035 parser the per-packet path uses — so a message that reassembles
-to the bytes of a UDP message renders identical ``dns_*`` values.
+flow 5-tuple (JVM-side ``collect_list``; a batched ``mapInPandas``
+then handles a whole Arrow batch of flows per Python invocation),
+orders each flow's segments, concatenates their payloads, walks the
+2-byte big-endian length-prefix framing, and re-parses each complete
+message with the same pure-Python RFC 1035 parser the per-packet path
+uses — so a message that reassembles to the bytes of a UDP message
+renders identical ``dns_*`` values.
 
 Scale notes (100 TB):
 
@@ -157,58 +159,6 @@ def _frame_messages(stream: bytes) -> List[bytes]:
     return out
 
 
-def _reassemble_group(pdf: pd.DataFrame, max_flow_bytes: int) -> pd.DataFrame:
-    from ..pcap import dns as _dns
-
-    pdf = pdf.sort_values("pkt_no", kind="stable")
-    chunks: List[bytes] = []
-    total = 0
-    for payload in pdf["payload"]:
-        if payload is None:
-            continue
-        b = bytes(payload)
-        if total + len(b) > max_flow_bytes:
-            b = b[: max_flow_bytes - total]  # hot-flow guard: truncate
-        chunks.append(b)
-        total += len(b)
-        if total >= max_flow_bytes:
-            break
-    stream = b"".join(chunks)
-
-    key = pdf.iloc[0]
-    rows = []
-    for i, msg_bytes in enumerate(_frame_messages(stream), start=1):
-        try:
-            msg = _dns.parse_message(msg_bytes)
-        except Exception:
-            continue  # silent-skip parity with the per-packet path
-        rows.append(
-            {
-                "file": key["file"],
-                "src": key["src"],
-                "dst": key["dst"],
-                "src_port": None if pd.isna(key["src_port"]) else int(key["src_port"]),
-                "dst_port": None if pd.isna(key["dst_port"]) else int(key["dst_port"]),
-                "n_segments": int(len(pdf)),
-                "msg_no": i,
-                "dns_queryid": msg.query_id,
-                "dns_flags": msg.flags_text,
-                "dns_qr": msg.qr,
-                "dns_opcode": msg.opcode_text,
-                "dns_rcode": msg.rcode_text,
-                "dns_qname": msg.qname,
-                "dns_qtype": msg.qtype,
-                "dns_qtype_str": msg.qtype_text,
-                "dns_answer": msg.answers,
-                "dns_authority": msg.authority,
-                "dns_additional": msg.additional,
-            }
-        )
-    if not rows:
-        return pd.DataFrame(columns=[f.name for f in REASSEMBLED_SCHEMA.fields])
-    return pd.DataFrame(rows)
-
-
 def reassemble_dns_tcp(
     packets: DataFrame,
     max_flow_bytes: int = 64 * 1024 * 1024,
@@ -219,7 +169,14 @@ def reassemble_dns_tcp(
     ``packets`` needs columns ``file src dst src_port dst_port protocol
     pkt_no payload`` (the default ``read_pcap`` schema; pass
     ``columns=[...]`` with exactly these for a pruned decode).
-    """
+
+    Execution shape: JVM-side ``collect_list`` to flow grain, then one
+    ``mapInPandas`` parsing a whole Arrow batch of flows per
+    invocation (the :func:`connection_segments` amortization — a busy
+    resolver trace is exactly the many-small-flows shape where
+    per-group ``applyInPandas`` overhead dominates)."""
+    from ..pcap import dns as _dns
+
     segments = (
         packets.filter(
             (F.col("protocol") == "TCP")
@@ -230,11 +187,66 @@ def reassemble_dns_tcp(
         # project BEFORE the shuffle: only the flow key + ordinal + bytes move
         .select(*_FLOW_KEY, "pkt_no", "payload")
     )
+    flows = segments.groupBy(*_FLOW_KEY).agg(
+        F.collect_list(F.struct("pkt_no", "payload")).alias("segs")
+    )
+    names = [f.name for f in REASSEMBLED_SCHEMA.fields]
 
-    def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _reassemble_group(pdf, max_flow_bytes)
+    def batch_fn(batches):
+        for pdf in batches:
+            rows = []
+            for file, src, dst, sp, dp, segs in zip(
+                pdf["file"], pdf["src"], pdf["dst"],
+                pdf["src_port"], pdf["dst_port"], pdf["segs"],
+            ):
+                segs = sorted(segs, key=lambda s: s["pkt_no"])
+                chunks: List[bytes] = []
+                total = 0
+                for s in segs:
+                    if s["payload"] is None:
+                        continue
+                    b = bytes(s["payload"])
+                    if total + len(b) > max_flow_bytes:
+                        b = b[: max_flow_bytes - total]  # hot-flow guard
+                    chunks.append(b)
+                    total += len(b)
+                    if total >= max_flow_bytes:
+                        break
+                stream = b"".join(chunks)
+                for i, msg_bytes in enumerate(_frame_messages(stream), start=1):
+                    try:
+                        msg = _dns.parse_message(msg_bytes)
+                    except Exception:
+                        continue  # silent-skip parity with the per-packet path
+                    rows.append(
+                        {
+                            "file": file,
+                            "src": src,
+                            "dst": dst,
+                            "src_port": None if pd.isna(sp) else int(sp),
+                            "dst_port": None if pd.isna(dp) else int(dp),
+                            "n_segments": int(len(segs)),
+                            "msg_no": i,
+                            "dns_queryid": msg.query_id,
+                            "dns_flags": msg.flags_text,
+                            "dns_qr": msg.qr,
+                            "dns_opcode": msg.opcode_text,
+                            "dns_rcode": msg.rcode_text,
+                            "dns_qname": msg.qname,
+                            "dns_qtype": msg.qtype,
+                            "dns_qtype_str": msg.qtype_text,
+                            "dns_answer": msg.answers,
+                            "dns_authority": msg.authority,
+                            "dns_additional": msg.additional,
+                        }
+                    )
+            yield (
+                pd.DataFrame(rows, columns=names)
+                if rows
+                else pd.DataFrame(columns=names)
+            )
 
-    return segments.groupBy(*_FLOW_KEY).applyInPandas(apply_fn, REASSEMBLED_SCHEMA)
+    return flows.mapInPandas(batch_fn, REASSEMBLED_SCHEMA)
 
 
 TCP_STREAM_SCHEMA = T.StructType(
