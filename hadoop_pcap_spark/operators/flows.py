@@ -413,25 +413,45 @@ def reassemble_ipv4_fragments(
     the key by a time window upstream — ident is only 16 bits, so
     long captures can reuse (src,dst,ident); within a window the
     (src,dst,proto,ident,offset) tie-break keeps reuse from
-    corrupting output (duplicate offsets drop deterministically)."""
-    frags = packets.filter(
-        F.col("frag") & F.col("frag_body").isNotNull()
-    ).select(
-        "file", "src", "dst", "protocol", "ip_ident",
-        "pkt_no", "frag_offset", "frag_mf", "frag_body",
-    )
+    corrupting output (duplicate offsets drop deterministically).
 
-    def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["frag_offset", "pkt_no"], kind="stable")
-        pdf = pdf.drop_duplicates(subset=["frag_offset"], keep="first")
-        key = pdf.iloc[0]
+    Execution shape: JVM-side ``collect_list`` to datagram grain, then
+    one ``mapInPandas`` reassembling a whole Arrow batch of datagrams
+    per Python invocation (the :func:`connection_segments`
+    amortization)."""
+    grouped = (
+        packets.filter(F.col("frag") & F.col("frag_body").isNotNull())
+        .select(
+            "file", "src", "dst", "protocol", "ip_ident",
+            "pkt_no", "frag_offset", "frag_mf", "frag_body",
+        )
+        .groupBy("file", "src", "dst", "protocol", "ip_ident")
+        .agg(
+            F.collect_list(
+                F.struct("frag_offset", "pkt_no", "frag_mf", "frag_body")
+            ).alias("frags")
+        )
+    )
+    names = [f.name for f in IPV4_REASSEMBLED_SCHEMA.fields]
+
+    def _reassemble(file, src, dst, proto, ident, frag_rows):
+        frag_rows = sorted(
+            frag_rows, key=lambda r: (r["frag_offset"], r["pkt_no"])
+        )
+        seen_off = set()
+        ordered = []
+        for r in frag_rows:  # duplicate offsets drop — first retransmit wins
+            if r["frag_offset"] in seen_off:
+                continue
+            seen_off.add(r["frag_offset"])
+            ordered.append(r)
         chunks: List[bytes] = []
         expect = 0
         total = 0
         contiguous = True
         truncated = False
         last_mf = True
-        for _, r in pdf.iterrows():
+        for r in ordered:
             off = int(r["frag_offset"])
             body = bytes(r["frag_body"])
             if off != expect:
@@ -447,10 +467,9 @@ def reassemble_ipv4_fragments(
                 break
         datagram = b"".join(chunks)
         complete = contiguous and not last_mf and not truncated
-        proto = key["protocol"]
         sp = dp = None
         payload = datagram
-        first_present = int(pdf["frag_offset"].iloc[0]) == 0
+        first_present = int(ordered[0]["frag_offset"]) == 0
         if first_present and proto == "UDP" and len(datagram) >= 8:
             sp = int.from_bytes(datagram[0:2], "big")
             dp = int.from_bytes(datagram[2:4], "big")
@@ -460,27 +479,36 @@ def reassemble_ipv4_fragments(
             dp = int.from_bytes(datagram[2:4], "big")
             doff = (datagram[12] >> 4) * 4
             payload = datagram[doff:] if doff >= 20 else datagram[20:]
-        return pd.DataFrame(
-            [
-                {
-                    "file": key["file"],
-                    "src": key["src"],
-                    "dst": key["dst"],
-                    "protocol": proto,
-                    "ip_ident": None if pd.isna(key["ip_ident"]) else int(key["ip_ident"]),
-                    "src_port": sp,
-                    "dst_port": dp,
-                    "n_fragments": int(len(pdf)),
-                    "complete": complete,
-                    "payload_len": len(payload),
-                    "payload": payload,
-                }
-            ]
-        )
+        return {
+            "file": file,
+            "src": src,
+            "dst": dst,
+            "protocol": proto,
+            "ip_ident": None if pd.isna(ident) else int(ident),
+            "src_port": sp,
+            "dst_port": dp,
+            "n_fragments": int(len(ordered)),
+            "complete": complete,
+            "payload_len": len(payload),
+            "payload": payload,
+        }
 
-    return frags.groupBy("file", "src", "dst", "protocol", "ip_ident").applyInPandas(
-        apply_fn, IPV4_REASSEMBLED_SCHEMA
-    )
+    def batch_fn(batches):
+        for pdf in batches:
+            rows = [
+                _reassemble(f, s, d, p, i, fr)
+                for f, s, d, p, i, fr in zip(
+                    pdf["file"], pdf["src"], pdf["dst"],
+                    pdf["protocol"], pdf["ip_ident"], pdf["frags"],
+                )
+            ]
+            yield (
+                pd.DataFrame(rows, columns=names)
+                if rows
+                else pd.DataFrame(columns=names)
+            )
+
+    return grouped.mapInPandas(batch_fn, IPV4_REASSEMBLED_SCHEMA)
 
 
 def flow_stats(packets: DataFrame, bidirectional: bool = True) -> DataFrame:
