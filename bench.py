@@ -496,28 +496,34 @@ def main():
 
     # Serial reference for the single-giant-file row: the same file
     # through the same kernel and aggregation but WITHOUT the split
-    # index — one task, the reference's whole-file constraint.  One
-    # run (it is the slow case by design); the ratio is the
-    # near-linear-speedup evidence for pcap_decode_1file_parallel.
+    # index — one task, the reference's whole-file constraint.
+    # Min-of-2 (r13): the parallel row is a warm min-of-3, and a
+    # single cold serial run mixes page-cache state into the ratio
+    # (observed 2.9 s vs 6.9 s for identical work across bench runs);
+    # run 2 reads a warm cache, so both sides of the ratio are warm.
     # Pruned to the SAME column set as the parallel query (r13: the
     # query pushes its projection into the decode), so the speedup
     # and cpu-amplification ratios compare like for like.
     from hadoop_pcap_spark.plans.pcap_queries import giant_dir
     from hadoop_pcap_spark.sources import read_pcap as _read_pcap
 
-    t0 = time.time()
-    c0 = proc_tree_cpu()
-    (
-        _read_pcap(
-            spark, giant_dir(),
-            columns=["file", "pkt_no", "protocol", "src", "len"],
+    serial_wall = serial_cpu = None
+    for _ in range(2):
+        t0 = time.time()
+        c0 = proc_tree_cpu()
+        (
+            _read_pcap(
+                spark, giant_dir(),
+                columns=["file", "pkt_no", "protocol", "src", "len"],
+            )
+            .groupBy("protocol")
+            .agg(F.count("*").alias("n"))
+            .count()
         )
-        .groupBy("protocol")
-        .agg(F.count("*").alias("n"))
-        .count()
-    )
-    serial_wall = round(time.time() - t0, 3)
-    serial_cpu = round(proc_tree_cpu() - c0, 3)
+        w = round(time.time() - t0, 3)
+        c = round(proc_tree_cpu() - c0, 3)
+        serial_wall = w if serial_wall is None else min(serial_wall, w)
+        serial_cpu = c if serial_cpu is None else min(serial_cpu, c)
     extras["single_file_decode"] = {
         "serial_wall_s": serial_wall,
         "serial_cpu_s": serial_cpu,

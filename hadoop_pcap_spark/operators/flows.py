@@ -72,7 +72,9 @@ REASSEMBLED_SCHEMA = T.StructType(
 _FLOW_KEY = ["file", "src", "dst", "src_port", "dst_port"]
 
 
-def connection_segments(packets: DataFrame, flow_filter=None) -> DataFrame:
+def connection_segments(
+    packets: DataFrame, flow_filter=None, window: "str | None" = None
+) -> DataFrame:
     """Payload-bearing TCP segments grouped to CONNECTION grain: one
     row per canonical (unordered) endpoint pair with the connection's
     segments collected as ``segs: array<struct<src, src_port, pkt_no,
@@ -87,7 +89,15 @@ def connection_segments(packets: DataFrame, flow_filter=None) -> DataFrame:
     unlike per-group ``applyInPandas`` whose fixed cost (pandas frame
     construction per group) dominates when connections are small and
     numerous (measured ~5 ms/group → it WAS the runtime of the 2000-
-    connection fixture).  ``flow_filter`` applies before the shuffle."""
+    connection fixture).  ``flow_filter`` applies before the shuffle.
+
+    ``window`` (a duration string, e.g. ``"5 minutes"``) adds a
+    tumbling event-time bucket on ``ts`` to the group key — the
+    endless-capture lever: group state is then bounded by
+    connections-per-window, not capture length.  A connection
+    straddling a boundary parses per window chunk (objects spanning
+    the cut are lost — the documented bounded-state tradeoff; size
+    the window ≫ typical connection duration)."""
     segments = packets.filter(
         (F.col("protocol") == "TCP")
         & F.col("payload").isNotNull()
@@ -102,14 +112,21 @@ def connection_segments(packets: DataFrame, flow_filter=None) -> DataFrame:
         & (F.coalesce(F.col("src_port"), F.lit(-1))
            <= F.coalesce(F.col("dst_port"), F.lit(-1)))
     )
-    return (
-        segments.select(
-            "file",
-            F.when(a_first, src_ep).otherwise(dst_ep).alias("_a"),
-            F.when(a_first, dst_ep).otherwise(src_ep).alias("_b"),
-            "src", "src_port", "pkt_no", "payload",
+    cols = [
+        "file",
+        F.when(a_first, src_ep).otherwise(dst_ep).alias("_a"),
+        F.when(a_first, dst_ep).otherwise(src_ep).alias("_b"),
+        "src", "src_port", "pkt_no", "payload",
+    ]
+    keys = ["file", "_a", "_b"]
+    if window is not None:
+        cols.append(
+            F.window(F.timestamp_seconds(F.col("ts")), window).alias("_w")
         )
-        .groupBy("file", "_a", "_b")
+        keys.append("_w")
+    return (
+        segments.select(*cols)
+        .groupBy(*keys)
         .agg(
             F.collect_list(
                 F.struct("src", "src_port", "pkt_no", "payload")
@@ -162,6 +179,7 @@ def _frame_messages(stream: bytes) -> List[bytes]:
 def reassemble_dns_tcp(
     packets: DataFrame,
     max_flow_bytes: int = 64 * 1024 * 1024,
+    window: "str | None" = None,
 ) -> DataFrame:
     """Reassemble DNS-over-TCP flows from a ``read_pcap`` DataFrame and
     return one row per complete DNS message (REASSEMBLED_SCHEMA).
@@ -177,17 +195,21 @@ def reassemble_dns_tcp(
     per-group ``applyInPandas`` overhead dominates)."""
     from ..pcap import dns as _dns
 
-    segments = (
-        packets.filter(
-            (F.col("protocol") == "TCP")
-            & ((F.col("src_port") == 53) | (F.col("dst_port") == 53))
-            & F.col("payload").isNotNull()
-            & (F.length("payload") > 0)
-        )
-        # project BEFORE the shuffle: only the flow key + ordinal + bytes move
-        .select(*_FLOW_KEY, "pkt_no", "payload")
+    segments = packets.filter(
+        (F.col("protocol") == "TCP")
+        & ((F.col("src_port") == 53) | (F.col("dst_port") == 53))
+        & F.col("payload").isNotNull()
+        & (F.length("payload") > 0)
     )
-    flows = segments.groupBy(*_FLOW_KEY).agg(
+    # project BEFORE the shuffle: only the flow key + ordinal + bytes
+    # (+ the optional window bucket) move
+    cols = [*_FLOW_KEY, "pkt_no", "payload"]
+    keys = list(_FLOW_KEY)
+    if window is not None:  # endless-capture state bound (see connection_segments)
+        cols.append(F.window(F.timestamp_seconds(F.col("ts")), window).alias("_w"))
+        keys.append("_w")
+    segments = segments.select(*cols)
+    flows = segments.groupBy(*keys).agg(
         F.collect_list(F.struct("pkt_no", "payload")).alias("segs")
     )
     names = [f.name for f in REASSEMBLED_SCHEMA.fields]
@@ -269,6 +291,7 @@ def reassemble_tcp_streams(
     packets: DataFrame,
     flow_filter=None,
     max_flow_bytes: int = 64 * 1024 * 1024,
+    window: "str | None" = None,
 ) -> DataFrame:
     """Generic TCP stream reassembly: one row per DIRECTIONAL flow
     5-tuple with the flow's ordered payload byte stream — the
@@ -307,9 +330,14 @@ def reassemble_tcp_streams(
     )
     if flow_filter is not None:
         segments = segments.filter(flow_filter)
+    cols = [*_FLOW_KEY, "pkt_no", "payload"]
+    keys = list(_FLOW_KEY)
+    if window is not None:  # endless-capture state bound (see connection_segments)
+        cols.append(F.window(F.timestamp_seconds(F.col("ts")), window).alias("_w"))
+        keys.append("_w")
     flows = (
-        segments.select(*_FLOW_KEY, "pkt_no", "payload")
-        .groupBy(*_FLOW_KEY)
+        segments.select(*cols)
+        .groupBy(*keys)
         .agg(
             F.collect_list(F.struct("pkt_no", "payload")).alias("segs"),
         )

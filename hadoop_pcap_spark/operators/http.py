@@ -25,9 +25,12 @@ Scale notes (100 TB):
 * Per-connection state is the two directional byte streams, capped at
   ``max_flow_bytes`` each (``body_truncated`` rather than an OOM) —
   the same hot-flow guard as the DNS reassembler.
-* Parsing is pure-Python inside ``applyInPandas`` groups: Arrow moves
-  the bytes once, and the group count (distinct connections) — not
-  the packet count — bounds task-side work.
+* Parsing is pure-Python over Arrow batches of connections
+  (collect_list to connection grain JVM-side, then one mapInPandas —
+  flows.connection_segments): bytes move once, Python invocations
+  scale with batches, and the connection count — not the packet
+  count — bounds task-side work.  ``window=`` adds a tumbling
+  event-time bucket to the connection key for endless captures.
 * Gzip/deflate content decoding uses the stdlib (deterministic, no
   optional deps); undecodable bodies are kept raw and flagged.
 
@@ -390,6 +393,7 @@ def http_objects(
     flow_filter=None,
     max_flow_bytes: int = 64 * 1024 * 1024,
     decode_content: bool = True,
+    window: "str | None" = None,
 ) -> DataFrame:
     """One row per HTTP/1.x request/response pair across all TCP
     connections in a ``read_pcap`` DataFrame (HTTP_OBJECT_SCHEMA).
@@ -413,7 +417,7 @@ def http_objects(
     fixed cost per connection, dominating small-object workloads)."""
     from .flows import connection_segments, directional_streams
 
-    conns = connection_segments(packets, flow_filter)
+    conns = connection_segments(packets, flow_filter, window=window)
     names = [f.name for f in HTTP_OBJECT_SCHEMA.fields]
 
     def _parse_connection(fname, segs, rows):

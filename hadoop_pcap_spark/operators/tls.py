@@ -25,8 +25,10 @@ Scale notes (100 TB):
   streams are capped at ``max_handshake_bytes`` (default 64 KiB —
   generous for certificate chains) long before the http-style 64 MiB
   flow cap, so application-data bytes never ship into Python.
-* Parsing is pure-Python inside ``applyInPandas`` groups; work is
-  bounded by the CONNECTION count, not packets or bytes.
+* Parsing is pure-Python over Arrow batches of connections
+  (collect_list + mapInPandas, the http_objects shape); work is
+  bounded by the CONNECTION count, not packets or bytes.  ``window=``
+  adds a tumbling event-time bucket for endless captures.
 
 Direction classification is by CONTENT (ClientHello vs ServerHello as
 the first handshake message), not port convention.  Passive
@@ -280,6 +282,7 @@ def tls_handshakes(
     packets: DataFrame,
     flow_filter=None,
     max_handshake_bytes: int = 64 * 1024,
+    window: "str | None" = None,
 ) -> DataFrame:
     """One row per TCP connection whose client stream opens with a TLS
     ClientHello (TLS_SESSION_SCHEMA): SNI, offered/chosen ALPN,
@@ -299,7 +302,7 @@ def tls_handshakes(
     invocation — the same amortized form as ``http_objects``."""
     from .flows import connection_segments, directional_streams
 
-    conns = connection_segments(packets, flow_filter)
+    conns = connection_segments(packets, flow_filter, window=window)
     names = [f.name for f in TLS_SESSION_SCHEMA.fields]
 
     def _parse_connection(fname, a, b, segs):

@@ -297,3 +297,32 @@ def test_flows_enriched_with_prefix_dim(spark):
     for r in rows:
         assert (r.org, r.role) == ("ripe-ncc", "server")
         assert r.n_packets == 2
+
+
+def test_windowed_reassembly_bounds_state(spark, tmp_path):
+    """window= adds a tumbling event-time bucket to the group key —
+    the endless-capture state bound: a flow whose packets span two
+    windows reassembles per window chunk; without window it is one
+    flow row.  (http_objects/tls_handshakes plumb the same knob.)"""
+    from hadoop_pcap_spark.operators.flows import reassemble_tcp_streams
+    from hadoop_pcap_spark.pcap import synth as S
+    from hadoop_pcap_spark.sources import read_pcap
+
+    # one TCP flow, two payload packets 10 minutes apart
+    frames = [
+        (S.ethernet(S.ipv4(S.tcp(b"part-one;", 40000, 80), 6,
+                           "10.9.0.1", "10.9.0.2")), 1700000000),
+        (S.ethernet(S.ipv4(S.tcp(b"part-two;", 40000, 80), 6,
+                           "10.9.0.1", "10.9.0.2")), 1700000600),
+    ]
+    p = tmp_path / "slow.pcap"
+    p.write_bytes(
+        S.global_header(1) + b"".join(S.record(ts, f) for f, ts in frames)
+    )
+    pkts = read_pcap(spark, str(tmp_path), strict_reference=False)
+    whole = reassemble_tcp_streams(pkts).collect()
+    assert len(whole) == 1 and bytes(whole[0].stream) == b"part-one;part-two;"
+    chunked = reassemble_tcp_streams(pkts, window="5 minutes").collect()
+    assert sorted(bytes(r.stream) for r in chunked) == [
+        b"part-one;", b"part-two;"
+    ]
