@@ -1511,6 +1511,59 @@ def throughput_truth_path(n_files: int = 8, pkts_per_file: int = 12500) -> str:
     )
 
 
+@query(
+    "pcap_decode_frames_column",
+    oracle=lambda: f"""
+    SELECT protocol, n_packets, n_src, total_payload_bytes
+    FROM '{throughput_truth_path()}'
+    """,
+)
+def q_pcap_decode_frames_column(spark: SparkSession, sf: str) -> DataFrame:
+    """Decode packets that never touched a FILE: raw link-layer frames
+    in a DataFrame column (sources.decode_frames) — the message-bus
+    deployment shape (packets as Kafka/event rows), which the
+    reference's file InputFormat cannot express at all.  The 100k-row
+    frame stream is generated entirely JVM-side (template array +
+    element_at over spark.range — no driver-side materialization),
+    cycling the SAME three frame intents and (file,i) arithmetic as
+    the 8-file throughput corpus, so the aggregate is held to the
+    IDENTICAL closed-form truth as pcap_decode_100k: column semantics
+    are file-path-identical by construction AND by hash."""
+    from ..sources import decode_frames
+
+    q = S.dns_query(7, "example.com")
+    frames = [
+        S.ethernet(S.ipv4(S.udp(q, 5353, 53, "10.0.0.1", "10.0.0.2"), 17,
+                          "10.0.0.1", "10.0.0.2")),
+        S.ethernet(S.ipv4(S.tcp(b"x" * 200, 44000, 443), 6,
+                          "10.0.0.3", "10.0.0.4")),
+        S.ethernet(S.ipv4(b"\x08\x00" + b"\x00" * 30, 1,
+                          "10.0.0.5", "10.0.0.6")),
+    ]
+    # (fi + i) % 3 with fi = id div 12500, i = id mod 12500 — the
+    # throughput corpus cycle, so throughput_truth_path() applies
+    tpl_idx = (
+        (F.floor(F.col("id") / 12500) + F.col("id") % 12500) % 3 + 1
+    ).cast("int")
+    stream = spark.range(100_000).select(
+        F.element_at(F.array(*[F.lit(b) for b in frames]), tpl_idx)
+        .alias("frame"),
+        (F.lit(1_700_000_000) + F.col("id")).alias("arrival_ts"),
+    )
+    return (
+        decode_frames(
+            stream, "frame", ts_col="arrival_ts",
+            columns=["pkt_no", "protocol", "src", "len"],
+        )
+        .groupBy("protocol")
+        .agg(
+            F.count("*").alias("n_packets"),
+            F.countDistinct("src").alias("n_src"),
+            F.sum("len").alias("total_payload_bytes"),
+        )
+    )
+
+
 def giant_dir(pkts: int = 1_200_000) -> str:
     """ONE ~180 MB capture file (template-cyclic, same three frame
     intents as :func:`throughput_dir`) — the single-giant-file shape

@@ -4,6 +4,7 @@ from .pcap_source import (  # noqa: F401
     DNS_PACKET_SCHEMA,
     FRAME_FIELDS,
     PACKET_SCHEMA,
+    decode_frames,
     packet_schema,
     read_pcap,
     read_pcap_stream,

@@ -557,6 +557,103 @@ def _arrow_decode_fn(schema, opts, streamed: bool, chunk_bytes: int, engine: str
     return decode_partition_arrow
 
 
+def decode_frames(
+    df: DataFrame,
+    frame_col: str = "frame",
+    ts_col: Optional[str] = None,
+    link_type: int = 1,
+    decoder: str = "ip",
+    calculate_md5: bool = False,
+    keep_payload: bool = True,
+    strict_reference: bool = True,
+    mode: str = "FAILFAST",
+    columns: Optional[Iterable[str]] = None,
+    engine: str = "arrow",
+) -> DataFrame:
+    """Decode raw link-layer FRAMES already sitting in a DataFrame
+    column — the message-bus deployment shape (packets arriving as
+    Kafka/event rows, no capture files anywhere).  The reference can
+    only ever read files through its InputFormat; here the decode
+    kernel is a column transformation, so the same engine serves both
+    at-rest captures and in-flight packet streams (``df`` may be a
+    STREAMING DataFrame — ``mapInArrow`` works identically and the
+    per-partition ordinal just continues per micro-batch partition).
+
+    Mechanics: per Arrow batch, the rows' frames are framed into ONE
+    in-memory classic capture (global header + a record per row;
+    ``ts_col`` supplies epoch-seconds timestamps — fractional parts
+    become ts_usec — else ts=0) and run through the SAME columnar
+    kernel as :func:`read_pcap`, so every column renders identically
+    to the file path.  ``pkt_no`` is a 1-based ordinal per PARTITION
+    (rebased across batches); ``file`` is the literal ``<frames>``.
+    NULL frames are skipped.  Cost: one memcpy to assemble the
+    synthetic capture, then the usual vectorized decode — no Python
+    per-row work."""
+    import struct as _struct
+
+    schema = packet_schema(decoder, columns, False)
+    wanted = set(f.name for f in schema.fields) if columns is not None else None
+    opts = DecodeOptions(
+        decoder=decoder,
+        calculate_md5=calculate_md5,
+        keep_payload=keep_payload,
+        strict_reference=strict_reference,
+        mode=mode,
+        wanted=wanted,
+        keep_frame=bool(wanted and (wanted & _FRAME_COLS)),
+    )
+    to_batches = (
+        decode_files_to_arrow_columnar if engine == "arrow" else decode_files_to_arrow
+    )
+    cols = [frame_col] + ([ts_col] if ts_col else [])
+    src = df.select(*cols)
+    gh = _struct.pack(
+        "<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 65535, int(link_type)
+    )
+
+    def fn(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        base = 0
+        for rb in batches:
+            frames = rb.column(0).to_pylist()
+            if ts_col:
+                tss = rb.column(1).to_pylist()
+            else:
+                tss = None
+            parts = [gh]
+            n = 0
+            for i, fr in enumerate(frames):
+                if fr is None:
+                    continue
+                t = float(tss[i]) if tss is not None and tss[i] is not None else 0.0
+                sec = int(t)
+                usec = int(round((t - sec) * 1_000_000))
+                b = bytes(fr)
+                parts.append(
+                    _struct.pack("<IIII", sec, usec, len(b), len(b)) + b
+                )
+                n += 1
+            if not n:
+                continue
+            for out in to_batches(
+                iter([("<frames>", b"".join(parts))]), schema, opts
+            ):
+                if base:
+                    i = out.schema.get_field_index("pkt_no")
+                    if i >= 0:
+                        out = out.set_column(
+                            i,
+                            out.schema.field(i),
+                            pc.add(out.column(i), pa.scalar(base, pa.int64())),
+                        )
+                yield out
+            base += n
+
+    return src.mapInArrow(fn, schema)
+
+
 _BINARYFILE_STREAM_SCHEMA = (
     "path string, modificationTime timestamp, length long, content binary"
 )

@@ -388,3 +388,39 @@ def test_dsv2_mixed_link_pcapng_nonstrict(spark, tmp_path):
         .load(str(tmp_path))
     )
     assert permissive.count() == 0
+
+
+def test_decode_frames_column_matches_file_path(spark, tmp_path):
+    """decode_frames (packets as DataFrame rows, no files) renders
+    every column identically to read_pcap over the same frames packed
+    into a capture file; ts fractional parts become ts_usec; NULL
+    frames are skipped; pkt_no is a per-partition running ordinal."""
+    from pyspark.sql import functions as F
+
+    from hadoop_pcap_spark.pcap import synth as S
+    from hadoop_pcap_spark.sources import decode_frames, read_pcap
+
+    frames = [f for f, _m in S.http_exchange_frames()]
+    tss = [1470000000 + i + (i % 4) * 0.25 for i in range(len(frames))]
+    p = tmp_path / "ref.pcap"
+    p.write_bytes(
+        S.global_header(1)
+        + b"".join(
+            S.record(int(t), f, ts_usec=int(round((t - int(t)) * 1e6)))
+            for f, t in zip(frames, tss)
+        )
+    )
+    via_file = read_pcap(spark, str(tmp_path)).drop("file").orderBy("pkt_no")
+
+    rows = [(float(t), bytearray(f)) for t, f in zip(tss, frames)]
+    rows.insert(3, (0.0, None))  # a NULL frame: skipped, not an error
+    df = spark.createDataFrame(rows, "arrival double, frame binary").coalesce(1)
+    via_col = (
+        decode_frames(df, "frame", ts_col="arrival")
+        .drop("file")
+        .orderBy("pkt_no")
+    )
+    a, b = via_file.collect(), via_col.collect()
+    assert len(a) == len(b) == len(frames)
+    for ra, rb in zip(a, b):
+        assert ra == rb, (ra, rb)
