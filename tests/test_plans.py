@@ -99,7 +99,12 @@ def test_reassembly_single_exchange_and_early_projection(spark):
     )
     plan = plan_of(reassemble_dns_tcp(pkts))
     assert plan.count("Exchange hashpartitioning") == 1, plan
-    assert "FlatMapGroupsInPandas" in plan
+    # r13: group-to-flow is a JVM-side collect_list (ObjectHashAggregate),
+    # the Python stage is the BATCHED MapInPandas — not per-group
+    # FlatMapGroupsInPandas (see flows.connection_segments)
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "collect_list" in plan
 
 
 def test_agg_is_partial_then_final(spark):
