@@ -72,6 +72,25 @@ REASSEMBLED_SCHEMA = T.StructType(
 _FLOW_KEY = ["file", "src", "dst", "src_port", "dst_port"]
 
 
+def canonical_pair_exprs():
+    """The ONE definition of connection-key canonicalization, shared
+    by every consumer (batch extractors here, the SQL front-door
+    queries, the streaming HTTP operator): returns ``(a_first,
+    src_ep, dst_ep)`` where ``a_first`` is true when the (src,
+    src_port) endpoint sorts first (string IP order; NULL port sorts
+    as -1) and the two struct expressions are ``{ip, port}`` endpoint
+    structs.  A drift between copies would silently split one
+    connection into two keys — hence the single helper."""
+    src_ep = F.struct(F.col("src").alias("ip"), F.col("src_port").alias("port"))
+    dst_ep = F.struct(F.col("dst").alias("ip"), F.col("dst_port").alias("port"))
+    a_first = (F.col("src") < F.col("dst")) | (
+        (F.col("src") == F.col("dst"))
+        & (F.coalesce(F.col("src_port"), F.lit(-1))
+           <= F.coalesce(F.col("dst_port"), F.lit(-1)))
+    )
+    return a_first, src_ep, dst_ep
+
+
 def connection_segments(
     packets: DataFrame, flow_filter=None, window: "str | None" = None
 ) -> DataFrame:
@@ -94,10 +113,11 @@ def connection_segments(
     ``window`` (a duration string, e.g. ``"5 minutes"``) adds a
     tumbling event-time bucket on ``ts`` to the group key — the
     endless-capture lever: group state is then bounded by
-    connections-per-window, not capture length.  A connection
-    straddling a boundary parses per window chunk (objects spanning
-    the cut are lost — the documented bounded-state tradeoff; size
-    the window ≫ typical connection duration)."""
+    connections-per-window, not capture length.  REQUIRES a ``ts``
+    column (add ``"ts"`` to any pruned ``columns=`` decode).  A
+    connection straddling a boundary parses per window chunk (objects
+    spanning the cut are lost — the documented bounded-state
+    tradeoff; size the window ≫ typical connection duration)."""
     segments = packets.filter(
         (F.col("protocol") == "TCP")
         & F.col("payload").isNotNull()
@@ -105,13 +125,7 @@ def connection_segments(
     )
     if flow_filter is not None:
         segments = segments.filter(flow_filter)
-    src_ep = F.struct(F.col("src").alias("ip"), F.col("src_port").alias("port"))
-    dst_ep = F.struct(F.col("dst").alias("ip"), F.col("dst_port").alias("port"))
-    a_first = (F.col("src") < F.col("dst")) | (
-        (F.col("src") == F.col("dst"))
-        & (F.coalesce(F.col("src_port"), F.lit(-1))
-           <= F.coalesce(F.col("dst_port"), F.lit(-1)))
-    )
+    a_first, src_ep, dst_ep = canonical_pair_exprs()
     cols = [
         "file",
         F.when(a_first, src_ep).otherwise(dst_ep).alias("_a"),
@@ -355,7 +369,7 @@ def reassemble_tcp_streams(
                 chunks: List[bytes] = []
                 total = 0
                 truncated = False
-                for s in segs:
+                for si, s in enumerate(segs):
                     if s["payload"] is None:
                         continue
                     b = bytes(s["payload"])
@@ -365,6 +379,11 @@ def reassemble_tcp_streams(
                     chunks.append(b)
                     total += len(b)
                     if total >= max_flow_bytes:
+                        # cap reached EXACTLY still truncates if any
+                        # payload-bearing segment remains unconsumed
+                        truncated = truncated or any(
+                            t["payload"] is not None for t in segs[si + 1:]
+                        )
                         break
                 stream = b"".join(chunks)
                 rows.append(

@@ -421,10 +421,9 @@ def http_objects(
     names = [f.name for f in HTTP_OBJECT_SCHEMA.fields]
 
     def _parse_connection(fname, segs, rows):
-        joined = [
-            (k, stream)
-            for k, stream, _tr in directional_streams(segs, max_flow_bytes)
-        ]
+        dirs = directional_streams(segs, max_flow_bytes)
+        joined = [(k, stream) for k, stream, _tr in dirs]
+        trunc = {k: tr for k, _stream, tr in dirs}
         req, resp = _classify_streams(joined)
         if req is None or resp is None:
             return
@@ -436,6 +435,11 @@ def http_objects(
             methods=[r["method"] for r in requests],
             decode_content=decode_content,
         )
+        if responses and trunc.get((server, sport)):
+            # the response stream was CAP-truncated: the last parsed
+            # object absorbed the cut (close-delimited bodies read to
+            # stream end and would otherwise report truncated=False)
+            responses[-1]["truncated"] = True
         for i, (rq, rs) in enumerate(zip(requests, responses), start=1):
             target = rq["target"]
             if target.startswith("http://") or target.startswith("https://"):

@@ -460,14 +460,10 @@ def q_pcap_http_objects_sql(spark: SparkSession, sf: str) -> DataFrame:
         strict_reference=False,
     )
     streams = reassemble_tcp_streams(pkts)
-    a_first = (F.col("src") < F.col("dst")) | (
-        (F.col("src") == F.col("dst"))
-        & (F.coalesce(F.col("src_port"), F.lit(-1))
-           <= F.coalesce(F.col("dst_port"), F.lit(-1)))
-    )
+    from ..operators.flows import canonical_pair_exprs
+
+    a_first, src_ep, dst_ep = canonical_pair_exprs()
     is_resp = F.expr("substring(stream, 1, 7)") == F.lit(b"HTTP/1.")
-    src_ep = F.struct(F.col("src").alias("ip"), F.col("src_port").alias("port"))
-    dst_ep = F.struct(F.col("dst").alias("ip"), F.col("dst_port").alias("port"))
     conns = (
         streams.select(
             "file",
@@ -502,7 +498,7 @@ def q_pcap_http_objects_sql(spark: SparkSession, sf: str) -> DataFrame:
                coalesce(t.content_type, '') AS content_type,
                CAST(t.body_len AS BIGINT) AS body_len,
                md5(coalesce(t.body, X'')) AS body_md5
-        FROM _http_conns c, LATERAL http_objects(c.req, c.resp) t
+        FROM _http_conns c, LATERAL http_objects(c.req, c.resp, c.server, c.server_port) t
         ORDER BY c.client, c.server_port, t.obj_no
         """
     )
@@ -876,18 +872,14 @@ def q_pcap_tls_sessions_sql(spark: SparkSession, sf: str) -> DataFrame:
                  "protocol", "pkt_no", "payload"],
         strict_reference=False,
     )
+    from ..operators.flows import canonical_pair_exprs
+
     streams = reassemble_tcp_streams(pkts)
-    a_first = (F.col("src") < F.col("dst")) | (
-        (F.col("src") == F.col("dst"))
-        & (F.coalesce(F.col("src_port"), F.lit(-1))
-           <= F.coalesce(F.col("dst_port"), F.lit(-1)))
-    )
+    a_first, src_ep, dst_ep = canonical_pair_exprs()
     is_ch = (
         (F.expr("substring(stream, 1, 1)") == F.lit(b"\x16"))
         & (F.expr("substring(stream, 6, 1)") == F.lit(b"\x01"))
     )
-    src_ep = F.struct(F.col("src").alias("ip"), F.col("src_port").alias("port"))
-    dst_ep = F.struct(F.col("dst").alias("ip"), F.col("dst_port").alias("port"))
     conns = (
         streams.select(
             "file",
@@ -1015,13 +1007,9 @@ def q_pcap_l7_mix(spark: SparkSession, sf: str) -> DataFrame:
         & (F.expr("substring(stream, 2, 1)") == F.lit(b"\x03"))
     )
     is_dns = (F.col("src_port") == 53) | (F.col("dst_port") == 53)
-    a_first = (F.col("src") < F.col("dst")) | (
-        (F.col("src") == F.col("dst"))
-        & (F.coalesce(F.col("src_port"), F.lit(-1))
-           <= F.coalesce(F.col("dst_port"), F.lit(-1)))
-    )
-    src_ep = F.struct(F.col("src").alias("ip"), F.col("src_port").alias("port"))
-    dst_ep = F.struct(F.col("dst").alias("ip"), F.col("dst_port").alias("port"))
+    from ..operators.flows import canonical_pair_exprs
+
+    a_first, src_ep, dst_ep = canonical_pair_exprs()
     return (
         streams.select(
             "file",

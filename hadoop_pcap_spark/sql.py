@@ -7,10 +7,11 @@ Spark twin: register the capture (and the warehouse tables) as temp
 views, then every query in this package — and anything a Hive user
 wrote — runs via ``spark.sql``.
 
-(`CREATE TABLE ... USING pcap` itself is blocked by a PySpark 4.1
-limitation — OPTIONS are dropped for Python data sources at reader()
-time — so view registration is the supported SQL path; see SCALE.md
-known limits.)
+(`CREATE TABLE ... USING pcap` works via the session-defaults bridge
+— ``sources.datasource.set_pcap_ddl_options`` — because PySpark 4.1
+drops catalog OPTIONS for Python data sources at reader() time; view
+registration remains the preferred SQL path for multiple tables with
+different options.  See SCALE.md known limits.)
 """
 
 from __future__ import annotations
@@ -85,7 +86,7 @@ def register_pcap_udtfs(spark: SparkSession) -> None:
         useArrow=True,  # ArrowEvalPythonUDTF, not row-serde BatchEvalPython
     )
     class HttpObjectsUdtf:
-        def eval(self, req_stream, resp_stream):
+        def eval(self, req_stream, resp_stream, server=None, server_port=None):
             from hadoop_pcap_spark.operators.http import (
                 parse_requests,
                 parse_responses,
@@ -102,7 +103,15 @@ def register_pcap_udtfs(spark: SparkSession) -> None:
                 if target.startswith(("http://", "https://")):
                     url = target
                 else:
-                    url = f"http://{rq['host'] or ''}{target}"
+                    # same Host-less fallback as the batch operator:
+                    # the server endpoint (pass server/server_port as
+                    # the optional 3rd/4th LATERAL arguments)
+                    host = rq["host"] or (
+                        server
+                        if server_port is None
+                        else f"{server}:{server_port}"
+                    )
+                    url = f"http://{host or ''}{target}"
                 yield (
                     i, rq["method"], url, rs["status"], rs["content_type"],
                     rs["content_encoding"], rs["chunked"], len(rs["body"]),

@@ -250,11 +250,9 @@ def streaming_http_objects(
         parse_responses_incremental,
     )
 
-    a_first = (F.col("src") < F.col("dst")) | (
-        (F.col("src") == F.col("dst"))
-        & (F.coalesce(F.col("src_port"), F.lit(-1))
-           <= F.coalesce(F.col("dst_port"), F.lit(-1)))
-    )
+    from ..operators.flows import canonical_pair_exprs
+
+    a_first, _src_ep, _dst_ep = canonical_pair_exprs()
     segments = (
         packets.filter(
             (F.col("protocol") == "TCP")
@@ -269,6 +267,7 @@ def streaming_http_objects(
             F.when(a_first, F.col("dst_port")).otherwise(F.col("src_port"))
             .alias("b_port"),
             "src", "src_port", "ts", "pkt_no", "payload",
+            *(["ts_usec"] if "ts_usec" in packets.columns else []),
         )
     )
 
@@ -288,7 +287,12 @@ def streaming_http_objects(
         pending = _json.loads(pending_json or "[]")
         batch = pd.concat(list(pdfs), ignore_index=True)
         if len(batch):
-            batch = batch.sort_values(["ts", "pkt_no"], kind="stable")
+            # ts is whole seconds and pkt_no restarts per capture file:
+            # a micro-batch spanning a rotation boundary needs the
+            # sub-second ts_usec tie-break to keep same-second segments
+            # of one connection in capture order across files
+            order = [c for c in ("ts", "ts_usec", "pkt_no") if c in batch.columns]
+            batch = batch.sort_values(order, kind="stable")
             for _, row in batch.iterrows():
                 p = row["payload"]
                 if p is None:
@@ -312,19 +316,23 @@ def streaming_http_objects(
             else:
                 req_res, resp_res = b_res, a_res
                 client, server, sport = b_ip, a_ip, a_port
-            reqs, used = parse_requests_incremental(req_res)
-            req_res = req_res[used:]
-            for rq in reqs:
-                target = rq["target"]
-                if target.startswith(("http://", "https://")):
-                    url = target
-                else:
-                    host = rq["host"] or (
-                        server if sport is None else f"{server}:{sport}"
-                    )
-                    url = f"http://{host}{target}"
-                pending.append({"method": rq["method"], "url": url})
-            pending = pending[:max_pending]
+            if len(pending) < max_pending:
+                # cap by REFUSING to consume further requests (their
+                # bytes stay in the residual, bounded by the byte cap)
+                # — dropping already-parsed entries would desync the
+                # FIFO request/response pairing permanently
+                reqs, used = parse_requests_incremental(req_res)
+                req_res = req_res[used:]
+                for rq in reqs:
+                    target = rq["target"]
+                    if target.startswith(("http://", "https://")):
+                        url = target
+                    else:
+                        host = rq["host"] or (
+                            server if sport is None else f"{server}:{sport}"
+                        )
+                        url = f"http://{host}{target}"
+                    pending.append({"method": rq["method"], "url": url})
             resps, used = parse_responses_incremental(
                 resp_res, methods=[p["method"] for p in pending]
             )

@@ -24,6 +24,8 @@ This module pins exactly what the Spark twin supports:
   suites that don't set it (the pinned-failure test requires that).
 """
 
+import os
+
 import pytest
 
 REF_PCAP = "/root/reference/hadoop-pcap-lib/src/test/resources/test.pcap"
@@ -75,12 +77,22 @@ def test_ddl_options_bridge_end_to_end(spark):
     tests (the pinned-failure test depends on the bridge being
     absent)."""
     from hadoop_pcap_spark.sources.datasource import (
+        _ddl_options_path,
         register_pcap_datasource,
         set_pcap_ddl_options,
     )
 
     register_pcap_datasource(spark)
     spark.sql("DROP TABLE IF EXISTS _ddl_bridge_smoke")
+    # the test must use the real default path, so preserve any
+    # GENUINE user defaults living there and restore them after
+    cfg = _ddl_options_path()
+    saved = None
+    try:
+        with open(cfg, "rb") as f:
+            saved = f.read()
+    except OSError:
+        pass
     set_pcap_ddl_options(path=REF_PCAP, decoder="dns")
     try:
         spark.sql(
@@ -96,10 +108,14 @@ def test_ddl_options_bridge_end_to_end(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS _ddl_bridge_smoke")
         set_pcap_ddl_options()  # clear
-    # cleared: a fresh scan-time lookup sees no defaults again
-    from hadoop_pcap_spark.sources.datasource import _ddl_default_options
+        if saved is not None:
+            with open(cfg, "wb") as f:
+                f.write(saved)
+    if saved is None and not os.environ.get("SPARK_PCAP_DDL_OPTIONS"):
+        # cleared: a fresh scan-time lookup sees no defaults again
+        from hadoop_pcap_spark.sources.datasource import _ddl_default_options
 
-    assert _ddl_default_options() == {}
+        assert _ddl_default_options() == {}
 
 
 def test_register_packets_view_sql_front_door(spark):
