@@ -1277,3 +1277,48 @@ def http_streaming_truth() -> list:
                 }
             )
     return rows
+
+
+def tls_rotated_pcaps(n_files: int = 2, ts: int = 1480000000) -> list:
+    """The TLS fixture rotated into ``n_files`` pcap blobs with the cut
+    placed BETWEEN the GREASE'd flow's two ClientHello TCP segments —
+    the live-rotation shape: the hello spans capture files, so a
+    streaming consumer must carry its bytes across micro-batches."""
+    frames = tls_exchange_frames(ts)
+    # frame 2 and 3 are the split ClientHello halves (flow 2's
+    # split=[40,33]); cut after index 2 so they land in different files
+    cut = 3
+    chunks = [frames[:cut], frames[cut:]]
+    while len(chunks) < n_files:
+        chunks.append([])
+    return [
+        global_header(1)
+        + b"".join(record(m["ts"], f, ts_usec=m["ts_usec"]) for f, m in ch)
+        for ch in chunks
+    ]
+
+
+def tls_clienthello_truth() -> list:
+    """Expected streaming_tls_clienthellos rows for the (rotated or
+    whole) TLS fixture — the client-side fields only, from the spec
+    dicts; the non-TLS flow yields no row."""
+    import hashlib as _hl
+
+    rows = []
+    for fl in _TLS_FLOWS:
+        ch = fl["ch"]
+        if ch is None:
+            continue
+        ja3 = _ja3_from_spec(ch)
+        rows.append(
+            {
+                "client": fl["client"],
+                "server": fl["server"],
+                "server_port": fl["sport"],
+                "sni": ch["sni"],
+                "alpn": ",".join(ch["alpn"]) if ch["alpn"] else None,
+                "ja3": ja3,
+                "ja3_md5": _hl.md5(ja3.encode()).hexdigest(),
+            }
+        )
+    return rows

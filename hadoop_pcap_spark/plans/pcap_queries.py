@@ -930,6 +930,82 @@ def q_pcap_tls_sessions_sql(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def tls_rotated_dir() -> str:
+    """TLS fixture rotated across 2 capture files with staged mtimes —
+    the GREASE'd flow's ClientHello spans the file cut."""
+    d = _fixture_subdir("tls_rot_v1")
+    blobs = None
+    for fi in range(2):
+        p = os.path.join(d, f"rot{fi}.pcap")
+        if not os.path.exists(p):
+            if blobs is None:
+                blobs = S.tls_rotated_pcaps(2)
+            _atomic_write(p, blobs[fi])
+            t = 1700000000 + fi * 10
+            os.utime(p, (t, t))
+    return d
+
+
+def tls_clienthello_truth_path() -> str:
+    return _write_truth_parquet(
+        "tls_ch_truth_v1",
+        S.tls_clienthello_truth(),
+        [
+            ("client", "string"),
+            ("server", "string"),
+            ("server_port", "int64"),
+            ("sni", "string"),
+            ("alpn", "string"),
+            ("ja3", "string"),
+            ("ja3_md5", "string"),
+        ],
+    )
+
+
+@query(
+    "streaming_tls_clienthellos",
+    oracle=lambda: f"""
+    SELECT client, server, server_port, sni, alpn, ja3, ja3_md5
+    FROM '{tls_clienthello_truth_path()}'
+    ORDER BY client
+    """,
+)
+def q_streaming_tls_clienthellos(spark: SparkSession, sf: str) -> DataFrame:
+    """LIVE TLS client telemetry (streaming/stream.py::
+    streaming_tls_clienthellos, applyInPandasWithState): the rotated
+    2-file TLS capture arrives one file per micro-batch with the
+    GREASE'd flow's ClientHello spanning the cut; each connection
+    emits its SNI / offered ALPN / JA3 exactly once, when the hello's
+    last byte arrives — the what-client-went-where monitor feed.  The
+    non-TLS flow on 443 never emits.  Client-side fields only by
+    design (low latency; the batch tls_handshakes joins the server
+    half).  Oracle: synthesis-intent truth (synth.tls_clienthello_
+    truth)."""
+    from ..sources import read_pcap_stream
+    from ..streaming.stream import streaming_tls_clienthellos
+    from .streaming_queries import _run_to_memory
+
+    pkts = read_pcap_stream(
+        spark,
+        tls_rotated_dir(),
+        strict_reference=False,
+        max_files_per_trigger=1,
+        columns=["file", "src", "dst", "src_port", "dst_port",
+                 "protocol", "ts", "pkt_no", "payload"],
+    )
+    out = _run_to_memory(
+        streaming_tls_clienthellos(pkts), "append", "tls_ch_stream"
+    )
+    return (
+        out.select(
+            "client", "server",
+            F.col("server_port").cast("long").alias("server_port"),
+            "sni", "alpn", "ja3", "ja3_md5",
+        )
+        .orderBy("client")
+    )
+
+
 def l7_mix_dir() -> str:
     """Mixed-protocol capture dir: the HTTP exchange (3 connections),
     the TLS fixture (3 TLS connections + 1 non-TLS flow on 443), and

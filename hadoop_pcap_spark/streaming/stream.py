@@ -381,6 +381,129 @@ def streaming_http_objects(
     )
 
 
+TLS_STREAM_OUTPUT = (
+    "client STRING, server STRING, server_port INT, sni STRING, "
+    "alpn STRING, ja3 STRING, ja3_md5 STRING"
+)
+TLS_STREAM_STATE = "a_resid BINARY, b_resid BINARY, done BOOLEAN"
+
+
+def streaming_tls_clienthellos(
+    packets: DataFrame,
+    max_handshake_bytes: int = 64 * 1024,
+) -> DataFrame:
+    """LIVE TLS client telemetry (applyInPandasWithState): one row per
+    TCP connection, emitted exactly once when its ClientHello's
+    records COMPLETE — SNI / offered ALPN / JA3, the what-client-went-
+    where feed a network monitor tails in real time.  A hello whose
+    TCP segments span rotated capture files (micro-batches) emits when
+    the last byte arrives; server-side fields are intentionally absent
+    (the ServerHello may be seconds away — this is the low-latency
+    client side; the batch operator :func:`..operators.tls.
+    tls_handshakes` joins both halves).
+
+    State per connection: the two directional byte residuals until the
+    ClientHello parses (then cleared, ``done`` pinned so the
+    connection's remaining traffic is consumed at zero state cost).  A
+    direction exceeding ``max_handshake_bytes`` without a parseable
+    ClientHello marks the connection done (not TLS / missed handshake
+    — state bounded either way)."""
+    import pandas as pd
+
+    from ..operators.flows import canonical_pair_exprs
+    from ..operators.tls import handshake_messages, ja3_string, parse_client_hello
+    from ..operators.tls import _md5 as _ja3_md5
+
+    a_first, _se, _de = canonical_pair_exprs()
+    segments = (
+        packets.filter(
+            (F.col("protocol") == "TCP")
+            & F.col("payload").isNotNull()
+            & (F.length("payload") > 0)
+        )
+        .select(
+            F.when(a_first, F.col("src")).otherwise(F.col("dst")).alias("a_ip"),
+            F.when(a_first, F.col("src_port")).otherwise(F.col("dst_port"))
+            .alias("a_port"),
+            F.when(a_first, F.col("dst")).otherwise(F.col("src")).alias("b_ip"),
+            F.when(a_first, F.col("dst_port")).otherwise(F.col("src_port"))
+            .alias("b_port"),
+            "src", "src_port", "ts", "pkt_no", "payload",
+            *(["ts_usec"] if "ts_usec" in packets.columns else []),
+        )
+    )
+
+    def update(key, pdfs, state):
+        a_ip, a_port, b_ip, b_port = key
+        a_res, b_res, done = (
+            state.get if state.exists else (b"", b"", False)
+        )
+        if done:
+            for _ in pdfs:
+                pass  # drain: connection already reported (or ruled out)
+            state.update((b"", b"", True))
+            return
+        a_res, b_res = bytes(a_res or b""), bytes(b_res or b"")
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            order = [c for c in ("ts", "ts_usec", "pkt_no") if c in batch.columns]
+            batch = batch.sort_values(order, kind="stable")
+            for _, row in batch.iterrows():
+                p = row["payload"]
+                if p is None:
+                    continue
+                sp = None if pd.isna(row["src_port"]) else int(row["src_port"])
+                if (row["src"], sp) == (a_ip, a_port):
+                    a_res += bytes(p)
+                else:
+                    b_res += bytes(p)
+        ch = None
+        ch_dir_a = True
+        for is_a, stream in ((True, a_res), (False, b_res)):
+            for msg_type, body in handshake_messages(stream):
+                if msg_type == 1:
+                    ch = parse_client_hello(body)
+                    ch_dir_a = is_a
+                break  # first message classifies the direction
+            if ch is not None:
+                break
+        if ch is not None:
+            state.update((b"", b"", True))
+            if ch_dir_a:
+                client, server, sport = a_ip, b_ip, b_port
+            else:
+                client, server, sport = b_ip, a_ip, a_port
+            ja3 = ja3_string(ch)
+            yield pd.DataFrame(
+                [
+                    {
+                        "client": client,
+                        "server": server,
+                        "server_port": None if sport is None else int(sport),
+                        "sni": ch["sni"],
+                        "alpn": ",".join(ch["alpn"]) if ch["alpn"] else None,
+                        "ja3": ja3,
+                        "ja3_md5": _ja3_md5(ja3),
+                    }
+                ]
+            )
+            return
+        if len(a_res) > max_handshake_bytes or len(b_res) > max_handshake_bytes:
+            state.update((b"", b"", True))  # not TLS / missed: rule out
+            return
+        state.update((a_res, b_res, False))
+
+    return segments.groupBy(
+        "a_ip", "a_port", "b_ip", "b_port"
+    ).applyInPandasWithState(
+        update,
+        outputStructType=TLS_STREAM_OUTPUT,
+        stateStructType=TLS_STREAM_STATE,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def streaming_dns_tcp_reassembly(
     packets: DataFrame,
     max_flow_bytes: int = 64 * 1024 * 1024,

@@ -1098,3 +1098,45 @@ def test_streaming_http_objects_cross_batch_exactly_once(spark, tmp_path):
         assert hashlib.md5(
             bytes(r.body) if r.body is not None else b""
         ).hexdigest() == t["body_md5"], t
+
+
+def test_streaming_tls_clienthellos_cross_batch(spark, tmp_path):
+    """streaming_tls_clienthellos: the GREASE'd flow's ClientHello
+    spans the rotated-file cut and still emits exactly once with the
+    spec JA3; the non-TLS flow on 443 never emits."""
+    import os as _os
+
+    from hadoop_pcap_spark.pcap import synth as S
+    from hadoop_pcap_spark.sources import read_pcap_stream
+    from hadoop_pcap_spark.streaming.stream import streaming_tls_clienthellos
+
+    d = tmp_path / "rot"
+    d.mkdir()
+    for fi, blob in enumerate(S.tls_rotated_pcaps(2)):
+        p = d / f"rot{fi}.pcap"
+        p.write_bytes(blob)
+        t = 1700000000 + fi * 10
+        _os.utime(p, (t, t))
+    pkts = read_pcap_stream(
+        spark, str(d), strict_reference=False, max_files_per_trigger=1,
+        columns=["file", "src", "dst", "src_port", "dst_port",
+                 "protocol", "ts", "pkt_no", "payload"],
+    )
+    sink = str(tmp_path / "sink")
+    q = (
+        streaming_tls_clienthellos(pkts)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r.client: r for r in spark.read.parquet(sink).collect()}
+    truth = {t["client"]: t for t in S.tls_clienthello_truth()}
+    assert set(rows) == set(truth)  # exactly once each; non-TLS absent
+    for c, t in truth.items():
+        r = rows[c]
+        assert (r.sni, r.alpn, r.ja3, r.ja3_md5) == (
+            t["sni"], t["alpn"], t["ja3"], t["ja3_md5"]), c
