@@ -578,14 +578,8 @@ def flow_stats(packets: DataFrame, bidirectional: bool = True) -> DataFrame:
     reducer); at 100 TB this is scan → partial agg → one exchange.
     For endless captures add a time bucket to the key upstream
     (``F.window(ts)``) — same pattern as the reassembler."""
-    src_ep = F.struct(F.col("src").alias("ip"), F.col("src_port").alias("port"))
-    dst_ep = F.struct(F.col("dst").alias("ip"), F.col("dst_port").alias("port"))
+    a_first, src_ep, dst_ep = canonical_pair_exprs()
     if bidirectional:
-        a_first = (F.col("src") < F.col("dst")) | (
-            (F.col("src") == F.col("dst"))
-            & (F.coalesce(F.col("src_port"), F.lit(-1))
-               <= F.coalesce(F.col("dst_port"), F.lit(-1)))
-        )
         ep_a = F.when(a_first, src_ep).otherwise(dst_ep)
         ep_b = F.when(a_first, dst_ep).otherwise(src_ep)
         fwd = a_first
