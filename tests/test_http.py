@@ -246,3 +246,55 @@ def test_parse_responses_incremental_never_truncates_and_blocks_close():
     resps, used = parse_responses_incremental(r1 + close)
     assert len(resps) == 1 and resps[0]["body"] == body
     assert (r1 + close)[used:] == close
+
+
+def test_incremental_parsers_never_crash_and_never_overconsume():
+    """Fuzz the incremental parsers: arbitrary bytes must not raise,
+    and consumed must never exceed the input length (the residual
+    carried into the next micro-batch must be a valid suffix)."""
+    import random
+
+    from hadoop_pcap_spark.operators.http import (
+        parse_requests_incremental,
+        parse_responses_incremental,
+    )
+
+    rng = random.Random(0x4774)
+    seeds = [
+        b"", b"GET ", b"GET / HTTP/1.1\r\n",
+        b"HTTP/1.1 200 OK\r\nContent-Length: 5\r\n\r\nab",
+        b"POST /x HTTP/1.1\r\nTransfer-Encoding: chunked\r\n\r\n5\r\nab",
+    ]
+    for trial in range(400):
+        if trial < len(seeds):
+            blob = seeds[trial]
+        else:
+            n = rng.randrange(0, 160)
+            blob = bytes(rng.randrange(256) for _ in range(n))
+            if rng.random() < 0.5:
+                blob = rng.choice(
+                    [b"GET / HTTP/1.1\r\n", b"HTTP/1.1 200 OK\r\n"]
+                ) + blob
+        for fn in (parse_requests_incremental, parse_responses_incremental):
+            out, used = fn(blob)
+            assert 0 <= used <= len(blob), (fn.__name__, blob)
+
+
+def test_http_objects_window_plumbs_through(spark, http_capture_dir):
+    """window= reaches connection_segments: a 1-second window over the
+    fixture (whose per-connection frames span several seconds of ts)
+    splits connections into per-window chunks — more groups, each
+    parsed independently — while a huge window reproduces the
+    unwindowed result."""
+    pkts = read_pcap(
+        spark, http_capture_dir,
+        columns=["file", "src", "dst", "src_port", "dst_port",
+                 "protocol", "ts", "pkt_no", "payload"],
+        strict_reference=False,
+    )
+    whole = http_objects(pkts, window="1 hour").count()
+    assert whole == len(S.http_exchange_truth())
+    # 1-second windows cut every multi-second connection mid-stream:
+    # fewer (or zero) complete request/response pairs survive per chunk
+    chunked = http_objects(pkts, window="1 second").count()
+    assert chunked < whole

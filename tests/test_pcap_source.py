@@ -424,3 +424,43 @@ def test_decode_frames_column_matches_file_path(spark, tmp_path):
     assert len(a) == len(b) == len(frames)
     for ra, rb in zip(a, b):
         assert ra == rb, (ra, rb)
+
+
+def test_decode_frames_streaming_smoke(spark, tmp_path):
+    """decode_frames on a STREAMING DataFrame: frames arriving as
+    parquet-file micro-batches decode to the same per-protocol counts
+    as the batch path — the live message-bus shape."""
+    from pyspark.sql import functions as F
+
+    from hadoop_pcap_spark.pcap import synth as S
+    from hadoop_pcap_spark.sources import decode_frames
+
+    q = S.dns_query(7, "example.com")
+    frames = [
+        S.ethernet(S.ipv4(S.udp(q, 5353, 53, "10.0.0.1", "10.0.0.2"), 17,
+                          "10.0.0.1", "10.0.0.2")),
+        S.ethernet(S.ipv4(S.tcp(b"x" * 64, 40000, 443), 6,
+                          "10.0.0.3", "10.0.0.4")),
+    ]
+    rows = [(float(1700000000 + i), bytearray(frames[i % 2])) for i in range(40)]
+    src_dir = str(tmp_path / "incoming")
+    spark.createDataFrame(rows, "arrival double, frame binary").repartition(
+        2
+    ).write.parquet(src_dir)
+    stream = spark.readStream.schema("arrival double, frame binary").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src_dir)
+    agg = (
+        decode_frames(stream, "frame", ts_col="arrival")
+        .groupBy("protocol")
+        .agg(F.count("*").alias("n"))
+    )
+    name = "decode_frames_stream_smoke"
+    qh = (
+        agg.writeStream.outputMode("complete").format("memory")
+        .queryName(name).trigger(availableNow=True).start()
+    )
+    qh.awaitTermination()
+    got = {r.protocol: r.n for r in spark.table(name).collect()}
+    spark.catalog.dropTempView(name)
+    assert got == {"UDP": 20, "TCP": 20}

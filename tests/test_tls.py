@@ -142,3 +142,28 @@ def test_tls_handshake_prefix_cap_truncates_not_fails(spark, tls_capture_dir):
         _decode(spark, tls_capture_dir), max_handshake_bytes=64
     )
     assert out.count() == 0
+
+
+def test_tls_parsers_never_crash_on_fuzz():
+    """Adversarial robustness: the record walk / hello parsers must
+    never raise on arbitrary bytes (they return None / stop) — the
+    extractor runs on untrusted capture payloads."""
+    import random
+
+    rng = random.Random(0x7157)
+    for trial in range(300):
+        n = rng.randrange(0, 200)
+        blob = bytes(rng.randrange(256) for _ in range(n))
+        list(iter_tls_records(blob))
+        list(handshake_messages(blob))
+        parse_client_hello(blob)
+        parse_server_hello(blob)
+    # type-22-prefixed garbage exercises deeper paths
+    for trial in range(300):
+        n = rng.randrange(5, 120)
+        blob = b"\x16\x03\x01" + bytes(
+            rng.randrange(256) for _ in range(n)
+        )
+        list(handshake_messages(blob))
+        for _t, body in handshake_messages(blob):
+            parse_client_hello(body)
