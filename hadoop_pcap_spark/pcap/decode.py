@@ -513,6 +513,14 @@ def _decode_l3_l4(packet: dict, data: bytes, ip_start: int, opts: DecodeOptions)
     else:  # TCP: data offset in 32-bit words at byte 12 high nibble
         if l4_start + 13 > len(data):
             return
+        # opt-in TCP metadata (columns= only; mirrors the columnar
+        # kernel's gating so the slow-path merge stays equivalent)
+        if opts.wanted is not None and "tcp_seq" in opts.wanted:
+            if l4_start + 8 <= len(data):
+                packet["tcp_seq"] = struct.unpack_from(">I", data, l4_start + 4)[0]
+        if opts.wanted is not None and "tcp_flags" in opts.wanted:
+            if l4_start + 14 <= len(data):
+                packet["tcp_flags"] = data[l4_start + 13]
         data_offset = (data[l4_start + 12] >> 4) * 4
         payload_start = l4_start + data_offset
 

@@ -77,6 +77,8 @@ NUMERIC_COLS = {
     "orig_len": np.int64,
     "ip_ident": np.int64,
     "frag_offset": np.int64,
+    "tcp_seq": np.int64,
+    "tcp_flags": np.int64,
 }
 OBJECT_COLS = [
     "md5", "ether_type", "protocol", "src", "dst", "ext_headers", "payload",
@@ -779,6 +781,19 @@ def decode_pcap_columnar(
     if tcp_ok.any():
         doff = (_byte(u, l4 + 12, tcp_ok) >> 4) * 4
         payload_start = np.where(tcp_ok, l4_rel + doff, payload_start)
+
+    # opt-in TCP metadata (requested via columns= only — never in the
+    # default schema): sequence number + flags byte, the substrate for
+    # retransmission / out-of-order analytics and seq-aware reassembly
+    if opts.wanted is not None and "tcp_seq" in opts.wanted:
+        seq_ok = is_tcp & (l4_rel + 8 <= caplen) & ~slow & ~nonfirst4
+        if seq_ok.any():
+            v = (_be16(u, l4 + 4, seq_ok) << 16) | _be16(u, l4 + 6, seq_ok)
+            res.set_num("tcp_seq", seq_ok, v[seq_ok])
+    if opts.wanted is not None and "tcp_flags" in opts.wanted:
+        fl_ok = is_tcp & (l4_rel + 14 <= caplen) & ~slow & ~nonfirst4
+        if fl_ok.any():
+            res.set_num("tcp_flags", fl_ok, _byte(u, l4 + 13, fl_ok)[fl_ok])
 
     # non-first v4 fragments of TCP/UDP: no L4 header exists — the raw
     # fragment bytes (from the IP payload) are the payload

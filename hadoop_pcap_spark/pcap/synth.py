@@ -1322,3 +1322,70 @@ def tls_clienthello_truth() -> list:
             }
         )
     return rows
+
+
+# ---- TCP anomaly fixture (retransmission / out-of-order triage) ----
+
+_TCPA_FLOWS = [
+    # (client, cport, server, sport, [(seq, payload_len, flags)...])
+    # clean in-order flow, FIN at the end
+    ("198.18.0.1", 41001, "198.18.9.9", 80,
+     [(1000, 3, 0x18), (1003, 3, 0x18), (1006, 2, 0x11)]),
+    # one retransmitted segment (same seq twice)
+    ("198.18.0.2", 41002, "198.18.9.9", 80,
+     [(2000, 3, 0x18), (2003, 4, 0x18), (2003, 4, 0x18), (2007, 2, 0x18)]),
+    # one out-of-order segment (a gap filled late)
+    ("198.18.0.3", 41003, "198.18.9.9", 443,
+     [(3000, 3, 0x18), (3006, 3, 0x18), (3003, 3, 0x18)]),
+]
+
+
+def _tcp_with_seq(payload: bytes, sp: int, dp: int, seq: int, flags: int) -> bytes:
+    hdr = struct.pack(">HHIIBBHHH", sp, dp, seq, 0, (5 << 4), flags, 8192, 0, 0)
+    return hdr + payload
+
+
+def tcp_anomaly_pcap(ts: int = 1495000000) -> bytes:
+    """Capture with known TCP retransmission / out-of-order patterns —
+    drives the tcp_seq/tcp_flags opt-in columns."""
+    out = global_header(1)
+    t = ts
+    for cli, cport, srv, sport, segs in _TCPA_FLOWS:
+        for seq, plen, flags in segs:
+            body = bytes((seq + i) % 256 for i in range(plen))
+            fr = ethernet(ipv4(_tcp_with_seq(body, cport, sport, seq, flags),
+                               6, cli, srv))
+            out += record(t, fr)
+            t += 1
+    return out
+
+
+def tcp_anomaly_truth() -> list:
+    """Per-flow expected anomaly counts, from the spec only: a
+    RETRANSMISSION is a segment whose seq already appeared in the flow;
+    an OUT-OF-ORDER segment is a first-occurrence seq below the flow's
+    running maximum; has_fin mirrors the FIN bit (0x01)."""
+    rows = []
+    for cli, cport, srv, sport, segs in _TCPA_FLOWS:
+        seen = set()
+        mx = None
+        n_retrans = n_ooo = 0
+        for seq, _plen, _flags in segs:
+            if seq in seen:
+                n_retrans += 1
+            else:
+                if mx is not None and seq < mx:
+                    n_ooo += 1
+                seen.add(seq)
+            mx = seq if mx is None else max(mx, seq)
+        rows.append(
+            {
+                "src": cli, "dst": srv,
+                "src_port": cport, "dst_port": sport,
+                "n_segments": len(segs),
+                "n_retrans": n_retrans,
+                "n_ooo": n_ooo,
+                "has_fin": any(f & 0x01 for _s, _p, f in segs),
+            }
+        )
+    return rows

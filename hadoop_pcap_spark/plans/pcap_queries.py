@@ -1006,6 +1006,96 @@ def q_streaming_tls_clienthellos(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def tcp_anomaly_dir() -> str:
+    d = _fixture_subdir("tcpa_v1")
+    p = os.path.join(d, "anomaly.pcap")
+    if not os.path.exists(p):
+        _atomic_write(p, S.tcp_anomaly_pcap())
+    return d
+
+
+def tcp_anomaly_truth_path() -> str:
+    return _write_truth_parquet(
+        "tcpa_truth_v1",
+        S.tcp_anomaly_truth(),
+        [
+            ("src", "string"),
+            ("dst", "string"),
+            ("src_port", "int64"),
+            ("dst_port", "int64"),
+            ("n_segments", "int64"),
+            ("n_retrans", "int64"),
+            ("n_ooo", "int64"),
+            ("has_fin", "bool_"),
+        ],
+    )
+
+
+@query(
+    "pcap_tcp_anomalies",
+    oracle=lambda: f"""
+    SELECT src, dst, src_port, dst_port, n_segments, n_retrans, n_ooo,
+           has_fin
+    FROM '{tcp_anomaly_truth_path()}'
+    ORDER BY src
+    """,
+)
+def q_pcap_tcp_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    """TCP health triage per flow from the OPT-IN ``tcp_seq`` /
+    ``tcp_flags`` columns (r13: requested via ``columns=`` only, never
+    in the default schema; both kernels extract them at the L4 offset
+    already in hand): retransmissions (a seq seen before in the flow),
+    out-of-order arrivals (a first-occurrence seq below the running
+    max), and FIN presence — entirely JVM-side window functions over
+    the decode, no Python.  The reference decodes no TCP metadata at
+    all beyond ports.  This is the substrate for seq-aware reassembly
+    (capture-order reassembly is the documented divergence; these
+    columns make the seq ordering available).  Oracle: closed-form
+    per-flow counts from the synthesis spec."""
+    from pyspark.sql import Window
+
+    pkts = read_pcap(
+        spark,
+        tcp_anomaly_dir(),
+        columns=["file", "src", "dst", "src_port", "dst_port",
+                 "protocol", "pkt_no", "tcp_seq", "tcp_flags"],
+        strict_reference=False,
+    ).filter((F.col("protocol") == "TCP") & F.col("tcp_seq").isNotNull())
+    flow = ["file", "src", "dst", "src_port", "dst_port"]
+    w_seq = Window.partitionBy(*flow, "tcp_seq").orderBy("pkt_no")
+    w_flow = (
+        Window.partitionBy(*flow)
+        .orderBy("pkt_no")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seg = pkts.select(
+        *flow, "tcp_seq", "tcp_flags",
+        (F.row_number().over(w_seq) > 1).alias("is_retrans"),
+        F.max("tcp_seq").over(w_flow).alias("prev_max"),
+    ).withColumn(
+        "is_ooo",
+        (~F.col("is_retrans"))
+        & F.col("prev_max").isNotNull()
+        & (F.col("tcp_seq") < F.col("prev_max")),
+    )
+    return (
+        seg.groupBy("src", "dst", "src_port", "dst_port")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.col("is_retrans").cast("long")).alias("n_retrans"),
+            F.sum(F.col("is_ooo").cast("long")).alias("n_ooo"),
+            F.max((F.col("tcp_flags").bitwiseAND(1) == 1)).alias("has_fin"),
+        )
+        .select(
+            "src", "dst",
+            F.col("src_port").cast("long").alias("src_port"),
+            F.col("dst_port").cast("long").alias("dst_port"),
+            "n_segments", "n_retrans", "n_ooo", "has_fin",
+        )
+        .orderBy("src")
+    )
+
+
 def l7_mix_dir() -> str:
     """Mixed-protocol capture dir: the HTTP exchange (3 connections),
     the TLS fixture (3 TLS connections + 1 non-TLS flow on 443), and

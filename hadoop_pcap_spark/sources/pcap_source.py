@@ -99,6 +99,14 @@ FRAME_FIELDS: List[T.StructField] = [
 ]
 _FRAME_COLS = {f.name for f in FRAME_FIELDS}
 
+# Opt-in TCP metadata columns (columns= containing them; never in the
+# default schema): sequence number + flags byte — retransmission /
+# out-of-order analytics and seq-aware reassembly substrate.
+TCPMETA_FIELDS: List[T.StructField] = [
+    T.StructField("tcp_seq", T.LongType(), True),
+    T.StructField("tcp_flags", T.LongType(), True),
+]
+
 
 def packet_schema(
     decoder: str = "ip",
@@ -112,7 +120,7 @@ def packet_schema(
         return T.StructType(fields)
     wanted = set(columns)
     return T.StructType(
-        [f for f in fields + FRAME_FIELDS if f.name in wanted]
+        [f for f in fields + FRAME_FIELDS + TCPMETA_FIELDS if f.name in wanted]
     )
 
 

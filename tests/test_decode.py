@@ -669,3 +669,46 @@ def test_ipv4_fragments_kernels_agree(strict):
         scalar.append(pkt)
     columnar = decode_pcap_columnar(_frag_capture(), opts=opts).rows()
     assert columnar == scalar
+
+
+def test_tcp_seq_flags_opt_in_columns():
+    """r13 opt-in TCP metadata: tcp_seq/tcp_flags appear ONLY when
+    requested via wanted, render identically in both kernels (incl. a
+    truncated header short of the flags byte), and stay absent from
+    default decodes."""
+    import struct as _struct
+
+    from hadoop_pcap_spark.pcap import synth as S
+    from hadoop_pcap_spark.pcap.decode import DecodeOptions, decode_pcap
+    from hadoop_pcap_spark.pcap.decode_np import decode_pcap_columnar
+
+    def tcp_with_seq(payload, sp, dp, seq, flags=0x18):
+        hdr = _struct.pack(">HHIIBBHHH", sp, dp, seq, 0, (5 << 4),
+                           flags, 8192, 0, 0)
+        return hdr + payload
+
+    full = S.ethernet(S.ipv4(tcp_with_seq(b"abc", 40000, 80, 0xFFFFFFF0,
+                                          flags=0x11), 6, "10.2.0.1", "10.2.0.2"))
+    udp = S.ethernet(S.ipv4(S.udp(b"zz", 1111, 2222, "10.2.0.3", "10.2.0.4"),
+                            17, "10.2.0.3", "10.2.0.4"))
+    # TCP header cut after the seq field: seq present, flags byte absent
+    cut = S.ethernet(S.ipv4(tcp_with_seq(b"", 40000, 80, 77)[:13], 6,
+                            "10.2.0.5", "10.2.0.6"))
+    cap = (S.global_header(1) + S.record(1, full) + S.record(2, udp)
+           + S.record(3, cut))
+
+    opts = DecodeOptions(decoder="ip", strict_reference=False,
+                         wanted={"pkt_no", "protocol", "tcp_seq", "tcp_flags"})
+    scalar = [
+        (p.get("tcp_seq"), p.get("tcp_flags")) for p in decode_pcap(cap, opts=opts)
+    ]
+    assert scalar[0] == (0xFFFFFFF0, 0x11)   # u32 seq survives, FIN flag
+    assert scalar[1] == (None, None)         # UDP: absent
+    col = decode_pcap_columnar(cap, opts=opts).rows()
+    columnar = [(r.get("tcp_seq"), r.get("tcp_flags")) for r in col]
+    assert columnar == scalar                # kernel equivalence (incl. cut row)
+
+    # default decode (wanted=None) never carries the opt-in keys
+    default = list(decode_pcap(cap, opts=DecodeOptions(
+        decoder="ip", strict_reference=False)))
+    assert all("tcp_seq" not in p and "tcp_flags" not in p for p in default)
