@@ -301,11 +301,61 @@ TCP_STREAM_SCHEMA = T.StructType(
 )
 
 
+def _seq_order(segs: list) -> list:
+    """Capture-ordered segments (dicts with ``tcp_seq``/``payload``) →
+    seq-ordered, de-retransmitted, overlap-trimmed list.  Relative seq
+    = (tcp_seq - first_seen_seq) mod 2^32, so a flow crossing the
+    32-bit wrap still orders correctly (capture shorter than 2 GiB of
+    in-flight span — the realistic case).  Exact duplicates drop
+    (first capture wins); a segment overlapping already-delivered
+    bytes is trimmed to its new suffix; segments without a seq (e.g. a
+    decode cut before the field) keep capture order at their position
+    by inheriting the running delivered edge."""
+    first = None
+    for s in segs:
+        if s.get("tcp_seq") is not None:
+            first = int(s["tcp_seq"])
+            break
+    if first is None:
+        return segs
+    keyed = []
+    for i, s in enumerate(segs):
+        seq = s.get("tcp_seq")
+        rel = ((int(seq) - first) % (1 << 32)) if seq is not None else None
+        keyed.append((rel, i, s))
+    # stable sort: seq-less rows keep capture position via prior rel
+    last_rel = 0
+    for j, (rel, i, s) in enumerate(keyed):
+        if rel is None:
+            keyed[j] = (last_rel, i, s)
+        else:
+            last_rel = rel
+    keyed.sort(key=lambda t: (t[0], t[1]))
+    out = []
+    edge = 0  # next expected relative byte
+    for rel, _i, s in keyed:
+        b = s["payload"]
+        if b is None:
+            continue
+        b = bytes(b)
+        if rel + len(b) <= edge:
+            continue  # pure retransmission: fully delivered already
+        if rel < edge:
+            b = b[edge - rel:]  # overlap: keep the new suffix only
+            rel = edge
+        t = dict(s)
+        t["payload"] = b
+        out.append(t)
+        edge = rel + len(b)
+    return out
+
+
 def reassemble_tcp_streams(
     packets: DataFrame,
     flow_filter=None,
     max_flow_bytes: int = 64 * 1024 * 1024,
     window: "str | None" = None,
+    order: str = "capture",
 ) -> DataFrame:
     """Generic TCP stream reassembly: one row per DIRECTIONAL flow
     5-tuple with the flow's ordered payload byte stream — the
@@ -327,9 +377,20 @@ def reassemble_tcp_streams(
     single shuffle carries (flow key, pkt_no, payload) only; per-flow
     state is the flow's byte stream, capped at ``max_flow_bytes``
     (``truncated=true`` rather than an OOM); for endless captures
-    bucket the key by a time window upstream.  Ordering is capture
-    order (``pkt_no``) — the passive-single-point semantics the DNS
-    reassembler documents; retransmits/reordering are out of scope.
+    bucket the key by a time window upstream.
+
+    Ordering: ``order="capture"`` (default) concatenates in ``pkt_no``
+    capture order — the passive-single-point semantics the DNS
+    reassembler documents; retransmits/reordering are then out of
+    scope.  ``order="seq"`` (r13; requires decoding the opt-in
+    ``tcp_seq`` column — ``columns=[..., "tcp_seq"]``) orders segments
+    by TCP sequence number relative to the flow's first-seen seq
+    (mod-2^32 unwrap, so wraparound mid-flow is handled), DROPS
+    retransmitted duplicates (same relative seq: first capture wins)
+    and TRIMS overlapping prefixes — reordered and retransmitted
+    captures reassemble to the byte stream the endpoints actually
+    exchanged, removing the capture-order divergence for opt-in
+    callers.
 
     Execution shape: the group-to-flow step is a JVM-side
     ``collect_list`` (whole-stage codegen), and ONE ``mapInPandas``
@@ -337,6 +398,13 @@ def reassemble_tcp_streams(
     per-group-overhead amortization as :func:`connection_segments`
     (per-group ``applyInPandas`` costs ~5 ms/flow of fixed pandas
     overhead, the dominant term on many-small-flow captures)."""
+    if order not in ("capture", "seq"):
+        raise ValueError(f"order must be 'capture' or 'seq', got {order!r}")
+    if order == "seq" and "tcp_seq" not in packets.columns:
+        raise ValueError(
+            "order='seq' needs the opt-in tcp_seq column — decode with "
+            "columns=[..., 'tcp_seq']"
+        )
     segments = packets.filter(
         (F.col("protocol") == "TCP")
         & F.col("payload").isNotNull()
@@ -344,7 +412,8 @@ def reassemble_tcp_streams(
     )
     if flow_filter is not None:
         segments = segments.filter(flow_filter)
-    cols = [*_FLOW_KEY, "pkt_no", "payload"]
+    seg_fields = ["pkt_no", "payload"] + (["tcp_seq"] if order == "seq" else [])
+    cols = [*_FLOW_KEY, *seg_fields]
     keys = list(_FLOW_KEY)
     if window is not None:  # endless-capture state bound (see connection_segments)
         cols.append(F.window(F.timestamp_seconds(F.col("ts")), window).alias("_w"))
@@ -353,7 +422,7 @@ def reassemble_tcp_streams(
         segments.select(*cols)
         .groupBy(*keys)
         .agg(
-            F.collect_list(F.struct("pkt_no", "payload")).alias("segs"),
+            F.collect_list(F.struct(*seg_fields)).alias("segs"),
         )
     )
     names = [f.name for f in TCP_STREAM_SCHEMA.fields]
@@ -366,6 +435,8 @@ def reassemble_tcp_streams(
                 pdf["src_port"], pdf["dst_port"], pdf["segs"],
             ):
                 segs = sorted(segs, key=lambda s: s["pkt_no"])
+                if order == "seq":
+                    segs = _seq_order(segs)
                 chunks: List[bytes] = []
                 total = 0
                 truncated = False

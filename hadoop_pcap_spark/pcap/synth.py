@@ -1389,3 +1389,29 @@ def tcp_anomaly_truth() -> list:
             }
         )
     return rows
+
+
+def tcp_anomaly_stream_truth() -> list:
+    """Expected seq-ordered reassembled stream per anomaly-fixture
+    flow: retransmitted duplicates dropped, segments ordered by seq —
+    from the spec only."""
+    import hashlib as _hl
+
+    rows = []
+    for cli, cport, srv, sport, segs in _TCPA_FLOWS:
+        dedup = {}
+        for seq, plen, fl in segs:
+            dedup.setdefault(seq, (seq, plen))
+        stream = b"".join(
+            bytes((seq + i) % 256 for i in range(plen))
+            for seq, plen in sorted(dedup.values())
+        )
+        rows.append(
+            {
+                "src": cli,
+                "dst": srv,
+                "stream_len": len(stream),
+                "stream_md5": _hl.md5(stream).hexdigest(),
+            }
+        )
+    return rows

@@ -1096,6 +1096,58 @@ def q_pcap_tcp_anomalies(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def tcp_seq_heal_truth_path() -> str:
+    return _write_truth_parquet(
+        "tcpa_stream_truth_v1",
+        S.tcp_anomaly_stream_truth(),
+        [
+            ("src", "string"),
+            ("dst", "string"),
+            ("stream_len", "int64"),
+            ("stream_md5", "string"),
+        ],
+    )
+
+
+@query(
+    "pcap_tcp_stream_seq_heal",
+    oracle=lambda: f"""
+    SELECT src, dst, stream_len, stream_md5
+    FROM '{tcp_seq_heal_truth_path()}'
+    ORDER BY src
+    """,
+)
+def q_pcap_tcp_stream_seq_heal(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence-number-HEALED stream reassembly
+    (reassemble_tcp_streams(order="seq"), r13): over the anomaly
+    fixture the retransmitted duplicate drops and the out-of-order
+    segment re-sorts, so every flow's reassembled bytes md5-match the
+    stream the endpoints actually exchanged — the capture-order
+    default cannot (its ooo flow hashes differently, pinned in
+    tests/test_flows.py).  This removes the documented capture-order
+    divergence for callers who opt into the ``tcp_seq`` column.
+    Oracle: closed-form per-flow stream bytes from the synthesis
+    spec."""
+    from ..operators.flows import reassemble_tcp_streams
+
+    pkts = read_pcap(
+        spark,
+        tcp_anomaly_dir(),
+        columns=["file", "src", "dst", "src_port", "dst_port",
+                 "protocol", "pkt_no", "payload", "tcp_seq"],
+        strict_reference=False,
+    )
+    return (
+        reassemble_tcp_streams(pkts, order="seq")
+        .select(
+            "src", "dst",
+            F.col("stream_len").cast("long").alias("stream_len"),
+            F.md5(F.col("stream")).alias("stream_md5"),
+        )
+        .orderBy("src")
+    )
+
+
 def l7_mix_dir() -> str:
     """Mixed-protocol capture dir: the HTTP exchange (3 connections),
     the TLS fixture (3 TLS connections + 1 non-TLS flow on 443), and

@@ -326,3 +326,51 @@ def test_windowed_reassembly_bounds_state(spark, tmp_path):
     assert sorted(bytes(r.stream) for r in chunked) == [
         b"part-one;", b"part-two;"
     ]
+
+
+def test_seq_ordered_reassembly_heals_retrans_and_ooo(spark, tmp_path):
+    """order='seq' (r13): retransmitted duplicates drop and
+    out-of-order segments re-sort by TCP sequence number, so the
+    reassembled stream equals the bytes the endpoints exchanged —
+    capture order (the default) preserves the wire order instead."""
+    from hadoop_pcap_spark.operators.flows import reassemble_tcp_streams
+    from hadoop_pcap_spark.pcap import synth as S
+    from hadoop_pcap_spark.sources import read_pcap
+
+    p = tmp_path / "anomaly.pcap"
+    p.write_bytes(S.tcp_anomaly_pcap())
+    pkts = read_pcap(
+        spark, str(tmp_path),
+        columns=["file", "src", "dst", "src_port", "dst_port",
+                 "protocol", "pkt_no", "payload", "tcp_seq"],
+        strict_reference=False,
+    )
+    got = {
+        r.src: bytes(r.stream)
+        for r in reassemble_tcp_streams(pkts, order="seq").collect()
+    }
+    for cli, _cp, _srv, _sp, segs in S._TCPA_FLOWS:
+        expect = b"".join(
+            bytes((seq + i) % 256 for i in range(plen))
+            for seq, plen, _fl in sorted(
+                {s[0]: s for s in segs}.values()  # dedup by seq, then order
+            )
+        )
+        assert got[cli] == expect, cli
+    # capture order differs for the out-of-order flow
+    cap = {
+        r.src: bytes(r.stream)
+        for r in reassemble_tcp_streams(pkts).collect()
+    }
+    assert cap["198.18.0.3"] != got["198.18.0.3"]
+    # missing the opt-in column fails loudly, not silently
+    import pytest as _pytest
+
+    bare = read_pcap(
+        spark, str(tmp_path),
+        columns=["file", "src", "dst", "src_port", "dst_port",
+                 "protocol", "pkt_no", "payload"],
+        strict_reference=False,
+    )
+    with _pytest.raises(ValueError, match="tcp_seq"):
+        reassemble_tcp_streams(bare, order="seq")
