@@ -92,7 +92,10 @@ def canonical_pair_exprs():
 
 
 def connection_segments(
-    packets: DataFrame, flow_filter=None, window: "str | None" = None
+    packets: DataFrame,
+    flow_filter=None,
+    window: "str | None" = None,
+    with_seq: bool = False,
 ) -> DataFrame:
     """Payload-bearing TCP segments grouped to CONNECTION grain: one
     row per canonical (unordered) endpoint pair with the connection's
@@ -126,11 +129,14 @@ def connection_segments(
     if flow_filter is not None:
         segments = segments.filter(flow_filter)
     a_first, src_ep, dst_ep = canonical_pair_exprs()
+    seg_fields = ["src", "src_port", "pkt_no", "payload"] + (
+        ["tcp_seq"] if with_seq else []
+    )
     cols = [
         "file",
         F.when(a_first, src_ep).otherwise(dst_ep).alias("_a"),
         F.when(a_first, dst_ep).otherwise(src_ep).alias("_b"),
-        "src", "src_port", "pkt_no", "payload",
+        *seg_fields,
     ]
     keys = ["file", "_a", "_b"]
     if window is not None:
@@ -141,24 +147,34 @@ def connection_segments(
     return (
         segments.select(*cols)
         .groupBy(*keys)
-        .agg(
-            F.collect_list(
-                F.struct("src", "src_port", "pkt_no", "payload")
-            ).alias("segs")
-        )
+        .agg(F.collect_list(F.struct(*seg_fields)).alias("segs"))
     )
 
 
-def directional_streams(segs, max_bytes: int) -> list:
+def directional_streams(segs, max_bytes: int, order: str = "capture") -> list:
     """Pure helper for the L7 extractors: a connection's collected
     segments (dicts with ``src src_port pkt_no payload``) → list of
     ``((src, src_port), stream_bytes, truncated)`` per direction,
-    segments concatenated in capture (``pkt_no``) order, each
-    direction capped at ``max_bytes``."""
+    segments concatenated in capture (``pkt_no``) order — or, with
+    ``order="seq"`` (segments then carry ``tcp_seq``), per-direction
+    seq-HEALED via :func:`_seq_order` (duplicates dropped, reordering
+    repaired) — each direction capped at ``max_bytes``."""
+    if order == "seq":
+        by_dir: dict = {}
+        for s in sorted(segs, key=lambda s: s["pkt_no"]):
+            port = s["src_port"]
+            by_dir.setdefault(
+                (s["src"], None if port is None else int(port)), []
+            ).append(s)
+        # the healed per-direction order MUST survive — re-sorting by
+        # pkt_no below would undo the seq repair, so iterate healed
+        ordered = [s for d in by_dir.values() for s in _seq_order(d)]
+    else:
+        ordered = sorted(segs, key=lambda s: s["pkt_no"])
     out: dict = {}
     sizes: dict = {}
     trunc: dict = {}
-    for s in sorted(segs, key=lambda s: s["pkt_no"]):
+    for s in ordered:
         port = s["src_port"]
         dkey = (s["src"], None if port is None else int(port))
         have = sizes.get(dkey, 0)

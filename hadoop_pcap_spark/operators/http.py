@@ -394,6 +394,7 @@ def http_objects(
     max_flow_bytes: int = 64 * 1024 * 1024,
     decode_content: bool = True,
     window: "str | None" = None,
+    order: str = "capture",
 ) -> DataFrame:
     """One row per HTTP/1.x request/response pair across all TCP
     connections in a ``read_pcap`` DataFrame (HTTP_OBJECT_SCHEMA).
@@ -414,14 +415,29 @@ def http_objects(
     ``mapInPandas`` whose each invocation parses a whole Arrow batch
     of connections — per-connection Python overhead amortizes across
     the batch (the per-group ``applyInPandas`` form measured ~5 ms of
-    fixed cost per connection, dominating small-object workloads)."""
+    fixed cost per connection, dominating small-object workloads).
+
+    ``order="seq"`` (needs the opt-in ``tcp_seq`` column in
+    ``columns=``) heals each direction by TCP sequence number before
+    parsing — retransmitted duplicates drop and reordered segments
+    re-sort, so damaged crawl captures still yield correct objects;
+    the default stays capture order."""
     from .flows import connection_segments, directional_streams
 
-    conns = connection_segments(packets, flow_filter, window=window)
+    if order not in ("capture", "seq"):
+        raise ValueError(f"order must be 'capture' or 'seq', got {order!r}")
+    if order == "seq" and "tcp_seq" not in packets.columns:
+        raise ValueError(
+            "order='seq' needs the opt-in tcp_seq column — decode with "
+            "columns=[..., 'tcp_seq']"
+        )
+    conns = connection_segments(
+        packets, flow_filter, window=window, with_seq=(order == "seq")
+    )
     names = [f.name for f in HTTP_OBJECT_SCHEMA.fields]
 
     def _parse_connection(fname, segs, rows):
-        dirs = directional_streams(segs, max_flow_bytes)
+        dirs = directional_streams(segs, max_flow_bytes, order=order)
         joined = [(k, stream) for k, stream, _tr in dirs]
         trunc = {k: tr for k, _stream, tr in dirs}
         req, resp = _classify_streams(joined)

@@ -1415,3 +1415,37 @@ def tcp_anomaly_stream_truth() -> list:
             }
         )
     return rows
+
+
+def http_damaged_pcap(ts: int = 1470100000) -> bytes:
+    """The HTTP-exchange content carried on seq-numbered TCP segments,
+    then DAMAGED the way real networks damage it: one response segment
+    retransmitted (flow 0) and two adjacent response segments swapped
+    (flow 1).  ``http_objects(order="seq")`` must heal it back to
+    :func:`http_exchange_truth`; capture order cannot."""
+    frames = []
+    t = [ts]
+
+    def emit(src, dst, sp, dp, seg, seq):
+        fr = ethernet(ipv4(_tcp_with_seq(seg, sp, dp, seq, 0x18), 6, src, dst))
+        frames.append((fr, t[0]))
+        t[0] += 1
+
+    objs = _http_objects_spec()
+    for fi, (cli, cport, srv, sport) in enumerate(_HTTP_FLOWS):
+        fobjs = [o for o in objs if o["flow"] == fi]
+        req = b"".join(_http_request_bytes(o) for o in fobjs)
+        resp = b"".join(_http_response_bytes(o) for o in fobjs)
+        emit(cli, srv, cport, sport, req, 1000)
+        segrecs = []
+        seq = 5000
+        for seg in split_stream(resp, [100, 333, 57, 512]):
+            segrecs.append((seg, seq))
+            seq += len(seg)
+        if fi == 0 and len(segrecs) >= 2:
+            segrecs = segrecs[:2] + [segrecs[1]] + segrecs[2:]  # retransmit
+        elif fi == 1 and len(segrecs) >= 3:
+            segrecs[1], segrecs[2] = segrecs[2], segrecs[1]  # reorder
+        for seg, sq in segrecs:
+            emit(srv, cli, sport, cport, seg, sq)
+    return global_header(1) + b"".join(record(tt, f) for f, tt in frames)

@@ -504,6 +504,61 @@ def q_pcap_http_objects_sql(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def http_damaged_dir() -> str:
+    """The HTTP exchange on seq-numbered TCP segments with real-world
+    damage injected (one retransmitted response segment, one swapped
+    pair) — the order='seq' healing fixture."""
+    d = _fixture_subdir("http_dmg_v1")
+    p = os.path.join(d, "damaged.pcap")
+    if not os.path.exists(p):
+        _atomic_write(p, S.http_damaged_pcap())
+    return d
+
+
+@query(
+    "pcap_http_objects_healed",
+    oracle=lambda: f"""
+    SELECT client, server, server_port, obj_no, method, url, status,
+           coalesce(content_type, '') AS content_type, body_len, body_md5
+    FROM '{http_truth_path()}'
+    ORDER BY client, server_port, obj_no
+    """,
+)
+def q_pcap_http_objects_healed(spark: SparkSession, sf: str) -> DataFrame:
+    """HTTP extraction from a DAMAGED capture (retransmitted +
+    reordered response segments) healed by TCP sequence numbers
+    (http_objects(order="seq") over the opt-in tcp_seq column, r13):
+    every object still md5-matches the UNDAMAGED synthesis truth —
+    the same rows pcap_http_objects extracts from the clean capture.
+    Capture-order parsing of the same bytes mis-frames the damaged
+    flows (pinned in tests/test_http.py).  This closes the
+    retransmit/reordering divergence for opt-in callers end to end:
+    decode → seq-heal → parse in one plan."""
+    from ..operators.http import http_objects
+
+    pkts = read_pcap(
+        spark,
+        http_damaged_dir(),
+        columns=["file", "src", "dst", "src_port", "dst_port",
+                 "protocol", "pkt_no", "payload", "tcp_seq"],
+        strict_reference=False,
+    )
+    return (
+        http_objects(pkts, order="seq")
+        .select(
+            "client", "server",
+            F.col("server_port").cast("long").alias("server_port"),
+            F.col("obj_no").cast("long").alias("obj_no"),
+            "method", "url",
+            F.col("status").cast("long").alias("status"),
+            F.coalesce("content_type", F.lit("")).alias("content_type"),
+            F.col("body_len").cast("long").alias("body_len"),
+            F.md5(F.coalesce(F.col("body"), F.lit(b""))).alias("body_md5"),
+        )
+        .orderBy("client", "server_port", "obj_no")
+    )
+
+
 def http_corpus_truth_path() -> str:
     """Ground-truth (url, client, text) document table for the
     captures→corpus bridge — the status-200 ``text/*`` bodies the

@@ -298,3 +298,37 @@ def test_http_objects_window_plumbs_through(spark, http_capture_dir):
     # fewer (or zero) complete request/response pairs survive per chunk
     chunked = http_objects(pkts, window="1 second").count()
     assert chunked < whole
+
+
+def test_http_objects_seq_order_heals_damaged_capture(spark, tmp_path):
+    """order='seq' (r13): a capture with a retransmitted response
+    segment and a swapped pair still parses every object to the
+    synthesis truth; capture order (the default) cannot."""
+    p = tmp_path / "damaged.pcap"
+    p.write_bytes(S.http_damaged_pcap())
+    cols = ["file", "src", "dst", "src_port", "dst_port",
+            "protocol", "pkt_no", "payload", "tcp_seq"]
+    pkts = read_pcap(spark, str(tmp_path), columns=cols,
+                     strict_reference=False)
+    healed = http_objects(pkts, order="seq").collect()
+    truth = S.http_exchange_truth()
+    assert len(healed) == len(truth)
+    got = {(r.client, r.server_port, r.obj_no): r for r in healed}
+    for t in truth:
+        r = got[(t["client"], t["server_port"], t["obj_no"])]
+        assert r.url == t["url"] and r.status == t["status"], t
+        assert hashlib.md5(
+            bytes(r.body) if r.body is not None else b""
+        ).hexdigest() == t["body_md5"], t
+    # capture order mis-parses the damaged flows
+    raw = http_objects(pkts).collect()
+    raw_md5 = sorted(
+        hashlib.md5(bytes(r.body) if r.body is not None else b"").hexdigest()
+        for r in raw
+    )
+    assert raw_md5 != sorted(t["body_md5"] for t in truth)
+    # missing the opt-in column fails loudly
+    bare = read_pcap(spark, str(tmp_path), columns=cols[:-1],
+                     strict_reference=False)
+    with pytest.raises(ValueError, match="tcp_seq"):
+        http_objects(bare, order="seq")
