@@ -89,35 +89,13 @@ HEADLINE = [
 
 
 def _openblas_threads(n: "int | None") -> "int | None":
-    """Best-effort get/set of OpenBLAS's runtime thread count via the
-    already-loaded library (this image ships no threadpoolctl).
-    Returns the previous value, or None when the library or its
-    symbols can't be found (the probe then runs threaded, as before).
-    """
-    import ctypes
+    """Best-effort get/set of OpenBLAS's runtime thread count — the
+    shared implementation lives in hadoop_pcap_spark._blas since r13
+    (the driver-side trainers need the same control; see
+    classify.train_lr)."""
+    from hadoop_pcap_spark._blas import openblas_threads
 
-    try:
-        path = None
-        with open("/proc/self/maps") as f:
-            for line in f:
-                if "openblas" in line:
-                    path = line.rsplit(None, 1)[-1]
-                    break
-        if not path:
-            return None
-        lib = ctypes.CDLL(path)
-        for suffix in ("64_", "", "_"):
-            get = getattr(lib, f"openblas_get_num_threads{suffix}", None)
-            set_ = getattr(lib, f"openblas_set_num_threads{suffix}", None)
-            if get is None or set_ is None:
-                continue
-            prev = int(get())
-            if n is not None:
-                set_(ctypes.c_int(n))
-            return prev
-    except OSError:
-        pass
-    return None
+    return openblas_threads(n)
 
 
 def calibrate() -> dict:

@@ -50,8 +50,14 @@ def avg_token_len(col) -> Column:
 
 
 def punct_ratio(col) -> Column:
-    """Fraction of characters that are sentence punctuation."""
-    punct = F.length(F.regexp_replace(col, r"[^.,;:!?]", ""))
+    """Fraction of characters that are sentence punctuation.
+
+    Counted as the length drop from ``translate``-deleting the
+    punctuation class — bit-identical to the historical
+    ``regexp_replace(col, '[^.,;:!?]', '')`` length but a per-char
+    table lookup instead of a regex-engine pass over the text
+    (r13 optimization, guide §1.2 step 2)."""
+    punct = F.length(col) - F.length(F.translate(col, ".,;:!?", ""))
     return F.round(punct.cast("double") / F.nullif(F.length(col), F.lit(0)), 6)
 
 

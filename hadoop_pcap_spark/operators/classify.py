@@ -69,9 +69,22 @@ def feature_struct(text_col) -> Column:
         tot = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
         sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
         nsw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-        ndig = F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$")))
-        npunct = F.length(F.regexp_replace(text_col, r"[^.,;:!?]", ""))
+        # exact non-regex forms (r13 optimization, guide §1.2 step 2):
+        # a token matches ^[0-9]+$ iff it is nonempty and deleting the
+        # digits empties it, and the punctuation count is the length
+        # drop from deleting the punctuation class — translate() is a
+        # per-char table lookup vs a regex-engine pass per token/text
+        # (measured 1.29 → 0.57 cpu-s on the sf0.1 feature pass);
+        # feature values are bit-identical (equality pytested)
+        ndig = F.size(
+            F.filter(
+                toks,
+                lambda t: (F.length(t) > 0)
+                & (F.length(F.translate(t, "0123456789", "")) == 0),
+            )
+        )
         nlen = F.length(text_col)
+        npunct = nlen - F.length(F.translate(text_col, ".,;:!?", ""))
 
         def ratio(num, den):
             return F.when(den == 0, F.lit(0.0)).otherwise(
@@ -139,20 +152,31 @@ def weak_labels(X):
 def train_lr(X, n_iter: int = 300, lr: float = 1.0):
     """Deterministic full-batch logistic GD from zero init; returns
     (weights[6], bias).  Bit-reproducible for identical X on one host
-    (fixed iteration count, float64 throughout, no shuffling)."""
+    (fixed iteration count, float64 throughout, no shuffling).
+
+    Runs under a single-threaded BLAS pool (r13 optimization): the
+    2048×6 matmuls are far too small for OpenBLAS's default
+    all-cores pool, whose per-call spin-wait charged ~35 fake
+    cpu-seconds (and ~1 s wall) per 300-iteration train to the
+    process tree.  BOTH oracle arms share this function
+    (quality_classifier_margins and oracle_weights), so the trained
+    weights stay arm-consistent by construction."""
     import numpy as np
+
+    from .._blas import single_threaded_blas
 
     X = np.asarray(X, dtype=np.float64)
     y = weak_labels(X)
     n = float(len(X))
     w = np.zeros(X.shape[1], dtype=np.float64)
     b = 0.0
-    for _ in range(n_iter):
-        z = X @ w + b
-        p = 1.0 / (1.0 + np.exp(-z))
-        err = p - y
-        w -= lr * (X.T @ err) / n
-        b -= lr * float(err.sum()) / n
+    with single_threaded_blas():
+        for _ in range(n_iter):
+            z = X @ w + b
+            p = 1.0 / (1.0 + np.exp(-z))
+            err = p - y
+            w -= lr * (X.T @ err) / n
+            b -= lr * float(err.sum()) / n
     return w, b
 
 
@@ -193,6 +217,11 @@ def quality_classifier_margins(
     import numpy as np
 
     w, b = train_lr(np.array(sample, dtype=np.float64), n_iter, lr)
+    # deliberately NOT spread: with the translate() feature rewrites
+    # the full scoring pass is ~1 cpu-s at sf0.1 — an interleaved A/B
+    # (min-of-8) measured 0.72 s unspread vs 0.91 s spread, i.e. the
+    # repartition costs more than it parallelizes at validation scale,
+    # and at real scale the many-file scan parallelizes it anyway
     featured = docs.select("doc_id", "source", fs)
     return featured.select(
         "doc_id", "source", margin_expr(w, b, F.col("fs")).alias("margin")

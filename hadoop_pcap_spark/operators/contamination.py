@@ -127,6 +127,12 @@ def duplicate_spans(
     never a driver collect."""
     from ..functions.text import tokens
 
+    # CPU-heavy map stage (tokenize + k-shingle + md5 explode) runs
+    # BELOW the first exchange, i.e. at scan parallelism — spread it
+    # like decontaminate_corpus above (no-op at real scale; at the
+    # validation SFs the one-file scan serialized ~5 cpu-s of
+    # shingling on one core — r13 optimization, guide §2.5 input skew)
+    docs = spread(docs, id_col)
     # token array materialized as its own projection first (no CSE
     # inside lambdas — doc_shingle_arrays precedent)
     base = docs.select(
@@ -205,6 +211,14 @@ def remove_duplicate_spans(
     the partitioning is reusable.  Never all-pairs."""
     from ..functions.text import tokens
 
+    # UNCONDITIONAL repartition by doc_id BEFORE both arms (r13): the
+    # removal side explodes the corpus to token grain and joins/
+    # aggregates it by doc_id — pre-clustering the RAW documents makes
+    # the exploded token stream (~2-3× the text bytes in row overhead)
+    # born co-partitioned, so the anti-join and the reconstruction
+    # aggregate add no exchange for it at ANY scale; the span arm's
+    # spread() then probes an already-parallel input and no-ops.
+    docs = docs.repartition(F.col(id_col))
     spans = duplicate_spans(
         docs, k=k, min_docs=min_docs, id_col=id_col, text_col=text_col
     ).select(
@@ -280,7 +294,9 @@ def corpus_boilerplate(
     distinct docs), typically dimension-sized → AQE broadcasts it.
     The shingle sets are distinct-per-doc (doc_shingle_arrays), so
     count(*) over pairs IS document frequency."""
-    arrs = doc_shingle_arrays(docs, k, id_col, text_col)
+    # tokenize+shingle runs below the first exchange — spread like the
+    # rest of the shingle family (no-op at real scale)
+    arrs = doc_shingle_arrays(spread(docs, id_col), k, id_col, text_col)
     from ..functions import explode_computed
 
     pairs = arrs.select(

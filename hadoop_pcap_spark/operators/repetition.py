@@ -64,7 +64,19 @@ def repetition_signals(
     shares both behaviors."""
     from ..functions import explode_tokens
 
-    base = docs.select(
+    # UNCONDITIONAL repartition by doc_id BEFORE the gram explode
+    # (r13 optimization): every aggregate below groups by keys ⊇
+    # doc_id, so pre-clustering the RAW documents lets both of them
+    # reuse one partitioning — the executed plan drops from two
+    # exchanges of the exploded (2+3+4+6)-gram stream (~15× the text
+    # bytes; within-doc partial agg barely collapses it) to ONE
+    # exchange of the raw text.  That byte argument holds at every
+    # scale, which is why this is a plain repartition and not the
+    # spread() small-input guard (measured at sf0.1: 1.64 s → 0.64 s
+    # wall, interleaved min-of-8; plan 2 Exchange → 1).  Column-only
+    # repartition keeps the partition count on
+    # spark.sql.shuffle.partitions / AQE.
+    base = docs.repartition(F.col(id_col)).select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
     ).filter(F.size("_toks") >= 1)
     base = base.withColumn(

@@ -705,6 +705,10 @@ def q_text_tokens(spark: SparkSession, sf: str) -> DataFrame:
 def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
     """Document quality scoring (length/token-shape/stopword/punct
     heuristics) aggregated per source — the corpus-filter motif."""
+    # deliberately NOT spread: after punct_ratio's translate rewrite
+    # the whole scoring pass is ~0.4 cpu-s at sf0.1 — the repartition
+    # costs more than it parallelizes (interleaved A/B min-of-8:
+    # 0.27 s unspread vs 0.45 s spread; OPTIMIZATION_r13.md)
     return (
         table(spark, sf, "documents")
         .select("source", TXT.quality_score(F.col("text")).alias("q"))

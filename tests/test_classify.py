@@ -84,11 +84,57 @@ def test_margins_match_duckdb_replay(spark):
 
 
 def test_scoring_pass_is_codegen_map_only(spark):
-    """No Python eval and no shuffle in the corpus scoring stage."""
+    """No Python eval and no shuffle in the corpus scoring stage —
+    and, since the r13 feature rewrite, no regex either: the digit
+    and punctuation features run as translate() char-table lookups."""
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = C.quality_classifier_margins(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan
+    assert "RLIKE" not in plan and "regexp_replace" not in plan
+
+
+def test_feature_rewrites_match_regex_forms(spark):
+    """The r13 translate()-based x_digit / x_punct features are
+    bit-identical to the historical regex forms on adversarial text
+    (unicode digits, empty tokens, punctuation soup, NULL)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "plain words only here"),
+        (2, "123 4567 mixed12 12mixed ١٢٣ ߀߁"),
+        (3, ".,;:!? ...!!! ?!?!"),
+        (4, ""),
+        (5, None),
+        (6, "0 00 000 a0 0a " * 40),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    toks_col = C.tokens(F.col("text"))
+
+    def regex_forms(toks):
+        nd = F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$")))
+        np_ = F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", ""))
+        return nd, np_
+
+    got = df.select(
+        "doc_id",
+        C.feature_struct(F.col("text")).alias("fs"),
+        F.element_at(
+            F.transform(F.array(toks_col), lambda t: regex_forms(t)[0]), 1
+        ).alias("nd_re"),
+        regex_forms(toks_col)[1].alias("np_re"),
+        F.size(toks_col).alias("nt"),
+        F.length("text").alias("nlen"),
+    ).collect()
+    for r in got:
+        if r["nt"] is None:  # NULL text: every ratio is NULL both ways
+            assert r["nd_re"] is None and r["fs"]["x_digit"] is None, r
+            assert r["np_re"] is None and r["fs"]["x_punct"] is None, r
+            continue
+        x_digit_re = 0.0 if r["nt"] == 0 else r["nd_re"] / r["nt"]
+        x_punct_re = 0.0 if r["nlen"] == 0 else r["np_re"] / r["nlen"]
+        assert r["fs"]["x_digit"] == x_digit_re, r
+        assert r["fs"]["x_punct"] == x_punct_re, r
 
 
 def test_empty_text_guard(spark):
