@@ -48,6 +48,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .similarity import (
     _exact_rerank,
@@ -262,15 +263,13 @@ def _indexed_approx(
     persisted codes — the Exchange-free stage the CI plan test pins:
     bucket-prunable scan → broadcast probe join → codegen ADC."""
     id_col, vec_col = index.id_col, index.vec_col
-    q_probes = queries.select(
+    enc = index.codes()
+    q_base = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         _norm(F.col(vec_col)).alias("q_norm"),
-        F.explode_outer(
-            _nearest_cells_expr(index.C, F.col(vec_col), n_probe)
-        ).alias("cell"),
     )
-    enc = index.codes()
+    q_probes = None
     if prune_cells:
         # bounded collect of the QUERY frame only (queries broadcast
         # into the probe join anyway, so pulling them to the driver is
@@ -284,7 +283,7 @@ def _indexed_approx(
         # per call, more than the query's execution).
         import math
 
-        qvecs = queries.select(vec_col).collect()
+        qvecs = queries.select(id_col, vec_col).collect()
         # Validate each collected vector before the driver-side routing
         # replay (ADVICE r11): _nearest_cells_py is bit-exact only for
         # well-formed inputs — a short vector would IndexError, a long
@@ -293,7 +292,7 @@ def _indexed_approx(
         # the _dot size guard: fail loudly on any dim-contract breach.
         dim = index.C.shape[1]
         for r in qvecs:
-            v = r[0]
+            v = r[1]
             if v is None or len(v) != dim or not all(
                 x is not None and math.isfinite(x) for x in v
             ):
@@ -303,14 +302,41 @@ def _indexed_approx(
                     f"{'NULL' if v is None else f'len={len(v)}'}) — "
                     "fix the query frame or pass prune_cells=False"
                 )
-        probed = sorted(
-            {
-                c
-                for r in qvecs
-                for c in _nearest_cells_py(index.C, r[0], n_probe)
-            }
-        )
+        cells_by_row = [
+            (r[0], _nearest_cells_py(index.C, r[1], n_probe)) for r in qvecs
+        ]
+        probed = sorted({c for _, cs in cells_by_row for c in cs})
         enc = enc.filter(F.col("cell").isin(probed))
+        # r13 optimization: the prune path has ALREADY replayed the
+        # full routing driver-side, so ship the routed (q_id, cell)
+        # VALUES as a tiny broadcast table instead of re-deriving them
+        # through the literal-centroid routing expression — building
+        # that expression cost ~1.7 s of py4j round-trips per call and
+        # its ~n_cells·dim literal tree re-taxed every downstream
+        # analysis pass (measured: plan construction 3.0 s vs 1.3 s
+        # execution for the sf0.1 persisted-ANN row).  Values are
+        # bit-identical by the replay contract pinned above; requires
+        # unique q_ids (a duplicated id would cross-join its rows), so
+        # duplicate ids fall back to the expression form below.
+        ids = [r[0] for r in qvecs]
+        if len(set(ids)) == len(ids):
+            routing = index.spark.createDataFrame(
+                [(q, c) for q, cs in cells_by_row for c in cs],
+                T.StructType(
+                    [
+                        T.StructField("q_id", queries.schema[id_col].dataType),
+                        T.StructField("cell", T.IntegerType()),
+                    ]
+                ),
+            )
+            q_probes = q_base.join(F.broadcast(routing), "q_id")
+    if q_probes is None:
+        q_probes = q_base.withColumn(
+            "cell",
+            F.explode_outer(
+                _nearest_cells_expr(index.C, F.col("q_vec"), n_probe)
+            ),
+        )
     return (
         enc.join(F.broadcast(q_probes), "cell")
         .filter(F.col("q_id") != F.col("n_id"))
