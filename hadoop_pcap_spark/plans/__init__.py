@@ -69,10 +69,44 @@ def resolved_oracles() -> Dict[str, str]:
     return {k: (v() if callable(v) else v) for k, v in ORACLES.items()}
 
 
+# Per-session memo of the base warehouse-table readers, keyed by file
+# identity (path, mtime_ns, size) — METADATA caching only (r13
+# optimization): ``spark.read.parquet(path)`` re-infers the schema
+# (a footer-reading mini-job) and re-lists the path on EVERY call,
+# ~100 ms per table per query build (join_multiway touches 8 tables →
+# ~0.9 s of its 1.9 s total was reader setup).  A catalog-registered
+# table carries its schema; bare-path reads deserve the same.  The
+# identity key re-reads a regenerated file, entries die with the
+# session (WeakKeyDictionary — the spread()-memo precedent), and no
+# DATA or results are ever cached: every job still scans the parquet.
+import weakref as _weakref
+
+_READ_MEMO: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
+def _read_parquet_memo(spark: SparkSession, path: str) -> DataFrame:
+    import os
+
+    try:
+        st = os.stat(path)
+    except OSError:
+        return spark.read.parquet(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    per = _READ_MEMO.setdefault(spark, {})
+    df = per.get(key)
+    if df is None:
+        # drop superseded identities of the same path (bounded growth)
+        for k in [k for k in per if k[0] == path and k != key]:
+            del per[k]
+        df = spark.read.parquet(path)
+        per[key] = df
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return events_table(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_parquet_memo(spark, f"{sf_dir}/{name}.parquet")
 
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,7 +119,7 @@ def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     and TIMESTAMP(MICROS) (arrives as TIMESTAMP_NTZ → unix micros;
     session TZ is pinned UTC so the NTZ→LTZ cast is the identity)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = _read_parquet_memo(spark, f"{sf_dir}/events.parquet")
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
