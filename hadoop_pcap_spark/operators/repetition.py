@@ -27,12 +27,16 @@ Definitions (deterministic, shared with the DuckDB oracle):
 both measured in the SAME normalized coordinate system as the rest
 of the shingle family (functions.text.tokens).
 
-Scale at 100 TB: ONE map-side explode emits (n, gram) pairs for all
-configured n (≈ Σn rows per token), one shuffle on
-(doc_id, n, md5-free gram) with map-side partial counting, one
-per-doc aggregate — linear, no driver state, no all-pairs.  The
-per-row O(tokens²) expression alternative was rejected: a 100k-token
-document would cost 10¹⁰ comparisons in interpreted fallback.
+Scale at 100 TB: ONE shuffle of the RAW documents on doc_id, then a
+map-side explode emits (n, gram) pairs for all configured n (≈ Σn
+rows per token) already co-partitioned for BOTH downstream aggregates
+(grouping keys ⊇ doc_id) — linear, no driver state, no all-pairs.
+Shuffling the text first instead of the gram stream moves ~15× fewer
+bytes (r13 optimization; the gram stream is Σn≈15 tokens of text per
+position and within-doc partial aggregation barely collapses it).
+The per-row O(tokens²) expression alternative was rejected: a
+100k-token document would cost 10¹⁰ comparisons in interpreted
+fallback.
 """
 
 from __future__ import annotations
