@@ -319,7 +319,15 @@ def _indexed_approx(
         # unique q_ids (a duplicated id would cross-join its rows), so
         # duplicate ids fall back to the expression form below.
         ids = [r[0] for r in qvecs]
-        if len(set(ids)) == len(ids):
+        try:
+            ids_unique = len(set(ids)) == len(ids)
+        except TypeError:
+            # unhashable id representation (array/struct id): the
+            # uniqueness probe can't run, so take the expression-
+            # routing fallback below — the path that always worked for
+            # such ids (ADVICE r13)
+            ids_unique = False
+        if ids_unique:
             routing = index.spark.createDataFrame(
                 [(q, c) for q, cs in cells_by_row for c in cs],
                 T.StructType(

@@ -210,21 +210,30 @@ def remove_duplicate_spans(
     aggregate for the reconstruction — every stage keyed on doc_id so
     the partitioning is reusable.  Never all-pairs."""
     from ..functions.text import tokens
+    from .cache import register_persisted
 
-    # UNCONDITIONAL repartition by doc_id BEFORE both arms (r13): the
-    # removal side explodes the corpus to token grain and joins/
-    # aggregates it by doc_id — pre-clustering the RAW documents makes
-    # the exploded token stream (~2-3× the text bytes in row overhead)
-    # born co-partitioned, so the anti-join and the reconstruction
-    # aggregate add no exchange for it at ANY scale; the span arm's
-    # spread() then probes an already-parallel input and no-ops.
-    docs = docs.repartition(F.col(id_col))
+    # Span frame computed ONCE and persisted (r14, VERDICT r13 item 1):
+    # it is tiny (one row per merged duplicate span, already an
+    # aggregate) and feeds BOTH the anti-join and the per-doc removed-
+    # token sum below — without the persist each consumer would replan
+    # and re-execute the whole span pipeline.  Caller releases via
+    # operators.release_persisted(result) after materializing (the
+    # bm25/dsir cache-hygiene contract).
     spans = duplicate_spans(
         docs, k=k, min_docs=min_docs, id_col=id_col, text_col=text_col
     ).select(
         F.col("doc_id").alias("s_doc"), "start_tok", "n_toks"
-    )
-    base = docs.select(
+    ).persist()
+    # The removal arm keeps r13's UNCONDITIONAL repartition by doc_id:
+    # it explodes the corpus to token grain and aggregates by doc_id —
+    # pre-clustering the RAW documents makes the exploded token stream
+    # (~2-3× the text bytes in row overhead) born co-partitioned, so
+    # the reconstruction aggregate adds no exchange for it at ANY
+    # scale.  r13 applied the repartition to ALL FOUR consumer
+    # subtrees of `docs` (the verdict's finding: four full raw-corpus
+    # shuffles, one per consumer, with no reuse); r14 scopes it to the
+    # one arm whose downstream shape pays for it.
+    base = docs.repartition(F.col(id_col)).select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
     ).filter(F.size("_toks") >= 1)
     toks = base.select(
@@ -250,22 +259,39 @@ def remove_duplicate_spans(
             )
         ).alias("clean_md5"),
     )
-    sizes = base.select("doc_id", F.size("_toks").cast("long").alias("n_toks"))
-    # inner join: a doc whose EVERY token sits in spans would drop out
-    # of `kept` — emit it with an empty-string fingerprint instead
-    return (
-        sizes.join(rebuilt, "doc_id", "left_outer")
+    # Per-doc removed-token count from the SPANS, not from a third
+    # corpus pass: islands are disjoint by construction (a new island
+    # starts strictly past the previous one's end), so Σ span lengths
+    # per doc IS the number of anti-joined-away tokens, and
+    # n_toks = n_kept + n_removed.  This deletes r13's `sizes` arm —
+    # a whole scan+tokenize of the corpus plus its raw-text exchange —
+    # outright (guide §1.2 step 1: don't compute what you can derive).
+    removed = spans.groupBy("s_doc").agg(
+        F.sum("n_toks").alias("_n_rm")
+    ).withColumnRenamed("s_doc", "doc_id")
+    # FULL outer: a doc with no spans appears only in `rebuilt`
+    # (n_removed = 0); a doc whose EVERY token sits in spans appears
+    # only in `removed` — emit it with the empty-string fingerprint.
+    # A ≥1-token doc always lands in at least one side.
+    result = (
+        rebuilt.join(removed, "doc_id", "full_outer")
         .select(
             "doc_id",
-            "n_toks",
-            (F.col("n_toks") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            (
+                F.coalesce(F.col("n_kept"), F.lit(0))
+                + F.coalesce(F.col("_n_rm"), F.lit(0))
+            )
             .cast("long")
-            .alias("n_removed"),
+            .alias("n_toks"),
+            F.coalesce(F.col("_n_rm"), F.lit(0)).cast("long").alias(
+                "n_removed"
+            ),
             F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias(
                 "clean_md5"
             ),
         )
     )
+    return register_persisted(result, spans)
 
 
 def corpus_boilerplate(

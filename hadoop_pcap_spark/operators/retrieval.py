@@ -264,11 +264,20 @@ def dsir_log_weights(
         F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("_ct"),
         F.count("*").alias("_cr"),
     )
-    totals = stats.agg(
-        F.sum("_ct").alias("_tt"), F.sum("_cr").alias("_tr")
+    # corpus totals as an UNPARTITIONED window over the n_buckets-row
+    # stats frame (r14): the former `stats.agg(...)` + crossJoin-
+    # broadcast form planned `stats` twice, so the persisted token
+    # stream was re-read and re-aggregated once per branch; the window
+    # computes the same exact integer sums in the single stats pass
+    # (one partition of n_buckets rows — trivially bounded).
+    _w = Window.partitionBy()
+    totals = stats.select(
+        "_bucket", "_ct", "_cr",
+        F.sum("_ct").over(_w).alias("_tt"),
+        F.sum("_cr").over(_w).alias("_tr"),
     )
     ratio = (
-        stats.crossJoin(F.broadcast(totals))
+        totals
         .select(
             "_bucket",
             F.round(

@@ -26,21 +26,84 @@ from pyspark.sql import functions as F
 from .partitioning import spread
 
 
-def _lit_double_array(values) -> "F.Column":
-    """One parsed ``array(…D, …D)`` literal instead of per-element
-    ``F.lit`` calls.
+def _jvm_array_literal(values, kind: str) -> "F.Column | None":
+    """ONE catalyst ``Literal`` node holding the whole array, built by
+    shipping the values to the JVM as raw bytes (r14, VERDICT r13
+    item 6 — the typedLit-equivalent bridge).
 
-    Model matrices ride the plans as literals (centroids, PQ
-    codebooks: thousands of doubles).  Building them as
-    ``F.array(*[F.lit(x) …])`` costs one py4j round-trip per element —
-    measured ~5 s of DRIVER time per persisted-ANN query call at
-    dim=64 (6k round-trips), which dominated the whole query.  Parsing
-    a single SQL string is one round-trip.  Bit-exact: ``repr(float)``
-    is the shortest IEEE-754 round-trip rendering and Java's
-    ``Double.parseDouble`` of it returns the identical bits, so plans,
-    results, and DuckDB oracle replays are unchanged."""
+    The parsed ``array(…)`` form is one py4j round-trip but the tree
+    it yields is a ``CreateArray`` with N child ``Literal`` nodes that
+    every analyzer/optimizer pass re-walks — measured ~0.4 s of
+    analysis per persisted-ANN call for the m·K·sub ADC codebook
+    alone.  A single ``Literal(ArrayData)`` node is O(1) to walk.
+
+    Transport: IEEE-754 bytes → ``byte[]`` (py4j sends bytes as one
+    binary frame) → ``ByteBuffer`` view → bulk-``get`` into a
+    primitive JVM array → ``functions.lit`` (whose ``Literal.apply``
+    accepts primitive arrays since Spark 2.4).  Raw-bit transport, so
+    values are bit-exact by construction.  ~5 py4j calls total,
+    independent of N.
+
+    Returns None when no classic JVM gateway is reachable (Spark
+    Connect) — callers fall back to the parsed form."""
+    import struct
+
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None or getattr(sc, "_gateway", None) is None:
+        return None
+    try:
+        gw = sc._gateway
+        n = len(values)
+        if kind == "double":
+            payload = struct.pack(f">{n}d", *values)
+            jarr = gw.new_array(gw.jvm.double, n)
+            gw.jvm.java.nio.ByteBuffer.wrap(payload).asDoubleBuffer().get(jarr)
+        elif kind == "int":
+            payload = struct.pack(f">{n}i", *values)
+            jarr = gw.new_array(gw.jvm.int, n)
+            gw.jvm.java.nio.ByteBuffer.wrap(payload).asIntBuffer().get(jarr)
+        else:  # pragma: no cover - internal misuse
+            raise ValueError(kind)
+        from pyspark.sql.column import Column
+
+        return Column(gw.jvm.org.apache.spark.sql.functions.lit(jarr))
+    except Exception:  # pragma: no cover - defensive: parse instead
+        return None
+
+
+def _lit_double_array(values) -> "F.Column":
+    """The model-matrix array literal (centroids, PQ codebooks:
+    thousands of doubles).
+
+    History of this hot spot: per-element ``F.array(*[F.lit(x) …])``
+    cost one py4j round-trip per element (~5 s of driver time per
+    persisted-ANN call at dim=64); the parsed ``array(…D, …D)`` string
+    cut that to ONE round-trip but still yielded an N-child
+    ``CreateArray`` the analyzer re-walks on every Dataset op (~0.4 s
+    per call for the ADC codebook); r14 ships the values as ONE
+    ``Literal`` node via :func:`_jvm_array_literal`.  Bit-exact in
+    every form: the Literal path transports raw IEEE-754 bytes, and
+    the parse fallback renders ``repr(float)`` (shortest round-trip,
+    ``Double.parseDouble`` returns identical bits), so plans, results,
+    and DuckDB oracle replays are unchanged."""
+    vals = [float(x) for x in values]
+    import math
+
+    for v in vals:
+        if not math.isfinite(v):
+            # same loud-failure contract as _dlit, independent of path
+            raise ValueError(
+                f"non-finite model value {v!r} cannot ride the plan as "
+                "a literal — check the training corpus for NaN/Inf "
+                "embeddings"
+            )
+    lit = _jvm_array_literal(vals, "double")
+    if lit is not None:
+        return lit
     return F.expr(
-        "array(" + ",".join(_dlit(x) for x in values) + ")"
+        "array(" + ",".join(_dlit(x) for x in vals) + ")"
     )
 
 
@@ -74,9 +137,15 @@ def _qcol(name: str) -> str:
 
 
 def _lit_int_array(values) -> "F.Column":
-    """One parsed ``array(1, 2, …)`` int literal (py4j round-trip
-    economy, same rationale as :func:`_lit_double_array`)."""
-    return F.expr("array(" + ",".join(str(int(x)) for x in values) + ")")
+    """One ``array<int>`` literal — a single ``Literal`` node via the
+    JVM bridge where reachable, else the parsed ``array(1, 2, …)``
+    form (same rationale and bit-exactness as
+    :func:`_lit_double_array`; int values have no rendering hazard)."""
+    vals = [int(x) for x in values]
+    lit = _jvm_array_literal(vals, "int")
+    if lit is not None:
+        return lit
+    return F.expr("array(" + ",".join(str(x) for x in vals) + ")")
 
 
 def _dot(a, b, dim: Optional[int] = None):

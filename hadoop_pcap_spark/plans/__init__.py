@@ -76,23 +76,64 @@ def resolved_oracles() -> Dict[str, str]:
 # ~100 ms per table per query build (join_multiway touches 8 tables →
 # ~0.9 s of its 1.9 s total was reader setup).  A catalog-registered
 # table carries its schema; bare-path reads deserve the same.  The
-# identity key re-reads a regenerated file, entries die with the
-# session (WeakKeyDictionary — the spread()-memo precedent), and no
-# DATA or results are ever cached: every job still scans the parquet.
-import weakref as _weakref
+# identity key re-reads a regenerated file, and no DATA or results
+# are ever cached: every job still scans the parquet.
+#
+# Storage (r14, ADVICE r13): the memo dict hangs OFF THE SESSION
+# OBJECT itself, not a module-level WeakKeyDictionary — the weak-dict
+# version never actually collected anything, because its values
+# (DataFrames) strongly reference the session key, making every entry
+# strongly reachable from the module global for the process lifetime.
+# As a session attribute the whole structure is one garbage cycle
+# (session → dict → DataFrame → session) that CPython's cycle
+# collector frees as soon as the session itself is unreferenced.
+_MEMO_ATTR = "_hadoop_pcap_read_memo"
 
-_READ_MEMO: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+def _dir_fingerprint(path: str, st) -> tuple:
+    """Identity key component for a DIRECTORY table: the directory's
+    own stat plus the max (name, mtime_ns, size) over its entries —
+    a part-file rewritten in place changes no directory entry count,
+    so the bare dir stat would serve a stale listing/schema
+    (ADVICE r13).  One shallow scandir; parquet dir tables here are
+    flat."""
+    import os
+
+    newest = ()
+    try:
+        with os.scandir(path) as it:
+            for e in it:
+                try:
+                    est = e.stat()
+                except OSError:
+                    continue
+                cand = (est.st_mtime_ns, est.st_size, e.name)
+                if cand > newest:
+                    newest = cand
+    except OSError:
+        pass
+    return (st.st_mtime_ns, st.st_size, newest)
 
 
 def _read_parquet_memo(spark: SparkSession, path: str) -> DataFrame:
     import os
+    import stat as _stat
 
     try:
         st = os.stat(path)
     except OSError:
         return spark.read.parquet(path)
-    key = (path, st.st_mtime_ns, st.st_size)
-    per = _READ_MEMO.setdefault(spark, {})
+    if _stat.S_ISDIR(st.st_mode):
+        key = (path, _dir_fingerprint(path, st))
+    else:
+        key = (path, st.st_mtime_ns, st.st_size)
+    per = getattr(spark, _MEMO_ATTR, None)
+    if per is None:
+        per = {}
+        try:
+            setattr(spark, _MEMO_ATTR, per)
+        except Exception:  # pragma: no cover — exotic session proxy
+            return spark.read.parquet(path)
     df = per.get(key)
     if df is None:
         # drop superseded identities of the same path (bounded growth)

@@ -693,28 +693,38 @@ def incremental_dedup_step(
     text_col: str = "text",
     id_col: str = "doc_id",
     fp_col: str = "fp",
+    persist: bool = True,
 ) -> DataFrame:
     """One micro-batch of cross-run exact dedup: fingerprint, keep the
     min-``id_col`` representative per within-batch duplicate group,
     anti-join against every strictly-earlier epoch's fingerprints,
     and commit this epoch's survivors to ``<snapshot_dir>/fps/
     epoch=<id>`` (overwrite → replay-idempotent).  Returns the kept
-    rows PERSISTED — the caller emits them downstream and unpersists.
+    rows — PERSISTED when ``persist=True`` (the caller emits them
+    downstream and unpersists); pass ``persist=False`` when nothing
+    re-reads the result after the snapshot write (r14: caching a
+    frame with exactly one consumer was pure memory-store overhead
+    per epoch).
 
     Exposed separately from the stream wiring so the replay/restart
     semantics are testable without a streaming query."""
-    from pyspark.sql.window import Window
-
     from ..functions.text import exact_fingerprint
 
     spark = batch_df.sparkSession
     fps_root = snapshot_dir.rstrip("/") + "/fps"
-    w = Window.partitionBy(fp_col).orderBy(id_col)
+    # keep-min(id) representative per fingerprint via min_by over ONE
+    # hash aggregate (r14): map-side partial aggregation replaces the
+    # former row_number window's full per-partition sort — same kept
+    # rows (ids are a total order within a batch), one exchange either
+    # way, no sort.
+    data_cols = [c for c in batch_df.columns if c != fp_col]
     batch = (
         batch_df.withColumn(fp_col, exact_fingerprint(F.col(text_col)))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .groupBy(fp_col)
+        .agg(F.min_by(F.struct(*data_cols), F.col(id_col)).alias("_rep"))
+        .select(
+            *[F.col(f"_rep.{c}").alias(c) for c in data_cols], F.col(fp_col)
+        )
     )
     prior = [
         p for e, _g, p in _snapshot_epoch_dirs(spark, fps_root) if e < epoch_id
@@ -726,7 +736,7 @@ def incremental_dedup_step(
         # write has committed, so the union is always a superset)
         seen = spark.read.schema(f"{fp_col} string").parquet(*prior)
         batch = batch.join(seen, [fp_col], "left_anti")
-    kept = batch.persist()
+    kept = batch.persist() if persist else batch
     kept.select(fp_col).write.mode("overwrite").parquet(
         f"{fps_root}/epoch={epoch_id}"
     )
@@ -754,14 +764,19 @@ def streaming_incremental_dedup(
     batch step, or share one stream via source union."""
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        # persist only when an emit callback will actually RE-READ the
+        # kept frame after the snapshot write; with no emitter the
+        # cache had exactly one consumer and was per-epoch overhead
         kept = incremental_dedup_step(
-            batch_df, epoch_id, snapshot_dir, text_col=text_col, id_col=id_col
+            batch_df, epoch_id, snapshot_dir, text_col=text_col,
+            id_col=id_col, persist=emit is not None,
         )
         try:
             if emit is not None:
                 emit(kept, epoch_id)
         finally:
-            kept.unpersist()
+            if emit is not None:
+                kept.unpersist()
 
     return docs.writeStream.foreachBatch(_process)
 

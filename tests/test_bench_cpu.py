@@ -125,3 +125,30 @@ def test_bench_json_normalized_block_shape():
     del extras["calib_start_retry"]
     n2 = bench.normalized_block(extras, cpu_timings)
     assert n2["calib_cpu_s"] == 0.012
+
+
+def test_bench_core_json_line_tail_survivable():
+    """core_json_line (the code main() actually prints LAST — VERDICT
+    r13 item 2): must parse, carry exactly the driver-contract fields,
+    and stay under a 2000-char stdout-tail capture at the real suite
+    width (27 rows with realistic name lengths)."""
+    import json
+
+    timings = {
+        f"similarity_ann_index_persisted_{i:02d}": round(0.123 + i, 3)
+        for i in range(27)
+    }
+    line = bench.core_json_line(
+        41.234, timings, True, False, 3, "/root/testdata/sf0.1"
+    )
+    assert len(line) <= 1900  # < the 2000-char archive tail
+    assert "\n" not in line
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_suite_total"
+    assert parsed["value"] == 41.234
+    assert parsed["unit"] == "sec"
+    assert parsed["queries"] == timings
+    assert parsed["contended"] is True
+    assert parsed["drifted"] is False
+    assert parsed["runs"] == 3
+    assert parsed["sf"] == "/root/testdata/sf0.1"
