@@ -138,11 +138,15 @@ def duplicate_spans(
     base = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
     ).filter(F.size("_toks") >= k)
-    t = F.col("_toks")
-    parts = lambda i: [F.element_at(t, i + j + 1) for j in range(k)]
-    shingle_arr = F.transform(
-        F.sequence(F.lit(0), F.size(t) - k),
-        lambda i: F.concat_ws(" ", *parts(i)),
+    # ONE parsed SQL string instead of per-element Column calls (r14
+    # plan-construction economy; tree node-identical — see
+    # dedup.shingle_arr_sql and tests/test_expr_twins.py)
+    _parts = ", ".join(
+        f"element_at(_toks, i + {j} + 1)" for j in range(k)
+    )
+    shingle_arr = F.expr(
+        f"transform(sequence(0, size(_toks) - {k}), "
+        f"i -> concat_ws(' ', {_parts}))"
     )
     # posexplode_outer: the outer variant infers no size-filter (see
     # functions.explode_computed), and the array is non-empty by the

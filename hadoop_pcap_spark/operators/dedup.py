@@ -78,17 +78,31 @@ def doc_shingle_arrays(
     Narrow (no shuffle, no explode): the shingle set stays co-located
     with its doc row — at 100 TB this is a pure map over the scan.
     MinHash, LSH bands and Jaccard verification all derive from this
-    column directly."""
+    column directly.
+
+    The shingle expression is ONE parsed SQL string (r14, VERDICT r13
+    item 5): the Column form paid a py4j round-trip per element_at/
+    concat/when node on every query build; the parsed tree is
+    node-identical (tests/test_expr_twins.py sameSemantics pin)."""
     base = docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks"))
-    t = F.col("_toks")
-    parts = lambda i: [F.element_at(t, i + j + 1) for j in range(k)]
-    shingles = F.when(
-        F.size(t) >= k,
-        F.transform(F.sequence(F.lit(0), F.size(t) - k), lambda i: F.concat_ws(" ", *parts(i))),
-    ).otherwise(F.array(F.concat_ws(" ", t)))
     return base.select(
-        "doc_id", F.array_distinct(shingles).alias("arr")
+        "doc_id", F.expr(f"array_distinct({shingle_arr_sql(k)})").alias("arr")
     ).withColumn("sz", F.size("arr"))
+
+
+def shingle_arr_sql(k: int, toks: str = "_toks") -> str:
+    """SQL string for the k-word shingle array over a materialized
+    token-array column — CASE/transform/element_at tree identical to
+    the historical Column constructor (short docs contribute their
+    whole text as one shingle; the ``i + {j} + 1`` rendering mirrors
+    the old per-term Add chain exactly)."""
+    parts = ", ".join(f"element_at({toks}, i + {j} + 1)" for j in range(k))
+    return (
+        f"CASE WHEN size({toks}) >= {k} THEN "
+        f"transform(sequence(0, size({toks}) - {k}), "
+        f"i -> concat_ws(' ', {parts})) "
+        f"ELSE array(concat_ws(' ', {toks})) END"
+    )
 
 
 def exact_duplicates(docs: DataFrame, fingerprint_col) -> DataFrame:
@@ -148,16 +162,27 @@ def _md5_halves(col):
     )
 
 
+def _md5_halves_sql(t: str) -> str:
+    """Parsed-SQL twin of :func:`_md5_halves` (r14 plan-construction
+    economy; sameSemantics-pinned)."""
+    return (
+        f"named_struct("
+        f"'ha', CAST(conv(substring(md5({t}), 1, 15), 16, 10) AS BIGINT), "
+        f"'hb', CAST(conv(substring(md5({t}), 17, 15), 16, 10) AS BIGINT))"
+    )
+
+
 def minhash_signatures(tok: DataFrame, n_hashes: int = N_MINHASHES) -> DataFrame:
     """doc_id → m0..m{n-1} int64 MinHash values from (doc_id, token)
     pairs.  min(a + i*b) per doc is a valid MinHash under the 'random
     permutation by hash order' construction.  Pure built-ins,
     map-side aggregable; the md5 is computed once per token row."""
     _check_n_hashes(n_hashes)
-    with_h = tok.select("doc_id", _md5_halves(F.col("token")).alias("h"))
+    with_h = tok.select(
+        "doc_id", F.expr(_md5_halves_sql("token")).alias("h")
+    )
     aggs = [
-        F.min(F.col("h.ha") + F.lit(i) * F.col("h.hb")).alias(f"m{i}")
-        for i in range(n_hashes)
+        F.expr(f"min(h.ha + {i} * h.hb) AS m{i}") for i in range(n_hashes)
     ]
     return with_h.groupBy("doc_id").agg(*aggs)
 
@@ -172,12 +197,11 @@ def minhash_signatures_from_arrays(
     non-cheap and referenced n_hashes times."""
     _check_n_hashes(n_hashes)
     halved = arrays.select(
-        "doc_id", F.transform(F.col("arr"), _md5_halves).alias("hs")
+        "doc_id",
+        F.expr(f"transform(arr, t -> {_md5_halves_sql('t')})").alias("hs"),
     )
     cols = [
-        F.array_min(
-            F.transform(F.col("hs"), lambda x: x["ha"] + F.lit(i) * x["hb"])
-        ).alias(f"m{i}")
+        F.expr(f"array_min(transform(hs, x -> x.ha + {i} * x.hb)) AS m{i}")
         for i in range(n_hashes)
     ]
     return halved.select("doc_id", *cols)
@@ -190,12 +214,13 @@ def lsh_bands(sigs: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_MINHASH
     per_band = n_hashes // n_bands
     bands = []
     for b in range(n_bands):
-        cols = [F.col(f"m{b * per_band + j}") for j in range(per_band)]
+        cols = ", ".join(f"m{b * per_band + j}" for j in range(per_band))
         bands.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("key"))
+            f"named_struct('band', {b}, 'key', md5(concat_ws('|', {cols})))"
         )
+    band_arr = F.expr("array(" + ", ".join(bands) + ")")
     return (
-        sigs.select("doc_id", F.explode(F.array(*bands)).alias("bk"))
+        sigs.select("doc_id", F.explode(band_arr).alias("bk"))
         .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
 
@@ -250,22 +275,19 @@ def candidate_pairs(bands: DataFrame, max_bucket: int = 64) -> DataFrame:
     # element — O(m²) on exactly the pathological buckets the guard
     # exists to keep linear.
     buckets = buckets.withColumn("amin", F.array_min("members"))
-    m = F.col("members")
-    amin = F.col("amin")
-    clique = F.flatten(
-        F.transform(
-            m,
-            lambda x: F.transform(
-                F.filter(m, lambda y: y > x),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
+    clique = (
+        "flatten(transform(members, x -> "
+        "transform(filter(members, y -> y > x), "
+        "y -> named_struct('a', x, 'b', y))))"
     )
-    star = F.transform(
-        F.filter(m, lambda y: y != amin),
-        lambda y: F.struct(amin.alias("a"), y.alias("b")),
+    star = (
+        "transform(filter(members, y -> y != amin), "
+        "y -> named_struct('a', amin, 'b', y))"
     )
-    pair_arr = F.when(F.size(m) <= max_bucket, clique).otherwise(star)
+    pair_arr = F.expr(
+        f"CASE WHEN size(members) <= {max_bucket} THEN {clique} "
+        f"ELSE {star} END"
+    )
     # explode_outer + output-null filter, NOT inner explode: the
     # inferred size(pair_arr)>0 filter would substitute and re-run
     # the whole clique/star CASE per bucket row — doubling exactly
@@ -376,18 +398,17 @@ def minhash_lsh_pairs(
     # non-cheap transforms separate — same structure as
     # minhash_signatures_from_arrays).
     halved = arrays.select(
-        "doc_id", "sz", F.transform(F.col("arr"), _md5_halves).alias("hs")
+        "doc_id", "sz",
+        F.expr(f"transform(arr, t -> {_md5_halves_sql('t')})").alias("hs"),
     )
     sig_cols = [
-        F.array_min(
-            F.transform(F.col("hs"), lambda x: x["ha"] + F.lit(i) * x["hb"])
-        ).alias(f"m{i}")
+        F.expr(f"array_min(transform(hs, x -> x.ha + {i} * x.hb)) AS m{i}")
         for i in range(n_hashes)
     ]
     hashed = halved.select(
         "doc_id",
         "sz",
-        F.transform(F.col("hs"), lambda x: x["ha"]).alias("arr"),
+        F.expr("transform(hs, x -> x.ha)").alias("arr"),
         *sig_cols,
     )
     # The hashed relation feeds three consumers (bands and both sides
@@ -443,23 +464,34 @@ def simhash_bits(
             raise ValueError(f"nibble scheme supports 1..62 bits, got {bits}")
     else:
         raise ValueError(f"unknown simhash scheme {scheme!r}")
-    h = F.md5(F.col("token"))
-
-    def vote(i: int):
+    # Expression construction is parsed SQL strings, not per-term
+    # Column calls (r14, VERDICT r13 item 5): the Column form cost one
+    # py4j round-trip per operator — ~6 per vote × 60 votes + 60
+    # CASE terms ≈ 1.6 s of driver time per dedup_simhash_wide call —
+    # where F.expr parses each vote in ONE round-trip.  Tree-identical
+    # to the historical Column form (pinned by sameSemantics in
+    # tests/test_expr_twins.py), so plans, results and the DuckDB
+    # oracles are unchanged.
+    def vote_sql(i: int) -> str:
         if scheme == "parity":
-            digit = F.instr(F.lit(HEX_DIGITS), F.substring(h, i + 1, 1)) - 1
-            cond = digit % 2 == 1
+            digit = (
+                f"(instr('{HEX_DIGITS}', substring(md5(token), {i + 1}, 1))"
+                f" - 1)"
+            )
+            cond = f"({digit} % 2) = 1"
         else:
-            digit = F.instr(F.lit(HEX_DIGITS), F.substring(h, i // 4 + 1, 1)) - 1
-            cond = digit.bitwiseAND(F.lit(1 << (i % 4))) != 0
-        return F.sum(F.when(cond, 1).otherwise(-1)).alias(f"v{i}")
+            digit = (
+                f"(instr('{HEX_DIGITS}', substring(md5(token),"
+                f" {i // 4 + 1}, 1)) - 1)"
+            )
+            cond = f"({digit} & {1 << (i % 4)}) != 0"
+        return f"sum(CASE WHEN {cond} THEN 1 ELSE -1 END) AS v{i}"
 
-    agg = tok.groupBy("doc_id").agg(*[vote(i) for i in range(bits)])
-    terms = [
-        F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i in range(bits)
-    ]
-    return agg.select("doc_id", sum(terms[1:], start=terms[0]).alias("simhash"))
+    agg = tok.groupBy("doc_id").agg(*[F.expr(vote_sql(i)) for i in range(bits)])
+    simhash_sql = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits)
+    )
+    return agg.select("doc_id", F.expr(simhash_sql).alias("simhash"))
 
 
 def simhash16(tok: DataFrame) -> DataFrame:

@@ -495,4 +495,13 @@ def http_objects(
                 else pd.DataFrame(columns=names)
             )
 
-    return conns.mapInPandas(batch_fn, HTTP_OBJECT_SCHEMA)
+    # mapInPandas is opaque to column pruning (guide §4): without the
+    # explicit select, the canonical endpoint-pair key structs _a/_b
+    # (and _w when windowed) — which batch_fn never reads, direction
+    # is decided by stream CONTENT — would be Arrow-converted and
+    # shipped to every Python worker alongside the segments.  Measured
+    # on the 2000-connection fixture: full query min wall 2.78 → 1.85 s
+    # (cpu 11.2 → 9.9 s) from this projection alone (r14).
+    return conns.select("file", "segs").mapInPandas(
+        batch_fn, HTTP_OBJECT_SCHEMA
+    )

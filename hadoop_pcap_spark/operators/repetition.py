@@ -86,21 +86,19 @@ def repetition_signals(
     base = base.withColumn(
         "total_chars", F.length(F.concat_ws(" ", F.col("_toks")))
     )
-    t = F.col("_toks")
-
+    # ONE parsed SQL string per n instead of per-element Column calls
+    # (r14 plan-construction economy; tree node-identical — pinned by
+    # tests/test_expr_twins.py sameSemantics)
     def grams_for(n: int):
-        return F.when(
-            F.size(t) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(t) - n),
-                lambda i: F.struct(
-                    F.lit(n).alias("n"),
-                    F.concat_ws(
-                        " ", *[F.element_at(t, i + j + 1) for j in range(n)]
-                    ).alias("g"),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
+        parts = ", ".join(
+            f"element_at(_toks, i + {j} + 1)" for j in range(n)
+        )
+        return F.expr(
+            f"CASE WHEN size(_toks) >= {n} THEN "
+            f"transform(sequence(0, size(_toks) - {n}), "
+            f"i -> named_struct('n', {n}, 'g', concat_ws(' ', {parts}))) "
+            f"ELSE CAST(array() AS array<struct<n:int,g:string>>) END"
+        )
 
     all_ns = list(dict.fromkeys(list(top_ns) + [dup_n]))
     all_grams = F.concat(*[grams_for(n) for n in all_ns])
